@@ -1,0 +1,139 @@
+"""Per-round crawl checkpoints: lineage, counters, deterministic resume.
+
+The reference has NO checkpointing — a restart is a full recrawl
+(SURVEY.md §4.1).  The engine checkpoints every BSP round so a killed run
+resumes from the last complete round with identical results (north-rule
+requirement: "resumable from checkpoint with per-partition lineage +
+metrics").
+
+Layout (all writes atomic: files first, ``_SUCCESS`` marker last)::
+
+    ckpt_dir/
+      round=R/
+        selected.parquet       # the round's fetch schedule (order table rows)
+        frontier_next.parquet  # candidates entering round R+1
+        seen_delta.parquet     # url hashes attempted in round R (seen-set delta)
+        counters.json          # round + cumulative counters, lineage
+        _SUCCESS
+
+The seen set is persisted as per-round *deltas*: resume rebuilds shard state
+as the union of deltas of rounds <= R (O(total urls) read once, instead of
+O(total) rewritten every round).  ``counters.json`` carries lineage
+(``parent_round``, ``config_hash``) so a resume against a different corpus or
+budget is refused instead of silently diverging.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+COUNTER_KEYS = (
+    "attempted",
+    "fetched",
+    "deduped",
+    "robots_blocked",
+    "retried",
+    "failed",
+    "deferred",
+)
+
+
+def config_hash(cfg: dict) -> str:
+    return hashlib.blake2b(
+        json.dumps(cfg, sort_keys=True).encode(), digest_size=8
+    ).hexdigest()
+
+
+class CheckpointManager:
+    def __init__(self, ckpt_dir: str, cfg: dict):
+        self.dir = ckpt_dir
+        self.cfg_hash = config_hash(cfg)
+        os.makedirs(ckpt_dir, exist_ok=True)
+
+    def _round_dir(self, r: int) -> str:
+        return os.path.join(self.dir, f"round={r}")
+
+    def latest_complete_round(self) -> int:
+        """Highest round with a _SUCCESS marker and matching lineage, else -1."""
+        best = -1
+        if not os.path.isdir(self.dir):
+            return best
+        for name in os.listdir(self.dir):
+            m = re.fullmatch(r"round=(\d+)", name)
+            if not m:
+                continue
+            r = int(m.group(1))
+            rd = self._round_dir(r)
+            if not os.path.exists(os.path.join(rd, "_SUCCESS")):
+                continue
+            with open(os.path.join(rd, "counters.json")) as f:
+                meta = json.load(f)
+            if meta.get("config_hash") != self.cfg_hash:
+                raise ValueError(
+                    f"checkpoint round {r} was written by a different config "
+                    f"({meta.get('config_hash')} != {self.cfg_hash}); refusing to resume"
+                )
+            best = max(best, r)
+        return best
+
+    def write_round(
+        self,
+        r: int,
+        selected: pa.Table,
+        frontier_next: pa.Table,
+        seen_delta: np.ndarray,
+        counters: dict,
+        cumulative: dict,
+    ):
+        rd = self._round_dir(r)
+        os.makedirs(rd, exist_ok=True)
+        success = os.path.join(rd, "_SUCCESS")
+        if os.path.exists(success):  # idempotent rewrite of a complete round
+            os.remove(success)
+        pq.write_table(selected, os.path.join(rd, "selected.parquet"))
+        pq.write_table(frontier_next, os.path.join(rd, "frontier_next.parquet"))
+        pq.write_table(
+            pa.table({"url_hash": pa.array(np.asarray(seen_delta, dtype=np.int64), pa.int64())}),
+            os.path.join(rd, "seen_delta.parquet"),
+        )
+        with open(os.path.join(rd, "counters.json"), "w") as f:
+            json.dump(
+                {
+                    "round": r,
+                    "parent_round": r - 1,
+                    "config_hash": self.cfg_hash,
+                    "counters": counters,
+                    "cumulative": cumulative,
+                },
+                f,
+            )
+        with open(success, "w") as f:
+            f.write("ok")
+
+    def read_counters(self, r: int) -> dict:
+        with open(os.path.join(self._round_dir(r), "counters.json")) as f:
+            return json.load(f)
+
+    def read_frontier_next(self, r: int) -> pa.Table:
+        return pq.read_table(os.path.join(self._round_dir(r), "frontier_next.parquet"))
+
+    def read_selected(self, r: int) -> pa.Table:
+        return pq.read_table(os.path.join(self._round_dir(r), "selected.parquet"))
+
+    def seen_hashes_through(self, r: int) -> np.ndarray:
+        parts = []
+        for i in range(r + 1):
+            p = os.path.join(self._round_dir(i), "seen_delta.parquet")
+            parts.append(pq.read_table(p)["url_hash"].to_numpy())
+        return np.concatenate(parts) if parts else np.zeros(0, dtype=np.int64)
+
+    def order_table_through(self, r: int) -> pa.Table:
+        tables = [self.read_selected(i) for i in range(r + 1)]
+        return pa.concat_tables(tables) if tables else None

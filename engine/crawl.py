@@ -1,0 +1,502 @@
+"""The BSP crawl loop: iterative frontier expansion on Ray Data.
+
+The Ray-Data-native re-expression of the reference's sequential recursive
+traversal (``SharePointClient.cs:201-342``, SURVEY.md §3.1): instead of one
+async chain with one request in flight, each *round* streams the frontier
+through vectorized gates, a salted two-stage politeness shuffle, a
+hash-bucketed fetch join against the pages table, and per-row extraction —
+then checkpoints and expands the next frontier.
+
+Round pipeline (every stage is a Dataset op; narrow columns only until fetch):
+
+    frontier (url, host, path, depth, priority, discovery_seq, retry, url_hash)
+      -> map_batches(RobotsSeenStage)        robots gate + seen-set anti-join
+                                             (broadcast rules; batched RPC to
+                                             SeenShard actors; retry bypass)
+      -> map_batches(add_salt)
+      -> groupby(host, salt).map_groups      exact in-round dedup + per-salt
+                                             top-k   (skew-bounded: same url
+                                             => same salt)
+      -> groupby(host).map_groups            exact per-host politeness top-k
+      -> driver: global order (host, depth, priority, discovery_seq),
+                 budget truncation, fetch_seq assignment   [politeness-bounded]
+      -> map_batches(bucket) -> groupby(bucket).map_groups(FetchBucket)
+                                             partitioned hash join against
+                                             pages/bucket=K/ parquet (reads
+                                             ONLY the buckets the frontier
+                                             hashes into, columns url+html)
+      -> map_batches(ExtractStage)           markdown + canonicalized links
+      -> write docs/round=R parquet; read links back (column-pruned) ->
+         child candidates; barrier: seen.add_many, counters, checkpoint.
+
+Crawl-order semantics: the fetch schedule of round R is the candidates that
+survive robots/dedup/seen/politeness, in the total order
+``(host, depth, priority, discovery_seq)``, truncated to the remaining global
+budget; ``fetch_seq`` numbers attempts consecutively across rounds.  A fetch
+miss (URL absent from the pages table — the 404 analog) is retried exactly
+once in the next round, then counted ``failed`` (the reference retries never:
+``SharePointClient.cs:283-293``; the engine's single retry exercises the
+north-rule's ``retried`` counter).
+
+Scale notes: the only driver-side materializations are (a) the selected set
+per round — bounded by politeness (hosts x max_per_host_per_round) and the
+global budget, never by frontier size — and (b) the next-frontier handoff,
+which at 10^10 scale becomes a distributed ``write_parquet`` of the same
+rows; both are narrow (no html/text ever enters the frontier).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass, field
+from glob import glob
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from .canonicalize import canonicalize, host_of, path_of, url_hash64
+from .checkpoint import COUNTER_KEYS, CheckpointManager
+from .extract import extract_document
+from .frontier import (
+    FRONTIER_SCHEMA,
+    N_SALT,
+    add_salt,
+    child_discovery_seq,
+    dedup_and_salt_topk,
+    global_order_indices,
+    host_topk,
+    seeds_to_frontier,
+)
+from .politeness import RobotsRules
+from .seen import SeenSet, check_many_via_handles
+from .synth import default_budget
+
+# Below this many frontier rows a round uses one exact groupby(host) for
+# dedup+politeness; above it, the salted two-stage tree (skew-bounded).
+SMALL_FRONTIER_ROWS = 200_000
+
+DOCS_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("fetch_seq", pa.int64()),
+        pa.field("round", pa.int32()),
+        pa.field("depth", pa.int32()),
+        pa.field("priority", pa.int32()),
+        pa.field("retry", pa.int8()),
+        pa.field("status", pa.string()),  # hit | miss
+        pa.field("markdown", pa.string()),
+        pa.field("title", pa.string()),
+        pa.field("header_doc", pa.string()),
+        pa.field("links", pa.list_(pa.struct([
+            pa.field("url", pa.string()),
+            pa.field("host", pa.string()),
+            pa.field("path", pa.string()),
+            pa.field("url_hash", pa.int64()),
+        ]))),
+    ]
+)
+
+
+# Worker-global cache for broadcast objects: worker processes persist across
+# rounds, so the rules dict is fetched once per worker per crawl (keyed by the
+# ObjectRef), not once per round — the same amortization an actor __init__
+# would give, without per-round actor-pool spin-up cost.
+_WORKER_CACHE: dict = {}
+
+
+def _cached_rules(robots_ref) -> RobotsRules:
+    key = robots_ref.hex() if hasattr(robots_ref, "hex") else id(robots_ref)
+    rules = _WORKER_CACHE.get(key)
+    if rules is None:
+        rules = RobotsRules(ray.get(robots_ref))
+        _WORKER_CACHE[key] = rules
+    return rules
+
+
+def robots_seen_batch(batch: pa.Table, robots_ref, shards) -> pa.Table:
+    """Vectorized robots gate + seen-set anti-join (one stage, no shuffle).
+
+    The broadcast-small-side pattern of the reference's allow-list semi-join
+    (``SharePointClient.cs:272-275``): rules arrive once per worker via
+    ``ray.get`` on a ``ray.put`` handle; the seen check is one batched RPC per
+    shard per batch.  Rows with retry=1 bypass the seen check (they were
+    added to the seen set when first attempted).
+    """
+    rules = _cached_rules(robots_ref)
+    blocked = rules.blocked_many(batch["host"].to_pylist(), batch["path"].to_pylist())
+    seen = check_many_via_handles(shards, batch["url_hash"].to_numpy())
+    retry = batch["retry"].to_numpy()
+    status = np.where(blocked, "robots", np.where(seen & (retry == 0), "seen", "cand"))
+    return batch.append_column("status", pa.array(status, pa.string()))
+
+
+def fetch_bucket_group(group: pd.DataFrame, pages_dir: str) -> pd.DataFrame:
+    """Per-bucket fetch: partitioned hash join frontier x pages on url.
+
+    The analog of ``FetchFileInfoAsync`` + ``$value`` download
+    (``SharePointClient.cs:353-403``): the in-sandbox "fetch" is a lookup into
+    the bucket's parquet file — reading only (url, html) columns of only the
+    buckets this round's frontier touches.
+    """
+    b = int(group["bucket"].iloc[0])
+    files = sorted(glob(os.path.join(pages_dir, f"bucket={b}", "*.parquet")))
+    urls = group["url"].tolist()
+    tables = [
+        pq.read_table(f, columns=["url", "html"], filters=[("url", "in", urls)])
+        for f in files
+    ]
+    pages = (
+        pa.concat_tables(tables).to_pandas()
+        if tables
+        else pd.DataFrame({"url": [], "html": []})
+    )
+    return group.merge(pages, on="url", how="left")
+
+
+def extract_batch_fn(batch: pa.Table, max_depth: int) -> pa.Table:
+    """Per-row extraction + link canonicalization (pure; safe under retries)."""
+    out = {k: [] for k in (
+        "url", "fetch_seq", "round", "depth", "priority", "retry",
+        "status", "markdown", "title", "header_doc", "links",
+    )}
+    for i in range(batch.num_rows):
+        url = batch["url"][i].as_py()
+        html = batch["html"][i].as_py()
+        out["url"].append(url)
+        out["fetch_seq"].append(batch["fetch_seq"][i].as_py())
+        out["round"].append(batch["round"][i].as_py())
+        depth = batch["depth"][i].as_py()
+        out["depth"].append(depth)
+        out["priority"].append(batch["priority"][i].as_py())
+        out["retry"].append(batch["retry"][i].as_py())
+        if html is None:
+            out["status"].append("miss")
+            out["markdown"].append(None)
+            out["title"].append(None)
+            out["header_doc"].append(None)
+            out["links"].append([])
+            continue
+        d = extract_document(html, url)
+        links = []
+        if depth < max_depth:
+            for href in d["hrefs"]:
+                cu = canonicalize(href, base=url)
+                if cu is None:
+                    continue
+                links.append(
+                    {
+                        "url": cu,
+                        "host": host_of(cu),
+                        "path": path_of(cu),
+                        "url_hash": url_hash64(cu),
+                    }
+                )
+        out["status"].append("hit")
+        out["markdown"].append(d["markdown"])
+        out["title"].append(d["title"])
+        out["header_doc"].append(d["header_doc"])
+        out["links"].append(links)
+    return pa.table(
+        {name: pa.array(vals, DOCS_SCHEMA.field(name).type) for name, vals in out.items()}
+    )
+
+
+def _collect(ds) -> pa.Table:
+    batches = list(ds.iter_batches(batch_size=65536, batch_format="pyarrow"))
+    if not batches:
+        return None
+    return pa.concat_tables(batches, promote_options="default")
+
+
+def _empty_frontier() -> pa.Table:
+    return FRONTIER_SCHEMA.empty_table()
+
+
+@dataclass
+class CrawlResult:
+    ckpt_dir: str
+    docs_dir: str
+    rounds: int
+    cumulative: dict
+    seen_stats: list = field(default_factory=list)
+
+    def order_table(self) -> pa.Table:
+        cm = CheckpointManager(self.ckpt_dir, {})
+        tables = []
+        for r in range(self.rounds):
+            p = os.path.join(self.ckpt_dir, f"round={r}", "selected.parquet")
+            if os.path.exists(p):
+                tables.append(pq.read_table(p))
+        t = pa.concat_tables(tables)
+        return t.sort_by("fetch_seq")
+
+    def seen_hashes(self) -> np.ndarray:
+        parts = []
+        for r in range(self.rounds):
+            p = os.path.join(self.ckpt_dir, f"round={r}", "seen_delta.parquet")
+            if os.path.exists(p):
+                parts.append(pq.read_table(p)["url_hash"].to_numpy())
+        return np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
+
+    def docs_dataset(self):
+        return rd.read_parquet(self.docs_dir)
+
+
+def crawl(
+    corpus_dir: str,
+    ckpt_dir: str,
+    budget: dict | None = None,
+    n_shards: int = 4,
+    resume: bool = True,
+    stop_after_round: int | None = None,
+    collect_markdown: bool = True,
+) -> CrawlResult:
+    """Run (or resume) a crawl over a synthetic corpus. Ray must be initialised.
+
+    ``stop_after_round=R`` returns right after round R's checkpoint barrier —
+    the kill-and-resume test hook.
+    """
+    import json
+
+    budget = dict(budget or default_budget())
+    with open(os.path.join(corpus_dir, "_corpus.json")) as f:
+        corpus_meta = json.load(f)
+    n_buckets = corpus_meta["cfg"]["n_buckets"]
+    pages_dir = os.path.join(corpus_dir, "pages")
+    docs_dir = os.path.join(ckpt_dir, "docs")
+
+    cfg = {"budget": budget, "corpus": corpus_meta["cache_key"], "n_buckets": n_buckets}
+    cm = CheckpointManager(ckpt_dir, cfg)
+
+    robots = RobotsRules.from_parquet(os.path.join(corpus_dir, "robots.parquet"))
+    robots_ref = ray.put(robots.rules)
+
+    run_id = uuid.uuid4().hex[:8]
+    seen = SeenSet(n_shards, name_prefix=f"seen_{run_id}")
+
+    cumulative = {k: 0 for k in COUNTER_KEYS}
+    start_round = 0
+    frontier = None
+    if resume:
+        last = cm.latest_complete_round()
+        if last >= 0:
+            start_round = last + 1
+            frontier = cm.read_frontier_next(last)
+            seen.add_many(cm.seen_hashes_through(last))
+            cumulative = dict(cm.read_counters(last)["cumulative"])
+    if frontier is None:
+        frontier = seeds_to_frontier(os.path.join(corpus_dir, "seeds.parquet"))
+
+    k = int(budget["max_per_host_per_round"])
+    max_rounds = int(budget["max_rounds"])
+    max_total = int(budget["max_urls_total"])
+    max_depth = int(budget["max_depth"])
+
+    r = start_round
+    try:
+        while r < max_rounds:
+            if frontier.num_rows == 0 or cumulative["attempted"] >= max_total:
+                break
+            counters = {key: 0 for key in COUNTER_KEYS}
+
+            shards = seen.shards
+            n_blocks = max(2, min(32, frontier.num_rows // 4096 + 1))
+            cand = rd.from_arrow(frontier).repartition(n_blocks)
+            # Materialized once per round: the gated disposition is a narrow,
+            # reused intermediate (both the blocked counters and the politeness
+            # shuffle read it) — re-executing the seen-RPC stage twice would
+            # double the actor traffic for no reason.
+            gated = cand.map_batches(
+                lambda t: robots_seen_batch(t, robots_ref, shards),
+                batch_format="pyarrow",
+                batch_size=8192,
+            ).materialize()
+            blocked_t = _collect(
+                gated.map_batches(
+                    lambda t: pa.table(
+                        {
+                            "robots": pa.array(
+                                [pc.sum(pc.equal(t["status"], "robots")).as_py() or 0], pa.int64()
+                            ),
+                            "seen": pa.array(
+                                [pc.sum(pc.equal(t["status"], "seen")).as_py() or 0], pa.int64()
+                            ),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+            if blocked_t is not None and blocked_t.num_rows:
+                counters["robots_blocked"] += int(pc.sum(blocked_t["robots"]).as_py() or 0)
+                counters["deduped"] += int(pc.sum(blocked_t["seen"]).as_py() or 0)
+
+            if frontier.num_rows <= SMALL_FRONTIER_ROWS:
+                # Small round: one exact groupby(host) does dedup + top-k.
+                disp = (
+                    gated.map_batches(
+                        lambda t: t.filter(pc.equal(t["status"], "cand")),
+                        batch_format="pyarrow",
+                    )
+                    .groupby("host")
+                    .map_groups(lambda df: dedup_and_salt_topk(df, k), batch_format="pandas")
+                )
+            else:
+                # Large round: salted two-stage tree bounds every group to
+                # N_SALT*k rows even for a hot host (SURVEY.md §7.6.4).
+                disp = (
+                    gated.map_batches(
+                        lambda t: add_salt(t.filter(pc.equal(t["status"], "cand"))),
+                        batch_format="pyarrow",
+                    )
+                    .groupby(["host", "salt"])
+                    .map_groups(lambda df: dedup_and_salt_topk(df, k), batch_format="pandas")
+                    .groupby("host")
+                    .map_groups(lambda df: host_topk(df, k), batch_format="pandas")
+                )
+            disp_t = _collect(disp)
+
+            if disp_t is None or disp_t.num_rows == 0:
+                selected_t = _empty_frontier()
+                deferred_t = _empty_frontier()
+            else:
+                status = disp_t["status"].to_pylist()
+                counters["deduped"] += sum(1 for s in status if s == "dup")
+                cand_t = disp_t.filter(pc.equal(disp_t["status"], "cand"))
+                deferred_t = disp_t.filter(pc.equal(disp_t["status"], "deferred"))
+                order = global_order_indices(cand_t)
+                cand_t = cand_t.take(order)
+                remaining = max_total - cumulative["attempted"]
+                if cand_t.num_rows > remaining:
+                    overflow = cand_t.slice(remaining)
+                    deferred_t = pa.concat_tables(
+                        [deferred_t.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA),
+                         overflow.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA)]
+                    )
+                    cand_t = cand_t.slice(0, remaining)
+                selected_t = cand_t
+                deferred_t = deferred_t.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA)
+
+            n_sel = selected_t.num_rows
+            counters["attempted"] = n_sel
+            counters["deferred"] = deferred_t.num_rows
+
+            retry_rows = _empty_frontier()
+            if n_sel:
+                offset = cumulative["attempted"]
+                selected_t = (
+                    selected_t.select(FRONTIER_SCHEMA.names)
+                    .cast(FRONTIER_SCHEMA)
+                    .append_column("fetch_seq", pa.array(offset + np.arange(n_sel), pa.int64()))
+                    .append_column("round", pa.array(np.full(n_sel, r, np.int32), pa.int32()))
+                )
+                # bucket = url_hash % n_buckets (numpy modulo per batch)
+                sel_ds = rd.from_arrow(selected_t).map_batches(
+                    lambda t: t.append_column(
+                        "bucket",
+                        pa.array(t["url_hash"].to_numpy() % n_buckets, pa.int32()),
+                    ),
+                    batch_format="pyarrow",
+                )
+                fetched = sel_ds.groupby("bucket").map_groups(
+                    lambda df: fetch_bucket_group(df, pages_dir), batch_format="pandas"
+                )
+                docs = fetched.map_batches(
+                    lambda t: extract_batch_fn(t, max_depth),
+                    batch_format="pyarrow",
+                    batch_size=256,
+                )
+                round_docs_dir = os.path.join(docs_dir, f"round={r}")
+                docs.write_parquet(round_docs_dir)
+
+                # One column-pruned read-back feeds BOTH link expansion and the
+                # fetch-outcome counters/retry queue.  The expansion runs on
+                # the driver because its input is the round's fetch result —
+                # bounded by the politeness/global budget, never by frontier or
+                # corpus size.  (At 10^10 scale the same explode becomes a
+                # map_batches -> write_parquet of the next frontier; the logic
+                # is identical.)
+                st_t = _collect(
+                    rd.read_parquet(
+                        round_docs_dir,
+                        columns=["url", "fetch_seq", "depth", "priority", "retry", "status", "links"],
+                    )
+                )
+                child_rows = []
+                for i in range(st_t.num_rows):
+                    if st_t["status"][i].as_py() != "hit":
+                        continue
+                    fseq = st_t["fetch_seq"][i].as_py()
+                    depth = st_t["depth"][i].as_py()
+                    prio = st_t["priority"][i].as_py()
+                    for j, link in enumerate(st_t["links"][i].as_py() or []):
+                        child_rows.append(
+                            {
+                                "url": link["url"],
+                                "host": link["host"],
+                                "path": link["path"],
+                                "depth": depth + 1,
+                                "priority": prio,
+                                "discovery_seq": child_discovery_seq(fseq, j),
+                                "retry": 0,
+                                "url_hash": link["url_hash"],
+                            }
+                        )
+                children_t = pa.Table.from_pylist(child_rows, schema=FRONTIER_SCHEMA)
+
+                st = st_t["status"].to_pylist()
+                retries_mask = [
+                    s == "miss" and rt == 0
+                    for s, rt in zip(st, st_t["retry"].to_pylist())
+                ]
+                counters["fetched"] = sum(1 for s in st if s == "hit")
+                counters["retried"] = sum(retries_mask)
+                counters["failed"] = sum(
+                    1 for s, rt in zip(st, st_t["retry"].to_pylist()) if s == "miss" and rt == 1
+                )
+                if any(retries_mask):
+                    sel_pd = selected_t.to_pandas().set_index("url")
+                    miss_urls = [u for u, m in zip(st_t["url"].to_pylist(), retries_mask) if m]
+                    rr = sel_pd.loc[miss_urls].reset_index()
+                    rr["retry"] = np.int8(1)
+                    retry_rows = pa.Table.from_pandas(
+                        rr[FRONTIER_SCHEMA.names], preserve_index=False
+                    ).cast(FRONTIER_SCHEMA)
+            else:
+                children_t = _empty_frontier()
+
+            frontier_next = pa.concat_tables([children_t, deferred_t, retry_rows])
+
+            if n_sel:
+                seen.add_many(selected_t["url_hash"].to_numpy())
+            for key in COUNTER_KEYS:
+                if key != "deferred":
+                    cumulative[key] += counters[key]
+            cumulative["deferred"] = counters["deferred"]
+
+            cm.write_round(
+                r,
+                selected_t if n_sel else FRONTIER_SCHEMA.empty_table()
+                .append_column("fetch_seq", pa.array([], pa.int64()))
+                .append_column("round", pa.array([], pa.int32())),
+                frontier_next,
+                selected_t["url_hash"].to_numpy() if n_sel else np.zeros(0, np.int64),
+                counters,
+                cumulative,
+            )
+            frontier = frontier_next
+            r += 1
+            if stop_after_round is not None and r > stop_after_round:
+                break
+    finally:
+        stats = seen.stats()
+        for s in seen.shards:
+            ray.kill(s)
+
+    return CrawlResult(ckpt_dir, docs_dir, r, cumulative, stats)

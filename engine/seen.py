@@ -1,0 +1,149 @@
+"""Sharded URL-seen set held in Ray actors (SURVEY.md §2.7 D1, §7.4).
+
+The reference never revisits a URL because a folder *tree* has no cycles
+(structural guarantee, ``SharePointClient.cs:325-336``).  A web link graph has
+cycles, so the engine makes the seen set explicit: ``N`` shard actors, each
+owning the hash range ``{h : h % N == shard_id}``.
+
+Each shard keeps
+
+- a **Bloom bitmap** (numpy bit array, k hash probes derived from the 63-bit
+  URL hash) — the constant-memory scale path: at 10^10 URLs a shard holds
+  only its bits, and a negative Bloom answer needs no exact lookup;
+- an **exact hash set** — the confirmation layer that makes answers exact
+  (Bloom false positives would wrongly drop URLs and break crawl-order /
+  seen-set conformance).  At sandbox scale the exact set is an in-memory
+  Python set; at 10^10 it becomes a disk-backed sorted-run structure per
+  shard, consulted only on Bloom-positive probes (the design is documented
+  here; the actor interface is identical).
+
+Round protocol (SURVEY.md §7.6.2): during round R the map stages only call
+``check_many`` (reads against the state frozen at the end of round R-1); the
+driver calls ``add_many`` with the round's attempted hashes at the barrier.
+Adds are idempotent, so Ray task retries are safe.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import ray
+
+
+@ray.remote(num_cpus=0)
+class SeenShard:
+    """One hash-range shard of the URL-seen set."""
+
+    def __init__(self, shard_id: int, bloom_bits: int = 1 << 22, n_probes: int = 4):
+        self.shard_id = shard_id
+        self.bloom_bits = int(bloom_bits)
+        self.n_probes = int(n_probes)
+        self._bloom = np.zeros(self.bloom_bits // 8, dtype=np.uint8)
+        self._exact: set = set()
+        self._bloom_positive = 0
+        self._exact_positive = 0
+
+    def _probe_positions(self, hashes: np.ndarray) -> np.ndarray:
+        """k probe positions per hash, derived from disjoint hash bits (double hashing)."""
+        h1 = hashes.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+        h2 = (hashes.astype(np.uint64) >> np.uint64(32)) | np.uint64(1)
+        ks = np.arange(self.n_probes, dtype=np.uint64)
+        return (h1[:, None] + ks[None, :] * h2[:, None]) % np.uint64(self.bloom_bits)
+
+    def check_many(self, hashes) -> np.ndarray:
+        """Exact membership for each hash (bool array). Read-only."""
+        hashes = np.asarray(hashes, dtype=np.int64)
+        if hashes.size == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._probe_positions(hashes)
+        byte_idx, bit = pos >> np.uint64(3), np.uint64(1) << (pos & np.uint64(7))
+        bloom_hit = ((self._bloom[byte_idx.astype(np.int64)] & bit.astype(np.uint8)) != 0).all(axis=1)
+        out = np.zeros(len(hashes), dtype=bool)
+        for i in np.flatnonzero(bloom_hit):
+            out[i] = int(hashes[i]) in self._exact
+        self._bloom_positive += int(bloom_hit.sum())
+        self._exact_positive += int(out.sum())
+        return out
+
+    def add_many(self, hashes) -> int:
+        """Barrier-time merge of a round's attempted hashes. Idempotent."""
+        hashes = np.asarray(hashes, dtype=np.int64)
+        if hashes.size == 0:
+            return len(self._exact)
+        pos = self._probe_positions(hashes)
+        byte_idx, bit = (pos >> np.uint64(3)).astype(np.int64), (
+            np.uint64(1) << (pos & np.uint64(7))
+        ).astype(np.uint8)
+        np.bitwise_or.at(self._bloom, byte_idx.ravel(), bit.ravel())
+        self._exact.update(int(h) for h in hashes)
+        return len(self._exact)
+
+    def stats(self) -> dict:
+        fill = float(np.unpackbits(self._bloom).mean()) if len(self._exact) else 0.0
+        fp = self._bloom_positive - self._exact_positive
+        return {
+            "shard_id": self.shard_id,
+            "n_exact": len(self._exact),
+            "bloom_fill": fill,
+            "bloom_false_positives": fp,
+        }
+
+    def dump(self) -> np.ndarray:
+        """All hashes in this shard (for checkpoint snapshots / tests)."""
+        return np.fromiter(self._exact, dtype=np.int64, count=len(self._exact))
+
+
+class SeenSet:
+    """Driver-side facade over the shard actors."""
+
+    def __init__(self, n_shards: int, name_prefix: str = "seen", bloom_bits: int = 1 << 22):
+        self.n_shards = n_shards
+        self.shards = [
+            SeenShard.options(name=f"{name_prefix}_shard_{i}", get_if_exists=True).remote(
+                i, bloom_bits=bloom_bits
+            )
+            for i in range(n_shards)
+        ]
+
+    def add_many(self, hashes: np.ndarray):
+        hashes = np.asarray(hashes, dtype=np.int64)
+        sid = hashes % self.n_shards
+        ray.get(
+            [
+                self.shards[s].add_many.remote(hashes[sid == s])
+                for s in range(self.n_shards)
+                if (sid == s).any()
+            ]
+        )
+
+    def check_many(self, hashes: np.ndarray) -> np.ndarray:
+        return check_many_via_handles(self.shards, hashes)
+
+    def stats(self) -> list:
+        return ray.get([s.stats.remote() for s in self.shards])
+
+    def dump_all(self) -> np.ndarray:
+        parts = ray.get([s.dump.remote() for s in self.shards])
+        return np.concatenate(parts) if parts else np.zeros(0, dtype=np.int64)
+
+
+def check_many_via_handles(shards: list, hashes: np.ndarray) -> np.ndarray:
+    """Batched membership check usable from inside map_batches workers.
+
+    One RPC per shard per batch (not per row): partition the batch's hashes by
+    ``hash % n_shards``, fan out, reassemble the boolean mask in input order.
+    """
+    hashes = np.asarray(hashes, dtype=np.int64)
+    out = np.zeros(len(hashes), dtype=bool)
+    if len(hashes) == 0:
+        return out
+    n = len(shards)
+    sid = hashes % n
+    futures, index_lists = [], []
+    for s in range(n):
+        idx = np.flatnonzero(sid == s)
+        if idx.size:
+            futures.append(shards[s].check_many.remote(hashes[idx]))
+            index_lists.append(idx)
+    for idx, res in zip(index_lists, ray.get(futures)):
+        out[idx] = res
+    return out

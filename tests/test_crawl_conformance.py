@@ -1,0 +1,134 @@
+"""Conformance: distributed engine == sequential oracle (SURVEY.md §5.2-§5.4).
+
+The three north-star invariants on the same seed list + politeness budget:
+(a) crawl ordering, (b) final URL-seen set, (c) byte-identical extracted text
+per url — plus counters and deterministic resume from checkpoint.
+"""
+
+import json
+import os
+import shutil
+from glob import glob
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+BUDGET = {"max_urls_total": 400, "max_per_host_per_round": 6, "max_depth": 6, "max_rounds": 10}
+
+
+@pytest.fixture(scope="module")
+def crawl_pair(small_corpus, tmp_path_factory):
+    """Run oracle + engine once on the shared corpus; reuse across asserts."""
+    from engine.crawl import crawl
+    from engine.oracle import crawl_oracle
+
+    corpus_dir, _cfg = small_corpus
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    oracle = crawl_oracle(corpus_dir, BUDGET)
+    engine = crawl(corpus_dir, ckpt, BUDGET)
+    return corpus_dir, oracle, engine
+
+
+def test_crawl_order_matches(crawl_pair):
+    _c, oracle, engine = crawl_pair
+    got = engine.order_table().to_pylist()
+    want = oracle["order"]
+    assert len(got) == len(want) and len(got) > 50
+    for a, b in zip(got, want):
+        assert (a["fetch_seq"], a["url"]) == (b["fetch_seq"], b["url"])
+        assert (a["depth"], a["priority"], a["discovery_seq"]) == (
+            b["depth"], b["priority"], b["discovery_seq"],
+        )
+
+
+def test_seen_set_matches(crawl_pair):
+    _c, oracle, engine = crawl_pair
+    assert set(engine.seen_hashes().tolist()) == oracle["seen_hashes"]
+
+
+def test_counters_match_per_round(crawl_pair):
+    _c, oracle, engine = crawl_pair
+    assert engine.cumulative == oracle["cumulative"]
+    for r, want in enumerate(oracle["round_counters"]):
+        with open(os.path.join(engine.ckpt_dir, f"round={r}", "counters.json")) as f:
+            meta = json.load(f)
+        assert meta["counters"] == want, f"round {r}"
+        assert meta["parent_round"] == r - 1
+
+
+def test_extracted_text_byte_identical(crawl_pair):
+    corpus_dir, oracle, engine = crawl_pair
+    golden = {}
+    for f in glob(os.path.join(corpus_dir, "pages", "bucket=*", "*.parquet")):
+        t = pq.read_table(f, columns=["url", "text"])
+        golden.update(zip(t["url"].to_pylist(), t["text"].to_pylist()))
+    docs = engine.docs_dataset().to_pandas()
+    hits = docs[docs.status == "hit"]
+    assert len(hits) == engine.cumulative["fetched"]
+    for u, m in zip(hits.url, hits.markdown):
+        assert golden[u] == m, u
+        assert oracle["docs"][u] == m, u
+
+
+def test_retry_and_failure_coverage(crawl_pair):
+    """Dead links exist in the corpus, so the retry path must actually run."""
+    _c, oracle, _e = crawl_pair
+    assert oracle["cumulative"]["retried"] > 0
+    assert oracle["cumulative"]["failed"] >= 0
+    assert oracle["cumulative"]["deduped"] > 0
+
+
+def test_robots_blocking_fires(small_corpus, tmp_path):
+    """A seed pointing into a disallowed host must be robots-blocked, not fetched."""
+    from engine.crawl import crawl
+    from engine.oracle import crawl_oracle
+
+    corpus_dir, _cfg = small_corpus
+    variant = tmp_path / "corpus_robots"
+    variant.mkdir()
+    os.symlink(os.path.join(corpus_dir, "pages"), variant / "pages")
+    for f in ("robots.parquet", "budget.parquet", "_corpus.json"):
+        shutil.copy(os.path.join(corpus_dir, f), variant / f)
+    pq.write_table(
+        pa.table({
+            "url": pa.array([
+                "https://h13.example.test/d0/p1.html",   # fully disallowed host
+                "https://h7.example.test/d3/p2.html",    # disallowed prefix
+                "https://h7.example.test/d2/p3.html",    # allowed (may 404)
+            ]),
+            "priority": pa.array([0, 0, 0], pa.int32()),
+        }),
+        variant / "seeds.parquet",
+    )
+    budget = {"max_urls_total": 10, "max_per_host_per_round": 4, "max_depth": 1, "max_rounds": 2}
+    oracle = crawl_oracle(str(variant), budget)
+    engine = crawl(str(variant), str(tmp_path / "ckpt"), budget)
+    assert oracle["cumulative"]["robots_blocked"] == 2
+    assert engine.cumulative == oracle["cumulative"]
+
+
+def test_resume_reproduces_uninterrupted_run(small_corpus, tmp_path):
+    from engine.crawl import crawl
+
+    corpus_dir, _cfg = small_corpus
+    a = str(tmp_path / "ckpt_a")
+    b = str(tmp_path / "ckpt_b")
+    full = crawl(corpus_dir, a, BUDGET)
+    crawl(corpus_dir, b, BUDGET, stop_after_round=2)     # simulated kill
+    resumed = crawl(corpus_dir, b, BUDGET)               # resume from round 3
+    assert resumed.cumulative == full.cumulative
+    x = full.order_table().to_pylist()
+    y = resumed.order_table().to_pylist()
+    assert [(r["fetch_seq"], r["url"]) for r in x] == [(r["fetch_seq"], r["url"]) for r in y]
+    assert set(full.seen_hashes().tolist()) == set(resumed.seen_hashes().tolist())
+
+
+def test_resume_refuses_config_mismatch(small_corpus, tmp_path):
+    from engine.crawl import crawl
+
+    corpus_dir, _cfg = small_corpus
+    ck = str(tmp_path / "ckpt")
+    crawl(corpus_dir, ck, BUDGET, stop_after_round=1)
+    with pytest.raises(ValueError, match="different config"):
+        crawl(corpus_dir, ck, {**BUDGET, "max_urls_total": 999})
