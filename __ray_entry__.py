@@ -1,44 +1,306 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data crawl + data-processing engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship crawl pipeline at sf0.001 scale.  ``queries()``
+exposes one callable per implemented operator/pipeline (SURVEY.md §2 plus the
+training-data ops); ``oracle_sql()`` provides the DuckDB-checkable subset.
+Genuinely non-SQL ops (LSH candidate generation, simhash, heuristic lang-ID,
+the crawl loop itself) have no oracle entry — the driver records a rows-only
+check, and `tests/` holds their exactness/conformance proofs.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing here
+calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
+import re
 from collections.abc import Callable
 from typing import Any
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+import sys
+
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+# ---------------------------------------------------------------------------
+# Crawl-over-synthetic-corpus helpers (the engine's own input shape)
+# ---------------------------------------------------------------------------
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else 0.01
+
+
+def _corpus_for(sf_dir: str, with_golden: bool = True) -> str:
+    """Deterministic synthetic pages corpus sized to the sf (cached in /tmp)."""
+    from engine.synth import CorpusConfig, generate_corpus
+
+    sf = _sf_of(sf_dir)
+    n_pages = max(200, int(sf * 200_000))
+    cfg = CorpusConfig(
+        n_pages=n_pages,
+        n_hosts=50,
+        n_buckets=16,
+        with_golden=with_golden,
+    )
+    out = os.path.join("/tmp", f"graft_corpus_{cfg.cache_key()}")
+    return generate_corpus(out, cfg)
+
+
+def _budget_for(sf_dir: str) -> dict:
+    sf = _sf_of(sf_dir)
+    n_pages = max(200, int(sf * 200_000))
+    return {
+        "max_urls_total": max(300, n_pages // 2),
+        "max_per_host_per_round": 8,
+        "max_depth": 6,
+        "max_rounds": 16,
+    }
+
+
+def _crawl_cached(sf_dir: str):
+    from engine.crawl import crawl
+
+    corpus = _corpus_for(sf_dir)
+    budget = _budget_for(sf_dir)
+    ckpt = corpus + "_ckpt"
+    return crawl(corpus, ckpt, budget, resume=True)
+
+
+def crawl_order(sf_dir: str):
+    """The crawl's fetch schedule: the analog of the reference's traversal order."""
+    res = _crawl_cached(sf_dir)
+    t = res.order_table()
+    return t.select(["fetch_seq", "url", "host", "depth", "priority", "round"])
+
+
+def crawl_seen(sf_dir: str):
+    import pandas as pd
+
+    res = _crawl_cached(sf_dir)
+    return pd.DataFrame({"url_hash": sorted(res.seen_hashes().tolist())})
+
+
+def crawl_counters(sf_dir: str):
+    import json
+
+    import pandas as pd
+
+    res = _crawl_cached(sf_dir)
+    rows = []
+    for r in range(res.rounds):
+        p = os.path.join(res.ckpt_dir, f"round={r}", "counters.json")
+        if not os.path.exists(p):
+            continue
+        with open(p) as f:
+            meta = json.load(f)
+        rows.append({"partition": r, **meta["counters"]})
+    return pd.DataFrame(rows)
+
+
+def extract_golden_check(sf_dir: str):
+    """Re-extract every page via map_batches; per-url byte-identity vs golden."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from engine.extract import extract_document
+
+    corpus = _corpus_for(sf_dir)
+    ds = rd.read_parquet(os.path.join(corpus, "pages"))
+
+    def check(t: pa.Table) -> pa.Table:
+        md = [
+            extract_document(h.as_py(), u.as_py())["markdown"]
+            for h, u in zip(t["html"], t["url"])
+        ]
+        return pa.table(
+            {
+                "url": t["url"],
+                "identical": pc.equal(t["text"], pa.array(md, pa.string())),
+            }
+        )
+
+    return ds.map_batches(check, batch_format="pyarrow", batch_size=256).to_pandas().sort_values("url").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: crawl the sf0.001-scale corpus; return the fetch-order table."""
+    return crawl_order("/root/testdata/sf0.001").to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from engine.ops import ann, dedup, multimodal, relational, text
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational / aggregation / join / sort / window (SURVEY §2.4-2.6, §2.9)
+        "q1_agg": relational.q1_lineitem_agg,
+        "mktsegment_revenue": relational.mktsegment_revenue,
+        "top_orders": relational.top_orders,
+        "events_hourly": relational.events_hourly,
+        "sessionize_events": relational.sessionize_events,
+        "allowlist_filter": relational.allowlist_filter,
+        "distinct_sources": relational.distinct_sources,
+        "nation_region_join": relational.nation_region_join,
+        # text analysis (M11/M12/M13 + training-data ops)
+        "token_count": text.token_count,
+        "quality_score": text.quality_score,
+        "classify": text.classify,
+        "keywords_topk": text.keywords_topk,
+        "lang_counts": text.lang_counts,
+        "langid_predict": text.langid_predict,
+        "fingerprint_md5": text.fingerprint_md5,
+        "fingerprint_rolling": text.fingerprint_rolling,
+        "chunk_documents": text.chunk_documents,
+        # dedup family
+        "exact_dedup": dedup.exact_dedup,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "simhash_signatures": dedup.simhash_signatures,
+        "simhash_near_pairs": dedup.simhash_near_pairs,
+        # similarity search
+        "ann_topk": ann.ann_topk_bruteforce,
+        "ann_topk_lsh": ann.ann_topk_lsh,
+        "embedding_near_pairs": ann.embedding_near_pairs,
+        # multimodal plumbing
+        "media_sizes": multimodal.media_sizes,
+        "media_metadata": multimodal.media_metadata,
+        "media_features": multimodal.media_features,
+        # the crawl engine itself (no SQL view of the synthetic pages corpus)
+        "crawl_order": crawl_order,
+        "crawl_seen": crawl_seen,
+        "crawl_counters": crawl_counters,
+        "extract_golden_check": extract_golden_check,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from engine.ops.text import CATEGORY_PATTERNS, STOP_WORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in STOP_WORDS)
+    cat_case = " ".join(
+        f"WHEN regexp_matches(text, '{pat[4:]}', 'i') THEN '{label}'"
+        for pat, label in CATEGORY_PATTERNS
+    )
+    return {
+        "q1_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 0) AS sum_qty,
+                   round(sum(l_extendedprice), 0) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 0) AS sum_disc_price,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "mktsegment_revenue": """
+            SELECT c_mktsegment, round(sum(o_totalprice), 0) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+            FROM events GROUP BY event_type, hour ORDER BY event_type, hour
+        """,
+        "sessionize_events": """
+            WITH o AS (
+              SELECT user_id, ts, event_id,
+                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+              FROM events),
+            s AS (
+              SELECT user_id, event_id,
+                sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess
+              FROM o)
+            SELECT user_id, min(event_id) AS session_start, count(*) AS n_events
+            FROM s GROUP BY user_id, sess ORDER BY user_id, session_start
+        """,
+        "allowlist_filter": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE source IN ('src1', 'src3') ORDER BY doc_id
+        """,
+        "distinct_sources": "SELECT DISTINCT source FROM documents ORDER BY source",
+        "nation_region_join": """
+            SELECT r_name, count(*) AS n_customers
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "token_count": r"""
+            SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "quality_score": rf"""
+            SELECT doc_id,
+                   len(string_split_regex(lower(text), '\s+')) AS n_tokens,
+                   len(list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x IN ({stop_list}))) AS n_stop,
+                   length(text) AS n_chars
+            FROM documents ORDER BY doc_id
+        """,
+        "classify": f"""
+            SELECT doc_id, CASE {cat_case} ELSE 'General' END AS category
+            FROM documents ORDER BY doc_id
+        """,
+        "keywords_topk": f"""
+            SELECT term, count(*) AS n FROM (
+              SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
+            WHERE term NOT IN ({stop_list}) AND term <> ''
+            GROUP BY term ORDER BY n DESC, term LIMIT 20
+        """,
+        "lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang",
+        "fingerprint_md5": "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+        "chunk_documents": """
+            WITH idx AS (
+              SELECT doc_id, text,
+                     unnest(range(0,
+                       CASE WHEN length(text) <= 1400 THEN 1
+                            ELSE CAST(ceil((length(text) - 1400) / 1100.0) AS BIGINT) + 1
+                       END)) AS chunk_index
+              FROM documents)
+            SELECT doc_id, chunk_index,
+                   substr(text, CAST(chunk_index * 1100 + 1 AS BIGINT), 1400) AS chunk
+            FROM idx ORDER BY doc_id, chunk_index
+        """,
+        "exact_dedup": """
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical_id
+            FROM documents ORDER BY doc_id
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                       WHERE vec_id < 5)
+            SELECT q.qid AS query_id, e.vec_id
+            FROM q, embeddings e
+            WHERE e.vec_id <> q.qid
+            QUALIFY row_number() OVER (
+              PARTITION BY q.qid
+              ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id
+            ) <= 10
+            ORDER BY query_id, vec_id
+        """,
+        "embedding_near_pairs": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+            ORDER BY vec_a, vec_b
+        """,
+        "media_sizes": """
+            SELECT doc_id AS media_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS media_type,
+                   octet_length(encode(text)) AS n_bytes
+            FROM documents ORDER BY media_id
+        """,
+    }

@@ -1,0 +1,251 @@
+"""Deduplication operators over the ``documents`` table.
+
+The large-scale-pipeline dedup family: exact (hash-partition + per-group
+first), MinHash+LSH near-dup, SimHash, and n-gram Jaccard verification.
+The exact variant is the distributed generalization of the reference's
+implicit no-revisit guarantee (SURVEY.md §2.7 D1); the near-dup variants are
+the training-data ops the reference never needed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def _docs(sf_dir: str, columns):
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def _text_hash64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big") & (
+        (1 << 63) - 1
+    )
+
+
+def exact_dedup(sf_dir: str) -> pd.DataFrame:
+    """doc_id -> canonical_id (min doc_id among byte-identical texts).
+
+    Hash-partition + per-group-first: a content-hash column added vectorized,
+    then ``groupby(hash).map_groups`` assigns each group its min doc_id — the
+    shuffle moves (hash, doc_id) pairs, never the text.
+    """
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        hashes = [_text_hash64(s) for s in t["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": t["doc_id"], "text_hash": pa.array(hashes, pa.int64())}
+        )
+
+    def canonical(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["canonical_id"] = g["doc_id"].min()
+        return g[["doc_id", "canonical_id"]]
+
+    out = (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("text_hash")
+        .map_groups(canonical, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+N_PERM = 64
+N_BANDS = 16          # 16 bands x 4 rows
+ROWS_PER_BAND = N_PERM // N_BANDS
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def _shingles(text: str, k: int = 3) -> np.ndarray:
+    toks = text.lower().split()
+    if len(toks) < k:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    out = np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
+            & ((1 << 61) - 1)
+            for g in set(grams)
+        ),
+        dtype=np.uint64,
+        count=len(set(grams)),
+    )
+    return out
+
+
+def _minhash_sig(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if len(shingle_hashes) == 0:
+        return np.full(N_PERM, np.iinfo(np.uint64).max, dtype=np.uint64)
+    # (a*x + b) mod p for each perm; min over shingles
+    vals = (a[None, :] * shingle_hashes[:, None] + b[None, :]) % np.uint64(_MERSENNE)
+    return vals.min(axis=0)
+
+
+def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, k_shingle: int = 3) -> pd.DataFrame:
+    """Near-duplicate pairs via MinHash signatures + banded LSH + Jaccard verify.
+
+    Pipeline shape (ray_guide 'Near-dup'): shingle+minhash per batch ->
+    explode to (band_id, band_hash, doc_id) rows -> groupby(band) -> candidate
+    pairs -> exact shingle-Jaccard verification -> pairs (a < b) with
+    jaccard >= threshold.  Output columns: doc_a, doc_b.
+
+    Rows-only for the driver (LSH candidate generation is not
+    SQL-expressible); exactness of the verify step is covered by pytest.
+    """
+    a_par, b_par = _perm_params()
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        doc_ids, bands, bhashes = [], [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            sig = _minhash_sig(_shingles(txt, k_shingle), a_par, b_par)
+            for band in range(N_BANDS):
+                chunk = sig[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
+                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                doc_ids.append(did)
+                bands.append(band)
+                bhashes.append(h)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "band": pa.array(bands, pa.int32()),
+                "band_hash": pa.array(bhashes, pa.string()),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        pairs = [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
+        return pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+
+    candidates = (
+        ds.map_batches(band_rows, batch_format="pyarrow", batch_size=1024)
+        .groupby(["band", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(candidates) == 0:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64")})
+    candidates = candidates.drop_duplicates().reset_index(drop=True)
+
+    # Verify with exact shingle Jaccard.  Candidate sets are tiny relative to
+    # the corpus; texts are fetched once for the involved ids only.
+    need = sorted(set(candidates["doc_a"]) | set(candidates["doc_b"]))
+    texts = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            lambda t: t.filter(pa.compute.is_in(t["doc_id"], value_set=pa.array(need))),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .set_index("doc_id")["text"]
+    )
+    sh = {did: set(_shingles(texts[did], k_shingle).tolist()) for did in need}
+    keep_a, keep_b = [], []
+    for x, y in zip(candidates["doc_a"], candidates["doc_b"]):
+        u = sh[x] | sh[y]
+        j = (len(sh[x] & sh[y]) / len(u)) if u else 1.0
+        if j >= threshold:
+            keep_a.append(int(x))
+            keep_b.append(int(y))
+    return pd.DataFrame({"doc_a": pd.Series(keep_a, dtype="int64"),
+                         "doc_b": pd.Series(keep_b, dtype="int64")})
+
+
+def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    """Exact k-gram Jaccard similarity of two texts (the verify kernel)."""
+    sa = set(_shingles(text_a, k).tolist())
+    sb = set(_shingles(text_b, k).tolist())
+    u = sa | sb
+    return (len(sa & sb) / len(u)) if u else 1.0
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def _simhash64(text: str) -> int:
+    acc = np.zeros(64, dtype=np.int64)
+    for w in set(text.lower().split()):
+        h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+        acc += np.where(bits == 1, 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out & ((1 << 63) - 1)  # keep int64-safe
+
+
+def simhash_signatures(sf_dir: str) -> pd.DataFrame:
+    """doc_id, simhash — 64-bit SimHash over the token set. Rows-only."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def sig(t: pa.Table) -> pa.Table:
+        out = [_simhash64(s) for s in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(out, pa.int64())})
+
+    out = ds.map_batches(sig, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def simhash_near_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Scale path: block on 4 x 16-bit sub-keys (any pair within Hamming<=3 must
+    agree exactly on at least one block — pigeonhole), groupby per block, and
+    compare only within buckets.  Rows-only.
+    """
+    sigs = simhash_signatures(sf_dir)
+    ids = sigs["doc_id"].to_numpy()
+    hs = sigs["simhash"].to_numpy().astype(np.uint64)
+
+    buckets: dict = {}
+    for blk in range(4):
+        keys = (hs >> np.uint64(blk * 16)) & np.uint64(0xFFFF)
+        for i, key in enumerate(keys):
+            buckets.setdefault((blk, int(key)), []).append(i)
+
+    seen_pairs = set()
+    out_a, out_b = [], []
+    for members in buckets.values():
+        if len(members) < 2:
+            continue
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                x, y = members[i], members[j]
+                if x > y:
+                    x, y = y, x
+                if (x, y) in seen_pairs:
+                    continue
+                seen_pairs.add((x, y))
+                if bin(int(hs[x]) ^ int(hs[y])).count("1") <= max_hamming:
+                    out_a.append(int(ids[x]))
+                    out_b.append(int(ids[y]))
+    return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
+                         "doc_b": pd.Series(out_b, dtype="int64")}).sort_values(
+        ["doc_a", "doc_b"]
+    ).reset_index(drop=True)

@@ -1,0 +1,213 @@
+"""Relational operators over the TPC-H-ish testdata tables.
+
+These cover the SURVEY.md §2 relational surface the crawl pipeline itself
+doesn't exercise: grouped aggregation with partial pre-aggregation (A3),
+broadcast hash join (J1/J3), sort + top-k (O5), distinct (D-family),
+windowed aggregation over the events stream (§2.9 analog), and the
+broadcast semi-join allow-list gate (M5, ``SharePointClient.cs:272-275``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def q1_lineitem_agg(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-style grouped aggregate with partial pre-aggregation.
+
+    Pattern (ray_guide 'Aggregation at scale'): combine per batch inside
+    map_batches (one row per key per batch), then a tiny groupby over the
+    partials — the full-table shuffle moves only partial rows.
+    """
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            n_rows=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    from ray.data.aggregate import Sum
+
+    out = (
+        partials.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+        .to_pandas()
+    )
+    out["sum_qty"] = out["sum_qty"].round(0)
+    out["sum_base_price"] = out["sum_base_price"].round(0)
+    out["sum_disc_price"] = out["sum_disc_price"].round(0)
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def mktsegment_revenue(sf_dir: str) -> pd.DataFrame:
+    """orders x customer broadcast hash join -> revenue per market segment.
+
+    customer is the small side: ``ray.put`` once, dict-lookup per batch — no
+    shuffle (the reference's allow-list broadcast pattern, J1).
+    """
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())))
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+
+    def join_partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        df = batch.to_pandas()
+        df["c_mktsegment"] = df["o_custkey"].map(lookup)
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(join_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("c_mktsegment")
+        .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(0)
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def top_orders(sf_dir: str, n: int = 10) -> pd.DataFrame:
+    """Global top-n orders by totalprice (sort + limit; deterministic tiebreak)."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+    out = (
+        ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(n)
+        .to_pandas()
+    )
+    return out[["o_orderkey", "o_totalprice"]]
+
+
+def events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Tumbling one-hour event-time windows per event_type (count only: exact)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        return pa.table({"event_type": batch["event_type"], "hour": hour})
+
+    from ray.data.aggregate import Count
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Session windows per user: a new session starts after a >gap idle period.
+
+    The streaming-shaped op from ray_guide: partition by key (user), sort by
+    ts inside each group, sessionize with pandas.  Output is integer-only.
+    """
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        new = (g["ts"].diff() > gap).cumsum()
+        agg = g.groupby(new).agg(
+            user_id=("user_id", "first"),
+            session_start=("event_id", "min"),
+            n_events=("event_id", "size"),
+        )
+        return agg.reset_index(drop=True)
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+
+
+def allowlist_filter(sf_dir: str, allowed=("src1", "src3")) -> pd.DataFrame:
+    """Broadcast semi-join gate: keep documents whose source is allow-listed.
+
+    The engine analog of the title allow-list (``SharePointClient.cs:272-275``):
+    the allow set lives in the task closure; the membership test is a
+    vectorized ``pc.is_in`` mask.
+    """
+    allowed_arr = pa.array(list(allowed), pa.string())
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "source", "n_chars"])
+    out = (
+        ds.map_batches(
+            lambda t: t.filter(pc.is_in(t["source"], value_set=allowed_arr)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def distinct_sources(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["source"])
+    vals = sorted(ds.unique("source"))
+    return pd.DataFrame({"source": vals})
+
+
+def nation_region_join(sf_dir: str) -> pd.DataFrame:
+    """Two-level broadcast dimension join: customers per region."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(_t(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+    n2r = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()))
+    r2name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    lookup_ref = ray.put({k: r2name[v] for k, v in n2r.items()})
+
+    ds = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_nationkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        df = batch.to_pandas()
+        df["r_name"] = df["c_nationkey"].map(lookup)
+        g = df.groupby("r_name", as_index=False).agg(n_customers=("c_nationkey", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Sum("n_customers", alias_name="n_customers"))
+        .to_pandas()
+    )
+    return out.sort_values("r_name").reset_index(drop=True)

@@ -1,0 +1,265 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Covers the reference's latent text surface (SURVEY.md §2.2): category
+classification M11 (``SharePointClient.cs:54-60``), stop-word keywording M12
+(``SharePointClient.cs:61-64``), chunking M13 (``RagIngestDocument.cs:42-43``
+defaults 1400/300) — plus the large-scale-pipeline text ops: token counting,
+quality scoring, language-ID, and document fingerprinting.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+# The reference's stop-word set, verbatim (SharePointClient.cs:61-64).
+STOP_WORDS = (
+    "the and for with that this from have will their are was were has had but "
+    "not you your about into can shall may might should could been being over "
+    "under after before between within upon without including include such "
+    "each any other more most some than too very one two three"
+).split()
+
+# The reference's category cascade, in declaration order (SharePointClient.cs:54-60):
+# first match wins; no match -> "General".
+CATEGORY_PATTERNS = (
+    (r"(?i)\b(hr|human resources|employee)\b", "HR"),
+    (r"(?i)\b(it|information technology|software|system)\b", "IT"),
+    (r"(?i)\b(policy|procedure|guideline)\b", "Policy"),
+    (r"(?i)\b(form|template)\b", "Form"),
+)
+
+CHUNK_SIZE = 1400     # chars; reference default ChunkSize (RagIngestDocument.cs:42)
+CHUNK_OVERLAP = 300   # reference default ChunkOverlap (RagIngestDocument.cs:43)
+CHUNK_STEP = CHUNK_SIZE - CHUNK_OVERLAP
+
+
+def _docs(sf_dir: str, columns):
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def token_count(sf_dir: str) -> pd.DataFrame:
+    """doc_id, n_tokens — vectorized regex token count (pc kernel, no Python loop)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = (
+        ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "n_tokens": pc.cast(pc.count_substring_regex(t["text"], r"\S+"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def quality_score(sf_dir: str) -> pd.DataFrame:
+    """Per-doc quality signals as exact integers: tokens, stopword hits, chars.
+
+    (Ratios are left to the consumer: integer outputs keep the DuckDB
+    value-hash comparison float-free.)
+    """
+    stop_arr = pa.array(STOP_WORDS, pa.string())
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), r"\s+")
+        flat = pc.list_flatten(toks)
+        is_stop = pc.is_in(flat, value_set=stop_arr)
+        # per-row stop counts via list offsets
+        offsets = np.zeros(len(toks) + 1, dtype=np.int64)
+        np.cumsum([len(x) for x in toks.to_pylist()], out=offsets[1:])
+        stop_np = is_stop.to_numpy(zero_copy_only=False).astype(np.int64)
+        csum = np.concatenate([[0], np.cumsum(stop_np)])
+        n_stop = csum[offsets[1:]] - csum[offsets[:-1]]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+                "n_stop": pa.array(n_stop, pa.int64()),
+                "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def classify(sf_dir: str) -> pd.DataFrame:
+    """doc_id, category — the reference's first-match regex cascade (M11)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def cat(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        result = np.full(n, "General", dtype=object)
+        undecided = np.ones(n, dtype=bool)
+        for pattern, label in CATEGORY_PATTERNS:
+            hit = pc.match_substring_regex(t["text"], pattern).to_numpy(zero_copy_only=False)
+            take = undecided & hit
+            result[take] = label
+            undecided &= ~hit
+        return pa.table({"doc_id": t["doc_id"], "category": pa.array(result, pa.string())})
+
+    out = ds.map_batches(cat, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def keywords_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Global top-k non-stopword terms (M12): per-batch partial counts ->
+    tiny groupby over partials -> deterministic (n desc, term asc) top-k."""
+    stop = set(STOP_WORDS)
+    ds = _docs(sf_dir, ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t["text"].to_pylist():
+            for w in txt.lower().split():
+                if w and w not in stop:
+                    c[w] += 1
+        items = sorted(c.items())
+        return pa.table(
+            {
+                "term": pa.array([w for w, _ in items], pa.string()),
+                "n": pa.array([n for _, n in items], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    merged = merged.sort_values(["n", "term"], ascending=[False, True], kind="mergesort")
+    return merged.head(k).reset_index(drop=True)
+
+
+def lang_counts(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count
+
+    ds = _docs(sf_dir, ["lang"])
+    out = ds.groupby("lang").aggregate(Count(alias_name="n")).to_pandas()
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+# Character-frequency profiles for a tiny n-gram-free language-ID heuristic.
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is"},
+    "de": {"der", "die", "und", "das", "ist", "nicht"},
+    "fr": {"le", "la", "et", "les", "des", "est"},
+    "es": {"el", "la", "de", "que", "los", "una"},
+}
+
+
+def langid_predict(sf_dir: str) -> pd.DataFrame:
+    """Heuristic language ID (stop-word profile votes; 'und' = undetermined).
+
+    Rows-only (no SQL oracle): the heuristic is not SQL-expressible.
+    Deterministic: ties break on profile-name order.
+    """
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def predict(t: pa.Table) -> pa.Table:
+        preds = []
+        for txt in t["text"].to_pylist():
+            words = set(txt.lower().split())
+            best, best_n = "und", 0
+            for lang in sorted(_LANG_PROFILES):
+                n = len(words & _LANG_PROFILES[lang])
+                if n > best_n:
+                    best, best_n = lang, n
+            preds.append(best)
+        return pa.table({"doc_id": t["doc_id"], "lang_pred": pa.array(preds, pa.string())})
+
+    out = ds.map_batches(predict, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def fingerprint_md5(sf_dir: str) -> pd.DataFrame:
+    """doc_id, fp — md5 content fingerprint (matches DuckDB md5())."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        digests = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "fp": pa.array(digests, pa.string())})
+
+    out = ds.map_batches(fp, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def fingerprint_rolling(sf_dir: str, window: int = 16) -> pd.DataFrame:
+    """doc_id, fp — min-of-rolling-polynomial-hash fingerprint (winnowing-style).
+
+    Rows-only: the rolling hash is not SQL-expressible.  Deterministic.
+    """
+    B, M = 1000003, (1 << 61) - 1
+    pow_w = pow(B, window - 1, M)
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        outs = []
+        for s in t["text"].to_pylist():
+            b = s.encode("utf-8")
+            if len(b) < window:
+                h = 0
+                for ch in b:
+                    h = (h * B + ch) % M
+                outs.append(h)
+                continue
+            h = 0
+            for ch in b[:window]:
+                h = (h * B + ch) % M
+            best = h
+            for i in range(window, len(b)):
+                h = ((h - b[i - window] * pow_w) * B + b[i]) % M
+                if h < best:
+                    best = h
+            outs.append(best)
+        return pa.table({"doc_id": t["doc_id"], "fp": pa.array(outs, pa.int64())})
+
+    out = ds.map_batches(fp, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def chunk_documents(sf_dir: str) -> pd.DataFrame:
+    """Sliding-window character chunking (M13; reference defaults 1400/300).
+
+    n_chunks = 1 if len <= SIZE else ceil((len - SIZE) / STEP) + 1;
+    chunk i covers [i*STEP, i*STEP + SIZE).  One doc row -> N chunk rows
+    (flat-map shape via map_batches).
+    """
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def chunks(t: pa.Table) -> pa.Table:
+        ids, idxs, texts = [], [], []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            n = len(s)
+            n_chunks = 1 if n <= CHUNK_SIZE else -(-(n - CHUNK_SIZE) // CHUNK_STEP) + 1
+            for i in range(n_chunks):
+                ids.append(did)
+                idxs.append(i)
+                texts.append(s[i * CHUNK_STEP : i * CHUNK_STEP + CHUNK_SIZE])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "chunk_index": pa.array(idxs, pa.int64()),
+                "chunk": pa.array(texts, pa.string()),
+            }
+        )
+
+    out = ds.map_batches(chunks, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "chunk_index"]).reset_index(drop=True)
