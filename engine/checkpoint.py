@@ -91,6 +91,7 @@ class CheckpointManager:
         seen_delta: np.ndarray,
         counters: dict,
         cumulative: dict,
+        phases: dict | None = None,
     ):
         rd = self._round_dir(r)
         os.makedirs(rd, exist_ok=True)
@@ -111,6 +112,7 @@ class CheckpointManager:
                     "config_hash": self.cfg_hash,
                     "counters": counters,
                     "cumulative": cumulative,
+                    "phase_sec": phases or {},
                 },
                 f,
             )

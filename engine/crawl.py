@@ -67,6 +67,7 @@ from .extract import extract_document
 from .frontier import (
     FRONTIER_SCHEMA,
     N_SALT,
+    SEQ_STRIDE,
     add_salt,
     child_discovery_seq,
     dedup_and_salt_topk,
@@ -208,6 +209,25 @@ def extract_batch_fn(batch: pa.Table, max_depth: int) -> pa.Table:
     )
 
 
+def _select_on_driver(frontier: pa.Table, robots: RobotsRules, seen: SeenSet, k: int) -> pa.Table:
+    """Driver-side selection for budget-bounded small rounds.
+
+    Identical semantics to the distributed branch — robots gate, batched seen
+    check (retry bypass), in-round dedup (min order key wins, winner inherits
+    max retry), per-host top-k — but fully vectorized in one pandas pass
+    instead of per-host group calls.
+    """
+    df = frontier.to_pandas()
+    blocked = robots.blocked_many(df["host"].tolist(), df["path"].tolist())
+    seen_mask = seen.check_many(df["url_hash"].to_numpy())
+    retry = df["retry"].to_numpy()
+    df["status"] = np.where(
+        blocked, "robots", np.where(seen_mask & (retry == 0), "seen", "cand")
+    )
+    out = dedup_and_salt_topk(df, k)  # whole frontier is url-closed
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def _collect(ds) -> pa.Table:
     batches = list(ds.iter_batches(batch_size=65536, batch_format="pyarrow"))
     if not batches:
@@ -257,11 +277,14 @@ def crawl(
     resume: bool = True,
     stop_after_round: int | None = None,
     collect_markdown: bool = True,
+    initial_frontier: pa.Table | None = None,
 ) -> CrawlResult:
     """Run (or resume) a crawl over a synthetic corpus. Ray must be initialised.
 
     ``stop_after_round=R`` returns right after round R's checkpoint barrier —
-    the kill-and-resume test hook.
+    the kill-and-resume test hook.  ``initial_frontier`` (FRONTIER_SCHEMA)
+    replaces the seeds table — used by the steady-state bench, which starts
+    from a fully-populated frontier rather than growing one by BFS.
     """
     import json
 
@@ -292,7 +315,11 @@ def crawl(
             seen.add_many(cm.seen_hashes_through(last))
             cumulative = dict(cm.read_counters(last)["cumulative"])
     if frontier is None:
-        frontier = seeds_to_frontier(os.path.join(corpus_dir, "seeds.parquet"))
+        frontier = (
+            initial_frontier
+            if initial_frontier is not None
+            else seeds_to_frontier(os.path.join(corpus_dir, "seeds.parquet"))
+        )
 
     k = int(budget["max_per_host_per_round"])
     max_rounds = int(budget["max_rounds"])
@@ -304,70 +331,55 @@ def crawl(
         while r < max_rounds:
             if frontier.num_rows == 0 or cumulative["attempted"] >= max_total:
                 break
+            import time as _time
+
+            _phase_t0 = _time.time()
+            _phases = {}
             counters = {key: 0 for key in COUNTER_KEYS}
 
             shards = seen.shards
-            n_blocks = max(2, min(32, frontier.num_rows // 4096 + 1))
-            cand = rd.from_arrow(frontier).repartition(n_blocks)
-            # Materialized once per round: the gated disposition is a narrow,
-            # reused intermediate (both the blocked counters and the politeness
-            # shuffle read it) — re-executing the seen-RPC stage twice would
-            # double the actor traffic for no reason.
-            gated = cand.map_batches(
-                lambda t: robots_seen_batch(t, robots_ref, shards),
-                batch_format="pyarrow",
-                batch_size=8192,
-            ).materialize()
-            blocked_t = _collect(
-                gated.map_batches(
-                    lambda t: pa.table(
-                        {
-                            "robots": pa.array(
-                                [pc.sum(pc.equal(t["status"], "robots")).as_py() or 0], pa.int64()
-                            ),
-                            "seen": pa.array(
-                                [pc.sum(pc.equal(t["status"], "seen")).as_py() or 0], pa.int64()
-                            ),
-                        }
-                    ),
-                    batch_format="pyarrow",
-                )
-            )
-            if blocked_t is not None and blocked_t.num_rows:
-                counters["robots_blocked"] += int(pc.sum(blocked_t["robots"]).as_py() or 0)
-                counters["deduped"] += int(pc.sum(blocked_t["seen"]).as_py() or 0)
-
             if frontier.num_rows <= SMALL_FRONTIER_ROWS:
-                # Small round: one exact groupby(host) does dedup + top-k.
-                disp = (
-                    gated.map_batches(
-                        lambda t: t.filter(pc.equal(t["status"], "cand")),
-                        batch_format="pyarrow",
-                    )
-                    .groupby("host")
-                    .map_groups(lambda df: dedup_and_salt_topk(df, k), batch_format="pandas")
-                )
+                # Small round: the whole selection phase runs on the driver —
+                # robots rules are local, the seen check is one batched RPC
+                # fan-out, and the SAME group functions run in pandas.  This
+                # is not a driver-side loop over the data: the frontier here
+                # is bounded, and a distributed selection would spend more on
+                # two all-to-alls than the round's total compute.  At real
+                # frontier sizes the distributed branch below engages; both
+                # branches are conformance-tested against the oracle.
+                disp_t = _select_on_driver(frontier, robots, seen, k)
             else:
-                # Large round: salted two-stage tree bounds every group to
-                # N_SALT*k rows even for a hot host (SURVEY.md §7.6.4).
+                # Large round: robots+seen gate fused ahead of the salted
+                # two-stage politeness tree; every group is bounded by
+                # N_SALT*k rows even for a hot host (SURVEY.md §7.6.4), and
+                # blocked rows ride through the group fns to be counted from
+                # the single collected disposition.
+                n_blocks = max(2, min(64, frontier.num_rows // 65536 + 1))
+                cand = rd.from_arrow(frontier).repartition(n_blocks)
                 disp = (
-                    gated.map_batches(
-                        lambda t: add_salt(t.filter(pc.equal(t["status"], "cand"))),
+                    cand.map_batches(
+                        lambda t: robots_seen_batch(t, robots_ref, shards),
                         batch_format="pyarrow",
+                        batch_size=65536,
                     )
-                    .groupby(["host", "salt"])
+                    .map_batches(add_salt, batch_format="pyarrow")
+                    .groupby("salt")
                     .map_groups(lambda df: dedup_and_salt_topk(df, k), batch_format="pandas")
                     .groupby("host")
                     .map_groups(lambda df: host_topk(df, k), batch_format="pandas")
                 )
-            disp_t = _collect(disp)
+                disp_t = _collect(disp)
+
+            _phases["select"] = round(_time.time() - _phase_t0, 3)
+            _phase_t0 = _time.time()
 
             if disp_t is None or disp_t.num_rows == 0:
                 selected_t = _empty_frontier()
                 deferred_t = _empty_frontier()
             else:
                 status = disp_t["status"].to_pylist()
-                counters["deduped"] += sum(1 for s in status if s == "dup")
+                counters["robots_blocked"] += sum(1 for s in status if s == "robots")
+                counters["deduped"] += sum(1 for s in status if s in ("dup", "seen"))
                 cand_t = disp_t.filter(pc.equal(disp_t["status"], "cand"))
                 deferred_t = disp_t.filter(pc.equal(disp_t["status"], "deferred"))
                 order = global_order_indices(cand_t)
@@ -396,60 +408,89 @@ def crawl(
                     .append_column("fetch_seq", pa.array(offset + np.arange(n_sel), pa.int64()))
                     .append_column("round", pa.array(np.full(n_sel, r, np.int32), pa.int32()))
                 )
-                # bucket = url_hash % n_buckets (numpy modulo per batch)
-                sel_ds = rd.from_arrow(selected_t).map_batches(
-                    lambda t: t.append_column(
-                        "bucket",
-                        pa.array(t["url_hash"].to_numpy() % n_buckets, pa.int32()),
-                    ),
-                    batch_format="pyarrow",
+                # Partition the fetch schedule by pages bucket WITHOUT a
+                # shuffle: the selected set is driver-resident, so split it
+                # into one Arrow table per bucket and feed from_arrow one
+                # block per bucket — each fetch task then reads exactly one
+                # bucket file.  (The groupby(bucket) all-to-all this replaces
+                # cost ~1s of fixed exchange per round.)
+                buckets_np = selected_t["url_hash"].to_numpy() % n_buckets
+                with_bucket = selected_t.append_column(
+                    "bucket", pa.array(buckets_np, pa.int32())
                 )
-                fetched = sel_ds.groupby("bucket").map_groups(
-                    lambda df: fetch_bucket_group(df, pages_dir), batch_format="pandas"
+                parts = [
+                    with_bucket.filter(pc.equal(with_bucket["bucket"], int(b)))
+                    for b in np.unique(buckets_np)
+                ]
+                sel_ds = rd.from_arrow(parts)
+                # num_cpus=2: extraction is allocation-heavy Python; measured
+                # on this class of machine it scales near-linearly to ~12-16
+                # concurrent processes and then collapses (memory/page-fault
+                # contention), so each task reserves 2 logical CPUs — a
+                # 32-CPU node runs 16 extract tasks at its throughput
+                # plateau instead of 32 tasks past the cliff.
+                fetched = sel_ds.map_batches(
+                    lambda df: fetch_bucket_group(df, pages_dir),
+                    batch_format="pandas",
+                    batch_size=None,
+                    num_cpus=2,
                 )
                 docs = fetched.map_batches(
                     lambda t: extract_batch_fn(t, max_depth),
                     batch_format="pyarrow",
                     batch_size=256,
+                    num_cpus=2,
                 )
                 round_docs_dir = os.path.join(docs_dir, f"round={r}")
-                docs.write_parquet(round_docs_dir)
-
-                # One column-pruned read-back feeds BOTH link expansion and the
-                # fetch-outcome counters/retry queue.  The expansion runs on
-                # the driver because its input is the round's fetch result —
-                # bounded by the politeness/global budget, never by frontier or
-                # corpus size.  (At 10^10 scale the same explode becomes a
-                # map_batches -> write_parquet of the next frontier; the logic
-                # is identical.)
+                # One execution materializes the round's docs; the parquet
+                # write and the narrow link/status projection both reuse the
+                # materialized blocks instead of re-running fetch+extract or
+                # re-reading files.  Bounded by the round's politeness/global
+                # budget, never by frontier or corpus size.
+                docs_mat = docs.materialize()
+                _phases["fetch_extract"] = round(_time.time() - _phase_t0, 3)
+                _phase_t0 = _time.time()
+                docs_mat.write_parquet(round_docs_dir)
+                _phases["docs_write"] = round(_time.time() - _phase_t0, 3)
+                _phase_t0 = _time.time()
                 st_t = _collect(
-                    rd.read_parquet(
-                        round_docs_dir,
-                        columns=["url", "fetch_seq", "depth", "priority", "retry", "status", "links"],
+                    docs_mat.select_columns(
+                        ["url", "fetch_seq", "depth", "priority", "retry", "status", "links"]
                     )
                 )
-                child_rows = []
-                for i in range(st_t.num_rows):
-                    if st_t["status"][i].as_py() != "hit":
-                        continue
-                    fseq = st_t["fetch_seq"][i].as_py()
-                    depth = st_t["depth"][i].as_py()
-                    prio = st_t["priority"][i].as_py()
-                    for j, link in enumerate(st_t["links"][i].as_py() or []):
-                        child_rows.append(
-                            {
-                                "url": link["url"],
-                                "host": link["host"],
-                                "path": link["path"],
-                                "depth": depth + 1,
-                                "priority": prio,
-                                "discovery_seq": child_discovery_seq(fseq, j),
-                                "retry": 0,
-                                "url_hash": link["url_hash"],
-                            }
-                        )
-                children_t = pa.Table.from_pylist(child_rows, schema=FRONTIER_SCHEMA)
-
+                # The link expansion below runs on the driver for the same
+                # bounded reason; at 10^10 scale it becomes a map_batches ->
+                # write_parquet of the next frontier with identical logic.
+                # Fully vectorized via Arrow list kernels — miss rows and
+                # depth-capped rows carry empty link lists, so no filter.
+                links_col = st_t["links"].combine_chunks()
+                if hasattr(links_col, "chunk"):
+                    links_col = links_col.chunk(0) if links_col.num_chunks else pa.array([], st_t.schema.field("links").type)
+                flat = pc.list_flatten(links_col)
+                parent = pc.list_parent_indices(links_col).to_numpy()
+                if len(parent):
+                    offsets = np.asarray(links_col.offsets)
+                    j_idx = np.arange(len(parent), dtype=np.int64) - offsets[parent]
+                    fseq_np = st_t["fetch_seq"].to_numpy()[parent]
+                    seq = (fseq_np + 1) * SEQ_STRIDE + np.minimum(j_idx, SEQ_STRIDE - 1)
+                    children_t = pa.table(
+                        {
+                            "url": flat.field("url"),
+                            "host": flat.field("host"),
+                            "path": flat.field("path"),
+                            "depth": pa.array(
+                                st_t["depth"].to_numpy()[parent] + 1, pa.int32()
+                            ),
+                            "priority": pa.array(
+                                st_t["priority"].to_numpy()[parent], pa.int32()
+                            ),
+                            "discovery_seq": pa.array(seq, pa.int64()),
+                            "retry": pa.array(np.zeros(len(parent), np.int8), pa.int8()),
+                            "url_hash": flat.field("url_hash"),
+                        }
+                    )
+                else:
+                    children_t = _empty_frontier()
                 st = st_t["status"].to_pylist()
                 retries_mask = [
                     s == "miss" and rt == 0
@@ -480,6 +521,8 @@ def crawl(
                     cumulative[key] += counters[key]
             cumulative["deferred"] = counters["deferred"]
 
+            _phases["expand_barrier"] = round(_time.time() - _phase_t0, 3)
+
             cm.write_round(
                 r,
                 selected_t if n_sel else FRONTIER_SCHEMA.empty_table()
@@ -489,6 +532,7 @@ def crawl(
                 selected_t["url_hash"].to_numpy() if n_sel else np.zeros(0, np.int64),
                 counters,
                 cumulative,
+                phases=_phases,
             )
             frontier = frontier_next
             r += 1

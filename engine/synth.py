@@ -76,11 +76,16 @@ class CorpusConfig:
     n_buckets: int = 16
     max_path_depth: int = 6
     with_golden: bool = True  # compute the `text` golden column via extract()
+    content_scale: int = 1    # multiplies sections/paragraphs per page; real
+    #                           Common-Crawl pages are tens of KB, so benches
+    #                           use >1 to get realistic per-page weight
+    n_seed_hosts: int = 4     # seeds = first page of this many hosts (+1 dup)
 
     def cache_key(self) -> str:
         return (
             f"n{self.n_pages}_h{self.n_hosts}_s{self.seed}_b{self.n_buckets}"
-            f"_d{self.max_path_depth}_g{int(self.with_golden)}"
+            f"_d{self.max_path_depth}_g{int(self.with_golden)}_c{self.content_scale}"
+            f"_sd{self.n_seed_hosts}"
         )
 
 
@@ -301,7 +306,7 @@ def build_page_html(row_id: int, cfg: CorpusConfig, assign: dict) -> str:
         if p == 0 and sop is not None:
             for s in _sop_grid(sop, docno, title_words, rng):
                 lines.append(("text", s))
-        n_sections = 1 + rng.randrange(2)
+        n_sections = (1 + rng.randrange(2)) * cfg.content_scale
         for _ in range(n_sections):
             sub = f"{heading_major}.0"
             lines.append(("text", f"{sub} {_sentence(rng, 2, True, False)}"))
@@ -450,46 +455,45 @@ def generate_corpus(out_dir: str, cfg: CorpusConfig, use_ray: bool | None = None
 
 
 def _generate_with_ray(pages_dir: str, cfg: CorpusConfig, assign: dict):
-    """Parallel generation: map_batches over a range, one writer task per bucket.
+    """Parallel generation: deterministic row-range chunks, each task writing
+    its rows straight into the hash-bucket layout — no shuffle.
 
-    The per-row purity of gen_rows makes this equivalent to the serial path.
+    gen_rows is pure in (seed, row_id), so chunk boundaries don't affect
+    content; part filenames are keyed by chunk id, so a rerun overwrites
+    identically (idempotent).  A groupby(bucket) exchange here would move the
+    whole html payload through the object store just to co-locate writes.
     """
     import ray
-    import ray.data as rd
 
-    # Stateless tasks (not an actor pool): an actor pool sized to the node
-    # would pin every CPU and starve the downstream shuffle/write stages.
-    # ray.get on the broadcast assignment is zero-copy shared memory per task.
     assign_ref = ray.put(assign)
+    chunk = 10_000
+    n_chunks = -(-cfg.n_pages // chunk)
 
-    def gen_batch(batch: pa.Table) -> pa.Table:
-        return gen_rows(batch["id"].to_pylist(), cfg, ray.get(assign_ref))
+    @ray.remote(num_cpus=2)  # allocation-heavy; see crawl.py extract stage note
+    def gen_write(ci: int) -> int:
+        a = ray.get(assign_ref)
+        lo, hi = ci * chunk, min(cfg.n_pages, (ci + 1) * chunk)
+        t = gen_rows(range(lo, hi), cfg, a)
+        for b in pa.compute.unique(t["bucket"]).to_pylist():
+            bdir = os.path.join(pages_dir, f"bucket={b}")
+            os.makedirs(bdir, exist_ok=True)
+            sub = t.filter(pa.compute.equal(t["bucket"], b)).drop_columns(["bucket"])
+            pq.write_table(sub, os.path.join(bdir, f"part-{ci:05d}.parquet"))
+        return hi - lo
 
-    ds = rd.range(cfg.n_pages).map_batches(
-        gen_batch, batch_format="pyarrow", batch_size=1000
-    )
-
-    def write_bucket(group: pa.Table) -> pa.Table:
-        b = int(group["bucket"][0].as_py())
+    ray.get([gen_write.remote(ci) for ci in range(n_chunks)])
+    for b in range(cfg.n_buckets):
         bdir = os.path.join(pages_dir, f"bucket={b}")
-        os.makedirs(bdir, exist_ok=True)
-        tbl = group.drop_columns(["bucket"]).sort_by("url")
-        pq.write_table(tbl, os.path.join(bdir, "part-0.parquet"))
-        return pa.table({"bucket": pa.array([b], pa.int32()), "rows": pa.array([tbl.num_rows], pa.int64())})
-
-    manifest = ds.groupby("bucket").map_groups(write_bucket, batch_format="pyarrow").to_pandas()
-    missing = set(range(cfg.n_buckets)) - set(manifest["bucket"].tolist())
-    for b in missing:
-        bdir = os.path.join(pages_dir, f"bucket={b}")
-        os.makedirs(bdir, exist_ok=True)
-        pq.write_table(PAGES_SCHEMA.empty_table(), os.path.join(bdir, "part-0.parquet"))
+        if not os.path.isdir(bdir):
+            os.makedirs(bdir, exist_ok=True)
+            pq.write_table(PAGES_SCHEMA.empty_table(), os.path.join(bdir, "part-empty.parquet"))
 
 
 def _write_side_tables(out_dir: str, cfg: CorpusConfig, assign: dict):
     """seeds / robots / budget tables (FIXTURES.md §2-§4)."""
     # seeds: lowest-row page of 4 distinct hosts + 1 duplicate-after-canonicalization
     hosts_with_rows = [h for h in range(cfg.n_hosts) if len(assign["host_rows"][h])]
-    chosen = hosts_with_rows[:4]
+    chosen = hosts_with_rows[: cfg.n_seed_hosts]
     seed_urls, prios = [], []
     for i, h in enumerate(chosen):
         rid = int(assign["host_rows"][h][0])

@@ -108,6 +108,28 @@ def test_robots_blocking_fires(small_corpus, tmp_path):
     assert engine.cumulative == oracle["cumulative"]
 
 
+def test_distributed_selection_path_matches_oracle(small_corpus, tmp_path, monkeypatch):
+    """Force the salted distributed selection branch and re-check conformance.
+
+    (The driver-side branch handles budget-bounded small rounds; this pins the
+    large-frontier path to the same oracle.)
+    """
+    import engine.crawl as crawl_mod
+    from engine.oracle import crawl_oracle
+
+    monkeypatch.setattr(crawl_mod, "SMALL_FRONTIER_ROWS", 0)
+    corpus_dir, _cfg = small_corpus
+    budget = {"max_urls_total": 150, "max_per_host_per_round": 5, "max_depth": 5, "max_rounds": 6}
+    oracle = crawl_oracle(corpus_dir, budget)
+    engine = crawl_mod.crawl(corpus_dir, str(tmp_path / "ckpt_dist"), budget)
+    assert engine.cumulative == oracle["cumulative"]
+    got = engine.order_table().to_pylist()
+    assert [(r["fetch_seq"], r["url"]) for r in got] == [
+        (r["fetch_seq"], r["url"]) for r in oracle["order"]
+    ]
+    assert set(engine.seen_hashes().tolist()) == oracle["seen_hashes"]
+
+
 def test_resume_reproduces_uninterrupted_run(small_corpus, tmp_path):
     from engine.crawl import crawl
 
