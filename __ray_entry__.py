@@ -62,12 +62,20 @@ def _budget_for(sf_dir: str) -> dict:
 
 
 def _crawl_cached(sf_dir: str):
+    import shutil
+
     from engine.crawl import crawl
 
     corpus = _corpus_for(sf_dir)
     budget = _budget_for(sf_dir)
     ckpt = corpus + "_ckpt"
-    return crawl(corpus, ckpt, budget, resume=True)
+    try:
+        return crawl(corpus, ckpt, budget, resume=True)
+    except ValueError:
+        # stale checkpoint from an older engine config: it's a derived cache,
+        # so wipe and recrawl (user checkpoints never take this path)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        return crawl(corpus, ckpt, budget, resume=True)
 
 
 def crawl_order(sf_dir: str):

@@ -39,6 +39,7 @@ COUNTER_KEYS = (
     "fetched",
     "deduped",
     "robots_blocked",
+    "filtered",
     "retried",
     "failed",
     "deferred",
@@ -92,6 +93,7 @@ class CheckpointManager:
         counters: dict,
         cumulative: dict,
         phases: dict | None = None,
+        errors: pa.Table | None = None,
     ):
         rd = self._round_dir(r)
         os.makedirs(rd, exist_ok=True)
@@ -104,6 +106,10 @@ class CheckpointManager:
             pa.table({"url_hash": pa.array(np.asarray(seen_delta, dtype=np.int64), pa.int64())}),
             os.path.join(rd, "seen_delta.parquet"),
         )
+        if errors is not None and errors.num_rows:
+            # Errors are rows, never side effects (SURVEY.md §2.1 S5 — the
+            # engine analog of ErrorLogger.cs's TSV, queryable per round).
+            pq.write_table(errors, os.path.join(rd, "errors.parquet"))
         with open(os.path.join(rd, "counters.json"), "w") as f:
             json.dump(
                 {

@@ -75,7 +75,7 @@ from .frontier import (
     host_topk,
     seeds_to_frontier,
 )
-from .politeness import RobotsRules
+from .politeness import RobotsRules, UrlGate
 from .seen import SeenSet, check_many_via_handles
 from .synth import default_budget
 
@@ -121,20 +121,28 @@ def _cached_rules(robots_ref) -> RobotsRules:
     return rules
 
 
-def robots_seen_batch(batch: pa.Table, robots_ref, shards) -> pa.Table:
-    """Vectorized robots gate + seen-set anti-join (one stage, no shuffle).
+def robots_seen_batch(batch: pa.Table, robots_ref, shards, gate: UrlGate) -> pa.Table:
+    """Vectorized robots + allow/deny gate + seen-set anti-join (no shuffle).
 
     The broadcast-small-side pattern of the reference's allow-list semi-join
     (``SharePointClient.cs:272-275``): rules arrive once per worker via
-    ``ray.get`` on a ``ray.put`` handle; the seen check is one batched RPC per
-    shard per batch.  Rows with retry=1 bypass the seen check (they were
-    added to the seen set when first attempted).
+    ``ray.get`` on a ``ray.put`` handle; the gate travels in the task closure;
+    the seen check is one batched RPC per shard per batch.  Rows with retry=1
+    bypass the seen check (they were added when first attempted).
+    Precedence: robots > filtered > seen > cand (mirrored by the oracle).
     """
     rules = _cached_rules(robots_ref)
-    blocked = rules.blocked_many(batch["host"].to_pylist(), batch["path"].to_pylist())
+    hosts = batch["host"].to_pylist()
+    paths = batch["path"].to_pylist()
+    blocked = rules.blocked_many(hosts, paths)
+    filt = gate.filtered_many(batch["url"].to_pylist(), paths)
     seen = check_many_via_handles(shards, batch["url_hash"].to_numpy())
     retry = batch["retry"].to_numpy()
-    status = np.where(blocked, "robots", np.where(seen & (retry == 0), "seen", "cand"))
+    status = np.where(
+        blocked,
+        "robots",
+        np.where(filt, "filtered", np.where(seen & (retry == 0), "seen", "cand")),
+    )
     return batch.append_column("status", pa.array(status, pa.string()))
 
 
@@ -209,7 +217,9 @@ def extract_batch_fn(batch: pa.Table, max_depth: int) -> pa.Table:
     )
 
 
-def _select_on_driver(frontier: pa.Table, robots: RobotsRules, seen: SeenSet, k: int) -> pa.Table:
+def _select_on_driver(
+    frontier: pa.Table, robots: RobotsRules, gate: UrlGate, seen: SeenSet, k: int
+) -> pa.Table:
     """Driver-side selection for budget-bounded small rounds.
 
     Identical semantics to the distributed branch — robots gate, batched seen
@@ -218,11 +228,15 @@ def _select_on_driver(frontier: pa.Table, robots: RobotsRules, seen: SeenSet, k:
     instead of per-host group calls.
     """
     df = frontier.to_pandas()
-    blocked = robots.blocked_many(df["host"].tolist(), df["path"].tolist())
+    paths = df["path"].tolist()
+    blocked = robots.blocked_many(df["host"].tolist(), paths)
+    filt = gate.filtered_many(df["url"].tolist(), paths)
     seen_mask = seen.check_many(df["url_hash"].to_numpy())
     retry = df["retry"].to_numpy()
     df["status"] = np.where(
-        blocked, "robots", np.where(seen_mask & (retry == 0), "seen", "cand")
+        blocked,
+        "robots",
+        np.where(filt, "filtered", np.where(seen_mask & (retry == 0), "seen", "cand")),
     )
     out = dedup_and_salt_topk(df, k)  # whole frontier is url-closed
     return pa.Table.from_pandas(out, preserve_index=False)
@@ -278,6 +292,7 @@ def crawl(
     stop_after_round: int | None = None,
     collect_markdown: bool = True,
     initial_frontier: pa.Table | None = None,
+    filters: dict | None = None,
 ) -> CrawlResult:
     """Run (or resume) a crawl over a synthetic corpus. Ray must be initialised.
 
@@ -295,11 +310,17 @@ def crawl(
     pages_dir = os.path.join(corpus_dir, "pages")
     docs_dir = os.path.join(ckpt_dir, "docs")
 
-    cfg = {"budget": budget, "corpus": corpus_meta["cache_key"], "n_buckets": n_buckets}
+    cfg = {
+        "budget": budget,
+        "corpus": corpus_meta["cache_key"],
+        "n_buckets": n_buckets,
+        "filters": filters or {},
+    }
     cm = CheckpointManager(ckpt_dir, cfg)
 
     robots = RobotsRules.from_parquet(os.path.join(corpus_dir, "robots.parquet"))
     robots_ref = ray.put(robots.rules)
+    gate = UrlGate.from_config(filters)
 
     run_id = uuid.uuid4().hex[:8]
     seen = SeenSet(n_shards, name_prefix=f"seen_{run_id}")
@@ -347,7 +368,7 @@ def crawl(
                 # two all-to-alls than the round's total compute.  At real
                 # frontier sizes the distributed branch below engages; both
                 # branches are conformance-tested against the oracle.
-                disp_t = _select_on_driver(frontier, robots, seen, k)
+                disp_t = _select_on_driver(frontier, robots, gate, seen, k)
             else:
                 # Large round: robots+seen gate fused ahead of the salted
                 # two-stage politeness tree; every group is bounded by
@@ -358,7 +379,7 @@ def crawl(
                 cand = rd.from_arrow(frontier).repartition(n_blocks)
                 disp = (
                     cand.map_batches(
-                        lambda t: robots_seen_batch(t, robots_ref, shards),
+                        lambda t: robots_seen_batch(t, robots_ref, shards, gate),
                         batch_format="pyarrow",
                         batch_size=65536,
                     )
@@ -379,6 +400,7 @@ def crawl(
             else:
                 status = disp_t["status"].to_pylist()
                 counters["robots_blocked"] += sum(1 for s in status if s == "robots")
+                counters["filtered"] += sum(1 for s in status if s == "filtered")
                 counters["deduped"] += sum(1 for s in status if s in ("dup", "seen"))
                 cand_t = disp_t.filter(pc.equal(disp_t["status"], "cand"))
                 deferred_t = disp_t.filter(pc.equal(disp_t["status"], "deferred"))
@@ -400,6 +422,7 @@ def crawl(
             counters["deferred"] = deferred_t.num_rows
 
             retry_rows = _empty_frontier()
+            errors_t = None
             if n_sel:
                 offset = cumulative["attempted"]
                 selected_t = (
@@ -492,6 +515,25 @@ def crawl(
                 else:
                     children_t = _empty_frontier()
                 st = st_t["status"].to_pylist()
+                miss_idx = [i for i, s in enumerate(st) if s == "miss"]
+                if miss_idx:
+                    retry_l = st_t["retry"].to_pylist()
+                    errors_t = pa.table(
+                        {
+                            "url": pa.array([st_t["url"][i].as_py() for i in miss_idx], pa.string()),
+                            "fetch_seq": pa.array([st_t["fetch_seq"][i].as_py() for i in miss_idx], pa.int64()),
+                            "round": pa.array([r] * len(miss_idx), pa.int32()),
+                            "reason": pa.array(
+                                [
+                                    "fetch_miss_retryable" if retry_l[i] == 0 else "fetch_miss_final"
+                                    for i in miss_idx
+                                ],
+                                pa.string(),
+                            ),
+                        }
+                    )
+                else:
+                    errors_t = None
                 retries_mask = [
                     s == "miss" and rt == 0
                     for s, rt in zip(st, st_t["retry"].to_pylist())
@@ -533,6 +575,7 @@ def crawl(
                 counters,
                 cumulative,
                 phases=_phases,
+                errors=errors_t,
             )
             frontier = frontier_next
             r += 1

@@ -771,6 +771,33 @@ def logical_name_from_url(url: str) -> str:
     return stem or "document"
 
 
+def extract_from_path(path: str, url: str | None = None, opt: ExtractOptions = DEFAULT_OPTIONS) -> dict:
+    """Path entry point — the analog of ConvertToMarkdown(pdfPath) (cs:81-86):
+    logical name falls back to the file stem when no url is given."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if url is None:
+        stem = path.rsplit("/", 1)[-1]
+        stem = stem.rsplit(".", 1)[0] if "." in stem else stem
+        url = f"file:///{stem or 'document'}"
+        # extract_document derives the logical name from the url path
+        return extract_document(data, f"https://local/{stem or 'document'}", opt)
+    return extract_document(data, url, opt)
+
+
+def extract_from_stream(stream, url: str = "https://local/document", opt: ExtractOptions = DEFAULT_OPTIONS) -> dict:
+    """Stream entry point — the analog of ConvertToMarkdown(Stream) (cs:95-113):
+    non-seekable streams are drained; seekable streams have their position
+    restored."""
+    if stream.seekable():
+        pos = stream.tell()
+        data = stream.read()
+        stream.seek(pos)
+    else:
+        data = stream.read()
+    return extract_document(data, url, opt)
+
+
 def extract_document(html: bytes, url: str, opt: ExtractOptions = DEFAULT_OPTIONS) -> dict:
     """Pure per-row extraction: bytes -> markdown + header struct + title + raw hrefs.
 

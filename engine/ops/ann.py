@@ -81,8 +81,8 @@ def ann_topk_bruteforce(sf_dir: str, n_queries: int = 5, k: int = 10) -> pd.Data
     return out[["query_id", "vec_id"]].reset_index(drop=True)
 
 
-def ann_topk_lsh(sf_dir: str, n_queries: int = 5, k: int = 10, n_planes: int = 8,
-                 n_tables: int = 6, seed: int = 42) -> pd.DataFrame:
+def ann_topk_lsh(sf_dir: str, n_queries: int = 5, k: int = 10, n_planes: int = 4,
+                 n_tables: int = 8, seed: int = 42) -> pd.DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH (the scale path).
 
     n_tables independent sign-hash tables of n_planes bits; a vector is a

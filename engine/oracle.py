@@ -27,7 +27,7 @@ from .canonicalize import canonicalize, host_of, path_of, url_hash64
 from .checkpoint import COUNTER_KEYS
 from .extract import extract_document
 from .frontier import child_discovery_seq
-from .politeness import RobotsRules
+from .politeness import RobotsRules, UrlGate
 from .synth import default_budget
 
 
@@ -49,8 +49,11 @@ def _global_key(c: dict):
     return (c["host"], c["depth"], c["priority"], c["discovery_seq"])
 
 
-def crawl_oracle(corpus_dir: str, budget: dict | None = None) -> dict:
+def crawl_oracle(
+    corpus_dir: str, budget: dict | None = None, filters: dict | None = None
+) -> dict:
     budget = dict(budget or default_budget())
+    gate = UrlGate.from_config(filters)
     k = int(budget["max_per_host_per_round"])
     max_rounds = int(budget["max_rounds"])
     max_total = int(budget["max_urls_total"])
@@ -89,11 +92,13 @@ def crawl_oracle(corpus_dir: str, budget: dict | None = None) -> dict:
             break
         counters = {key: 0 for key in COUNTER_KEYS}
 
-        # robots gate
+        # robots gate, then allow/deny/extension gate (same precedence as engine)
         survivors = []
         for c in frontier:
             if robots.blocked(c["host"], c["path"]):
                 counters["robots_blocked"] += 1
+            elif gate.filtered(c["url"], c["path"]):
+                counters["filtered"] += 1
             else:
                 survivors.append(c)
 

@@ -57,6 +57,61 @@ class RobotsRules:
         return out
 
 
+class UrlGate:
+    """Allow/deny URL gate — the engine analog of the reference's title
+    allow-list semi-join (M5, ``SharePointClient.cs:48,83,272-275``: an empty
+    allow set means allow-all) and extension filter (M6,
+    ``SharePointClient.cs:408-413``: lowercased extension membership).
+
+    allow_url_regex: url must match at least one (None/empty = allow all);
+    deny_url_regex: url matching any is dropped;
+    allowed_extensions: lowercased path extension must be in the set (paths
+    with no extension pass — the folder analog).
+    """
+
+    def __init__(self, allow_url_regex=None, deny_url_regex=None, allowed_extensions=None):
+        import re
+
+        self.allow = [re.compile(p) for p in (allow_url_regex or [])]
+        self.deny = [re.compile(p) for p in (deny_url_regex or [])]
+        self.exts = (
+            {e.lower().lstrip(".") for e in allowed_extensions}
+            if allowed_extensions
+            else None
+        )
+
+    @classmethod
+    def from_config(cls, cfg: dict | None) -> "UrlGate":
+        cfg = cfg or {}
+        return cls(
+            cfg.get("allow_url_regex"),
+            cfg.get("deny_url_regex"),
+            cfg.get("allowed_extensions"),
+        )
+
+    def is_empty(self) -> bool:
+        return not self.allow and not self.deny and self.exts is None
+
+    def filtered(self, url: str, path: str) -> bool:
+        if self.deny and any(rx.search(url) for rx in self.deny):
+            return True
+        if self.allow and not any(rx.search(url) for rx in self.allow):
+            return True
+        if self.exts is not None:
+            base = path.rsplit("/", 1)[-1]
+            if "." in base and base.rsplit(".", 1)[1].lower() not in self.exts:
+                return True
+        return False
+
+    def filtered_many(self, urls, paths) -> np.ndarray:
+        out = np.zeros(len(urls), dtype=bool)
+        if self.is_empty():
+            return out
+        for i, (u, p) in enumerate(zip(urls, paths)):
+            out[i] = self.filtered(u, p)
+        return out
+
+
 class TokenBucket:
     """Per-host token bucket honouring crawl_delay_ms (1 token per delay).
 

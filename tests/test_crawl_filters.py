@@ -1,0 +1,124 @@
+"""Allow/deny gate (M5/M6 analogs), error sink (S5), job config (S6) tests."""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from engine.politeness import UrlGate
+
+
+def test_gate_allow_patterns():
+    g = UrlGate(allow_url_regex=[r"h0\.example", r"h1\.example"])
+    assert not g.filtered("https://h0.example.test/a.html", "/a.html")
+    assert g.filtered("https://h9.example.test/a.html", "/a.html")
+
+
+def test_gate_deny_wins():
+    g = UrlGate(allow_url_regex=[r".*"], deny_url_regex=[r"/d3/"])
+    assert g.filtered("https://h.x/d3/p.html", "/d3/p.html")
+    assert not g.filtered("https://h.x/d2/p.html", "/d2/p.html")
+
+
+def test_gate_extension_filter():
+    # M6 semantics: lowercased extension membership; extensionless paths pass
+    g = UrlGate(allowed_extensions=["html", ".PDF"])
+    assert not g.filtered("https://h.x/a.HTML", "/a.HTML")
+    assert not g.filtered("https://h.x/b.pdf", "/b.pdf")
+    assert g.filtered("https://h.x/c.jpg", "/c.jpg")
+    assert not g.filtered("https://h.x/dir/", "/dir/")
+
+
+def test_gate_empty_allows_all():
+    # SharePointClient.cs:83 — empty allow set means null means allow-all
+    g = UrlGate()
+    assert g.is_empty()
+    assert not g.filtered_many(["https://x/a.bin"], ["/a.bin"]).any()
+
+
+def test_crawl_with_filters_matches_oracle(small_corpus, tmp_path):
+    from engine.crawl import crawl
+    from engine.oracle import crawl_oracle
+
+    corpus_dir, _cfg = small_corpus
+    budget = {"max_urls_total": 200, "max_per_host_per_round": 6, "max_depth": 5, "max_rounds": 8}
+    filters = {"deny_url_regex": [r"/d2/"], "allowed_extensions": ["html"]}
+    oracle = crawl_oracle(corpus_dir, budget, filters=filters)
+    engine = crawl(corpus_dir, str(tmp_path / "ckpt"), budget, filters=filters)
+    assert oracle["cumulative"]["filtered"] > 0
+    assert engine.cumulative == oracle["cumulative"]
+    got = engine.order_table().to_pylist()
+    assert [(x["fetch_seq"], x["url"]) for x in got] == [
+        (x["fetch_seq"], x["url"]) for x in oracle["order"]
+    ]
+    # filters participate in lineage: different filters must refuse to resume
+    with pytest.raises(ValueError, match="different config"):
+        crawl(corpus_dir, str(tmp_path / "ckpt"), budget, filters=None)
+
+
+def test_errors_written_as_rows(small_corpus, tmp_path):
+    from engine.crawl import crawl
+
+    corpus_dir, _cfg = small_corpus
+    budget = {"max_urls_total": 400, "max_per_host_per_round": 6, "max_depth": 6, "max_rounds": 10}
+    res = crawl(corpus_dir, str(tmp_path / "ckpt"), budget)
+    assert res.cumulative["retried"] > 0  # dead links exist in the corpus
+    reasons = []
+    for r in range(res.rounds):
+        p = os.path.join(res.ckpt_dir, f"round={r}", "errors.parquet")
+        if os.path.exists(p):
+            reasons.extend(pq.read_table(p)["reason"].to_pylist())
+    assert reasons.count("fetch_miss_retryable") == res.cumulative["retried"]
+    assert reasons.count("fetch_miss_final") == res.cumulative["failed"]
+
+
+def test_job_config_and_cli(small_corpus, tmp_path, ray_session):
+    from engine.job import load_job_config, run_job
+
+    corpus_dir, _cfg = small_corpus
+    cfg_path = tmp_path / "job.json"
+    cfg_path.write_text(
+        json.dumps(
+            {
+                "corpus_dir": corpus_dir,
+                "ckpt_dir": str(tmp_path / "job_ckpt"),
+                "budget": {
+                    "max_urls_total": 50,
+                    "max_per_host_per_round": 4,
+                    "max_depth": 3,
+                    "max_rounds": 4,
+                },
+                "filters": {"allowed_extensions": ["html"]},
+            }
+        )
+    )
+    cfg = load_job_config(str(cfg_path))
+    res = run_job(cfg)
+    assert res.cumulative["attempted"] > 0
+    assert os.path.exists(os.path.join(cfg["ckpt_dir"], "round=0", "_SUCCESS"))
+
+
+def test_job_config_missing_key(tmp_path):
+    from engine.job import load_job_config
+
+    p = tmp_path / "bad.json"
+    p.write_text("{}")
+    with pytest.raises(ValueError, match="corpus_dir"):
+        load_job_config(str(p))
+
+
+def test_extract_path_and_stream_entries(tmp_path):
+    import io
+
+    from engine.extract import extract_document, extract_from_path, extract_from_stream
+
+    html = b'<div class="page" data-page="1" data-height="792.0"><span class="w" style="left:72.0pt;top:700.0pt">x1</span></div>'
+    f = tmp_path / "doc.html"
+    f.write_bytes(html)
+    d1 = extract_from_path(str(f))
+    assert d1["markdown"] == extract_document(html, "https://local/doc")["markdown"]
+    buf = io.BytesIO(html)
+    d2 = extract_from_stream(buf)
+    assert buf.tell() == 0  # position restored (cs:107-111 semantics)
+    assert d2["markdown"].endswith("\n")

@@ -1,0 +1,187 @@
+"""Unit tests for the non-SQL-checkable data ops (dedup, ANN, multimodal)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- dedup kernels
+
+def test_jaccard_kernel():
+    from engine.ops.dedup import jaccard
+
+    assert jaccard("a b c d", "a b c d") == 1.0
+    assert jaccard("a b c d e", "a b c d x") < 1.0
+    assert jaccard("", "") == 1.0
+    assert jaccard("one two three", "four five six") == 0.0
+
+
+def test_minhash_signature_similarity_tracks_jaccard():
+    from engine.ops.dedup import _minhash_sig, _perm_params, _shingles, jaccard
+
+    a, b = _perm_params()
+    t1 = "the quick brown fox jumps over the lazy dog again and again today"
+    t2 = "the quick brown fox jumps over the lazy dog again and again tonight"
+    t3 = "completely different words appear in this unrelated sentence here"
+    s1, s2, s3 = (_minhash_sig(_shingles(t), a, b) for t in (t1, t2, t3))
+    sim12 = (s1 == s2).mean()
+    sim13 = (s1 == s3).mean()
+    assert sim12 > sim13
+    assert abs(sim12 - jaccard(t1, t2)) < 0.35  # 64 perms -> coarse estimate
+
+
+def test_minhash_deterministic():
+    from engine.ops.dedup import _minhash_sig, _perm_params, _shingles
+
+    a, b = _perm_params()
+    s1 = _minhash_sig(_shingles("alpha beta gamma delta"), a, b)
+    s2 = _minhash_sig(_shingles("alpha beta gamma delta"), a, b)
+    assert (s1 == s2).all()
+
+
+def test_simhash_hamming_tracks_similarity():
+    from engine.ops.dedup import _simhash64
+
+    h1 = _simhash64("system process valve sensor gauge record operator")
+    h2 = _simhash64("system process valve sensor gauge record operators")
+    h3 = _simhash64("entirely unrelated vocabulary about cooking pasta dishes")
+    d12 = bin(h1 ^ h2).count("1")
+    d13 = bin(h1 ^ h3).count("1")
+    assert d12 < d13
+    assert _simhash64("x y z") == _simhash64("x y z")
+
+
+def test_exact_dedup_assigns_canonical_min(ray_session):
+    from engine.ops.dedup import exact_dedup
+
+    out = exact_dedup(SF)
+    assert (out["canonical_id"] <= out["doc_id"]).all()
+    # every canonical id is its own canonical
+    canon = set(out["canonical_id"])
+    mapping = dict(zip(out["doc_id"], out["canonical_id"]))
+    assert all(mapping[c] == c for c in canon)
+
+
+def test_minhash_lsh_finds_exact_duplicates(ray_session, tmp_path):
+    """Near-identical docs planted in a copy of the documents table are found."""
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(f"{SF}/documents.parquet")
+    texts = src["text"].to_pylist()[:50]
+    ids = list(range(50))
+    # plant: doc 100 == doc 0; doc 101 = doc 1 with one word changed
+    texts += [texts[0], texts[1] + " extra"]
+    ids += [100, 101]
+    t = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    from engine.ops.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(str(d), threshold=0.5)
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (0, 100) in got
+    assert (1, 101) in got
+
+
+# ---------------------------------------------------------------- similarity
+
+def test_ann_lsh_recall_vs_bruteforce(ray_session):
+    from engine.ops.ann import ann_topk_bruteforce, ann_topk_lsh
+
+    exact = ann_topk_bruteforce(SF, n_queries=5, k=10)
+    approx = ann_topk_lsh(SF, n_queries=5, k=10)
+    exact_sets = exact.groupby("query_id")["vec_id"].apply(set)
+    approx_sets = approx.groupby("query_id")["vec_id"].apply(set)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets.index
+    ]
+    assert np.mean(recalls) > 0.5  # LSH trades recall for sub-linear search
+
+
+def test_ann_bruteforce_shapes(ray_session):
+    from engine.ops.ann import ann_topk_bruteforce
+
+    out = ann_topk_bruteforce(SF, n_queries=3, k=7)
+    assert set(out.columns) == {"query_id", "vec_id"}
+    assert (out.groupby("query_id").size() == 7).all()
+    assert not ((out["query_id"] == out["vec_id"]).any())  # self excluded
+
+
+# ---------------------------------------------------------------- multimodal
+
+def test_fake_decode_deterministic(ray_session):
+    from engine.ops.multimodal import media_metadata
+
+    a = media_metadata(SF)
+    b = media_metadata(SF)
+    assert a.equals(b)
+    assert (a["width"] >= 64).all() and (a["width"] < 64 + 1024).all()
+
+
+def test_decode_stage_is_import_gated():
+    from engine.ops.multimodal import DecodeStage
+
+    stage = DecodeStage()
+    with pytest.raises(NotImplementedError):
+        stage(pa.table({"payload": pa.array([b"x"], pa.binary())}))
+
+
+def test_feature_stage_dim(ray_session):
+    from engine.ops.multimodal import media_features
+
+    out = media_features(SF)
+    assert all(len(v) == 16 for v in out["features"].head(5))
+
+
+# ---------------------------------------------------------------- text edges
+
+def test_chunk_formula_edges(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from engine.ops.text import CHUNK_SIZE, CHUNK_STEP, chunk_documents
+
+    texts = ["x" * 10, "y" * CHUNK_SIZE, "z" * (CHUNK_SIZE + 1), "w" * (CHUNK_SIZE + CHUNK_STEP)]
+    t = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    out = chunk_documents(str(d))
+    n_chunks = out.groupby("doc_id").size()
+    assert n_chunks[0] == 1 and n_chunks[1] == 1
+    assert n_chunks[2] == 2 and n_chunks[3] == 2
+    # overlap: chunk 1 starts CHUNK_STEP in
+    c = out[(out.doc_id == 3) & (out.chunk_index == 1)]["chunk"].iloc[0]
+    assert len(c) == CHUNK_SIZE
+
+
+def test_classify_first_match_wins(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from engine.ops.text import classify
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(
+            [
+                "employee policy form",   # HR pattern matches first
+                "a software guideline",   # IT before Policy
+                "nothing relevant here",
+            ],
+            pa.string(),
+        ),
+    })
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    out = classify(str(d))
+    assert out["category"].tolist() == ["HR", "IT", "General"]
