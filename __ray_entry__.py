@@ -154,6 +154,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": relational.top_orders,
         "events_hourly": relational.events_hourly,
         "sessionize_events": relational.sessionize_events,
+        "events_asof_join": relational.events_asof_join,
+        "events_running_sum": relational.events_running_sum,
         "allowlist_filter": relational.allowlist_filter,
         "distinct_sources": relational.distinct_sources,
         "nation_region_join": relational.nation_region_join,
@@ -233,6 +235,21 @@ def oracle_sql() -> dict[str, str]:
               FROM o)
             SELECT user_id, min(event_id) AS session_start, count(*) AS n_events
             FROM s GROUP BY user_id, sess ORDER BY user_id, session_start
+        """,
+        "events_asof_join": """
+            SELECT s.event_id, s.user_id, e.value AS last_error_value
+            FROM (SELECT * FROM events WHERE event_type = 'signup') s
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'error') e
+              ON s.user_id = e.user_id AND s.ts >= e.ts
+            ORDER BY s.event_id
+        """,
+        "events_running_sum": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING), 2)
+                     AS running_value
+            FROM events ORDER BY event_id
         """,
         "allowlist_filter": """
             SELECT doc_id, source, n_chars FROM documents

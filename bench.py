@@ -197,6 +197,11 @@ def run_scaling():
         "urls_per_sec_lo": r_lo["urls_per_sec"],
         "urls_per_sec_hi": r_hi["urls_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        # SURVEY §5.4 determinism: identical outputs regardless of parallelism
+        "deterministic_across_cpus": all(
+            r_lo[k] == r_hi[k]
+            for k in ("crawl_attempted", "crawl_deduped", "crawl_rounds")
+        ),
         "sf": r_lo["sf"],
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)

@@ -176,6 +176,53 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     return out.sort_values(["user_id", "session_start"]).reset_index(drop=True)
 
 
+def events_asof_join(sf_dir: str) -> pd.DataFrame:
+    """As-of join: for each signup event, the value of the user's most recent
+    prior (ts <=) error event.  Composition pattern from ray_guide: partition
+    by key, sort by ts within the group, ``pd.merge_asof`` per group.  Rows
+    with no prior error are dropped (inner as-of).
+    """
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type", "value"]
+    )
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        s = g[g["event_type"] == "signup"].sort_values(["ts", "event_id"], kind="mergesort")
+        err = g[g["event_type"] == "error"].sort_values(["ts", "event_id"], kind="mergesort")
+        if s.empty or err.empty:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "user_id": pd.Series([], dtype="int64"),
+                                 "last_error_value": pd.Series([], dtype="float64")})
+        out = pd.merge_asof(
+            s[["event_id", "user_id", "ts"]],
+            err[["ts", "value"]].rename(columns={"value": "last_error_value"}),
+            on="ts",
+            direction="backward",
+        ).dropna(subset=["last_error_value"])
+        return out[["event_id", "user_id", "last_error_value"]]
+
+    out = ds.groupby("user_id").map_groups(asof, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def events_running_sum(sf_dir: str) -> pd.DataFrame:
+    """Running per-user cumulative sum of value in (ts, event_id) order.
+
+    The window-function analog: groupby(key).map_groups with a sorted cumsum
+    (ray_guide 'Streaming-shaped workloads').  Rounded to 2 decimals so the
+    comparison is robust to last-bit accumulation differences.
+    """
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"])
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort").copy()
+        g["running_value"] = g["value"].cumsum().round(2)
+        return g[["event_id", "user_id", "running_value"]]
+
+    out = ds.groupby("user_id").map_groups(run, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def allowlist_filter(sf_dir: str, allowed=("src1", "src3")) -> pd.DataFrame:
     """Broadcast semi-join gate: keep documents whose source is allow-listed.
 
