@@ -145,3 +145,30 @@ class CheckpointManager:
     def order_table_through(self, r: int) -> pa.Table:
         tables = [self.read_selected(i) for i in range(r + 1)]
         return pa.concat_tables(tables) if tables else None
+
+
+def metrics_summary(ckpt_dir: str):
+    """Per-round metrics table from a checkpoint directory (the engine's
+    analog of the reference's progress/metrics panes, SURVEY.md §2.1 S8 /
+    §2.4 A3: processed counts and seconds-per-unit, but as queryable rows).
+    """
+    import pandas as pd
+
+    rows = []
+    for name in sorted(os.listdir(ckpt_dir)):
+        m = re.fullmatch(r"round=(\d+)", name)
+        if not m:
+            continue
+        p = os.path.join(ckpt_dir, name, "counters.json")
+        if not os.path.exists(p):
+            continue
+        with open(p) as f:
+            meta = json.load(f)
+        total_sec = sum(meta.get("phase_sec", {}).values()) or None
+        row = {"round": int(m.group(1)), **meta["counters"]}
+        row["round_sec"] = round(total_sec, 3) if total_sec else None
+        row["urls_per_sec"] = (
+            round((row["attempted"] + row["deduped"]) / total_sec, 1) if total_sec else None
+        )
+        rows.append(row)
+    return pd.DataFrame(sorted(rows, key=lambda r: r["round"]))

@@ -146,45 +146,58 @@ def robots_seen_batch(batch: pa.Table, robots_ref, shards, gate: UrlGate) -> pa.
     return batch.append_column("status", pa.array(status, pa.string()))
 
 
-def fetch_bucket_group(group: pd.DataFrame, pages_dir: str) -> pd.DataFrame:
+def fetch_bucket_group(group: pa.Table, pages_dir: str) -> pa.Table:
     """Per-bucket fetch: partitioned hash join frontier x pages on url.
 
     The analog of ``FetchFileInfoAsync`` + ``$value`` download
     (``SharePointClient.cs:353-403``): the in-sandbox "fetch" is a lookup into
     the bucket's parquet file — reading only (url, html) columns of only the
-    buckets this round's frontier touches.
+    buckets this round's frontier touches.  Pure-Arrow left join: the 25KB
+    html payloads never round-trip through pandas object arrays.
     """
-    b = int(group["bucket"].iloc[0])
+    b = int(group["bucket"][0].as_py())
     files = sorted(glob(os.path.join(pages_dir, f"bucket={b}", "*.parquet")))
-    urls = group["url"].tolist()
+    urls = group["url"].to_pylist()
     tables = [
         pq.read_table(f, columns=["url", "html"], filters=[("url", "in", urls)])
         for f in files
     ]
     pages = (
-        pa.concat_tables(tables).to_pandas()
+        pa.concat_tables(tables)
         if tables
-        else pd.DataFrame({"url": [], "html": []})
+        else pa.table({"url": pa.array([], pa.string()), "html": pa.array([], pa.binary())})
     )
-    return group.merge(pages, on="url", how="left")
+    return group.join(pages, keys="url", join_type="left outer")
 
 
-def extract_batch_fn(batch: pa.Table, max_depth: int) -> pa.Table:
-    """Per-row extraction + link canonicalization (pure; safe under retries)."""
+def extract_batch_fn(batch: pa.Table, max_depth: int, with_markdown: bool = True) -> pa.Table:
+    """Per-row extraction + link canonicalization (pure; safe under retries).
+
+    Column-wise bulk conversion up front; the only per-row Python is the
+    extraction itself (inherently per-document).  ``with_markdown=False`` is
+    the pre-count mode (SURVEY.md §2.1 S3, ``CountDocumentsAsync``): links
+    only, no markdown build."""
+    urls_l = batch["url"].to_pylist()
+    htmls_l = batch["html"].to_pylist()
+    fseq_l = batch["fetch_seq"].to_pylist()
+    round_l = batch["round"].to_pylist()
+    depth_l = batch["depth"].to_pylist()
+    prio_l = batch["priority"].to_pylist()
+    retry_l = batch["retry"].to_pylist()
     out = {k: [] for k in (
         "url", "fetch_seq", "round", "depth", "priority", "retry",
         "status", "markdown", "title", "header_doc", "links",
     )}
     for i in range(batch.num_rows):
-        url = batch["url"][i].as_py()
-        html = batch["html"][i].as_py()
+        url = urls_l[i]
+        html = htmls_l[i]
         out["url"].append(url)
-        out["fetch_seq"].append(batch["fetch_seq"][i].as_py())
-        out["round"].append(batch["round"][i].as_py())
-        depth = batch["depth"][i].as_py()
+        out["fetch_seq"].append(fseq_l[i])
+        out["round"].append(round_l[i])
+        depth = depth_l[i]
         out["depth"].append(depth)
-        out["priority"].append(batch["priority"][i].as_py())
-        out["retry"].append(batch["retry"][i].as_py())
+        out["priority"].append(prio_l[i])
+        out["retry"].append(retry_l[i])
         if html is None:
             out["status"].append("miss")
             out["markdown"].append(None)
@@ -192,10 +205,17 @@ def extract_batch_fn(batch: pa.Table, max_depth: int) -> pa.Table:
             out["header_doc"].append(None)
             out["links"].append([])
             continue
-        d = extract_document(html, url)
+        if with_markdown:
+            d = extract_document(html, url)
+            hrefs = d["hrefs"]
+        else:
+            from .extract import parse_layout
+
+            d = {"markdown": None, "title": None, "header_doc": None}
+            _pages, hrefs = parse_layout(html)
         links = []
         if depth < max_depth:
-            for href in d["hrefs"]:
+            for href in hrefs:
                 cu = canonicalize(href, base=url)
                 if cu is None:
                     continue
@@ -253,6 +273,28 @@ def _empty_frontier() -> pa.Table:
     return FRONTIER_SCHEMA.empty_table()
 
 
+def precount(corpus_dir: str, budget: dict | None = None, filters: dict | None = None) -> int:
+    """The pre-crawl document-count analog (``CountDocumentsAsync``,
+    ``SharePointClient.cs:133-192``): the same traversal with links-only
+    parsing (no markdown build), returning how many pages a full crawl with
+    this budget would fetch.  Unlike the reference — which always pays the
+    2x listing traffic for its progress bar — this is opt-in; normal runs get
+    progress from the per-round checkpoint counters instead.
+    """
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="precount_") as tmp:
+        res = crawl(
+            corpus_dir,
+            os.path.join(tmp, "ckpt"),
+            budget,
+            filters=filters,
+            count_only=True,
+            resume=False,
+        )
+    return res.cumulative["fetched"]
+
+
 @dataclass
 class CrawlResult:
     ckpt_dir: str
@@ -293,6 +335,7 @@ def crawl(
     collect_markdown: bool = True,
     initial_frontier: pa.Table | None = None,
     filters: dict | None = None,
+    count_only: bool = False,
 ) -> CrawlResult:
     """Run (or resume) a crawl over a synthetic corpus. Ray must be initialised.
 
@@ -315,6 +358,7 @@ def crawl(
         "corpus": corpus_meta["cache_key"],
         "n_buckets": n_buckets,
         "filters": filters or {},
+        "count_only": count_only,
     }
     cm = CheckpointManager(ckpt_dir, cfg)
 
@@ -453,13 +497,13 @@ def crawl(
                 # 32-CPU node runs 16 extract tasks at its throughput
                 # plateau instead of 32 tasks past the cliff.
                 fetched = sel_ds.map_batches(
-                    lambda df: fetch_bucket_group(df, pages_dir),
-                    batch_format="pandas",
+                    lambda t: fetch_bucket_group(t, pages_dir),
+                    batch_format="pyarrow",
                     batch_size=None,
                     num_cpus=2,
                 )
                 docs = fetched.map_batches(
-                    lambda t: extract_batch_fn(t, max_depth),
+                    lambda t: extract_batch_fn(t, max_depth, with_markdown=not count_only),
                     batch_format="pyarrow",
                     batch_size=256,
                     num_cpus=2,
@@ -518,10 +562,12 @@ def crawl(
                 miss_idx = [i for i, s in enumerate(st) if s == "miss"]
                 if miss_idx:
                     retry_l = st_t["retry"].to_pylist()
+                    url_l = st_t["url"].to_pylist()
+                    fseq_all = st_t["fetch_seq"].to_pylist()
                     errors_t = pa.table(
                         {
-                            "url": pa.array([st_t["url"][i].as_py() for i in miss_idx], pa.string()),
-                            "fetch_seq": pa.array([st_t["fetch_seq"][i].as_py() for i in miss_idx], pa.int64()),
+                            "url": pa.array([url_l[i] for i in miss_idx], pa.string()),
+                            "fetch_seq": pa.array([fseq_all[i] for i in miss_idx], pa.int64()),
                             "round": pa.array([r] * len(miss_idx), pa.int32()),
                             "reason": pa.array(
                                 [

@@ -92,6 +92,124 @@ class SeenShard:
         return np.fromiter(self._exact, dtype=np.int64, count=len(self._exact))
 
 
+@ray.remote(num_cpus=0)
+class CuckooShard:
+    """Cuckoo-filter shard — the deletion-capable fallback (SURVEY.md §2.7 D1).
+
+    A Bloom filter cannot delete (clearing shared bits corrupts other keys);
+    recrawl invalidation ("fetch this url again after N days") needs removal
+    from the seen set.  Classic 2-choice cuckoo filter: each key stores an
+    f-bit fingerprint in one of two buckets; the alternate bucket index is
+    ``i XOR hash(fingerprint)``, so relocation never needs the original key.
+
+    Same exact-confirmation layer as SeenShard: the filter gives the
+    constant-memory fast path; the exact set makes answers exact and resolves
+    fingerprint collisions on delete.
+    """
+
+    def __init__(self, shard_id: int, n_buckets: int = 1 << 16, slots: int = 4,
+                 fp_bits: int = 16, max_kicks: int = 500):
+        self.shard_id = shard_id
+        self.n_buckets = int(n_buckets)  # power of two
+        self.slots = slots
+        self.fp_mask = (1 << fp_bits) - 1
+        self.max_kicks = max_kicks
+        self.table = np.zeros((self.n_buckets, slots), dtype=np.uint32)  # 0 = empty
+        self._exact: set = set()
+        self._overflow: set = set()  # keys that failed insertion after kicks
+
+    def _fp(self, h: int) -> int:
+        f = (h >> 40) & self.fp_mask
+        return f if f != 0 else 1
+
+    def _i1(self, h: int) -> int:
+        return h & (self.n_buckets - 1)
+
+    def _alt(self, i: int, fp: int) -> int:
+        return (i ^ (fp * 0x5BD1E995)) & (self.n_buckets - 1)
+
+    def _insert_filter(self, h: int) -> bool:
+        import random as _random
+
+        fp = self._fp(h)
+        i1 = self._i1(h)
+        for i in (i1, self._alt(i1, fp)):
+            row = self.table[i]
+            empty = np.flatnonzero(row == 0)
+            if empty.size:
+                row[empty[0]] = fp
+                return True
+        i = i1
+        rng = _random.Random(h)  # deterministic kick path per key
+        for _ in range(self.max_kicks):
+            s = rng.randrange(self.slots)
+            fp, self.table[i][s] = int(self.table[i][s]), fp
+            i = self._alt(i, fp)
+            row = self.table[i]
+            empty = np.flatnonzero(row == 0)
+            if empty.size:
+                row[empty[0]] = fp
+                return True
+        return False
+
+    def _remove_filter(self, h: int) -> bool:
+        fp = self._fp(h)
+        i1 = self._i1(h)
+        for i in (i1, self._alt(i1, fp)):
+            row = self.table[i]
+            hit = np.flatnonzero(row == fp)
+            if hit.size:
+                row[hit[0]] = 0
+                return True
+        return False
+
+    def add_many(self, hashes) -> int:
+        for h in np.asarray(hashes, dtype=np.int64):
+            h = int(h)
+            if h in self._exact or h in self._overflow:
+                continue  # idempotent under task retries
+            if self._insert_filter(h):
+                self._exact.add(h)
+            else:
+                self._overflow.add(h)
+        return len(self._exact) + len(self._overflow)
+
+    def check_many(self, hashes) -> np.ndarray:
+        hashes = np.asarray(hashes, dtype=np.int64)
+        out = np.zeros(len(hashes), dtype=bool)
+        for idx, h in enumerate(hashes):
+            h = int(h)
+            fp = self._fp(h)
+            i1 = self._i1(h)
+            if (self.table[i1] == fp).any() or (self.table[self._alt(i1, fp)] == fp).any():
+                out[idx] = h in self._exact  # confirm (fp collisions)
+            if not out[idx]:
+                out[idx] = h in self._overflow
+        return out
+
+    def delete_many(self, hashes) -> int:
+        """Remove keys (recrawl invalidation). Unknown keys are ignored."""
+        removed = 0
+        for h in np.asarray(hashes, dtype=np.int64):
+            h = int(h)
+            if h in self._overflow:
+                self._overflow.discard(h)
+                removed += 1
+            elif h in self._exact:
+                self._exact.discard(h)
+                self._remove_filter(h)
+                removed += 1
+        return removed
+
+    def stats(self) -> dict:
+        return {
+            "shard_id": self.shard_id,
+            "n_exact": len(self._exact),
+            "n_overflow": len(self._overflow),
+            "fill": float((self.table != 0).mean()),
+        }
+
+
 class SeenSet:
     """Driver-side facade over the shard actors."""
 

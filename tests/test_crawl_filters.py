@@ -108,6 +108,30 @@ def test_job_config_missing_key(tmp_path):
         load_job_config(str(p))
 
 
+def test_precount_matches_full_crawl(small_corpus, tmp_path):
+    """S3 analog: links-only pre-count == the full crawl's fetched total."""
+    from engine.crawl import crawl, precount
+
+    corpus_dir, _cfg = small_corpus
+    budget = {"max_urls_total": 150, "max_per_host_per_round": 5, "max_depth": 4, "max_rounds": 6}
+    n = precount(corpus_dir, budget)
+    full = crawl(corpus_dir, str(tmp_path / "ckpt"), budget)
+    assert n == full.cumulative["fetched"] > 0
+
+
+def test_metrics_summary(small_corpus, tmp_path):
+    from engine.checkpoint import metrics_summary
+    from engine.crawl import crawl
+
+    corpus_dir, _cfg = small_corpus
+    budget = {"max_urls_total": 60, "max_per_host_per_round": 5, "max_depth": 3, "max_rounds": 4}
+    res = crawl(corpus_dir, str(tmp_path / "ckpt"), budget)
+    df = metrics_summary(res.ckpt_dir)
+    assert len(df) == res.rounds
+    assert df["fetched"].sum() == res.cumulative["fetched"]
+    assert (df["round_sec"] > 0).all()
+
+
 def test_extract_path_and_stream_entries(tmp_path):
     import io
 
