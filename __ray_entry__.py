@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_md5": text.fingerprint_md5,
         "fingerprint_rolling": text.fingerprint_rolling,
         "chunk_documents": text.chunk_documents,
+        "chunk_tokens": text.chunk_tokens,
         # dedup family
         "exact_dedup": dedup.exact_dedup,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
@@ -296,6 +297,20 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT doc_id, chunk_index,
                    substr(text, CAST(chunk_index * 1100 + 1 AS BIGINT), 1400) AS chunk
+            FROM idx ORDER BY doc_id, chunk_index
+        """,
+        "chunk_tokens": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+            idx AS (
+              SELECT doc_id, ts,
+                     unnest(range(0,
+                       CASE WHEN len(ts) <= 350 THEN 1
+                            ELSE CAST(ceil((len(ts) - 350) / 270.0) AS BIGINT) + 1
+                       END)) AS chunk_index
+              FROM toks)
+            SELECT doc_id, chunk_index,
+                   array_to_string(list_slice(ts, CAST(chunk_index * 270 + 1 AS BIGINT),
+                                              CAST(chunk_index * 270 + 350 AS BIGINT)), ' ') AS chunk
             FROM idx ORDER BY doc_id, chunk_index
         """,
         "exact_dedup": """

@@ -42,6 +42,10 @@ CHUNK_SIZE = 1400     # chars; reference default ChunkSize (RagIngestDocument.cs
 CHUNK_OVERLAP = 300   # reference default ChunkOverlap (RagIngestDocument.cs:43)
 CHUNK_STEP = CHUNK_SIZE - CHUNK_OVERLAP
 
+TOKEN_CHUNK_SIZE = 350   # tokens; the values the app actually passes (MainForm.cs:92)
+TOKEN_CHUNK_OVERLAP = 80
+TOKEN_CHUNK_STEP = TOKEN_CHUNK_SIZE - TOKEN_CHUNK_OVERLAP
+
 
 def _docs(sf_dir: str, columns):
     return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
@@ -253,6 +257,43 @@ def chunk_documents(sf_dir: str) -> pd.DataFrame:
                 ids.append(did)
                 idxs.append(i)
                 texts.append(s[i * CHUNK_STEP : i * CHUNK_STEP + CHUNK_SIZE])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "chunk_index": pa.array(idxs, pa.int64()),
+                "chunk": pa.array(texts, pa.string()),
+            }
+        )
+
+    out = ds.map_batches(chunks, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "chunk_index"]).reset_index(drop=True)
+
+
+def chunk_tokens(sf_dir: str) -> pd.DataFrame:
+    """Token-window chunking with the reference app's 350/80 values
+    (``MainForm.cs:92`` -> ``SharePointClient.cs:49-50``).
+
+    Tokens are single-space splits (matching SQL string_split); chunk i
+    covers tokens [i*STEP, i*STEP + SIZE); n_chunks mirrors chunk_documents'
+    formula in token units.
+    """
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def chunks(t: pa.Table) -> pa.Table:
+        ids, idxs, texts = [], [], []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = s.split(" ")
+            n = len(toks)
+            n_chunks = (
+                1 if n <= TOKEN_CHUNK_SIZE
+                else -(-(n - TOKEN_CHUNK_SIZE) // TOKEN_CHUNK_STEP) + 1
+            )
+            for i in range(n_chunks):
+                ids.append(did)
+                idxs.append(i)
+                texts.append(
+                    " ".join(toks[i * TOKEN_CHUNK_STEP : i * TOKEN_CHUNK_STEP + TOKEN_CHUNK_SIZE])
+                )
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),

@@ -130,6 +130,26 @@ def test_distributed_selection_path_matches_oracle(small_corpus, tmp_path, monke
     assert set(engine.seen_hashes().tolist()) == oracle["seen_hashes"]
 
 
+def test_hot_host_skew_distributed_path(tmp_path, ray_session, monkeypatch):
+    """Extreme host skew (4 hosts, ~40% on the hot one) through the salted
+    distributed selection; engine == oracle on order + counters."""
+    import engine.crawl as crawl_mod
+    from engine.oracle import crawl_oracle
+    from engine.synth import CorpusConfig, generate_corpus
+
+    monkeypatch.setattr(crawl_mod, "SMALL_FRONTIER_ROWS", 0)
+    corpus = str(tmp_path / "skew_corpus")
+    generate_corpus(corpus, CorpusConfig(n_pages=300, n_hosts=4, n_buckets=4, with_golden=False), use_ray=False)
+    budget = {"max_urls_total": 200, "max_per_host_per_round": 4, "max_depth": 5, "max_rounds": 8}
+    oracle = crawl_oracle(corpus, budget)
+    engine = crawl_mod.crawl(corpus, str(tmp_path / "ckpt_skew"), budget)
+    assert engine.cumulative == oracle["cumulative"]
+    got = engine.order_table().to_pylist()
+    assert [(x["fetch_seq"], x["url"]) for x in got] == [
+        (x["fetch_seq"], x["url"]) for x in oracle["order"]
+    ]
+
+
 def test_resume_reproduces_uninterrupted_run(small_corpus, tmp_path):
     from engine.crawl import crawl
 
