@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": ann.ann_topk_bruteforce,
         "ann_topk_lsh": ann.ann_topk_lsh,
+        "ann_topk_ivf": ann.ann_topk_ivf,
         "embedding_near_pairs": ann.embedding_near_pairs,
         # multimodal plumbing
         "media_sizes": multimodal.media_sizes,

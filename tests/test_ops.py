@@ -105,6 +105,20 @@ def test_ann_lsh_recall_vs_bruteforce(ray_session):
     assert np.mean(recalls) > 0.5  # LSH trades recall for sub-linear search
 
 
+def test_ann_ivf_recall_vs_bruteforce(ray_session):
+    from engine.ops.ann import ann_topk_bruteforce, ann_topk_ivf
+
+    exact = ann_topk_bruteforce(SF, n_queries=5, k=10)
+    approx = ann_topk_ivf(SF, n_queries=5, k=10)
+    exact_sets = exact.groupby("query_id")["vec_id"].apply(set)
+    approx_sets = approx.groupby("query_id")["vec_id"].apply(set)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets.index
+    ]
+    assert np.mean(recalls) > 0.4  # n_probe/n_cells = 1/4 of the data searched
+
+
 def test_ann_bruteforce_shapes(ray_session):
     from engine.ops.ann import ann_topk_bruteforce
 
