@@ -146,7 +146,7 @@ def robots_seen_batch(batch: pa.Table, robots_ref, shards, gate: UrlGate) -> pa.
     return batch.append_column("status", pa.array(status, pa.string()))
 
 
-def fetch_bucket_group(group: pa.Table, pages_dir: str) -> pa.Table:
+def fetch_bucket_group(group: pa.Table, pages_dir: str, limiter_shards=None) -> pa.Table:
     """Per-bucket fetch: partitioned hash join frontier x pages on url.
 
     The analog of ``FetchFileInfoAsync`` + ``$value`` download
@@ -156,6 +156,25 @@ def fetch_bucket_group(group: pa.Table, pages_dir: str) -> pa.Table:
     html payloads never round-trip through pandas object arrays.
     """
     b = int(group["bucket"][0].as_py())
+    if limiter_shards is not None:
+        # Wall-clock politeness: reserve this batch's fetches against the
+        # per-host token buckets (state lives in the rate-limiter actors,
+        # surviving across batches and rounds), then wait out the largest
+        # reservation before "fetching".
+        import collections
+        import time as _t
+
+        counts = collections.Counter(group["host"].to_pylist())
+        n = len(limiter_shards)
+        waits = ray.get(
+            [
+                limiter_shards[url_hash64(h) % n].reserve.remote(h, c)
+                for h, c in counts.items()
+            ]
+        )
+        wait = max(waits, default=0.0)
+        if wait > 0:
+            _t.sleep(wait)
     files = sorted(glob(os.path.join(pages_dir, f"bucket={b}", "*.parquet")))
     urls = group["url"].to_pylist()
     tables = [
@@ -336,6 +355,7 @@ def crawl(
     initial_frontier: pa.Table | None = None,
     filters: dict | None = None,
     count_only: bool = False,
+    enforce_delays: bool = False,
 ) -> CrawlResult:
     """Run (or resume) a crawl over a synthetic corpus. Ray must be initialised.
 
@@ -368,6 +388,28 @@ def crawl(
 
     run_id = uuid.uuid4().hex[:8]
     seen = SeenSet(n_shards, name_prefix=f"seen_{run_id}")
+
+    limiter_shards = None
+    if enforce_delays:
+        # Per-host wall-clock politeness (crawl_delay_ms from the robots
+        # table) in named rate-limiter actors — bucket state survives across
+        # batches, operators and rounds.  Off by default: the sandbox "fetch"
+        # is a parquet lookup, so sleeping would only measure sleep.
+        import pyarrow.parquet as _pq
+
+        rt = _pq.read_table(
+            os.path.join(corpus_dir, "robots.parquet"), columns=["host", "crawl_delay_ms"]
+        )
+        delays = dict(zip(rt["host"].to_pylist(), rt["crawl_delay_ms"].to_pylist()))
+        from .politeness import make_rate_limiter_shard
+
+        shard_cls = make_rate_limiter_shard()
+        limiter_shards = [
+            shard_cls.options(name=f"ratelimit_{run_id}_{i}", get_if_exists=True).remote(
+                i, delays
+            )
+            for i in range(n_shards)
+        ]
 
     cumulative = {k: 0 for k in COUNTER_KEYS}
     start_round = 0
@@ -497,7 +539,7 @@ def crawl(
                 # 32-CPU node runs 16 extract tasks at its throughput
                 # plateau instead of 32 tasks past the cliff.
                 fetched = sel_ds.map_batches(
-                    lambda t: fetch_bucket_group(t, pages_dir),
+                    lambda t: fetch_bucket_group(t, pages_dir, limiter_shards),
                     batch_format="pyarrow",
                     batch_size=None,
                     num_cpus=2,
@@ -631,5 +673,8 @@ def crawl(
         stats = seen.stats()
         for s in seen.shards:
             ray.kill(s)
+        if limiter_shards is not None:
+            for s in limiter_shards:
+                ray.kill(s)
 
     return CrawlResult(ckpt_dir, docs_dir, r, cumulative, stats)

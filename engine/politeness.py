@@ -115,9 +115,9 @@ class UrlGate:
 class TokenBucket:
     """Per-host token bucket honouring crawl_delay_ms (1 token per delay).
 
-    Held inside a fetcher actor (state survives across batches); ``acquire``
-    blocks until a token is available.  Deterministic tests use
-    ``now=`` injection instead of wall clock.
+    Held inside a RateLimiterShard actor (state survives across batches and
+    rounds); ``acquire`` blocks until a token is available.  Deterministic
+    tests use ``now=`` injection instead of wall clock.
     """
 
     def __init__(self, delay_ms: int, burst: int = 1):
@@ -147,3 +147,50 @@ class TokenBucket:
         while not self.try_acquire(now_fn()):
             wait = (1.0 - self.tokens) * self.interval
             sleep_fn(min(wait, 0.05))
+
+    def reserve(self, n: int, now: float) -> float:
+        """Reserve n tokens; return seconds the caller must wait before the
+        LAST reserved request may fire.  Non-blocking (actor-friendly): the
+        bucket's clock advances by the reservation, the caller sleeps."""
+        self._refill(now)
+        deficit = n - self.tokens
+        self.tokens -= n  # may go negative: future tokens are spoken for
+        if deficit <= 0 or self.interval <= 0:
+            return 0.0
+        return deficit * self.interval
+
+
+def make_rate_limiter_shard():
+    """Factory for the RateLimiterShard actor class (imported lazily so this
+    module stays importable without Ray).
+
+    One shard owns the token buckets for the hosts with
+    ``hash(host) % n_shards == shard_id`` — the per-host rate-limiter state
+    that must survive across batches, map operators, and rounds lives in
+    these named actors, not in task closures (north-rule requirement; the
+    analog of the reference's single persistent HttpClient session,
+    ``SharePointClient.cs:41,95-119``, generalized to one virtual session
+    per host).
+    """
+    import ray
+
+    @ray.remote(num_cpus=0)
+    class RateLimiterShard:
+        def __init__(self, shard_id: int, delays_ms: dict, burst: int = 1):
+            self.shard_id = shard_id
+            self.delays = delays_ms
+            self.burst = burst
+            self.buckets: dict = {}
+
+        def reserve(self, host: str, n: int) -> float:
+            """Reserve n fetches against host's bucket; returns wait seconds."""
+            b = self.buckets.get(host)
+            if b is None:
+                b = TokenBucket(self.delays.get(host, 0), burst=self.burst)
+                self.buckets[host] = b
+            return b.reserve(n, time.monotonic())
+
+        def stats(self) -> dict:
+            return {"shard_id": self.shard_id, "n_hosts": len(self.buckets)}
+
+    return RateLimiterShard
