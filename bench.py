@@ -44,8 +44,12 @@ BENCH_QUERY_NAMES = [
     "minhash_lsh_pairs",
     "simhash_near_pairs",
     "ann_topk",
+    "ann_topk_ivf",
     "embedding_near_pairs",
     "chunk_documents",
+    "chunk_tokens",
+    "events_asof_join",
+    "sessionize_events",
 ]
 
 

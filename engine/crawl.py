@@ -7,27 +7,31 @@ through vectorized gates, a salted two-stage politeness shuffle, a
 hash-bucketed fetch join against the pages table, and per-row extraction —
 then checkpoints and expands the next frontier.
 
-Round pipeline (every stage is a Dataset op; narrow columns only until fetch):
+Round pipeline (narrow columns only until fetch):
 
     frontier (url, host, path, depth, priority, discovery_seq, retry, url_hash)
-      -> map_batches(RobotsSeenStage)        robots gate + seen-set anti-join
-                                             (broadcast rules; batched RPC to
-                                             SeenShard actors; retry bypass)
-      -> map_batches(add_salt)
-      -> groupby(host, salt).map_groups      exact in-round dedup + per-salt
-                                             top-k   (skew-bounded: same url
-                                             => same salt)
-      -> groupby(host).map_groups            exact per-host politeness top-k
+      -> SELECTION (adaptive):
+         small rounds (frontier <= SMALL_FRONTIER_ROWS): one vectorized
+           driver pass — robots + allow/deny gate, batched seen RPC,
+           dedup + per-host top-k (zero dataset executions; the round is
+           budget-bounded, so this is a constant, not a scan);
+         large rounds: map_batches(robots_seen_batch) [broadcast rules,
+           batched SeenShard RPC, retry bypass] -> map_batches(add_salt)
+           -> groupby(salt).map_groups(dedup_and_salt_topk)  [16 coarse
+           groups, vectorized inside; same url => same salt => exact]
+           -> groupby(host).map_groups(host_topk)  [cross-salt top-k merge]
       -> driver: global order (host, depth, priority, discovery_seq),
                  budget truncation, fetch_seq assignment   [politeness-bounded]
-      -> map_batches(bucket) -> groupby(bucket).map_groups(FetchBucket)
-                                             partitioned hash join against
-                                             pages/bucket=K/ parquet (reads
-                                             ONLY the buckets the frontier
-                                             hashes into, columns url+html)
-      -> map_batches(ExtractStage)           markdown + canonicalized links
-      -> write docs/round=R parquet; read links back (column-pruned) ->
-         child candidates; barrier: seen.add_many, counters, checkpoint.
+      -> fetch: selected split into ONE BLOCK PER pages BUCKET (no shuffle;
+           the split is a driver filter) -> map_batches(fetch_bucket_group)
+           Arrow left join against pages/bucket=K/ parquet (only touched
+           buckets, columns url+html; optional per-host rate-limiter
+           reservation against named actors)
+      -> map_batches(extract_batch_fn)       markdown + canonicalized links
+           (num_cpus=2: allocation-heavy Python — see BENCH/BASELINE.md)
+      -> materialize once: write docs/round=R parquet + column-pruned
+         projection for the vectorized (Arrow list-kernel) link explode;
+         barrier: seen.add_many, counters, errors, checkpoint.
 
 Crawl-order semantics: the fetch schedule of round R is the candidates that
 survive robots/dedup/seen/politeness, in the total order
@@ -468,6 +472,7 @@ def crawl(
                         lambda t: robots_seen_batch(t, robots_ref, shards, gate),
                         batch_format="pyarrow",
                         batch_size=65536,
+                        zero_copy_batch=True,
                     )
                     .map_batches(add_salt, batch_format="pyarrow")
                     .groupby("salt")
@@ -549,6 +554,7 @@ def crawl(
                     batch_format="pyarrow",
                     batch_size=256,
                     num_cpus=2,
+                    zero_copy_batch=True,
                 )
                 round_docs_dir = os.path.join(docs_dir, f"round={r}")
                 # One execution materializes the round's docs; the parquet
