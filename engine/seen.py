@@ -39,6 +39,11 @@ class SeenShard:
         self.n_probes = int(n_probes)
         self._bloom = np.zeros(self.bloom_bits // 8, dtype=np.uint8)
         self._exact: set = set()
+        # lazily-rebuilt sorted array mirror of _exact: confirmation lookups
+        # are vectorized np.searchsorted (a Python set-probe loop over 10^6
+        # bloom-positives per batch was the steady-state selection hotspot)
+        self._sorted: np.ndarray = np.zeros(0, dtype=np.int64)
+        self._sorted_dirty = False
         self._bloom_positive = 0
         self._exact_positive = 0
 
@@ -49,6 +54,13 @@ class SeenShard:
         ks = np.arange(self.n_probes, dtype=np.uint64)
         return (h1[:, None] + ks[None, :] * h2[:, None]) % np.uint64(self.bloom_bits)
 
+    def _sorted_view(self) -> np.ndarray:
+        if self._sorted_dirty:
+            self._sorted = np.fromiter(self._exact, dtype=np.int64, count=len(self._exact))
+            self._sorted.sort()
+            self._sorted_dirty = False
+        return self._sorted
+
     def check_many(self, hashes) -> np.ndarray:
         """Exact membership for each hash (bool array). Read-only."""
         hashes = np.asarray(hashes, dtype=np.int64)
@@ -58,8 +70,13 @@ class SeenShard:
         byte_idx, bit = pos >> np.uint64(3), np.uint64(1) << (pos & np.uint64(7))
         bloom_hit = ((self._bloom[byte_idx.astype(np.int64)] & bit.astype(np.uint8)) != 0).all(axis=1)
         out = np.zeros(len(hashes), dtype=bool)
-        for i in np.flatnonzero(bloom_hit):
-            out[i] = int(hashes[i]) in self._exact
+        hit_idx = np.flatnonzero(bloom_hit)
+        if hit_idx.size:
+            arr = self._sorted_view()
+            cand = hashes[hit_idx]
+            ins = np.searchsorted(arr, cand)
+            ok = (ins < len(arr)) & (arr[np.minimum(ins, max(len(arr) - 1, 0))] == cand)
+            out[hit_idx] = ok if len(arr) else False
         self._bloom_positive += int(bloom_hit.sum())
         self._exact_positive += int(out.sum())
         return out
@@ -75,6 +92,7 @@ class SeenShard:
         ).astype(np.uint8)
         np.bitwise_or.at(self._bloom, byte_idx.ravel(), bit.ravel())
         self._exact.update(int(h) for h in hashes)
+        self._sorted_dirty = True
         return len(self._exact)
 
     def stats(self) -> dict:
