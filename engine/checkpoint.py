@@ -129,8 +129,33 @@ class CheckpointManager:
         with open(os.path.join(self._round_dir(r), "counters.json")) as f:
             return json.load(f)
 
+    def frontier_files(self, r: int) -> list:
+        """Parquet files holding round r's next frontier: the extras file
+        (deferred + retries) plus the distributed children parts (written by
+        the explode stage directly into the round dir)."""
+        rd = self._round_dir(r)
+        files = []
+        p = os.path.join(rd, "frontier_next.parquet")
+        if os.path.exists(p):
+            files.append(p)
+        cdir = os.path.join(rd, "frontier_children")
+        if os.path.isdir(cdir):
+            files.extend(
+                sorted(
+                    os.path.join(cdir, f)
+                    for f in os.listdir(cdir)
+                    if f.endswith(".parquet")
+                )
+            )
+        return files
+
     def read_frontier_next(self, r: int) -> pa.Table:
-        return pq.read_table(os.path.join(self._round_dir(r), "frontier_next.parquet"))
+        files = self.frontier_files(r)
+        if not files:
+            from .frontier import FRONTIER_SCHEMA
+
+            return FRONTIER_SCHEMA.empty_table()
+        return pa.concat_tables([pq.read_table(f) for f in files], promote_options="default")
 
     def read_selected(self, r: int) -> pa.Table:
         return pq.read_table(os.path.join(self._round_dir(r), "selected.parquet"))

@@ -260,6 +260,41 @@ def extract_batch_fn(batch: pa.Table, max_depth: int, with_markdown: bool = True
     )
 
 
+def explode_links_batch(t: pa.Table) -> pa.Table:
+    """Vectorized (Arrow list kernels) link -> child-candidate explode.
+
+    Runs distributed inside map_batches over the materialized docs blocks;
+    miss rows and depth-capped rows carry empty link lists, so no filter.
+    """
+    links_col = t["links"].combine_chunks()
+    if hasattr(links_col, "chunk"):
+        links_col = (
+            links_col.chunk(0)
+            if links_col.num_chunks
+            else pa.array([], t.schema.field("links").type)
+        )
+    flat = pc.list_flatten(links_col)
+    parent = pc.list_parent_indices(links_col).to_numpy()
+    if not len(parent):
+        return FRONTIER_SCHEMA.empty_table()
+    offsets = np.asarray(links_col.offsets)
+    j_idx = np.arange(len(parent), dtype=np.int64) - offsets[parent]
+    fseq_np = t["fetch_seq"].to_numpy()[parent]
+    seq = (fseq_np + 1) * SEQ_STRIDE + np.minimum(j_idx, SEQ_STRIDE - 1)
+    return pa.table(
+        {
+            "url": flat.field("url"),
+            "host": flat.field("host"),
+            "path": flat.field("path"),
+            "depth": pa.array(t["depth"].to_numpy()[parent] + 1, pa.int32()),
+            "priority": pa.array(t["priority"].to_numpy()[parent], pa.int32()),
+            "discovery_seq": pa.array(seq, pa.int64()),
+            "retry": pa.array(np.zeros(len(parent), np.int8), pa.int8()),
+            "url_hash": flat.field("url_hash"),
+        }
+    )
+
+
 def _select_on_driver(
     frontier: pa.Table, robots: RobotsRules, gate: UrlGate, seen: SeenSet, k: int
 ) -> pa.Table:
@@ -556,56 +591,39 @@ def crawl(
                     num_cpus=2,
                     zero_copy_batch=True,
                 )
+                import shutil as _shutil
+
                 round_docs_dir = os.path.join(docs_dir, f"round={r}")
+                children_dir = os.path.join(ckpt_dir, f"round={r}", "frontier_children")
+                # Crash-rerun safety: an incomplete round (no _SUCCESS) is
+                # re-executed on resume; write_parquet part names are unique
+                # per execution, so stale parts must be cleared first.
+                for d in (round_docs_dir, children_dir):
+                    if os.path.isdir(d):
+                        _shutil.rmtree(d)
                 # One execution materializes the round's docs; the parquet
-                # write and the narrow link/status projection both reuse the
-                # materialized blocks instead of re-running fetch+extract or
-                # re-reading files.  Bounded by the round's politeness/global
-                # budget, never by frontier or corpus size.
+                # write, the DISTRIBUTED children explode, and the narrow
+                # status projection all reuse the materialized blocks.
                 docs_mat = docs.materialize()
                 _phases["fetch_extract"] = round(_time.time() - _phase_t0, 3)
                 _phase_t0 = _time.time()
                 docs_mat.write_parquet(round_docs_dir)
+                # Children expand + write WITHOUT touching the driver: the
+                # link lists never leave the cluster; the parts land inside
+                # the round's checkpoint dir and become (with the extras
+                # file) the next round's frontier.
+                docs_mat.select_columns(
+                    ["fetch_seq", "depth", "priority", "links"]
+                ).map_batches(
+                    explode_links_batch, batch_format="pyarrow", zero_copy_batch=True
+                ).write_parquet(children_dir)
                 _phases["docs_write"] = round(_time.time() - _phase_t0, 3)
                 _phase_t0 = _time.time()
                 st_t = _collect(
                     docs_mat.select_columns(
-                        ["url", "fetch_seq", "depth", "priority", "retry", "status", "links"]
+                        ["url", "fetch_seq", "depth", "priority", "retry", "status"]
                     )
                 )
-                # The link expansion below runs on the driver for the same
-                # bounded reason; at 10^10 scale it becomes a map_batches ->
-                # write_parquet of the next frontier with identical logic.
-                # Fully vectorized via Arrow list kernels — miss rows and
-                # depth-capped rows carry empty link lists, so no filter.
-                links_col = st_t["links"].combine_chunks()
-                if hasattr(links_col, "chunk"):
-                    links_col = links_col.chunk(0) if links_col.num_chunks else pa.array([], st_t.schema.field("links").type)
-                flat = pc.list_flatten(links_col)
-                parent = pc.list_parent_indices(links_col).to_numpy()
-                if len(parent):
-                    offsets = np.asarray(links_col.offsets)
-                    j_idx = np.arange(len(parent), dtype=np.int64) - offsets[parent]
-                    fseq_np = st_t["fetch_seq"].to_numpy()[parent]
-                    seq = (fseq_np + 1) * SEQ_STRIDE + np.minimum(j_idx, SEQ_STRIDE - 1)
-                    children_t = pa.table(
-                        {
-                            "url": flat.field("url"),
-                            "host": flat.field("host"),
-                            "path": flat.field("path"),
-                            "depth": pa.array(
-                                st_t["depth"].to_numpy()[parent] + 1, pa.int32()
-                            ),
-                            "priority": pa.array(
-                                st_t["priority"].to_numpy()[parent], pa.int32()
-                            ),
-                            "discovery_seq": pa.array(seq, pa.int64()),
-                            "retry": pa.array(np.zeros(len(parent), np.int8), pa.int8()),
-                            "url_hash": flat.field("url_hash"),
-                        }
-                    )
-                else:
-                    children_t = _empty_frontier()
                 st = st_t["status"].to_pylist()
                 miss_idx = [i for i, s in enumerate(st) if s == "miss"]
                 if miss_idx:
@@ -645,10 +663,9 @@ def crawl(
                     retry_rows = pa.Table.from_pandas(
                         rr[FRONTIER_SCHEMA.names], preserve_index=False
                     ).cast(FRONTIER_SCHEMA)
-            else:
-                children_t = _empty_frontier()
-
-            frontier_next = pa.concat_tables([children_t, deferred_t, retry_rows])
+            # Extras = deferred + retries (driver-small); children live as
+            # distributed parquet parts inside the round dir already.
+            frontier_next = pa.concat_tables([deferred_t, retry_rows])
 
             if n_sel:
                 seen.add_many(selected_t["url_hash"].to_numpy())
@@ -671,7 +688,11 @@ def crawl(
                 phases=_phases,
                 errors=errors_t,
             )
-            frontier = frontier_next
+            # Next frontier = extras file + children parts, straight from the
+            # checkpoint (the handoff IS the checkpoint).  The driver-held
+            # table is narrow; at 10^10 scale this read becomes the lazy
+            # read_parquet feeding the distributed selection branch.
+            frontier = cm.read_frontier_next(r)
             r += 1
             if stop_after_round is not None and r > stop_after_round:
                 break
