@@ -395,6 +395,7 @@ def crawl(
     filters: dict | None = None,
     count_only: bool = False,
     enforce_delays: bool = False,
+    seen_backend: str = "bloom",
 ) -> CrawlResult:
     """Run (or resume) a crawl over a synthetic corpus. Ray must be initialised.
 
@@ -426,7 +427,7 @@ def crawl(
     gate = UrlGate.from_config(filters)
 
     run_id = uuid.uuid4().hex[:8]
-    seen = SeenSet(n_shards, name_prefix=f"seen_{run_id}")
+    seen = SeenSet(n_shards, name_prefix=f"seen_{run_id}", backend=seen_backend)
 
     limiter_shards = None
     if enforce_delays:

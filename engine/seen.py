@@ -227,18 +227,57 @@ class CuckooShard:
             "fill": float((self.table != 0).mean()),
         }
 
+    def dump(self) -> np.ndarray:
+        keys = list(self._exact) + list(self._overflow)
+        return np.fromiter(keys, dtype=np.int64, count=len(keys))
+
 
 class SeenSet:
-    """Driver-side facade over the shard actors."""
+    """Driver-side facade over the shard actors.
 
-    def __init__(self, n_shards: int, name_prefix: str = "seen", bloom_bits: int = 1 << 22):
+    backend="bloom" (default): SeenShard — bloom bitmap + exact confirm,
+    append-only (a crawl never un-sees).  backend="cuckoo": CuckooShard —
+    supports delete_many for recrawl invalidation at slightly higher
+    per-probe cost.  Both expose the same check/add/dump/stats surface.
+    """
+
+    def __init__(
+        self,
+        n_shards: int,
+        name_prefix: str = "seen",
+        bloom_bits: int = 1 << 22,
+        backend: str = "bloom",
+    ):
         self.n_shards = n_shards
-        self.shards = [
-            SeenShard.options(name=f"{name_prefix}_shard_{i}", get_if_exists=True).remote(
-                i, bloom_bits=bloom_bits
-            )
-            for i in range(n_shards)
-        ]
+        self.backend = backend
+        if backend == "bloom":
+            self.shards = [
+                SeenShard.options(name=f"{name_prefix}_shard_{i}", get_if_exists=True).remote(
+                    i, bloom_bits=bloom_bits
+                )
+                for i in range(n_shards)
+            ]
+        elif backend == "cuckoo":
+            self.shards = [
+                CuckooShard.options(name=f"{name_prefix}_shard_{i}", get_if_exists=True).remote(i)
+                for i in range(n_shards)
+            ]
+        else:
+            raise ValueError(f"unknown seen backend: {backend}")
+
+    def delete_many(self, hashes: np.ndarray):
+        """Recrawl invalidation (cuckoo backend only)."""
+        if self.backend != "cuckoo":
+            raise NotImplementedError("delete requires the cuckoo backend")
+        hashes = np.asarray(hashes, dtype=np.int64)
+        sid = hashes % self.n_shards
+        ray.get(
+            [
+                self.shards[s].delete_many.remote(hashes[sid == s])
+                for s in range(self.n_shards)
+                if (sid == s).any()
+            ]
+        )
 
     def add_many(self, hashes: np.ndarray):
         hashes = np.asarray(hashes, dtype=np.int64)

@@ -54,6 +54,24 @@ def test_add_idempotent_under_retry(shard, ray_session):
     assert not ray.get(shard.check_many.remote(keys)).any()
 
 
+def test_crawl_with_cuckoo_backend_matches_oracle(small_corpus, tmp_path, ray_session):
+    """The deletable backend is a drop-in: same crawl results as bloom."""
+    from engine.crawl import crawl
+    from engine.oracle import crawl_oracle
+
+    corpus_dir, _cfg = small_corpus
+    budget = {"max_urls_total": 120, "max_per_host_per_round": 5, "max_depth": 4, "max_rounds": 5}
+    oracle = crawl_oracle(corpus_dir, budget)
+    engine = crawl(
+        corpus_dir, str(tmp_path / "ckpt"), budget, seen_backend="cuckoo"
+    )
+    assert engine.cumulative == oracle["cumulative"]
+    got = engine.order_table().to_pylist()
+    assert [(x["fetch_seq"], x["url"]) for x in got] == [
+        (x["fetch_seq"], x["url"]) for x in oracle["order"]
+    ]
+
+
 def test_overflow_under_pressure(ray_session):
     """Overfill a tiny filter: answers stay exact via the overflow set."""
     import ray
