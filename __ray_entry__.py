@@ -109,6 +109,77 @@ def crawl_counters(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def crawl_chunks(sf_dir: str):
+    """The ingest-pipeline composition (S4/RagIngestDocument analog): crawled
+    markdown docs -> 350/80 token chunks (the values the reference app passes,
+    MainForm.cs:92), one row per chunk."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from engine.ops.text import TOKEN_CHUNK_SIZE, TOKEN_CHUNK_STEP
+
+    res = _crawl_cached(sf_dir)
+    ds = rd.read_parquet(res.docs_dir, columns=["url", "status", "markdown"])
+
+    def chunks(t: pa.Table) -> pa.Table:
+        urls, idxs, texts = [], [], []
+        for u, s, md in zip(
+            t["url"].to_pylist(), t["status"].to_pylist(), t["markdown"].to_pylist()
+        ):
+            if s != "hit" or md is None:
+                continue
+            toks = md.split()
+            n = len(toks)
+            n_chunks = (
+                1 if n <= TOKEN_CHUNK_SIZE
+                else -(-(n - TOKEN_CHUNK_SIZE) // TOKEN_CHUNK_STEP) + 1
+            )
+            for i in range(n_chunks):
+                urls.append(u)
+                idxs.append(i)
+                texts.append(
+                    " ".join(toks[i * TOKEN_CHUNK_STEP : i * TOKEN_CHUNK_STEP + TOKEN_CHUNK_SIZE])
+                )
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "chunk_index": pa.array(idxs, pa.int64()),
+                "chunk": pa.array(texts, pa.string()),
+            }
+        )
+
+    out = ds.map_batches(chunks, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["url", "chunk_index"]).reset_index(drop=True)
+
+
+def crawl_errors(sf_dir: str):
+    """The error-rows sink (S5): all fetch failures across rounds."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from glob import glob
+
+    res = _crawl_cached(sf_dir)
+    files = sorted(glob(os.path.join(res.ckpt_dir, "round=*", "errors.parquet")))
+    if not files:
+        return pd.DataFrame(
+            {"url": pd.Series([], dtype="str"), "fetch_seq": pd.Series([], dtype="int64"),
+             "round": pd.Series([], dtype="int32"), "reason": pd.Series([], dtype="str")}
+        )
+    import pyarrow as pa
+
+    return pa.concat_tables([pq.read_table(f) for f in files]).to_pandas().sort_values(
+        "fetch_seq"
+    ).reset_index(drop=True)
+
+
+def crawl_metrics(sf_dir: str):
+    """Per-round metrics (S8/A3): counters + round seconds + urls/sec."""
+    from engine.checkpoint import metrics_summary
+
+    res = _crawl_cached(sf_dir)
+    return metrics_summary(res.ckpt_dir)
+
+
 def extract_golden_check(sf_dir: str):
     """Re-extract every page via map_batches; per-url byte-identity vs golden."""
     import pyarrow as pa
@@ -188,6 +259,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_order": crawl_order,
         "crawl_seen": crawl_seen,
         "crawl_counters": crawl_counters,
+        "crawl_chunks": crawl_chunks,
+        "crawl_errors": crawl_errors,
+        "crawl_metrics": crawl_metrics,
         "extract_golden_check": extract_golden_check,
     }
 
