@@ -81,6 +81,22 @@ _NOISE_PATTERNS = tuple(
 
 _PAGE_OF_RE = re.compile(r"(?i)\bPage\s*:\s*\d+\s*of\s*\d+\b")  # cs:338
 
+# One alternation of every noise pattern + the inline page-of check: a single
+# C-level scan per line instead of 12 (is_noise dominated the extraction
+# profile).  Each branch keeps its own anchors/flags, so `search(combined)`
+# is exactly `any(search(p_i))`.
+def _scoped(p: str) -> str:
+    # global (?i) flags must head the whole expression; rewrite each branch's
+    # leading (?i) as a scoped inline group so branches can be OR-ed.
+    return f"(?i:{p[4:]})" if p.startswith("(?i)") else f"(?:{p})"
+
+
+_NOISE_COMBINED_RE = re.compile(
+    "|".join(_scoped(rx.pattern) for rx in _NOISE_PATTERNS)
+    + "|" + _scoped(_PAGE_OF_RE.pattern)
+)
+_NOISE_PREFIXES_CF = tuple(s.casefold() for s in _NOISE_STARTS_WITH)
+
 # "1.0 Purpose"-style headings (PdfToMarkdownConverter.cs:52-53)
 _NUMBERED_HEADING_RE = re.compile(r"^(?P<num>\d+(?:\.\d+)*)(?:\s+|\s*-\s*)(?P<title>.+)$")
 
@@ -199,6 +215,8 @@ def _escape_html(s: str) -> str:
 
 
 def _unescape_html(s: str) -> str:
+    if "&" not in s:  # fast path: the overwhelming majority of words
+        return s
     return (
         s.replace("&quot;", '"').replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
     )
@@ -274,6 +292,11 @@ def is_noise(line: str, opt: ExtractOptions = DEFAULT_OPTIONS) -> bool:
     if not l:
         return False
     lcf = l.casefold()
+    if opt is DEFAULT_OPTIONS:  # fast path: precompiled combined alternation
+        for s in _NOISE_PREFIXES_CF:
+            if lcf.startswith(s):
+                return True
+        return _NOISE_COMBINED_RE.search(l) is not None
     for s in opt.noise_starts_with:
         if lcf.startswith(s.casefold()):
             return True

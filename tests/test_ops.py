@@ -130,6 +130,33 @@ def test_ann_bruteforce_shapes(ray_session):
 
 # ---------------------------------------------------------------- multimodal
 
+def test_embedding_near_pairs_finds_planted(ray_session, tmp_path):
+    """Near-identical embeddings planted in a copy of the table are found."""
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    # plant: vec 100 == vec 0; vec 101 = vec 1 + tiny noise; vec 102 orthogonal-ish
+    rows = np.vstack([base, base[0], base[1] + 0.01 * rng.standard_normal(16).astype(np.float32)])
+    ids = list(range(40)) + [100, 101]
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([r.tolist() for r in rows], pa.list_(pa.float32())),
+        "label": pa.array([0] * len(ids), pa.int32()),
+    })
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(t, d / "embeddings.parquet")
+    from engine.ops.ann import embedding_near_pairs
+
+    pairs = embedding_near_pairs(str(d), threshold=0.95)
+    got = set(zip(pairs["vec_a"], pairs["vec_b"]))
+    assert (0, 100) in got
+    assert (1, 101) in got
+    # random 16-dim vectors don't collide at 0.95
+    assert all(a in (0, 1) or b in (100, 101) for a, b in got)
+
+
 def test_fake_decode_deterministic(ray_session):
     from engine.ops.multimodal import media_metadata
 
