@@ -239,6 +239,12 @@ def extract_batch_fn(batch: pa.Table, max_depth: int, with_markdown: bool = True
         links = []
         if depth < max_depth:
             for href in hrefs:
+                # Spec: at most SEQ_STRIDE canonicalized links per page feed
+                # the frontier — keeps discovery_seq unique per (parent, link)
+                # so the total order has no scheduling-dependent ties (the
+                # oracle truncates identically).
+                if len(links) >= SEQ_STRIDE:
+                    break
                 cu = canonicalize(href, base=url)
                 if cu is None:
                     continue
@@ -362,12 +368,17 @@ class CrawlResult:
     seen_stats: list = field(default_factory=list)
 
     def order_table(self) -> pa.Table:
-        cm = CheckpointManager(self.ckpt_dir, {})
         tables = []
         for r in range(self.rounds):
             p = os.path.join(self.ckpt_dir, f"round={r}", "selected.parquet")
             if os.path.exists(p):
                 tables.append(pq.read_table(p))
+        if not tables:
+            return (
+                FRONTIER_SCHEMA.empty_table()
+                .append_column("fetch_seq", pa.array([], pa.int64()))
+                .append_column("round", pa.array([], pa.int32()))
+            )
         t = pa.concat_tables(tables)
         return t.sort_by("fetch_seq")
 
@@ -419,6 +430,7 @@ def crawl(
         "n_buckets": n_buckets,
         "filters": filters or {},
         "count_only": count_only,
+        "collect_markdown": bool(collect_markdown),
     }
     cm = CheckpointManager(ckpt_dir, cfg)
 
@@ -586,7 +598,9 @@ def crawl(
                     num_cpus=2,
                 )
                 docs = fetched.map_batches(
-                    lambda t: extract_batch_fn(t, max_depth, with_markdown=not count_only),
+                    lambda t: extract_batch_fn(
+                        t, max_depth, with_markdown=collect_markdown and not count_only
+                    ),
                     batch_format="pyarrow",
                     batch_size=256,
                     num_cpus=2,

@@ -26,7 +26,7 @@ import pyarrow.parquet as pq
 from .canonicalize import canonicalize, host_of, path_of, url_hash64
 from .checkpoint import COUNTER_KEYS
 from .extract import extract_document
-from .frontier import child_discovery_seq
+from .frontier import SEQ_STRIDE, child_discovery_seq
 from .politeness import RobotsRules, UrlGate
 from .synth import default_budget
 
@@ -194,7 +194,14 @@ def crawl_oracle_from_state(
             d = extract_document(html, c["url"])
             docs[c["url"]] = d["markdown"]
             if c["depth"] < max_depth:
-                for j, href in enumerate(d["hrefs"]):
+                # j counts CANONICALIZED links (matching the engine's links
+                # list position) and truncates at SEQ_STRIDE per page, so
+                # child discovery_seq values are unique and the total order
+                # is free of scheduling-dependent ties.
+                j = 0
+                for href in d["hrefs"]:
+                    if j >= SEQ_STRIDE:
+                        break
                     cu = canonicalize(href, base=c["url"])
                     if cu is None:
                         continue
@@ -209,6 +216,7 @@ def crawl_oracle_from_state(
                             "retry": 0,
                         }
                     )
+                    j += 1
 
         for c in selected:
             seen.add(url_hash64(c["url"]))

@@ -73,10 +73,13 @@ class SeenShard:
         hit_idx = np.flatnonzero(bloom_hit)
         if hit_idx.size:
             arr = self._sorted_view()
-            cand = hashes[hit_idx]
-            ins = np.searchsorted(arr, cand)
-            ok = (ins < len(arr)) & (arr[np.minimum(ins, max(len(arr) - 1, 0))] == cand)
-            out[hit_idx] = ok if len(arr) else False
+            # Empty-mirror guard BEFORE indexing: a bloom-positive against an
+            # empty exact set (e.g. a backend restoring bloom bits without the
+            # mirror) must answer False, not IndexError.
+            if len(arr):
+                cand = hashes[hit_idx]
+                ins = np.searchsorted(arr, cand)
+                out[hit_idx] = (ins < len(arr)) & (arr[np.minimum(ins, len(arr) - 1)] == cand)
         self._bloom_positive += int(bloom_hit.sum())
         self._exact_positive += int(out.sum())
         return out

@@ -174,3 +174,99 @@ def test_resume_refuses_config_mismatch(small_corpus, tmp_path):
     crawl(corpus_dir, ck, BUDGET, stop_after_round=1)
     with pytest.raises(ValueError, match="different config"):
         crawl(corpus_dir, ck, {**BUDGET, "max_urls_total": 999})
+
+
+def _write_mini_corpus(root, pages: dict, seeds: list, n_buckets: int = 4):
+    """Hand-built corpus dir (pages: url -> html str; seeds: [(url, prio)])."""
+    from engine.canonicalize import url_hash64
+    from engine.synth import PAGES_SCHEMA
+
+    os.makedirs(os.path.join(root, "pages"), exist_ok=True)
+    per_bucket = {b: [] for b in range(n_buckets)}
+    for u, h in pages.items():
+        per_bucket[url_hash64(u) % n_buckets].append((u, h))
+    for b in range(n_buckets):
+        bdir = os.path.join(root, "pages", f"bucket={b}")
+        os.makedirs(bdir, exist_ok=True)
+        rows = per_bucket[b]
+        t = pa.table(
+            {
+                "url": pa.array([u for u, _ in rows], pa.string()),
+                "warc_ts": pa.array([0] * len(rows), pa.timestamp("us")),
+                "html": pa.array([h.encode() for _, h in rows], pa.binary()),
+                "text": pa.array([""] * len(rows), pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+            },
+            schema=PAGES_SCHEMA,
+        )
+        pq.write_table(t, os.path.join(bdir, "part-0.parquet"))
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([u for u, _ in seeds], pa.string()),
+                "priority": pa.array([p for _, p in seeds], pa.int32()),
+            }
+        ),
+        os.path.join(root, "seeds.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "host": pa.array([], pa.string()),
+                "disallow_prefixes": pa.array([], pa.list_(pa.string())),
+                "crawl_delay_ms": pa.array([], pa.int64()),
+            }
+        ),
+        os.path.join(root, "robots.parquet"),
+    )
+    with open(os.path.join(root, "_corpus.json"), "w") as f:
+        json.dump({"cache_key": "mini", "cfg": {"n_buckets": n_buckets}}, f)
+    return root
+
+
+def test_over_stride_links_conformance(tmp_path, ray_session, monkeypatch):
+    """A page with more links than SEQ_STRIDE: the spec truncates at STRIDE
+    canonicalized links per page (engine AND oracle), so child discovery_seq
+    values stay unique and the distributed selection has no partition-order
+    ties.  (ADVICE r1: links past #1023 used to share one seq.)"""
+    import engine.crawl as crawl_mod
+    from engine.frontier import SEQ_STRIDE
+    from engine.oracle import crawl_oracle
+
+    n_links = SEQ_STRIDE + 476  # 1500
+    targets = [f"https://h{1 + (i % 2)}.bigfan.test/d0/p{i}.html" for i in range(n_links)]
+    seed_url = "https://h0.bigfan.test/d0/seed.html"
+    html = (
+        "<html><body><nav>"
+        + "".join(f'<a href="{t}">l</a>' for t in targets)
+        + "</nav></body></html>"
+    )
+    pages = {seed_url: html}
+    for t in targets[:1200]:  # some targets past the stride exist: they must
+        pages[t] = "<html><body></body></html>"  # still never be crawled
+    corpus = _write_mini_corpus(str(tmp_path / "corpus"), pages, [(seed_url, 0)])
+
+    monkeypatch.setattr(crawl_mod, "SMALL_FRONTIER_ROWS", 0)  # distributed branch
+    budget = {
+        "max_urls_total": 2000,
+        "max_per_host_per_round": 600,
+        "max_depth": 2,
+        "max_rounds": 4,
+    }
+    oracle = crawl_oracle(corpus, budget)
+    engine = crawl_mod.crawl(corpus, str(tmp_path / "ckpt"), budget)
+
+    got = engine.order_table().to_pylist()
+    want = oracle["order"]
+    assert [(x["fetch_seq"], x["url"]) for x in got] == [
+        (x["fetch_seq"], x["url"]) for x in want
+    ]
+    assert engine.cumulative == oracle["cumulative"]
+    assert set(engine.seen_hashes().tolist()) == oracle["seen_hashes"]
+    # truncation actually engaged: exactly SEQ_STRIDE children admitted
+    crawled = {x["url"] for x in got}
+    assert not crawled & set(targets[SEQ_STRIDE:])
+    assert set(targets[:SEQ_STRIDE]) <= crawled
+    # and every discovery_seq in the order is unique (the determinism invariant)
+    seqs = [(x["host"], x["depth"], x["priority"], x["discovery_seq"]) for x in got]
+    assert len(seqs) == len(set(seqs))
