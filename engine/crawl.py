@@ -136,10 +136,8 @@ def robots_seen_batch(batch: pa.Table, robots_ref, shards, gate: UrlGate) -> pa.
     Precedence: robots > filtered > seen > cand (mirrored by the oracle).
     """
     rules = _cached_rules(robots_ref)
-    hosts = batch["host"].to_pylist()
-    paths = batch["path"].to_pylist()
-    blocked = rules.blocked_many(hosts, paths)
-    filt = gate.filtered_many(batch["url"].to_pylist(), paths)
+    blocked = rules.blocked_many(batch["host"], batch["path"])
+    filt = gate.filtered_many(batch["url"], batch["path"])
     seen = check_many_via_handles(shards, batch["url_hash"].to_numpy())
     retry = batch["retry"].to_numpy()
     status = np.where(
@@ -312,9 +310,8 @@ def _select_on_driver(
     instead of per-host group calls.
     """
     df = frontier.to_pandas()
-    paths = df["path"].tolist()
-    blocked = robots.blocked_many(df["host"].tolist(), paths)
-    filt = gate.filtered_many(df["url"].tolist(), paths)
+    blocked = robots.blocked_many(frontier["host"], frontier["path"])
+    filt = gate.filtered_many(frontier["url"], frontier["path"])
     seen_mask = seen.check_many(df["url_hash"].to_numpy())
     retry = df["retry"].to_numpy()
     df["status"] = np.where(

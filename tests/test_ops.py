@@ -226,3 +226,78 @@ def test_classify_first_match_wins(ray_session, tmp_path):
     pq.write_table(t, d / "documents.parquet")
     out = classify(str(d))
     assert out["category"].tolist() == ["HR", "IT", "General"]
+
+
+def test_rolling_fingerprint_matches_scalar_reference():
+    """The vectorized mod-2^64 rolling hash == a per-byte scalar reference."""
+    import random
+
+    import numpy as np
+
+    from engine.ops.text import _roll_fp_one
+
+    def scalar(b: bytes, w: int) -> int:
+        B, M = 1000003, 1 << 64
+        if len(b) == 0:
+            return 0
+        if len(b) < w:
+            h = 0
+            for ch in b:
+                h = (h * B + ch) % M
+            return h & ((1 << 63) - 1)
+        best = None
+        for i in range(len(b) - w + 1):
+            h = 0
+            for ch in b[i : i + w]:
+                h = (h * B + ch) % M
+            if best is None or h < best:
+                best = h
+        return best & ((1 << 63) - 1)
+
+    rng = random.Random(7)
+    cases = [b"", b"a", b"short", bytes(rng.randrange(256) for _ in range(15))]
+    cases += [bytes(rng.randrange(256) for _ in range(n)) for n in (16, 17, 64, 500)]
+    for b in cases:
+        got = _roll_fp_one(np.frombuffer(b, dtype=np.uint8), 16)
+        assert got == scalar(b, 16), b[:20]
+
+
+def test_gate_vectorized_matches_scalar():
+    """filtered_many (vectorized) == filtered (per-row) on mixed inputs."""
+    import numpy as np
+    import pyarrow as pa
+
+    from engine.politeness import UrlGate
+
+    g = UrlGate(
+        allow_url_regex=[r"example\.test", r"keep"],
+        deny_url_regex=[r"/private/", r"\.tmp$"],
+        allowed_extensions=["html", "pdf"],
+    )
+    urls = [
+        "https://a.example.test/x.html",
+        "https://a.example.test/private/x.html",
+        "https://other.host/keep/y.pdf",
+        "https://other.host/drop/y.pdf",
+        "https://a.example.test/file.tmp",
+        "https://a.example.test/folder",
+        "https://a.example.test/img.png",
+    ]
+    paths = ["/" + u.split("/", 3)[3] for u in urls]
+    want = np.array([g.filtered(u, p) for u, p in zip(urls, paths)])
+    assert (g.filtered_many(urls, paths) == want).all()
+    assert (g.filtered_many(pa.array(urls), pa.array(paths)) == want).all()
+
+
+def test_robots_vectorized_matches_scalar():
+    import numpy as np
+    import pyarrow as pa
+
+    from engine.politeness import RobotsRules
+
+    r = RobotsRules({"a.test": ["/d3", "/d4"], "b.test": ["/"], "c.test": []})
+    hosts = ["a.test", "a.test", "b.test", "c.test", "z.test", "a.test"]
+    paths = ["/d3/x", "/d1/x", "/anything", "/d3", "/d3", "/d4"]
+    want = np.array([r.blocked(h, p) for h, p in zip(hosts, paths)])
+    assert (r.blocked_many(hosts, paths) == want).all()
+    assert (r.blocked_many(pa.array(hosts), pa.array(paths)) == want).all()
