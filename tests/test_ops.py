@@ -301,3 +301,54 @@ def test_robots_vectorized_matches_scalar():
     want = np.array([r.blocked(h, p) for h, p in zip(hosts, paths)])
     assert (r.blocked_many(hosts, paths) == want).all()
     assert (r.blocked_many(pa.array(hosts), pa.array(paths)) == want).all()
+
+
+def test_simhash_near_pairs_matches_bruteforce(ray_session, tmp_path):
+    """Distributed block-shuffle simhash pairs == brute-force O(n^2) reference
+    on a corpus with planted near-duplicates (10x the old planted size; the
+    signature table never materializes on the driver)."""
+    import random
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.ops.dedup import _simhash64, simhash_near_pairs
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(1000)]
+    texts, ids = [], []
+    base_docs = []
+    for d in range(120):
+        words = rng.sample(vocab, 300)
+        base_docs.append(words)
+        ids.append(d)
+        texts.append(" ".join(words))
+    # planted near-dups: base doc plus ONE extra token (a 300-token set
+    # shifts each simhash bit-sum by at most 1, so Hamming stays tiny)
+    next_id = 200
+    for d in range(0, 120, 10):
+        words = base_docs[d] + [f"x{d}"]
+        ids.append(next_id)
+        texts.append(" ".join(words))
+        next_id += 1
+    sf = tmp_path / "sfsim"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}),
+        sf / "documents.parquet",
+    )
+
+    got = simhash_near_pairs(str(sf), max_hamming=3)
+
+    hs = {i: _simhash64(t) for i, t in zip(ids, texts)}
+    want = []
+    sids = sorted(ids)
+    for x in range(len(sids)):
+        for y in range(x + 1, len(sids)):
+            if bin(hs[sids[x]] ^ hs[sids[y]]).count("1") <= 3:
+                want.append((sids[x], sids[y]))
+    got_pairs = list(zip(got["doc_a"], got["doc_b"]))
+    assert got_pairs == want
+    assert len(want) >= 6  # planted dups are actually found
