@@ -218,6 +218,9 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, k_shingle: int = 3) -
         .map_batches(verify_chunk, batch_format="pyarrow")
         .to_pandas()
     )
+    if "doc_a" not in out.columns:  # every chunk verified empty
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64")})
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 

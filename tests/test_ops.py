@@ -155,6 +155,18 @@ def test_embedding_near_pairs_finds_planted(ray_session, tmp_path):
     assert (1, 101) in got
     # random 16-dim vectors don't collide at 0.95
     assert all(a in (0, 1) or b in (100, 101) for a, b in got)
+    # exact equality with the all-pairs brute force (the LSH bucket-then-
+    # verify path must not lose pairs at this scale)
+    mn = rows / np.linalg.norm(rows, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    ids_np = np.asarray(ids)
+    iu, ju = np.triu_indices(len(ids_np), k=1)
+    hot = sims[iu, ju] >= 0.95
+    want = {
+        (min(int(ids_np[i]), int(ids_np[j])), max(int(ids_np[i]), int(ids_np[j])))
+        for i, j in zip(iu[hot], ju[hot])
+    }
+    assert got == want
 
 
 def test_fake_decode_deterministic(ray_session):
