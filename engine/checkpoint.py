@@ -155,7 +155,13 @@ class CheckpointManager:
             from .frontier import FRONTIER_SCHEMA
 
             return FRONTIER_SCHEMA.empty_table()
-        return pa.concat_tables([pq.read_table(f) for f in files], promote_options="default")
+        # strip any writer metadata: downstream from_arrow blocks must carry
+        # hashable (metadata-free) schemas or Ray's schema dedup logs a
+        # warning per task
+        return pa.concat_tables(
+            [pq.read_table(f).replace_schema_metadata(None) for f in files],
+            promote_options="default",
+        )
 
     def read_selected(self, r: int) -> pa.Table:
         return pq.read_table(os.path.join(self._round_dir(r), "selected.parquet"))

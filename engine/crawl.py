@@ -109,6 +109,23 @@ DOCS_SCHEMA = pa.schema(
 )
 
 
+# Disposition schema for the distributed selection stages: FRONTIER columns
+# + status + salt.  The group fns return Arrow tables cast to THIS schema so
+# every block hashes identically (pandas-metadata schemas are unhashable and
+# flood Ray's schema-dedup log).
+_DISP_SCHEMA = pa.schema(
+    list(FRONTIER_SCHEMA)
+    + [pa.field("status", pa.string()), pa.field("salt", pa.int32())]
+)
+
+
+def _disp_arrow(df: pd.DataFrame) -> pa.Table:
+    # from_pandas attaches pandas metadata even with schema=: strip it
+    return pa.Table.from_pandas(
+        df, schema=_DISP_SCHEMA, preserve_index=False
+    ).replace_schema_metadata(None)
+
+
 # Worker-global cache for broadcast objects: worker processes persist across
 # rounds, so the rules dict is fetched once per worker per crawl (keyed by the
 # ObjectRef), not once per round — the same amortization an actor __init__
@@ -320,7 +337,7 @@ def _select_on_driver(
         np.where(filt, "filtered", np.where(seen_mask & (retry == 0), "seen", "cand")),
     )
     out = dedup_and_salt_topk(df, k)  # whole frontier is url-closed
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
 
 def _collect(ds) -> pa.Table:
@@ -521,9 +538,15 @@ def crawl(
                     )
                     .map_batches(add_salt, batch_format="pyarrow")
                     .groupby("salt")
-                    .map_groups(lambda df: dedup_and_salt_topk(df, k), batch_format="pandas")
+                    .map_groups(
+                        lambda df: _disp_arrow(dedup_and_salt_topk(df, k)),
+                        batch_format="pandas",
+                    )
                     .groupby("host")
-                    .map_groups(lambda df: host_topk(df, k), batch_format="pandas")
+                    .map_groups(
+                        lambda df: _disp_arrow(host_topk(df, k)),
+                        batch_format="pandas",
+                    )
                 )
                 disp_t = _collect(disp)
 

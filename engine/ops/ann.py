@@ -16,10 +16,12 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from .io import read_pruned
+
 
 def _emb(sf_dir: str):
-    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                           columns=["vec_id", "embedding"])
+    return read_pruned(os.path.join(sf_dir, "embeddings.parquet"),
+                       ["vec_id", "embedding"])
 
 
 def _emb_path(sf_dir: str) -> str:

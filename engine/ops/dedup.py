@@ -18,9 +18,11 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from .io import read_pruned
+
 
 def _docs(sf_dir: str, columns):
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+    return read_pruned(os.path.join(sf_dir, "documents.parquet"), columns)
 
 
 def _text_hash64(s: str) -> int:
@@ -53,10 +55,14 @@ def exact_dedup(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    def canonical(g: pd.DataFrame) -> pd.DataFrame:
+    _CANON_SCHEMA = pa.schema([("doc_id", pa.int64()), ("canonical_id", pa.int64())])
+
+    def canonical(g: pd.DataFrame):
         g = g.copy()
         g["canonical_id"] = g.groupby("text_hash")["doc_id"].transform("min")
-        return g[["doc_id", "canonical_id"]]
+        return pa.Table.from_pandas(
+            g[["doc_id", "canonical_id"]], schema=_CANON_SCHEMA, preserve_index=False
+        ).replace_schema_metadata(None)
 
     out = (
         ds.map_batches(add_hash, batch_format="pyarrow")
@@ -158,7 +164,7 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, k_shingle: int = 3) -
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
         out_a, out_b = [], []
         for _, sub in g.groupby("band_key", sort=False):
             ids = sorted(sub["doc_id"].unique())
@@ -168,8 +174,8 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, k_shingle: int = 3) -
                 for j in range(i + 1, len(ids)):
                     out_a.append(ids[i])
                     out_b.append(ids[j])
-        return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
-                             "doc_b": pd.Series(out_b, dtype="int64")})
+        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                         "doc_b": pa.array(out_b, pa.int64())}, schema=_PAIR_SCHEMA)
 
     candidates = (
         ds.map_batches(band_rows, batch_format="pyarrow", batch_size=1024)

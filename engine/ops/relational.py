@@ -19,9 +19,17 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from .io import read_pruned
+
 
 def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _from_pandas(df) -> pa.Table:
+    # strip the pandas schema-metadata dict: it makes Arrow schemas
+    # unhashable and floods Ray's schema-dedup log (see engine.ops.io)
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
 
 def q1_lineitem_agg(sf_dir: str) -> pd.DataFrame:
@@ -31,9 +39,9 @@ def q1_lineitem_agg(sf_dir: str) -> pd.DataFrame:
     map_batches (one row per key per batch), then a tiny groupby over the
     partials — the full-table shuffle moves only partial rows.
     """
-    ds = rd.read_parquet(
+    ds = read_pruned(
         _t(sf_dir, "lineitem"),
-        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -45,7 +53,7 @@ def q1_lineitem_agg(sf_dir: str) -> pd.DataFrame:
             sum_disc_price=("disc_price", "sum"),
             n_rows=("l_quantity", "size"),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas(g)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     from ray.data.aggregate import Sum
@@ -77,7 +85,7 @@ def mktsegment_revenue(sf_dir: str) -> pd.DataFrame:
     cust = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
     lookup_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())))
 
-    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    ds = read_pruned(_t(sf_dir, "orders"), ["o_custkey", "o_totalprice"])
 
     def join_partial(batch: pa.Table) -> pa.Table:
         lookup = ray.get(lookup_ref)
@@ -86,7 +94,7 @@ def mktsegment_revenue(sf_dir: str) -> pd.DataFrame:
         g = df.groupby("c_mktsegment", as_index=False).agg(
             revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas(g)
 
     from ray.data.aggregate import Sum
 
@@ -107,13 +115,13 @@ def top_orders(sf_dir: str, n: int = 10) -> pd.DataFrame:
     ``ds.sort`` would shuffle every row to rank 10 of them; the partial
     pattern moves only candidates (top-k is a pre-aggregable statistic).
     """
-    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+    ds = read_pruned(_t(sf_dir, "orders"), ["o_orderkey", "o_totalprice"])
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().sort_values(
             ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
         )
-        return pa.Table.from_pandas(df.head(n), preserve_index=False)
+        return _from_pandas(df.head(n))
 
     cands = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536).to_pandas()
     out = cands.sort_values(
@@ -124,7 +132,7 @@ def top_orders(sf_dir: str, n: int = 10) -> pd.DataFrame:
 
 def events_hourly(sf_dir: str) -> pd.DataFrame:
     """Tumbling one-hour event-time windows per event_type (count only: exact)."""
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts"])
+    ds = read_pruned(_t(sf_dir, "events"), ["event_type", "ts"])
 
     def partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -134,7 +142,7 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
             }
         )
         g = df.groupby(["event_type", "hour"], as_index=False).size().rename(columns={"size": "n"})
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas(g)
 
     from ray.data.aggregate import Sum
 
@@ -154,9 +162,12 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     The streaming-shaped op from ray_guide: partition by key (user), sort by
     ts inside each group, sessionize with pandas.  Output is integer-only.
     """
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
+    ds = read_pruned(_t(sf_dir, "events"), ["user_id", "ts", "event_id"])
 
     gap = pd.Timedelta(minutes=gap_minutes)
+    _SESSIONS_SCHEMA = pa.schema(
+        [("user_id", pa.int64()), ("session_start", pa.int64()), ("n_events", pa.int64())]
+    )
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
@@ -166,7 +177,9 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
             session_start=("event_id", "min"),
             n_events=("event_id", "size"),
         )
-        return agg.reset_index(drop=True)
+        return pa.Table.from_pandas(
+            agg.reset_index(drop=True), schema=_SESSIONS_SCHEMA, preserve_index=False
+        ).replace_schema_metadata(None)
 
     out = (
         ds.groupby("user_id")
@@ -182,24 +195,30 @@ def events_asof_join(sf_dir: str) -> pd.DataFrame:
     by key, sort by ts within the group, ``pd.merge_asof`` per group.  Rows
     with no prior error are dropped (inner as-of).
     """
-    ds = rd.read_parquet(
-        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type", "value"]
+    ds = read_pruned(
+        _t(sf_dir, "events"), ["event_id", "user_id", "ts", "event_type", "value"]
     )
 
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
+    _ASOF_SCHEMA = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("last_error_value", pa.float64())]
+    )
+
+    def asof(g: pd.DataFrame):
         s = g[g["event_type"] == "signup"].sort_values(["ts", "event_id"], kind="mergesort")
         err = g[g["event_type"] == "error"].sort_values(["ts", "event_id"], kind="mergesort")
         if s.empty or err.empty:
-            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
-                                 "user_id": pd.Series([], dtype="int64"),
-                                 "last_error_value": pd.Series([], dtype="float64")})
+            return _ASOF_SCHEMA.empty_table()
         out = pd.merge_asof(
             s[["event_id", "user_id", "ts"]],
             err[["ts", "value"]].rename(columns={"value": "last_error_value"}),
             on="ts",
             direction="backward",
         ).dropna(subset=["last_error_value"])
-        return out[["event_id", "user_id", "last_error_value"]]
+        return pa.Table.from_pandas(
+            out[["event_id", "user_id", "last_error_value"]],
+            schema=_ASOF_SCHEMA, preserve_index=False,
+        ).replace_schema_metadata(None)
 
     out = ds.groupby("user_id").map_groups(asof, batch_format="pandas").to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
@@ -212,12 +231,20 @@ def events_running_sum(sf_dir: str) -> pd.DataFrame:
     (ray_guide 'Streaming-shaped workloads').  Rounded to 2 decimals so the
     comparison is robust to last-bit accumulation differences.
     """
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"])
+    ds = read_pruned(_t(sf_dir, "events"), ["event_id", "user_id", "ts", "value"])
 
-    def run(g: pd.DataFrame) -> pd.DataFrame:
+    _RUN_SCHEMA = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("running_value", pa.float64())]
+    )
+
+    def run(g: pd.DataFrame):
         g = g.sort_values(["ts", "event_id"], kind="mergesort").copy()
         g["running_value"] = g["value"].cumsum().round(2)
-        return g[["event_id", "user_id", "running_value"]]
+        return pa.Table.from_pandas(
+            g[["event_id", "user_id", "running_value"]],
+            schema=_RUN_SCHEMA, preserve_index=False,
+        ).replace_schema_metadata(None)
 
     out = ds.groupby("user_id").map_groups(run, batch_format="pandas").to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
@@ -231,7 +258,7 @@ def allowlist_filter(sf_dir: str, allowed=("src1", "src3")) -> pd.DataFrame:
     vectorized ``pc.is_in`` mask.
     """
     allowed_arr = pa.array(list(allowed), pa.string())
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "source", "n_chars"])
+    ds = read_pruned(_t(sf_dir, "documents"), ["doc_id", "source", "n_chars"])
     out = (
         ds.map_batches(
             lambda t: t.filter(pc.is_in(t["source"], value_set=allowed_arr)),
@@ -243,7 +270,7 @@ def allowlist_filter(sf_dir: str, allowed=("src1", "src3")) -> pd.DataFrame:
 
 
 def distinct_sources(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["source"])
+    ds = read_pruned(_t(sf_dir, "documents"), ["source"])
     vals = sorted(ds.unique("source"))
     return pd.DataFrame({"source": vals})
 
@@ -258,14 +285,14 @@ def nation_region_join(sf_dir: str) -> pd.DataFrame:
     r2name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
     lookup_ref = ray.put({k: r2name[v] for k, v in n2r.items()})
 
-    ds = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_nationkey"])
+    ds = read_pruned(_t(sf_dir, "customer"), ["c_nationkey"])
 
     def partial(batch: pa.Table) -> pa.Table:
         lookup = ray.get(lookup_ref)
         df = batch.to_pandas()
         df["r_name"] = df["c_nationkey"].map(lookup)
         g = df.groupby("r_name", as_index=False).agg(n_customers=("c_nationkey", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas(g)
 
     from ray.data.aggregate import Sum
 

@@ -21,6 +21,8 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
+from .io import read_pruned
+
 # The reference's stop-word set, verbatim (SharePointClient.cs:61-64).
 STOP_WORDS = (
     "the and for with that this from have will their are was were has had but "
@@ -48,7 +50,7 @@ TOKEN_CHUNK_STEP = TOKEN_CHUNK_SIZE - TOKEN_CHUNK_OVERLAP
 
 
 def _docs(sf_dir: str, columns):
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+    return read_pruned(os.path.join(sf_dir, "documents.parquet"), columns)
 
 
 def token_count(sf_dir: str) -> pd.DataFrame:
