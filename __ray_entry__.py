@@ -111,44 +111,14 @@ def crawl_counters(sf_dir: str):
 
 def crawl_chunks(sf_dir: str):
     """The ingest-pipeline composition (S4/RagIngestDocument analog): crawled
-    markdown docs -> 350/80 token chunks (the values the reference app passes,
-    MainForm.cs:92), one row per chunk."""
-    import pyarrow as pa
-    import ray.data as rd
-
-    from engine.ops.text import TOKEN_CHUNK_SIZE, TOKEN_CHUNK_STEP
+    markdown docs -> 350/80 token chunks carrying the full IngestChunk field
+    surface — title, category (M11 cascade), per-doc keywords (M12),
+    heading breadcrumb, allowed_groups, and the open metadata map
+    (``Foundation/Models/IngestChunk.cs:12-65``)."""
+    from engine.ingest import chunks_dataset
 
     res = _crawl_cached(sf_dir)
-    ds = rd.read_parquet(res.docs_dir, columns=["url", "status", "markdown"])
-
-    def chunks(t: pa.Table) -> pa.Table:
-        urls, idxs, texts = [], [], []
-        for u, s, md in zip(
-            t["url"].to_pylist(), t["status"].to_pylist(), t["markdown"].to_pylist()
-        ):
-            if s != "hit" or md is None:
-                continue
-            toks = md.split()
-            n = len(toks)
-            n_chunks = (
-                1 if n <= TOKEN_CHUNK_SIZE
-                else -(-(n - TOKEN_CHUNK_SIZE) // TOKEN_CHUNK_STEP) + 1
-            )
-            for i in range(n_chunks):
-                urls.append(u)
-                idxs.append(i)
-                texts.append(
-                    " ".join(toks[i * TOKEN_CHUNK_STEP : i * TOKEN_CHUNK_STEP + TOKEN_CHUNK_SIZE])
-                )
-        return pa.table(
-            {
-                "url": pa.array(urls, pa.string()),
-                "chunk_index": pa.array(idxs, pa.int64()),
-                "chunk": pa.array(texts, pa.string()),
-            }
-        )
-
-    out = ds.map_batches(chunks, batch_format="pyarrow").to_pandas()
+    out = chunks_dataset(res.docs_dir).to_pandas()
     return out.sort_values(["url", "chunk_index"]).reset_index(drop=True)
 
 

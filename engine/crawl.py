@@ -99,6 +99,10 @@ DOCS_SCHEMA = pa.schema(
         pa.field("markdown", pa.string()),
         pa.field("title", pa.string()),
         pa.field("header_doc", pa.string()),
+        # The open metadata map (M3, ``DocumentInfo.Metadata``,
+        # ``SharePointClient.cs:358-370``): every parsed header field rides
+        # here string-typed; title/header_doc stay promoted as hot columns.
+        pa.field("metadata", pa.map_(pa.string(), pa.string())),
         pa.field("links", pa.list_(pa.struct([
             pa.field("url", pa.string()),
             pa.field("host", pa.string()),
@@ -224,7 +228,7 @@ def extract_batch_fn(batch: pa.Table, max_depth: int, with_markdown: bool = True
     retry_l = batch["retry"].to_pylist()
     out = {k: [] for k in (
         "url", "fetch_seq", "round", "depth", "priority", "retry",
-        "status", "markdown", "title", "header_doc", "links",
+        "status", "markdown", "title", "header_doc", "metadata", "links",
     )}
     for i in range(batch.num_rows):
         url = urls_l[i]
@@ -241,15 +245,25 @@ def extract_batch_fn(batch: pa.Table, max_depth: int, with_markdown: bool = True
             out["markdown"].append(None)
             out["title"].append(None)
             out["header_doc"].append(None)
+            out["metadata"].append([])
             out["links"].append([])
             continue
         if with_markdown:
             d = extract_document(html, url)
             hrefs = d["hrefs"]
+            # open metadata map: all parsed header fields, string-typed,
+            # only present keys (the GetValueOrDefault consumer reads
+            # missing keys as null — M15)
+            meta = [
+                (k, d[f"header_{k}"])
+                for k in ("doc", "eff", "rev", "org", "appr", "src")
+                if d.get(f"header_{k}") is not None
+            ]
         else:
             from .extract import parse_layout
 
             d = {"markdown": None, "title": None, "header_doc": None}
+            meta = []
             _pages, hrefs = parse_layout(html)
         links = []
         if depth < max_depth:
@@ -275,6 +289,7 @@ def extract_batch_fn(batch: pa.Table, max_depth: int, with_markdown: bool = True
         out["markdown"].append(d["markdown"])
         out["title"].append(d["title"])
         out["header_doc"].append(d["header_doc"])
+        out["metadata"].append(meta)
         out["links"].append(links)
     return pa.table(
         {name: pa.array(vals, DOCS_SCHEMA.field(name).type) for name, vals in out.items()}
@@ -445,6 +460,8 @@ def crawl(
         "filters": filters or {},
         "count_only": count_only,
         "collect_markdown": bool(collect_markdown),
+        "docs_schema": 2,  # bump when DOCS_SCHEMA changes: stale checkpoint
+        # docs must not mix schemas on resume
     }
     cm = CheckpointManager(ckpt_dir, cfg)
 
