@@ -1,0 +1,354 @@
+"""From-scratch reader/writer for *uncompressed* PDF content streams.
+
+The reference's raison d'être is PDF layout extraction via PdfPig
+(``PdfToMarkdownConverter.cs:81-113``, ``SharePointCrawler.csproj:22``).  No
+PDF library exists in this container, so this module implements the subset
+of ISO 32000 the pipeline needs, from scratch:
+
+- **reader** (``parse_pdf_layout``): body objects (``N 0 obj .. endobj``),
+  the Catalog -> Pages -> Kids page tree, per-page ``/MediaBox`` and
+  ``/Contents`` streams, text operators ``BT ET Tf Td TD Tm TL T* Tj TJ``
+  with literal-string escapes (``\\( \\) \\\\ \\n`` + octal), and
+  ``/Annots`` link annotations (``/Subtype /Link /A << /S /URI /URI (..)``)
+  as the href source — the PdfPig ``GetWords()`` analog emitting
+  ``(page_no, height, [(left, mid_y, text)])`` straight into the shared
+  ``engine.extract.build_lines`` pipeline.
+- **writer** (``render_pdf_page_bytes``): a valid single-file PDF 1.4 with a
+  correct xref table, one ``Tm``-positioned ``Tj`` per word, link annots on
+  the last page — the PDF twin of ``engine.synth``'s HTML layout encoding.
+
+Geometry convention (shared writer<->reader, mirrors the HTML encoding): the
+``Tm`` y operand carries the word's vertical MIDLINE (the reference computes
+``(BoundingBox.Top+BoundingBox.Bottom)/2`` at ``PdfToMarkdownConverter.cs:287``);
+``Right = left + CHAR_WIDTH * len(text)`` uses the same fixed metric as the
+HTML path.  Only uncompressed streams are supported — ``/Filter`` raises.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .extract import CHAR_WIDTH
+
+# ---------------------------------------------------------------------------
+# Reader
+# ---------------------------------------------------------------------------
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)\bendobj", re.S)
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R\b")
+_STREAM_RE = re.compile(rb"\bstream\r?\n(.*?)\r?\nendstream", re.S)
+_NUM = rb"[+-]?\d+(?:\.\d+)?|[+-]?\.\d+"
+
+
+def _objects(data: bytes) -> dict:
+    return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
+
+
+def _dict_value_ref(body: bytes, key: bytes):
+    m = re.search(re.escape(key) + rb"\s+(\d+)\s+\d+\s+R", body)
+    return int(m.group(1)) if m else None
+
+
+def _unescape_pdf_string(raw: bytes) -> str:
+    out = bytearray()
+    i = 0
+    n = len(raw)
+    while i < n:
+        c = raw[i]
+        if c == 0x5C and i + 1 < n:  # backslash
+            d = raw[i + 1]
+            if d in b"nrtbf":
+                out.append({0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}[d])
+                i += 2
+            elif d in b"()\\":
+                out.append(d)
+                i += 2
+            elif 0x30 <= d <= 0x37:  # octal, up to 3 digits
+                j = i + 1
+                oct_digits = b""
+                while j < n and len(oct_digits) < 3 and 0x30 <= raw[j] <= 0x37:
+                    oct_digits += raw[j : j + 1]
+                    j += 1
+                out.append(int(oct_digits, 8) & 0xFF)
+                i = j
+            elif d == 0x0A:  # line continuation
+                i += 2
+            else:
+                out.append(d)
+                i += 2
+        else:
+            out.append(c)
+            i += 1
+    return out.decode("utf-8", errors="replace")
+
+
+def _escape_pdf_string(s: str) -> bytes:
+    return (
+        s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    ).encode("utf-8")
+
+
+def _read_literal_string(data: bytes, i: int):
+    """data[i] == '(' -> (decoded string, index after closing paren).
+    Handles nested balanced parens and backslash escapes (ISO 32000 7.3.4.2)."""
+    assert data[i : i + 1] == b"("
+    depth = 0
+    j = i
+    raw = bytearray()
+    while j < len(data):
+        c = data[j]
+        if c == 0x5C:  # escape: copy both bytes verbatim for the unescaper
+            raw += data[j : j + 2]
+            j += 2
+            continue
+        if c == 0x28:
+            depth += 1
+            if depth > 1:
+                raw.append(c)
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return _unescape_pdf_string(bytes(raw)), j + 1
+            raw.append(c)
+        else:
+            raw.append(c)
+        j += 1
+    raise ValueError("unterminated PDF string")
+
+
+_CONTENT_TOKEN_RE = re.compile(
+    rb"(" + _NUM + rb")|(/[^\s/\[\]()<>]+)|(\[|\])|(BT|ET|Tf|Td|TD|Tm|TL|T\*|Tj|TJ|Tc|Tw|q|Q|cm|re|[fWnS])"
+)
+
+
+def _parse_content(stream: bytes) -> list:
+    """Text ops -> word boxes [(left, mid_y, text)] (one per whitespace word).
+
+    Position state per ISO 32000 9.4.2: Td/TD translate the LINE matrix, Tm
+    sets it absolutely, T* advances by the leading; Tj/TJ emit at the current
+    point and advance x by the fixed CHAR_WIDTH metric (+1 char per space).
+    """
+    words = []
+    i = 0
+    n = len(stream)
+    stack: list = []  # operand stack: numbers, names, strings, arrays
+    line_x = line_y = 0.0
+    cur_x = cur_y = 0.0
+    leading = 0.0
+    in_array = None
+
+    def emit(s: str):
+        nonlocal cur_x
+        for piece in s.split(" "):
+            if piece:
+                words.append((cur_x, cur_y, piece))
+            cur_x += CHAR_WIDTH * (len(piece) + 1)
+
+    while i < n:
+        c = stream[i : i + 1]
+        if c.isspace():
+            i += 1
+            continue
+        if c == b"(":
+            s, i = _read_literal_string(stream, i)
+            (in_array if in_array is not None else stack).append(s)
+            continue
+        m = _CONTENT_TOKEN_RE.match(stream, i)
+        if not m:
+            i += 1  # unknown byte: skip (defensive; real files stay in-grammar)
+            continue
+        i = m.end()
+        num, name, bracket, op = m.group(1), m.group(2), m.group(3), m.group(4)
+        if num is not None:
+            (in_array if in_array is not None else stack).append(float(num))
+        elif name is not None:
+            stack.append(name.decode("latin-1"))
+        elif bracket == b"[":
+            in_array = []
+        elif bracket == b"]":
+            stack.append(in_array)
+            in_array = None
+        elif op is not None:
+            o = op.decode("latin-1")
+            if o == "Td" and len(stack) >= 2:
+                ty, tx = stack.pop(), stack.pop()
+                line_x += tx
+                line_y += ty
+                cur_x, cur_y = line_x, line_y
+            elif o == "TD" and len(stack) >= 2:
+                ty, tx = stack.pop(), stack.pop()
+                leading = -ty
+                line_x += tx
+                line_y += ty
+                cur_x, cur_y = line_x, line_y
+            elif o == "Tm" and len(stack) >= 6:
+                f_ = stack.pop()
+                e_ = stack.pop()
+                stack = stack[: max(0, len(stack) - 4)]  # a b c d ignored (no rotation)
+                line_x, line_y = e_, f_
+                cur_x, cur_y = line_x, line_y
+            elif o == "TL" and stack:
+                leading = stack.pop()
+            elif o == "T*":
+                line_y -= leading
+                cur_x, cur_y = line_x, line_y
+            elif o == "Tj" and stack:
+                s = stack.pop()
+                if isinstance(s, str):
+                    emit(s)
+            elif o == "TJ" and stack:
+                arr = stack.pop()
+                if isinstance(arr, list):
+                    for el in arr:
+                        if isinstance(el, str):
+                            emit(el)
+                        else:  # kerning: thousandths of text space (size-agnostic
+                            # here: the fixed-metric model scales by CHAR_WIDTH*2)
+                            cur_x -= float(el) / 1000.0 * CHAR_WIDTH * 2.0
+            elif o in ("BT", "ET"):
+                line_x = line_y = cur_x = cur_y = 0.0
+                stack = []
+            else:
+                stack = []  # Tf/Tc/Tw/q/Q/cm/re/...: operands consumed, no-op
+    return words
+
+
+def _page_annot_uris(objs: dict, page_body: bytes) -> list:
+    m = re.search(rb"/Annots\s*\[(.*?)\]", page_body, re.S)
+    if not m:
+        return []
+    uris = []
+    for ref in _REF_RE.finditer(m.group(1)):
+        body = objs.get(int(ref.group(1)), b"")
+        if b"/Link" not in body:
+            continue
+        um = re.search(rb"/URI\s*\(", body)
+        if um:
+            s, _ = _read_literal_string(body, um.end() - 1)
+            uris.append(s)
+    return uris
+
+
+def parse_pdf_layout(data: bytes) -> tuple[list, list]:
+    """PDF bytes -> ((page_no, height, [(left, mid_y, text)]) per page, hrefs).
+
+    Drop-in twin of ``engine.extract.parse_layout`` for ``%PDF-`` payloads:
+    the output feeds the same build_lines -> convert_pages_to_markdown
+    pipeline byte-identically.
+    """
+    if not data.startswith(b"%PDF-"):
+        raise ValueError("not a PDF: missing %PDF- header")
+    objs = _objects(data)
+    catalog = next(
+        (b for b in objs.values() if b"/Type" in b and b"/Catalog" in b), None
+    )
+    if catalog is None:
+        raise ValueError("no /Catalog object")
+    pages_ref = _dict_value_ref(catalog, b"/Pages")
+    pages_body = objs[pages_ref]
+    kids_m = re.search(rb"/Kids\s*\[(.*?)\]", pages_body, re.S)
+    kid_refs = [int(m.group(1)) for m in _REF_RE.finditer(kids_m.group(1))]
+
+    pages, hrefs = [], []
+    for page_no, kr in enumerate(kid_refs, 1):
+        body = objs[kr]
+        mb = re.search(
+            rb"/MediaBox\s*\[\s*(" + _NUM + rb")\s+(" + _NUM + rb")\s+("
+            + _NUM + rb")\s+(" + _NUM + rb")\s*\]",
+            body,
+        )
+        height = float(mb.group(4)) if mb else 792.0
+        contents_ref = _dict_value_ref(body, b"/Contents")
+        words = []
+        if contents_ref is not None:
+            cbody = objs[contents_ref]
+            if b"/Filter" in cbody.split(b"stream", 1)[0]:
+                raise NotImplementedError(
+                    "compressed PDF content streams are not supported "
+                    "(from-scratch reader handles uncompressed streams only)"
+                )
+            sm = _STREAM_RE.search(cbody)
+            if sm:
+                words = _parse_content(sm.group(1))
+        pages.append((page_no, height, words))
+        hrefs.extend(_page_annot_uris(objs, body))
+    return pages, hrefs
+
+
+# ---------------------------------------------------------------------------
+# Writer (the synth-side PDF twin of the HTML layout encoding)
+# ---------------------------------------------------------------------------
+
+PAGE_WIDTH = 612.0
+
+
+def render_pdf_page_bytes(word_pages: list, hrefs: list) -> bytes:
+    """[(page_no, height, [(x, y, word)])] + hrefs -> a valid uncompressed PDF.
+
+    One ``Tm``-positioned ``Tj`` per word (y = midline, see module note);
+    link annotations for every href attached to the LAST page in order
+    (matching the HTML encoding's trailing <nav> block).
+    """
+    n_pages = len(word_pages)
+    objects: list = []  # (obj_num, body_bytes) in file order
+
+    # object numbering: 1=catalog, 2=pages, then per page: page obj + content
+    # obj, then annot objects
+    page_obj = [3 + 2 * i for i in range(n_pages)]
+    content_obj = [4 + 2 * i for i in range(n_pages)]
+    first_annot = 3 + 2 * n_pages
+    annot_obj = [first_annot + i for i in range(len(hrefs))]
+
+    objects.append((1, b"<< /Type /Catalog /Pages 2 0 R >>"))
+    kids = b" ".join(b"%d 0 R" % p for p in page_obj)
+    objects.append((2, b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages))
+
+    for i, (_no, height, words) in enumerate(word_pages):
+        parts = [b"BT /F1 12 Tf"]
+        for x, y, w in words:
+            parts.append(
+                b"1 0 0 1 %.1f %.1f Tm (%s) Tj" % (x, y, _escape_pdf_string(w))
+            )
+        parts.append(b"ET")
+        content = b"\n".join(parts)
+        page = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %.1f %.1f] "
+            b"/Contents %d 0 R" % (PAGE_WIDTH, height, content_obj[i])
+        )
+        if i == n_pages - 1 and annot_obj:
+            refs = b" ".join(b"%d 0 R" % a for a in annot_obj)
+            page += b" /Annots [" + refs + b"]"
+        page += b" >>"
+        objects.append((page_obj[i], page))
+        objects.append(
+            (
+                content_obj[i],
+                b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream",
+            )
+        )
+
+    for j, href in enumerate(hrefs):
+        objects.append(
+            (
+                annot_obj[j],
+                b"<< /Type /Annot /Subtype /Link /Rect [0 0 0 0] "
+                b"/A << /Type /Action /S /URI /URI (" + _escape_pdf_string(href) + b") >> >>",
+            )
+        )
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num, body in objects:
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    xref_pos = len(out)
+    max_obj = max(offsets) if offsets else 0
+    out += b"xref\n0 %d\n" % (max_obj + 1)
+    out += b"0000000000 65535 f \n"
+    for num in range(1, max_obj + 1):
+        out += b"%010d 00000 n \n" % offsets.get(num, 0)
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (max_obj + 1, xref_pos)
+    )
+    return bytes(out)

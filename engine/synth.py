@@ -80,12 +80,16 @@ class CorpusConfig:
     #                           Common-Crawl pages are tens of KB, so benches
     #                           use >1 to get realistic per-page weight
     n_seed_hosts: int = 4     # seeds = first page of this many hosts (+1 dup)
+    encoding: str = "html"    # page payload encoding: "html" | "pdf" — same
+    #                           content either way (build_page_content);
+    #                           extraction output is byte-identical
 
     def cache_key(self) -> str:
+        enc = "" if self.encoding == "html" else f"_e{self.encoding}"
         return (
             f"n{self.n_pages}_h{self.n_hosts}_s{self.seed}_b{self.n_buckets}"
             f"_d{self.max_path_depth}_g{int(self.with_golden)}_c{self.content_scale}"
-            f"_sd{self.n_seed_hosts}"
+            f"_sd{self.n_seed_hosts}{enc}"
         )
 
 
@@ -278,8 +282,14 @@ def _table_block(rng: random.Random) -> list:
     return lines
 
 
-def build_page_html(row_id: int, cfg: CorpusConfig, assign: dict) -> str:
-    """Full deterministic page: layout divs + nav links. Pure in (seed, row_id)."""
+def build_page_content(row_id: int, cfg: CorpusConfig, assign: dict) -> tuple:
+    """Encoding-independent page content: (title_words, doc_pages, hrefs).
+
+    Pure in (seed, row_id); the rng draw ORDER is part of the corpus
+    contract (title -> page-count -> sop -> table -> per-page lines -> link
+    targets -> href spellings), so HTML and PDF renderings of the same row
+    carry identical content.
+    """
     rng = random.Random(f"{cfg.seed}:{row_id}")
     host = host_name(int(assign["host_idx"][row_id]))
     page_url = url_of(row_id, assign)
@@ -327,42 +337,72 @@ def build_page_html(row_id: int, cfg: CorpusConfig, assign: dict) -> str:
         lines.append(("text", footer))
         doc_pages.append(lines)
 
-    # Emit layout spans.
-    parts = [
-        "<!DOCTYPE html><html><head><title>",
-        _escape_html(title_words),
-        "</title></head><body>\n",
-    ]
-    for p, lines in enumerate(doc_pages):
-        parts.append(f'<div class="page" data-page="{p + 1}" data-height="{PAGE_HEIGHT}">\n')
-        y = PAGE_HEIGHT - 32.0
-        for kind, payload in lines:
-            if kind == "text":
-                x = LEFT_MARGIN
-                for w in str(payload).split():
-                    parts.append(
-                        f'<span class="w" style="left:{x:.1f}pt;top:{y:.1f}pt">{_escape_html(w)}</span>\n'
-                    )
-                    x += CHAR_WIDTH * len(w) + 4.0
-            else:  # table line: words at column anchors
-                for anchor_i, w in payload:
-                    base_x = TABLE_ANCHORS[anchor_i]
-                    parts.append(
-                        f'<span class="w" style="left:{base_x:.1f}pt;top:{y:.1f}pt">{_escape_html(w)}</span>\n'
-                    )
-            y -= LINE_STEP
-        parts.append("</div>\n")
-
-    parts.append("<nav>\n")
+    hrefs = []
     for kind, target in _link_targets(row_id, cfg, assign, rng):
         if kind == "dead":
             target_url = f"https://{host}/d9/p{target}.html"
         else:
             target_url = url_of(target, assign)
-        href = _href_spelling(target_url, page_url, rng)
+        hrefs.append(_href_spelling(target_url, page_url, rng))
+    return title_words, doc_pages, hrefs
+
+
+def layout_word_boxes(doc_pages: list) -> list:
+    """Shared geometry: logical lines -> [(page_no, height, [(x, y, word)])].
+
+    One definition of word coordinates for BOTH encodings: text lines flow
+    from LEFT_MARGIN with the fixed CHAR_WIDTH metric + 4pt gaps; table
+    lines place words at their column anchors; y starts 32pt below the top
+    and steps by LINE_STEP.
+    """
+    out = []
+    for p, lines in enumerate(doc_pages):
+        y = PAGE_HEIGHT - 32.0
+        boxes = []
+        for kind, payload in lines:
+            if kind == "text":
+                x = LEFT_MARGIN
+                for w in str(payload).split():
+                    boxes.append((x, y, w))
+                    x += CHAR_WIDTH * len(w) + 4.0
+            else:  # table line: words at column anchors
+                for anchor_i, w in payload:
+                    boxes.append((TABLE_ANCHORS[anchor_i], y, w))
+            y -= LINE_STEP
+        out.append((p + 1, PAGE_HEIGHT, boxes))
+    return out
+
+
+def build_page_html(row_id: int, cfg: CorpusConfig, assign: dict) -> str:
+    """Full deterministic page, HTML layout encoding. Pure in (seed, row_id)."""
+    title_words, doc_pages, hrefs = build_page_content(row_id, cfg, assign)
+    parts = [
+        "<!DOCTYPE html><html><head><title>",
+        _escape_html(title_words),
+        "</title></head><body>\n",
+    ]
+    for page_no, height, boxes in layout_word_boxes(doc_pages):
+        parts.append(f'<div class="page" data-page="{page_no}" data-height="{height}">\n')
+        for x, y, w in boxes:
+            parts.append(
+                f'<span class="w" style="left:{x:.1f}pt;top:{y:.1f}pt">{_escape_html(w)}</span>\n'
+            )
+        parts.append("</div>\n")
+    parts.append("<nav>\n")
+    for href in hrefs:
         parts.append(f'<a href="{_escape_html(href)}">l</a>\n')
     parts.append("</nav>\n</body></html>\n")
     return "".join(parts)
+
+
+def build_page_pdf(row_id: int, cfg: CorpusConfig, assign: dict) -> bytes:
+    """The SAME page as build_page_html, encoded as a real uncompressed PDF
+    (content streams + link annotations; ``engine.pdf``).  Extraction output
+    is byte-identical across the two encodings."""
+    from .pdf import render_pdf_page_bytes
+
+    _title, doc_pages, hrefs = build_page_content(row_id, cfg, assign)
+    return render_pdf_page_bytes(layout_word_boxes(doc_pages), hrefs)
 
 
 # ---------------------------------------------------------------------------
@@ -378,7 +418,10 @@ def gen_rows(ids, cfg: CorpusConfig, assign: dict) -> pa.Table:
     for rid in ids:
         rid = int(rid)
         u = url_of(rid, assign)
-        html = build_page_html(rid, cfg, assign).encode("utf-8")
+        if cfg.encoding == "pdf":
+            html = build_page_pdf(rid, cfg, assign)
+        else:
+            html = build_page_html(rid, cfg, assign).encode("utf-8")
         urls.append(u)
         htmls.append(html)
         if cfg.with_golden:

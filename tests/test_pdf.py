@@ -1,0 +1,173 @@
+"""From-scratch PDF reader/writer tests (VERDICT r1 next-round #3).
+
+The contract: a corpus row rendered as an uncompressed PDF extracts
+byte-identically to its HTML-layout twin through the shared
+build_lines -> convert_pages_to_markdown pipeline, and the crawl runs
+end-to-end over a pdf-encoded corpus.
+"""
+
+import numpy as np
+import pytest
+
+
+# ---------------------------------------------------------------- reader unit
+
+def test_content_stream_operators():
+    """Td/TD/Tm/TL/T*/Tj/TJ positioning semantics."""
+    from engine.extract import CHAR_WIDTH
+    from engine.pdf import _parse_content
+
+    stream = b"""BT /F1 12 Tf
+1 0 0 1 72.0 700.0 Tm (Hello) Tj
+1 0 0 1 120.0 700.0 Tm (World) Tj
+72.0 650.0 Td (LineA) Tj
+0 -14 Td (LineB) Tj
+14 TL
+1 0 0 1 72.0 600.0 Tm (TopC) Tj
+T* (NextC) Tj
+ET"""
+    words = _parse_content(stream)
+    d = {w: (x, y) for x, y, w in words}
+    assert d["Hello"] == (72.0, 700.0)
+    assert d["World"] == (120.0, 700.0)
+    # Td is relative to the line start (which Tm set to 120,700)
+    assert d["LineA"] == (192.0, 1350.0)
+    assert d["LineB"] == (192.0, 1336.0)
+    assert d["TopC"] == (72.0, 600.0)
+    assert d["NextC"] == (72.0, 586.0)  # T* moved down by the 14 leading
+
+    tj = _parse_content(b"BT 1 0 0 1 10.0 20.0 Tm [(ab) -500 (cd)] TJ ET")
+    assert tj[0] == (10.0, 20.0, "ab")
+    # after "ab": x = 10 + CHAR_WIDTH*3, then kerning -(-500)/1000*CHAR_WIDTH*2
+    assert tj[1][2] == "cd"
+    assert tj[1][0] == pytest.approx(10.0 + CHAR_WIDTH * 3 + 0.5 * CHAR_WIDTH * 2)
+
+
+def test_string_escapes_roundtrip():
+    from engine.pdf import _escape_pdf_string, _read_literal_string
+
+    for s in ("plain", "with (parens)", "back\\slash", "mix (a\\b) c", "octal\x07x"):
+        enc = b"(" + _escape_pdf_string(s) + b")"
+        got, end = _read_literal_string(enc, 0)
+        assert got == s
+        assert end == len(enc)
+    # nested balanced parens without escapes are legal PDF
+    got, _ = _read_literal_string(b"(a (nested) b)", 0)
+    assert got == "a (nested) b"
+    # octal escape
+    got, _ = _read_literal_string(rb"(\101\102)", 0)
+    assert got == "AB"
+
+
+def test_writer_reader_roundtrip_boxes_and_hrefs():
+    from engine.pdf import parse_pdf_layout, render_pdf_page_bytes
+
+    pages = [
+        (1, 792.0, [(72.0, 760.0, "Alpha"), (120.0, 760.0, "Beta"), (72.0, 746.0, "Gamma")]),
+        (2, 792.0, [(72.0, 760.0, "Delta")]),
+    ]
+    hrefs = ["https://a.test/x.html", "https://b.test/y.html?q=(1)"]
+    data = render_pdf_page_bytes(pages, hrefs)
+    assert data.startswith(b"%PDF-1.4")
+    assert data.rstrip().endswith(b"%%EOF")
+    got_pages, got_hrefs = parse_pdf_layout(data)
+    assert got_hrefs == hrefs
+    assert [(n, h) for n, h, _ in got_pages] == [(1, 792.0), (2, 792.0)]
+    assert got_pages[0][2] == pages[0][2]
+    assert got_pages[1][2] == pages[1][2]
+
+
+def test_compressed_stream_raises():
+    from engine.pdf import parse_pdf_layout
+
+    data = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length 2 /Filter /FlateDecode >>\nstream\nxx\nendstream\nendobj\n"
+        b"%%EOF\n"
+    )
+    with pytest.raises(NotImplementedError, match="compressed"):
+        parse_pdf_layout(data)
+
+
+# ------------------------------------------------------- encoding equivalence
+
+def test_pdf_extraction_byte_identical_to_html():
+    """Every corpus row extracts byte-identically from both encodings
+    (markdown, title, header fields, hrefs) — the goldens run on PDF bytes."""
+    from engine.extract import extract_document
+    from engine.synth import (
+        CorpusConfig,
+        build_assignment,
+        build_page_html,
+        build_page_pdf,
+        url_of,
+    )
+
+    cfg = CorpusConfig(n_pages=120, n_hosts=12)
+    assign = build_assignment(cfg)
+    sop_seen = table_seen = False
+    for rid in range(120):
+        u = url_of(rid, assign)
+        dh = extract_document(build_page_html(rid, cfg, assign).encode(), u)
+        dp = extract_document(build_page_pdf(rid, cfg, assign), u)
+        assert dh == dp, u
+        sop_seen |= dh["header_doc"] is not None
+        table_seen |= "| Step |" in (dh["markdown"] or "")
+    assert sop_seen and table_seen  # the hard extractor paths were exercised
+
+
+def test_extract_pdf_document_entry():
+    from engine.extract import extract_document, extract_pdf_document
+    from engine.synth import CorpusConfig, build_assignment, build_page_pdf, url_of
+
+    cfg = CorpusConfig(n_pages=10, n_hosts=4)
+    assign = build_assignment(cfg)
+    pdf = build_page_pdf(3, cfg, assign)
+    u = url_of(3, assign)
+    assert extract_pdf_document(pdf, u) == extract_document(pdf, u)
+    with pytest.raises(ValueError, match="%PDF-"):
+        extract_pdf_document(b"<html></html>", u)
+
+
+# ------------------------------------------------------------- crawl over pdf
+
+def test_crawl_over_pdf_corpus_matches_oracle(tmp_path, ray_session):
+    """End-to-end: generate a pdf-encoded corpus, crawl it, conformance vs
+    the sequential oracle (which extracts the same PDF bytes)."""
+    from engine.crawl import crawl
+    from engine.oracle import crawl_oracle
+    from engine.synth import CorpusConfig, generate_corpus
+
+    corpus = str(tmp_path / "pdf_corpus")
+    generate_corpus(
+        corpus,
+        CorpusConfig(n_pages=200, n_hosts=8, n_buckets=4, encoding="pdf"),
+        use_ray=False,
+    )
+    budget = {"max_urls_total": 150, "max_per_host_per_round": 5, "max_depth": 5, "max_rounds": 6}
+    oracle = crawl_oracle(corpus, budget)
+    engine = crawl(corpus, str(tmp_path / "ckpt_pdf"), budget)
+    assert engine.cumulative == oracle["cumulative"]
+    assert engine.cumulative["fetched"] > 30
+    got = engine.order_table().to_pylist()
+    assert [(x["fetch_seq"], x["url"]) for x in got] == [
+        (x["fetch_seq"], x["url"]) for x in oracle["order"]
+    ]
+    assert set(engine.seen_hashes().tolist()) == oracle["seen_hashes"]
+    # extracted markdown matches the corpus golden text per url
+    import os
+    from glob import glob
+
+    import pyarrow.parquet as pq
+
+    golden = {}
+    for f in glob(os.path.join(corpus, "pages", "bucket=*", "*.parquet")):
+        t = pq.read_table(f, columns=["url", "text"])
+        golden.update(zip(t["url"].to_pylist(), t["text"].to_pylist()))
+    docs = engine.docs_dataset().to_pandas()
+    hits = docs[docs.status == "hit"]
+    for u, m in zip(hits.url, hits.markdown):
+        assert golden[u] == m, u
