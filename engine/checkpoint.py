@@ -178,6 +178,80 @@ class CheckpointManager:
         return pa.concat_tables(tables) if tables else None
 
 
+def _schema_fingerprint(schema: pa.Schema) -> str:
+    return hashlib.blake2b(
+        schema.remove_metadata().serialize().to_pybytes(), digest_size=8
+    ).hexdigest()
+
+
+def write_docs_manifest(round_docs_dir: str, expected_rows: int) -> dict:
+    """Per-round docs-sink manifest — the ``UploadResponse`` validation
+    analog (``SharePointClient.cs:473-476``, ``UploadResponse.cs:8-19``):
+    instead of trusting the write, record per-file row counts + a schema
+    fingerprint (footer-metadata reads only) and check the total against
+    the round's fetch schedule."""
+    files = sorted(
+        f for f in os.listdir(round_docs_dir) if f.endswith(".parquet")
+    )
+    per_file = {}
+    schemas = set()
+    total = 0
+    for f in files:
+        pf = pq.ParquetFile(os.path.join(round_docs_dir, f))
+        per_file[f] = pf.metadata.num_rows
+        total += pf.metadata.num_rows
+        schemas.add(_schema_fingerprint(pf.schema_arrow))
+    manifest = {
+        "files": per_file,
+        "total_rows": total,
+        "expected_rows": expected_rows,
+        "schema_fingerprints": sorted(schemas),
+        "ok": total == expected_rows and len(schemas) <= 1,
+    }
+    with open(os.path.join(round_docs_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    if not manifest["ok"]:
+        raise ValueError(
+            f"docs sink validation failed for {round_docs_dir}: "
+            f"{total} rows written, {expected_rows} scheduled, "
+            f"{len(schemas)} distinct schemas"
+        )
+    return manifest
+
+
+def validate_docs_output(docs_dir: str) -> dict:
+    """Re-validate every round's docs directory against its manifest
+    (row counts from parquet footers + schema fingerprint + _SUCCESS-style
+    ok flag).  Returns {round_dir: status}; raises on any mismatch."""
+    results = {}
+    for name in sorted(os.listdir(docs_dir)):
+        rd = os.path.join(docs_dir, name)
+        mp = os.path.join(rd, "manifest.json")
+        if not os.path.isdir(rd) or not os.path.exists(mp):
+            continue
+        with open(mp) as f:
+            manifest = json.load(f)
+        for fname, want_rows in manifest["files"].items():
+            p = os.path.join(rd, fname)
+            if not os.path.exists(p):
+                raise ValueError(f"manifest file missing on disk: {p}")
+            pf = pq.ParquetFile(p)
+            if pf.metadata.num_rows != want_rows:
+                raise ValueError(
+                    f"row-count mismatch in {p}: {pf.metadata.num_rows} != {want_rows}"
+                )
+            if _schema_fingerprint(pf.schema_arrow) not in manifest["schema_fingerprints"]:
+                raise ValueError(f"schema drift in {p}")
+        extra = [
+            f for f in os.listdir(rd)
+            if f.endswith(".parquet") and f not in manifest["files"]
+        ]
+        if extra:
+            raise ValueError(f"unmanifested parquet parts in {rd}: {extra}")
+        results[name] = {"rows": manifest["total_rows"], "ok": True}
+    return results
+
+
 def metrics_summary(ckpt_dir: str):
     """Per-round metrics table from a checkpoint directory (the engine's
     analog of the reference's progress/metrics panes, SURVEY.md §2.1 S8 /

@@ -660,6 +660,11 @@ def crawl(
                 _phases["fetch_extract"] = round(_time.time() - _phase_t0, 3)
                 _phase_t0 = _time.time()
                 docs_mat.write_parquet(round_docs_dir)
+                # Sink validation (UploadResponse analog): per-file row
+                # counts + schema fingerprint vs the round's fetch schedule.
+                from .checkpoint import write_docs_manifest
+
+                write_docs_manifest(round_docs_dir, n_sel)
                 # Children expand + write WITHOUT touching the driver: the
                 # link lists never leave the cluster; the parts land inside
                 # the round's checkpoint dir and become (with the extras

@@ -105,10 +105,19 @@ class UrlGate:
     allow_url_regex: url must match at least one (None/empty = allow all);
     deny_url_regex: url matching any is dropped;
     allowed_extensions: lowercased path extension must be in the set (paths
-    with no extension pass — the folder analog).
+    with no extension pass — the folder analog);
+    allow_titles: logical-name (path basename stem) allow-list — the direct
+    analog of the reference's ``docstoingest.txt`` file shipped beside the
+    exe (``SharePointCrawler.csproj:13-18``, consumed at
+    ``SharePointClient.cs:48,83,272-275``): empty/None = allow all,
+    case-insensitive membership otherwise.  ``from_config`` accepts either
+    an inline ``allow_titles`` list or an ``allowlist_file`` path (one title
+    per line, ``#`` comments) — the file is read once on the driver and the
+    resulting set broadcasts to workers in the task closure.
     """
 
-    def __init__(self, allow_url_regex=None, deny_url_regex=None, allowed_extensions=None):
+    def __init__(self, allow_url_regex=None, deny_url_regex=None, allowed_extensions=None,
+                 allow_titles=None):
         import re
 
         self.allow = [re.compile(p) for p in (allow_url_regex or [])]
@@ -131,18 +140,34 @@ class UrlGate:
             if allowed_extensions
             else None
         )
+        self.titles = (
+            {t.casefold() for t in allow_titles} if allow_titles else None
+        )
 
     @classmethod
     def from_config(cls, cfg: dict | None) -> "UrlGate":
         cfg = cfg or {}
+        titles = list(cfg.get("allow_titles") or [])
+        path = cfg.get("allowlist_file")
+        if path:
+            titles.extend(read_allowlist_file(path))
         return cls(
             cfg.get("allow_url_regex"),
             cfg.get("deny_url_regex"),
             cfg.get("allowed_extensions"),
+            titles or None,
         )
 
     def is_empty(self) -> bool:
-        return not self.allow and not self.deny and self.exts is None
+        return (
+            not self.allow and not self.deny
+            and self.exts is None and self.titles is None
+        )
+
+    @staticmethod
+    def _stem(path: str) -> str:
+        base = path.rsplit("/", 1)[-1]
+        return base.rsplit(".", 1)[0] if "." in base else base
 
     def filtered(self, url: str, path: str) -> bool:
         if self.deny and any(rx.search(url) for rx in self.deny):
@@ -153,6 +178,8 @@ class UrlGate:
             base = path.rsplit("/", 1)[-1]
             if "." in base and base.rsplit(".", 1)[1].lower() not in self.exts:
                 return True
+        if self.titles is not None and self._stem(path).casefold() not in self.titles:
+            return True
         return False
 
     def filtered_many(self, urls, paths) -> np.ndarray:
@@ -173,17 +200,36 @@ class UrlGate:
                 out |= us.str.contains(self._deny_rx, regex=True).to_numpy()
             if self._allow_rx is not None:
                 out |= ~us.str.contains(self._allow_rx, regex=True).to_numpy()
-        if self.exts is not None:
+        if self.exts is not None or self.titles is not None:
             ps = (
                 paths.to_pandas()
                 if isinstance(paths, (pa.Array, pa.ChunkedArray))
                 else pd.Series(paths, dtype=object)
             )
             base = ps.str.rsplit("/", n=1).str[-1]
-            has_dot = base.str.contains(".", regex=False).to_numpy()
-            ext = base.str.rsplit(".", n=1).str[-1].str.lower()
-            out |= has_dot & ~ext.isin(self.exts).to_numpy()
+            if self.exts is not None:
+                has_dot = base.str.contains(".", regex=False).to_numpy()
+                ext = base.str.rsplit(".", n=1).str[-1].str.lower()
+                out |= has_dot & ~ext.isin(self.exts).to_numpy()
+            if self.titles is not None:
+                stem = base.where(
+                    ~base.str.contains(".", regex=False),
+                    base.str.rsplit(".", n=1).str[0],
+                )
+                out |= ~stem.str.casefold().isin(self.titles).to_numpy()
         return out
+
+
+def read_allowlist_file(path: str) -> list:
+    """The docstoingest.txt source: one title per line, blank lines and
+    ``#`` comments skipped (``SharePointCrawler.csproj:13-18``)."""
+    titles = []
+    with open(path) as f:
+        for line in f:
+            t = line.strip()
+            if t and not t.startswith("#"):
+                titles.append(t)
+    return titles
 
 
 class TokenBucket:

@@ -146,3 +146,75 @@ def test_extract_path_and_stream_entries(tmp_path):
     d2 = extract_from_stream(buf)
     assert buf.tell() == 0  # position restored (cs:107-111 semantics)
     assert d2["markdown"].endswith("\n")
+
+
+def test_allowlist_file_gate(tmp_path):
+    """docstoingest.txt analog: title stems from a file gate the crawl."""
+    from engine.politeness import UrlGate, read_allowlist_file
+
+    p = tmp_path / "docstoingest.txt"
+    p.write_text("# titles to ingest\np1\nP3\n\np7\n")
+    assert read_allowlist_file(str(p)) == ["p1", "P3", "p7"]
+    g = UrlGate.from_config({"allowlist_file": str(p)})
+    assert not g.is_empty()
+    # membership is on the path basename stem, case-insensitive
+    assert not g.filtered("https://h/x/p1.html", "/x/p1.html")
+    assert not g.filtered("https://h/x/p3.html", "/x/p3.html")
+    assert g.filtered("https://h/x/p2.html", "/x/p2.html")
+    assert not g.filtered("https://h/x/p7", "/x/p7")  # no extension
+    import numpy as np
+    urls = ["https://h/x/p1.html", "https://h/x/p2.html", "https://h/x/p7"]
+    paths = ["/x/p1.html", "/x/p2.html", "/x/p7"]
+    want = np.array([g.filtered(u, pp) for u, pp in zip(urls, paths)])
+    assert (g.filtered_many(urls, paths) == want).all()
+
+
+def test_crawl_with_allowlist_file_matches_oracle(small_corpus, tmp_path, ray_session):
+    """Conformance with the allow-list file live: engine == oracle, and the
+    filtered counter fires."""
+    from engine.crawl import crawl
+    from engine.oracle import crawl_oracle
+
+    corpus_dir, _cfg = small_corpus
+    allow = tmp_path / "docstoingest.txt"
+    # allow only even-numbered pages: plenty of filtering on this corpus
+    allow.write_text("\n".join(f"p{i}" for i in range(0, 400, 2)))
+    filters = {"allowlist_file": str(allow)}
+    budget = {"max_urls_total": 150, "max_per_host_per_round": 5, "max_depth": 4, "max_rounds": 6}
+    oracle = crawl_oracle(corpus_dir, budget, filters=filters)
+    engine = crawl(corpus_dir, str(tmp_path / "ckpt_allow"), budget, filters=filters)
+    assert oracle["cumulative"]["filtered"] > 0
+    assert engine.cumulative == oracle["cumulative"]
+    got = engine.order_table().to_pylist()
+    assert [(x["fetch_seq"], x["url"]) for x in got] == [
+        (x["fetch_seq"], x["url"]) for x in oracle["order"]
+    ]
+
+
+def test_docs_manifest_validation(small_corpus, tmp_path, ray_session):
+    """The sink manifest records per-file rows + schema and validation
+    catches corruption (UploadResponse-parse analog)."""
+    import json
+    import os
+    from glob import glob
+
+    import pyarrow.parquet as pq
+
+    from engine.checkpoint import validate_docs_output
+    from engine.crawl import crawl
+
+    corpus_dir, _cfg = small_corpus
+    budget = {"max_urls_total": 60, "max_per_host_per_round": 5, "max_depth": 3, "max_rounds": 3}
+    res = crawl(corpus_dir, str(tmp_path / "ckpt_manifest"), budget)
+    out = validate_docs_output(res.docs_dir)
+    assert out and all(v["ok"] for v in out.values())
+    total = sum(v["rows"] for v in out.values())
+    assert total == res.cumulative["attempted"]
+    # corrupt one part: drop rows and rewrite -> validation must fail
+    part = sorted(glob(os.path.join(res.docs_dir, "round=0", "*.parquet")))[0]
+    t = pq.read_table(part)
+    pq.write_table(t.slice(0, max(0, t.num_rows - 1)), part)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="row-count mismatch"):
+        validate_docs_output(res.docs_dir)
