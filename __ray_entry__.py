@@ -150,6 +150,46 @@ def crawl_metrics(sf_dir: str):
     return metrics_summary(res.ckpt_dir)
 
 
+def pdf_golden_check(sf_dir: str):
+    """PDF-encoding twin of extract_golden_check: generate the pdf-encoded
+    corpus (same content, real uncompressed PDF bytes via engine.pdf),
+    re-extract every page through the from-scratch content-stream reader,
+    and report per-url byte-identity against the golden text column."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from engine.extract import extract_document
+    from engine.synth import CorpusConfig, generate_corpus
+
+    sf = _sf_of(sf_dir)
+    n_pages = max(200, int(sf * 20_000))  # pdf render+extract is heavier
+    cfg = CorpusConfig(n_pages=n_pages, n_hosts=20, n_buckets=8, encoding="pdf")
+    corpus = generate_corpus(
+        os.path.join("/tmp", f"graft_corpus_{cfg.cache_key()}"), cfg
+    )
+    ds = rd.read_parquet(os.path.join(corpus, "pages"))
+
+    def check(t: pa.Table) -> pa.Table:
+        md = [
+            extract_document(h.as_py(), u.as_py())["markdown"]
+            for h, u in zip(t["html"], t["url"])
+        ]
+        return pa.table(
+            {
+                "url": t["url"],
+                "identical": pc.equal(t["text"], pa.array(md, pa.string())),
+            }
+        )
+
+    return (
+        ds.map_batches(check, batch_format="pyarrow", batch_size=128)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+
+
 def extract_golden_check(sf_dir: str):
     """Re-extract every page via map_batches; per-url byte-identity vs golden."""
     import pyarrow as pa
@@ -233,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_errors": crawl_errors,
         "crawl_metrics": crawl_metrics,
         "extract_golden_check": extract_golden_check,
+        "pdf_golden_check": pdf_golden_check,
     }
 
 

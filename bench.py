@@ -44,7 +44,9 @@ BENCH_QUERY_NAMES = [
     "minhash_lsh_pairs",
     "simhash_near_pairs",
     "ann_topk",
+    "ann_topk_lsh",
     "ann_topk_ivf",
+    "fingerprint_rolling",
     "embedding_near_pairs",
     "chunk_documents",
     "chunk_tokens",
@@ -188,13 +190,18 @@ def run_scaling():
     # supports ~16 concurrent allocation-heavy extraction processes before
     # throughput collapses (measured ladder in BENCH/BASELINE.md), so 8-vs-32
     # would measure the hardware cliff, not the engine's scaling.
-    # Best-of-2 per level: single-run wall time on this box varies +-25%
-    # (OS-level), so one sample per level measures noise, not scaling.
+    # MEDIAN-of-3 per level (round-2 protocol, VERDICT r1 #8): single-run
+    # wall time on this box varies +-25% (OS-level); the median is robust to
+    # one outlier in either direction where best-of-2 only filtered slow
+    # outliers.  All six runs are appended to BENCH/BASELINE.md.
     lo, hi = 4, 16
-    lo_runs = [run(lo) for _ in range(2)]
-    hi_runs = [run(hi) for _ in range(2)]
-    r_lo = min(lo_runs, key=lambda r: r["value"])
-    r_hi = min(hi_runs, key=lambda r: r["value"])
+    lo_runs = [run(lo) for _ in range(3)]
+    hi_runs = [run(hi) for _ in range(3)]
+
+    def med(runs):
+        return sorted(runs, key=lambda r: r["value"])[len(runs) // 2]
+
+    r_lo, r_hi = med(lo_runs), med(hi_runs)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     result = {
@@ -213,12 +220,14 @@ def run_scaling():
         ),
         "sf": r_lo["sf"],
     }
+    result["runs_lo_sec"] = [r["value"] for r in lo_runs]
+    result["runs_hi_sec"] = [r["value"] for r in hi_runs]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
         f.write(
             f"\n| {time.strftime('%Y-%m-%d %H:%M')} | sf={result['sf']} | "
-            f"{lo} cpus: {t_lo:.1f}s ({r_lo['urls_per_sec']}/s) | "
-            f"{hi} cpus: {t_hi:.1f}s ({r_hi['urls_per_sec']}/s) | "
+            f"{lo} cpus: {t_lo:.1f}s med-of-3 {result['runs_lo_sec']} ({r_lo['urls_per_sec']}/s) | "
+            f"{hi} cpus: {t_hi:.1f}s med-of-3 {result['runs_hi_sec']} ({r_hi['urls_per_sec']}/s) | "
             f"eff={eff:.3f} |"
         )
     print(json.dumps(result))

@@ -208,7 +208,7 @@ def write_docs_manifest(round_docs_dir: str, expected_rows: int) -> dict:
         "schema_fingerprints": sorted(schemas),
         "ok": total == expected_rows and len(schemas) <= 1,
     }
-    with open(os.path.join(round_docs_dir, "manifest.json"), "w") as f:
+    with open(os.path.join(round_docs_dir, "_manifest.json"), "w") as f:
         json.dump(manifest, f)
     if not manifest["ok"]:
         raise ValueError(
@@ -226,7 +226,7 @@ def validate_docs_output(docs_dir: str) -> dict:
     results = {}
     for name in sorted(os.listdir(docs_dir)):
         rd = os.path.join(docs_dir, name)
-        mp = os.path.join(rd, "manifest.json")
+        mp = os.path.join(rd, "_manifest.json")
         if not os.path.isdir(rd) or not os.path.exists(mp):
             continue
         with open(mp) as f:

@@ -574,10 +574,13 @@ def crawl(
                 selected_t = _empty_frontier()
                 deferred_t = _empty_frontier()
             else:
-                status = disp_t["status"].to_pylist()
-                counters["robots_blocked"] += sum(1 for s in status if s == "robots")
-                counters["filtered"] += sum(1 for s in status if s == "filtered")
-                counters["deduped"] += sum(1 for s in status if s in ("dup", "seen"))
+                vc = {
+                    d["values"]: d["counts"]
+                    for d in pc.value_counts(disp_t["status"]).to_pylist()
+                }
+                counters["robots_blocked"] += vc.get("robots", 0)
+                counters["filtered"] += vc.get("filtered", 0)
+                counters["deduped"] += vc.get("dup", 0) + vc.get("seen", 0)
                 cand_t = disp_t.filter(pc.equal(disp_t["status"], "cand"))
                 deferred_t = disp_t.filter(pc.equal(disp_t["status"], "deferred"))
                 order = global_order_indices(cand_t)
@@ -676,50 +679,45 @@ def crawl(
                 ).write_parquet(children_dir)
                 _phases["docs_write"] = round(_time.time() - _phase_t0, 3)
                 _phase_t0 = _time.time()
+                # Post-extract accounting, fully in Arrow kernels: the old
+                # Python passes over 10^5-element status lists were serial
+                # driver time that capped scaling efficiency (V8).  Only the
+                # narrow miss columns are collected.
                 st_t = _collect(
-                    docs_mat.select_columns(
-                        ["url", "fetch_seq", "depth", "priority", "retry", "status"]
-                    )
+                    docs_mat.select_columns(["url", "fetch_seq", "retry", "status"])
                 )
-                st = st_t["status"].to_pylist()
-                miss_idx = [i for i, s in enumerate(st) if s == "miss"]
-                if miss_idx:
-                    retry_l = st_t["retry"].to_pylist()
-                    url_l = st_t["url"].to_pylist()
-                    fseq_all = st_t["fetch_seq"].to_pylist()
+                miss_t = st_t.filter(pc.equal(st_t["status"], "miss"))
+                n_miss = miss_t.num_rows
+                if n_miss:
+                    retry_np = miss_t["retry"].to_numpy()
+                    reasons = np.where(
+                        retry_np == 0, "fetch_miss_retryable", "fetch_miss_final"
+                    )
                     errors_t = pa.table(
                         {
-                            "url": pa.array([url_l[i] for i in miss_idx], pa.string()),
-                            "fetch_seq": pa.array([fseq_all[i] for i in miss_idx], pa.int64()),
-                            "round": pa.array([r] * len(miss_idx), pa.int32()),
-                            "reason": pa.array(
-                                [
-                                    "fetch_miss_retryable" if retry_l[i] == 0 else "fetch_miss_final"
-                                    for i in miss_idx
-                                ],
-                                pa.string(),
-                            ),
+                            "url": miss_t["url"],
+                            "fetch_seq": miss_t["fetch_seq"],
+                            "round": pa.array(np.full(n_miss, r, np.int32), pa.int32()),
+                            "reason": pa.array(reasons.astype(object), pa.string()),
                         }
                     )
+                    n_retry = int((retry_np == 0).sum())
                 else:
                     errors_t = None
-                retries_mask = [
-                    s == "miss" and rt == 0
-                    for s, rt in zip(st, st_t["retry"].to_pylist())
-                ]
-                counters["fetched"] = sum(1 for s in st if s == "hit")
-                counters["retried"] = sum(retries_mask)
-                counters["failed"] = sum(
-                    1 for s, rt in zip(st, st_t["retry"].to_pylist()) if s == "miss" and rt == 1
-                )
-                if any(retries_mask):
-                    sel_pd = selected_t.to_pandas().set_index("url")
-                    miss_urls = [u for u, m in zip(st_t["url"].to_pylist(), retries_mask) if m]
-                    rr = sel_pd.loc[miss_urls].reset_index()
-                    rr["retry"] = np.int8(1)
-                    retry_rows = pa.Table.from_pandas(
-                        rr[FRONTIER_SCHEMA.names], preserve_index=False
-                    ).cast(FRONTIER_SCHEMA)
+                    n_retry = 0
+                counters["fetched"] = n_sel - n_miss
+                counters["retried"] = n_retry
+                counters["failed"] = n_miss - n_retry
+                if n_retry:
+                    retry_urls = miss_t.filter(pc.equal(miss_t["retry"], 0))["url"]
+                    rt = selected_t.filter(
+                        pc.is_in(selected_t["url"], value_set=retry_urls.combine_chunks())
+                    ).select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA)
+                    retry_rows = rt.set_column(
+                        rt.schema.get_field_index("retry"),
+                        "retry",
+                        pa.array(np.ones(len(rt), np.int8), pa.int8()),
+                    )
             # Extras = deferred + retries (driver-small); children live as
             # distributed parquet parts inside the round dir already.
             frontier_next = pa.concat_tables([deferred_t, retry_rows])
