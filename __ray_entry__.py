@@ -254,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "exact_dedup": dedup.exact_dedup,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "near_dedup_canonical": dedup.near_dedup_canonical,
         "simhash_signatures": dedup.simhash_signatures,
         "simhash_near_pairs": dedup.simhash_near_pairs,
         # similarity search

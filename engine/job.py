@@ -13,8 +13,11 @@ Config keys::
       "budget": {"max_urls_total": ..., "max_per_host_per_round": ...,
                  "max_depth": ..., "max_rounds": ...},
       "filters": {"allow_url_regex": [...], "deny_url_regex": [...],
-                  "allowed_extensions": [...]},
+                  "allowed_extensions": [...],
+                  "allow_titles": [...],            # inline title allow-list
+                  "allowlist_file": "docstoingest.txt"},  # or from a file
       "n_shards": 4,
+      "seen_backend": "bloom",            # bloom | cuckoo | spill
       "num_cpus": 32                      # only used by the CLI's own ray.init
     }
 
@@ -49,6 +52,9 @@ def load_job_config(path: str) -> dict:
     cfg.setdefault("budget", None)
     cfg.setdefault("filters", None)
     cfg.setdefault("n_shards", 4)
+    cfg.setdefault("seen_backend", "bloom")
+    if cfg["seen_backend"] not in ("bloom", "cuckoo", "spill"):
+        raise ValueError(f"unknown seen_backend: {cfg['seen_backend']}")
     return cfg
 
 
@@ -62,6 +68,7 @@ def run_job(cfg: dict):
         budget=cfg.get("budget"),
         n_shards=int(cfg.get("n_shards", 4)),
         filters=cfg.get("filters"),
+        seen_backend=cfg.get("seen_backend", "bloom"),
     )
 
 

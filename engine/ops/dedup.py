@@ -363,3 +363,64 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
         .sort_values(["doc_a", "doc_b"])
         .reset_index(drop=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dedup canonicalization (connected components over pair ops)
+# ---------------------------------------------------------------------------
+
+def near_dedup_canonical(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
+    """doc_id -> canonical_id under TRANSITIVE near-duplication.
+
+    The training-data dedup composition: MinHash+LSH near-dup pairs (which
+    subsume exact duplicates — Jaccard 1.0) feed a union-find; each
+    connected component's canonical is its min doc_id; docs in no pair map
+    to themselves.
+
+    Scale shape: the pair list is bounded by the near-dup rate (orders of
+    magnitude smaller than the corpus), so union-find runs on the driver
+    over pairs only; the final mapping is a map_batches left join of the
+    doc-id column against the broadcast component dict — full texts never
+    move, untouched ids never reach the driver.
+    """
+    pairs = minhash_lsh_pairs(sf_dir, threshold)
+
+    parent: dict = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            # canonical = min id: root the larger under the smaller
+            lo, hi2 = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi2] = lo
+    comp = {x: find(x) for x in list(parent.keys())}
+
+    import ray
+
+    comp_ref = ray.put(comp)
+
+    def assign(t: pa.Table) -> pa.Table:
+        lookup = ray.get(comp_ref)
+        ids = t["doc_id"].to_numpy()
+        canon = np.fromiter(
+            (lookup.get(int(i), int(i)) for i in ids), dtype=np.int64, count=len(ids)
+        )
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "canonical_id": pa.array(canon, pa.int64())}
+        )
+
+    out = (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(assign, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)

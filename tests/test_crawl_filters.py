@@ -218,3 +218,22 @@ def test_docs_manifest_validation(small_corpus, tmp_path, ray_session):
 
     with _pytest.raises(ValueError, match="row-count mismatch"):
         validate_docs_output(res.docs_dir)
+
+
+def test_job_config_seen_backend_passthrough(tmp_path):
+    import json
+
+    from engine.job import load_job_config
+
+    p = tmp_path / "job.json"
+    p.write_text(json.dumps({
+        "corpus_dir": "/x", "ckpt_dir": "/y", "seen_backend": "spill",
+        "filters": {"allowlist_file": "titles.txt"},
+    }))
+    cfg = load_job_config(str(p))
+    assert cfg["seen_backend"] == "spill"
+    p.write_text(json.dumps({"corpus_dir": "/x", "ckpt_dir": "/y", "seen_backend": "nope"}))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="seen_backend"):
+        load_job_config(str(p))

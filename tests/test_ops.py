@@ -364,3 +364,32 @@ def test_simhash_near_pairs_matches_bruteforce(ray_session, tmp_path):
     got_pairs = list(zip(got["doc_a"], got["doc_b"]))
     assert got_pairs == want
     assert len(want) >= 6  # planted dups are actually found
+
+
+def test_near_dedup_canonical_transitive(ray_session, tmp_path):
+    """A ~ B and B ~ C (but A !~ C directly) land in ONE component with the
+    min id as canonical; untouched docs map to themselves."""
+    import pyarrow.parquet as pq
+
+    from engine.ops.dedup import near_dedup_canonical
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+    # A=1: base; B=2: base+1 change; C=3: base+2 changes (near B, farther from A)
+    a = " ".join(base)
+    b = " ".join(base[:-1] + ["CHANGED1"])
+    c = " ".join(base[:-2] + ["CHANGED1", "CHANGED2"])
+    other = "completely different words about cooking pasta and sailing boats again"
+    ids = [1, 2, 3, 9, 10]
+    texts = [a, b, c, other, a]  # 10 is an exact dup of 1
+    d = tmp_path / "neardocs"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        d / "documents.parquet",
+    )
+    out = near_dedup_canonical(str(d), threshold=0.5).set_index("doc_id")["canonical_id"]
+    assert out[1] == 1 and out[10] == 1        # exact dup folded in
+    assert out[2] == 1 and out[3] == 1          # transitive chain -> one component
+    assert out[9] == 9                          # untouched maps to itself
