@@ -266,6 +266,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_sizes": multimodal.media_sizes,
         "media_metadata": multimodal.media_metadata,
         "media_features": multimodal.media_features,
+        "media_decode": multimodal.media_decode,
+        "media_thumbnails": multimodal.media_thumbnails,
         # the crawl engine itself (no SQL view of the synthetic pages corpus)
         "crawl_order": crawl_order,
         "crawl_seen": crawl_seen,

@@ -178,12 +178,98 @@ def test_fake_decode_deterministic(ray_session):
     assert (a["width"] >= 64).all() and (a["width"] < 64 + 1024).all()
 
 
-def test_decode_stage_is_import_gated():
+def test_decode_stage_rejects_unsupported_codecs():
+    """JPEG/unknown payloads genuinely cannot be decoded here: the stage
+    raises instead of faking (the honest boundary)."""
     from engine.ops.multimodal import DecodeStage
 
     stage = DecodeStage()
     with pytest.raises(NotImplementedError):
-        stage(pa.table({"payload": pa.array([b"x"], pa.binary())}))
+        stage(pa.table({"media_id": pa.array([1], pa.int64()),
+                        "payload": pa.array([b"x"], pa.binary())}))
+    with pytest.raises(NotImplementedError):  # JPEG magic, no DCT decoder
+        stage(pa.table({"media_id": pa.array([1], pa.int64()),
+                        "payload": pa.array([b"\xff\xd8\xff\xe0rest"], pa.binary())}))
+
+
+def test_codec_roundtrips():
+    """BMP/PNG/WAV encode->decode identity (PNG cycles all 5 filters)."""
+    from engine.ops.codecs import (
+        decode_bmp, decode_png, decode_wav,
+        encode_bmp, encode_png, encode_wav, media_info, resize_nearest,
+    )
+
+    rng = np.random.default_rng(1)
+    for (h, w) in [(1, 1), (7, 5), (16, 24), (33, 17)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+        assert np.array_equal(decode_png(encode_png(px)), px)
+    s = rng.integers(-32768, 32767, size=12345).astype(np.int16)
+    out, rate = decode_wav(encode_wav(s, 8000))
+    assert np.array_equal(out, s) and rate == 8000
+    info = media_info(encode_wav(s, 8000))
+    assert info["kind"] == "wav" and info["duration_ms"] == 12345 * 1000 // 8000
+    px = rng.integers(0, 256, size=(20, 30, 3), dtype=np.uint8)
+    small = resize_nearest(px, 8, 8)
+    assert small.shape == (8, 8, 3)
+    # corner pixels preserved under nearest-neighbor
+    assert (small[0, 0] == px[0, 0]).all()
+
+
+def test_media_decode_real_dimensions(ray_session, tmp_path):
+    """DecodeStage output equals direct codec decode of the same payloads."""
+    import pyarrow.parquet as pq
+
+    from engine.ops.codecs import media_info
+    from engine.ops.multimodal import media_decode, real_media_table
+
+    d = tmp_path / "m"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(30), pa.int64()),
+                  "text": pa.array(["x"] * 30, pa.string())}),
+        d / "documents.parquet",
+    )
+    got = media_decode(str(d)).set_index("media_id")
+    payloads = {
+        r["media_id"]: r["payload"]
+        for r in real_media_table(str(d)).take_all()
+    }
+    assert len(got) == 30
+    for mid, payload in payloads.items():
+        info = media_info(payload)
+        row = got.loc[mid]
+        assert row["kind"] == info["kind"]
+        for k in ("width", "height", "sample_rate", "duration_ms"):
+            want = info[k]
+            if want is None:
+                assert pd_isna(row[k])
+            else:
+                assert row[k] == want, (mid, k)
+
+
+def pd_isna(v):
+    import pandas as pd
+
+    return pd.isna(v)
+
+
+def test_media_thumbnails_deterministic(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from engine.ops.multimodal import media_thumbnails
+
+    d = tmp_path / "m2"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(24), pa.int64()),
+                  "text": pa.array(["x"] * 24, pa.string())}),
+        d / "documents.parquet",
+    )
+    a = media_thumbnails(str(d))
+    b = media_thumbnails(str(d))
+    assert a.equals(b)
+    assert len(a) == 16  # images only (doc_id % 3 in {0, 2})
 
 
 def test_feature_stage_dim(ray_session):
