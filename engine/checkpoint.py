@@ -131,22 +131,24 @@ class CheckpointManager:
 
     def frontier_files(self, r: int) -> list:
         """Parquet files holding round r's next frontier: the extras file
-        (deferred + retries) plus the distributed children parts (written by
-        the explode stage directly into the round dir)."""
+        (budget-overflow + retries) plus the distributed children and
+        deferred parts (written by the explode / selection stages directly
+        into the round dir — those rows never pass through the driver)."""
         rd = self._round_dir(r)
         files = []
         p = os.path.join(rd, "frontier_next.parquet")
         if os.path.exists(p):
             files.append(p)
-        cdir = os.path.join(rd, "frontier_children")
-        if os.path.isdir(cdir):
-            files.extend(
-                sorted(
-                    os.path.join(cdir, f)
-                    for f in os.listdir(cdir)
-                    if f.endswith(".parquet")
+        for sub in ("frontier_children", "frontier_deferred"):
+            cdir = os.path.join(rd, sub)
+            if os.path.isdir(cdir):
+                files.extend(
+                    sorted(
+                        os.path.join(cdir, f)
+                        for f in os.listdir(cdir)
+                        if f.endswith(".parquet")
+                    )
                 )
-            )
         return files
 
     def read_frontier_next(self, r: int) -> pa.Table:

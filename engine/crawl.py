@@ -15,11 +15,22 @@ Round pipeline (narrow columns only until fetch):
            driver pass — robots + allow/deny gate, batched seen RPC,
            dedup + per-host top-k (zero dataset executions; the round is
            budget-bounded, so this is a constant, not a scan);
-         large rounds: map_batches(robots_seen_batch) [broadcast rules,
-           batched SeenShard RPC, retry bypass] -> map_batches(add_salt)
-           -> groupby(salt).map_groups(dedup_and_salt_topk)  [16 coarse
-           groups, vectorized inside; same url => same salt => exact]
-           -> groupby(host).map_groups(host_topk)  [cross-salt top-k merge]
+         large rounds, STAGED so decided rows never enter an all-to-all
+           (at steady state already-seen rows ARE the frontier; shuffling
+           them dominated select at 10^6+ rows):
+           stage 0  map_batches(robots_seen_batch)   [map-only; broadcast
+                    rules, batched SeenShard RPC, retry bypass] — most rows
+                    die here and go straight to distributed counters
+           stage 1  survivors -> add_salt -> groupby(salt).map_groups(
+                    dedup_and_salt_topk)  [16 url-closed coarse groups,
+                    vectorized inside; same url => same salt => exact]
+           stage 2  stage-1 cand rows only -> groupby(host).map_groups(
+                    host_topk)  [cross-salt top-k merge; input bounded by
+                    N_SALT*k per host]
+           counters come from distributed partial value_counts per stage;
+           deferred rows stream into round=R/frontier_deferred/ parquet
+           parts without touching the driver; ONLY the politeness+budget-
+           bounded cand rows are collected.
       -> driver: global order (host, depth, priority, discovery_seq),
                  budget truncation, fetch_seq assignment   [politeness-bounded]
       -> fetch: selected split into ONE BLOCK PER pages BUCKET (no shuffle;
@@ -538,67 +549,140 @@ def crawl(
                 # frontier sizes the distributed branch below engages; both
                 # branches are conformance-tested against the oracle.
                 disp_t = _select_on_driver(frontier, robots, gate, seen, k)
+                cand_t = disp_t.filter(pc.equal(disp_t["status"], "cand"))
+                deferred_t = disp_t.filter(
+                    pc.equal(disp_t["status"], "deferred")
+                ).select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA)
+                vc = {
+                    d["values"]: d["counts"]
+                    for d in pc.value_counts(disp_t["status"]).to_pylist()
+                }
+                n_deferred_dist = 0
             else:
                 # Large round: robots+seen gate fused ahead of the salted
                 # two-stage politeness tree; every group is bounded by
-                # N_SALT*k rows even for a hot host (SURVEY.md §7.6.4), and
-                # blocked rows ride through the group fns to be counted from
-                # the single collected disposition.
+                # N_SALT*k rows even for a hot host (SURVEY.md §7.6.4).
+                # The driver NEVER sees the full disposition (at 10^10 the
+                # seen/dup rows ARE the frontier): status counters come from
+                # a distributed partial value_counts, deferred rows stream
+                # straight into the round's frontier parts, and only the
+                # politeness+budget-bounded cand rows are collected.
                 n_blocks = max(2, min(64, frontier.num_rows // 65536 + 1))
                 cand = rd.from_arrow(frontier).repartition(n_blocks)
-                disp = (
-                    cand.map_batches(
-                        lambda t: robots_seen_batch(t, robots_ref, shards, gate),
-                        batch_format="pyarrow",
-                        batch_size=65536,
-                        zero_copy_batch=True,
+
+                def status_partial(t: pa.Table) -> pa.Table:
+                    svc = pc.value_counts(t["status"])
+                    return pa.table(
+                        {
+                            "status": svc.field("values"),
+                            "n": pc.cast(svc.field("counts"), pa.int64()),
+                        }
                     )
+
+                def _counts(ds_) -> dict:
+                    df_ = ds_.map_batches(
+                        status_partial, batch_format="pyarrow"
+                    ).to_pandas()
+                    return df_.groupby("status")["n"].sum().to_dict() if len(df_) else {}
+
+                def _only(status_val):
+                    return lambda t: t.filter(pc.equal(t["status"], status_val))
+
+                # Stage 0 (map-only, NO shuffle): robots + gate + seen.  At
+                # steady state most frontier rows die here (already-seen),
+                # and re-exchanging them through the politeness shuffles was
+                # the dominant select cost at 10^6+ rows — decided rows never
+                # enter an all-to-all again.
+                stage0 = cand.map_batches(
+                    lambda t: robots_seen_batch(t, robots_ref, shards, gate),
+                    batch_format="pyarrow",
+                    batch_size=65536,
+                    zero_copy_batch=True,
+                ).materialize()
+                vc0 = _counts(stage0)
+
+                # Stage 1: salted in-round dedup + per-salt top-k over gate
+                # SURVIVORS only (url-closed groups; same url => same salt).
+                stage1 = (
+                    stage0.map_batches(_only("cand"), batch_format="pyarrow")
                     .map_batches(add_salt, batch_format="pyarrow")
                     .groupby("salt")
                     .map_groups(
                         lambda df: _disp_arrow(dedup_and_salt_topk(df, k)),
                         batch_format="pandas",
                     )
+                ).materialize()
+                vc1 = _counts(stage1)
+
+                # Stage 2: exact per-host top-k over stage-1 SURVIVORS only
+                # (bounded by N_SALT*k per host).
+                stage2 = (
+                    stage1.map_batches(_only("cand"), batch_format="pyarrow")
                     .groupby("host")
                     .map_groups(
                         lambda df: _disp_arrow(host_topk(df, k)),
                         batch_format="pandas",
                     )
+                ).materialize()
+                vc2 = _counts(stage2)
+
+                vc = {
+                    "robots": vc0.get("robots", 0),
+                    "filtered": vc0.get("filtered", 0),
+                    "dup": vc1.get("dup", 0),
+                    "seen": vc0.get("seen", 0),
+                    "deferred": vc1.get("deferred", 0) + vc2.get("deferred", 0),
+                }
+
+                deferred_dir = os.path.join(ckpt_dir, f"round={r}", "frontier_deferred")
+                import shutil as _sh
+
+                if os.path.isdir(deferred_dir):
+                    _sh.rmtree(deferred_dir)  # crash-rerun safety
+                n_deferred_dist = int(vc["deferred"])
+                if n_deferred_dist:
+                    # deferred rows stream into the round's frontier parts
+                    # from BOTH stages — they never reach the driver
+                    for src in (stage1, stage2):
+                        src.map_batches(
+                            lambda t: _only("deferred")(t)
+                            .select(FRONTIER_SCHEMA.names)
+                            .cast(FRONTIER_SCHEMA),
+                            batch_format="pyarrow",
+                        ).write_parquet(deferred_dir)
+                deferred_t = _empty_frontier()
+                cand_t = _collect(
+                    stage2.map_batches(_only("cand"), batch_format="pyarrow")
                 )
-                disp_t = _collect(disp)
+                if cand_t is None:
+                    cand_t = _empty_frontier().append_column(
+                        "status", pa.array([], pa.string())
+                    )
 
             _phases["select"] = round(_time.time() - _phase_t0, 3)
             _phase_t0 = _time.time()
 
-            if disp_t is None or disp_t.num_rows == 0:
+            counters["robots_blocked"] += int(vc.get("robots", 0))
+            counters["filtered"] += int(vc.get("filtered", 0))
+            counters["deduped"] += int(vc.get("dup", 0)) + int(vc.get("seen", 0))
+            if cand_t.num_rows == 0:
                 selected_t = _empty_frontier()
-                deferred_t = _empty_frontier()
             else:
-                vc = {
-                    d["values"]: d["counts"]
-                    for d in pc.value_counts(disp_t["status"]).to_pylist()
-                }
-                counters["robots_blocked"] += vc.get("robots", 0)
-                counters["filtered"] += vc.get("filtered", 0)
-                counters["deduped"] += vc.get("dup", 0) + vc.get("seen", 0)
-                cand_t = disp_t.filter(pc.equal(disp_t["status"], "cand"))
-                deferred_t = disp_t.filter(pc.equal(disp_t["status"], "deferred"))
                 order = global_order_indices(cand_t)
                 cand_t = cand_t.take(order)
                 remaining = max_total - cumulative["attempted"]
                 if cand_t.num_rows > remaining:
                     overflow = cand_t.slice(remaining)
                     deferred_t = pa.concat_tables(
-                        [deferred_t.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA),
+                        [deferred_t,
                          overflow.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA)]
                     )
                     cand_t = cand_t.slice(0, remaining)
-                selected_t = cand_t
-                deferred_t = deferred_t.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA)
+                selected_t = cand_t.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA)
 
             n_sel = selected_t.num_rows
             counters["attempted"] = n_sel
-            counters["deferred"] = deferred_t.num_rows
+            counters["deferred"] = deferred_t.num_rows + n_deferred_dist
 
             retry_rows = _empty_frontier()
             errors_t = None
