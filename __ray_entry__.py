@@ -242,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_region_join": relational.nation_region_join,
         # text analysis (M11/M12/M13 + training-data ops)
         "token_count": text.token_count,
+        "token_count_bpe": text.token_count_bpe,
         "quality_score": text.quality_score,
         "classify": text.classify,
         "keywords_topk": text.keywords_topk,
@@ -261,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann.ann_topk_bruteforce,
         "ann_topk_lsh": ann.ann_topk_lsh,
         "ann_topk_ivf": ann.ann_topk_ivf,
+        "ann_topk_ivf_partitioned": ann.ann_topk_ivf_partitioned,
         "embedding_near_pairs": ann.embedding_near_pairs,
         # multimodal plumbing
         "media_sizes": multimodal.media_sizes,
@@ -354,6 +356,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": r"""
             SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "token_count_bpe": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+'))
+                     AS n_bpe_tokens
             FROM documents ORDER BY doc_id
         """,
         "quality_score": rf"""

@@ -337,3 +337,30 @@ def chunk_tokens(sf_dir: str) -> pd.DataFrame:
 
     out = ds.map_batches(chunks, batch_format="pyarrow").to_pandas()
     return out.sort_values(["doc_id", "chunk_index"]).reset_index(drop=True)
+
+
+# GPT-2-style coarse token classes, RE2-compatible (shared verbatim with the
+# DuckDB oracle): letter runs, <=3-digit number groups, punctuation runs.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+"
+
+
+def token_count_bpe(sf_dir: str) -> pd.DataFrame:
+    """doc_id, n_bpe_tokens — BPE-ish subword-class token count (letter runs
+    / short digit groups / punctuation runs), vectorized with one Arrow RE2
+    kernel per batch; the identical pattern runs in the DuckDB oracle."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = (
+        ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "n_bpe_tokens": pc.cast(
+                        pc.count_substring_regex(t["text"], BPE_TOKEN_RE), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -479,3 +479,31 @@ def test_near_dedup_canonical_transitive(ray_session, tmp_path):
     assert out[1] == 1 and out[10] == 1        # exact dup folded in
     assert out[2] == 1 and out[3] == 1          # transitive chain -> one component
     assert out[9] == 9                          # untouched maps to itself
+
+
+def test_ann_ivf_partitioned_layout_and_recall(ray_session, tmp_path):
+    """The cell-partitioned IVF layout: hive cell=K dirs on disk, probes read
+    only the probed cells, recall tracks the in-memory IVF."""
+    import os
+
+    from engine.ops.ann import (
+        ann_topk_bruteforce,
+        ann_topk_ivf_partitioned,
+        build_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(SF, idx, n_cells=16)
+    cells = [d for d in os.listdir(idx) if d.startswith("cell=")]
+    assert len(cells) >= 8  # codebook actually spreads the vectors
+    assert os.path.exists(os.path.join(idx, "_codebook.npy"))
+
+    exact = ann_topk_bruteforce(SF, n_queries=5, k=10)
+    approx = ann_topk_ivf_partitioned(SF, n_queries=5, k=10, index_dir=idx)
+    exact_sets = exact.groupby("query_id")["vec_id"].apply(set)
+    approx_sets = approx.groupby("query_id")["vec_id"].apply(set)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets.index
+    ]
+    assert np.mean(recalls) > 0.4
