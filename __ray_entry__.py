@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": relational.sessionize_events,
         "events_asof_join": relational.events_asof_join,
         "events_running_sum": relational.events_running_sum,
+        "events_hopping": relational.events_hopping,
         "allowlist_filter": relational.allowlist_filter,
         "distinct_sources": relational.distinct_sources,
         "nation_region_join": relational.nation_region_join,
@@ -250,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_predict": text.langid_predict,
         "fingerprint_md5": text.fingerprint_md5,
         "fingerprint_rolling": text.fingerprint_rolling,
+        "hll_distinct_tokens": text.hll_distinct_tokens,
         "chunk_documents": text.chunk_documents,
         "chunk_tokens": text.chunk_tokens,
         # dedup family
@@ -334,6 +336,15 @@ def oracle_sql() -> dict[str, str]:
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'error') e
               ON s.user_id = e.user_id AND s.ts >= e.ts
             ORDER BY s.event_id
+        """,
+        "events_hopping": """
+            SELECT event_type,
+                   time_bucket(INTERVAL '15 minutes', ts)
+                     - to_microseconds(j * 15 * 60 * 1000000) AS window_start,
+                   count(*) AS n
+            FROM events, (SELECT unnest(range(0, 4)) AS j)
+            GROUP BY event_type, window_start
+            ORDER BY event_type, window_start
         """,
         "events_running_sum": """
             SELECT event_id, user_id,

@@ -303,3 +303,51 @@ def nation_region_join(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("r_name").reset_index(drop=True)
+
+
+def events_hopping(sf_dir: str, window_min: int = 60, hop_min: int = 15) -> pd.DataFrame:
+    """Hopping (sliding) event-time windows: 1h windows advancing every 15m.
+
+    Each event belongs to window_min/hop_min consecutive windows, so the
+    batch stage EXPLODES each event into its window starts and pre-counts
+    (the partial-aggregation pattern); the shuffle then moves only
+    (event_type, window_start, n) partials.  Exact counts; the DuckDB
+    oracle runs the same explode via unnest(range(...)).
+    """
+    assert window_min % hop_min == 0
+    k_wins = window_min // hop_min
+    hop_us = hop_min * 60 * 1_000_000
+    ds = read_pruned(_t(sf_dir, "events"), ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        base = pc.floor_temporal(batch["ts"], multiple=hop_min, unit="minute")
+        base_us = pc.cast(base, pa.int64()).to_numpy()
+        types = batch["event_type"].to_pandas()
+        frames = []
+        for j in range(k_wins):
+            frames.append(
+                pd.DataFrame(
+                    {"event_type": types, "win_us": base_us - j * hop_us}
+                )
+            )
+        df = pd.concat(frames, ignore_index=True)
+        g = df.groupby(["event_type", "win_us"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+        return _from_pandas(g)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=262144)
+        .groupby(["event_type", "win_us"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["window_start"] = pd.to_datetime(out["win_us"], unit="us")
+    out["n"] = out["n"].astype("int64")
+    return (
+        out[["event_type", "window_start", "n"]]
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )

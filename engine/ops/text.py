@@ -364,3 +364,72 @@ def token_count_bpe(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (the mergeable-sketch family)
+# ---------------------------------------------------------------------------
+
+HLL_P = 12  # 4096 registers; standard error ~ 1.04/sqrt(m) ~ 1.6%
+
+
+def _hll_partial(tokens_hashes: np.ndarray, m: int = 1 << HLL_P) -> np.ndarray:
+    """Register vector (max leading-zero ranks) for a batch of 64-bit hashes."""
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(tokens_hashes) == 0:
+        return regs
+    h = tokens_hashes.astype(np.uint64)
+    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = h << np.uint64(HLL_P)
+    # rank = leading zeros of the remaining bits + 1 (capped)
+    ranks = np.full(len(h), 64 - HLL_P + 1, dtype=np.uint8)
+    nz = rest != 0
+    # log2 via float is exact enough for the top bit position of a uint64
+    top = np.zeros(len(h), dtype=np.int64)
+    top[nz] = 63 - np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64)
+    ranks[nz] = (top[nz] + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, ranks)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:  # small-range correction (linear counting)
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def hll_distinct_tokens(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct-token count via a mergeable HyperLogLog sketch.
+
+    The sketch shape that survives 100 TB: each batch emits its 4096-byte
+    register vector (constant size regardless of rows); the driver merges
+    by elementwise max — no shuffle, no token ever leaves its batch.
+    Rows-only (approximate by design); the relative-error bound vs the
+    exact distinct count is pytest-asserted.
+    """
+    ds = _docs(sf_dir, ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = set()
+        for s in t["text"].to_pylist():
+            toks.update(s.lower().split())
+        hashes = np.fromiter(
+            (
+                int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+                for w in toks
+            ),
+            dtype=np.uint64,
+            count=len(toks),
+        )
+        regs = _hll_partial(hashes)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096).to_pandas()
+    merged = np.zeros(1 << HLL_P, dtype=np.uint8)
+    for blob in parts["regs"]:
+        merged = np.maximum(merged, np.frombuffer(blob, dtype=np.uint8))
+    return pd.DataFrame({"estimate": pd.Series([int(round(_hll_estimate(merged)))], dtype="int64")})

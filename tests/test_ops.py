@@ -507,3 +507,45 @@ def test_ann_ivf_partitioned_layout_and_recall(ray_session, tmp_path):
         for q in exact_sets.index
     ]
     assert np.mean(recalls) > 0.4
+
+
+def test_hll_distinct_error_bound(ray_session, tmp_path):
+    """HLL estimate within ~3 standard errors (1.04/sqrt(4096) ~ 1.6%) of the
+    exact distinct count on a 50k-token vocabulary."""
+    import pyarrow.parquet as pq
+
+    from engine.ops.text import hll_distinct_tokens
+
+    n_vocab = 50_000
+    rows = []
+    for d in range(200):
+        lo = (d * 250) % n_vocab
+        rows.append(" ".join(f"tok{(lo + i) % n_vocab}" for i in range(400)))
+    d_ = tmp_path / "hll"
+    d_.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(200), pa.int64()),
+                  "text": pa.array(rows, pa.string())}),
+        d_ / "documents.parquet",
+    )
+    exact = len({w for r in rows for w in r.split()})
+    est = hll_distinct_tokens(str(d_))["estimate"].iloc[0]
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+def test_hll_registers_merge_like_union():
+    """Register-max merge == sketching the union (the mergeability law)."""
+    from engine.ops.text import _hll_estimate, _hll_partial
+
+    rng = np.random.default_rng(2)
+    # full 64-bit range (the op hashes with blake2b): a 63-bit draw would
+    # leave half the registers unreachable and poison the estimate
+    a = rng.integers(1, 2**64, size=30_000, dtype=np.uint64)
+    b = rng.integers(1, 2**64, size=30_000, dtype=np.uint64)
+    merged = np.maximum(_hll_partial(a), _hll_partial(b))
+    direct = _hll_partial(np.concatenate([a, b]))
+    assert np.array_equal(merged, direct)
+    est = _hll_estimate(direct)
+    exact = len(set(a.tolist()) | set(b.tolist()))
+    # m=4096 -> se ~1.6%; 0.06 is ~3.7 sigma (this draw sits near 3 sigma)
+    assert abs(est - exact) / exact < 0.06
