@@ -81,6 +81,7 @@ from .checkpoint import COUNTER_KEYS, CheckpointManager
 from .extract import extract_document
 from .frontier import (
     FRONTIER_SCHEMA,
+    frontier_row,
     N_SALT,
     SEQ_STRIDE,
     add_salt,
@@ -447,11 +448,14 @@ def crawl(
     count_only: bool = False,
     enforce_delays: bool = False,
     seen_backend: str = "bloom",
+    invalidate_urls: list | None = None,
 ) -> CrawlResult:
     """Run (or resume) a crawl over a synthetic corpus. Ray must be initialised.
 
     ``stop_after_round=R`` returns right after round R's checkpoint barrier —
-    the kill-and-resume test hook.  ``initial_frontier`` (FRONTIER_SCHEMA)
+    the kill-and-resume test hook.  ``invalidate_urls`` (requires the
+    deletable cuckoo seen backend) removes those urls from the restored seen
+    set and re-queues them — the recrawl-after-N-days workflow.  ``initial_frontier`` (FRONTIER_SCHEMA)
     replaces the seeds table — used by the steady-state bench, which starts
     from a fully-populated frontier rather than growing one by BFS.
     """
@@ -522,8 +526,35 @@ def crawl(
             else seeds_to_frontier(os.path.join(corpus_dir, "seeds.parquet"))
         )
 
+    if invalidate_urls:
+        # Recrawl invalidation (north-star "cuckoo fallback for deletions"):
+        # remove the urls from the restored seen set so they pass the gate
+        # again, and append them to the frontier as fresh candidates.  Only
+        # the deletable backend supports this; bloom raises.
+        inv_rows = []
+        base_seq = (frontier["discovery_seq"].to_numpy().max() + 1
+                    if frontier.num_rows else 0)
+        inv_hashes = []
+        for i, u in enumerate(invalidate_urls):
+            cu = canonicalize(u)
+            if cu is None:
+                continue
+            row = frontier_row(cu, 0, 0, int(base_seq) + i)
+            inv_rows.append(row)
+            inv_hashes.append(row["url_hash"])
+        if inv_rows:
+            seen.delete_many(np.asarray(inv_hashes, dtype=np.int64))
+            frontier = pa.concat_tables(
+                [frontier, pa.Table.from_pylist(inv_rows, schema=FRONTIER_SCHEMA)]
+            )
+
     k = int(budget["max_per_host_per_round"])
     max_rounds = int(budget["max_rounds"])
+    if invalidate_urls:
+        # a recrawl gets a fresh per-invocation round allowance (the first
+        # run may have exhausted max_rounds); the GLOBAL url budget still
+        # applies across the whole checkpoint lineage
+        max_rounds = start_round + int(budget["max_rounds"])
     max_total = int(budget["max_urls_total"])
     max_depth = int(budget["max_depth"])
 

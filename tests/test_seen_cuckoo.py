@@ -88,3 +88,35 @@ def test_overflow_under_pressure(ray_session):
     st = ray.get(s.stats.remote())
     assert st["n_overflow"] > 0  # pressure forced overflow, not wrong answers
     ray.kill(s)
+
+
+def test_recrawl_invalidation_workflow(small_corpus, tmp_path, ray_session):
+    """The recrawl-after-N-days workflow: crawl with the cuckoo backend,
+    invalidate a few fetched urls on resume, and they are fetched AGAIN with
+    fresh fetch_seq while everything else stays seen."""
+    from engine.crawl import crawl
+
+    corpus_dir, _cfg = small_corpus
+    ck = str(tmp_path / "ckpt_recrawl")
+    # budget deliberately NOT exhausted by the first crawl (the lineage
+    # check refuses budget changes on resume, by design)
+    budget = {"max_urls_total": 400, "max_per_host_per_round": 6, "max_depth": 2, "max_rounds": 3}
+    first = crawl(corpus_dir, ck, budget, seen_backend="cuckoo")
+    order1 = first.order_table().to_pylist()
+    fetched_urls = [r["url"] for r in order1]
+    assert len(fetched_urls) >= 10
+    targets = fetched_urls[:3]
+
+    second = crawl(
+        corpus_dir, ck, budget, seen_backend="cuckoo", invalidate_urls=targets
+    )
+    order2 = second.order_table().to_pylist()
+    new_rows = [r for r in order2 if r["fetch_seq"] >= len(order1)]
+    new_urls = {r["url"] for r in new_rows}
+    assert set(targets) <= new_urls          # invalidated urls re-fetched
+    # non-invalidated depth-0 urls (the seeds) stay seen: any new depth-0
+    # fetch must be an invalidated url
+    for r in new_rows:
+        assert r["depth"] > 0 or r["url"] in targets
+    # the first crawl's schedule is untouched (append-only history)
+    assert [x["url"] for x in order2[: len(order1)]] == [x["url"] for x in order1]
