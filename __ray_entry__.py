@@ -272,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": multimodal.media_features,
         "media_decode": multimodal.media_decode,
         "media_thumbnails": multimodal.media_thumbnails,
+        "media_frames": multimodal.media_frames,
         # the crawl engine itself (no SQL view of the synthetic pages corpus)
         "crawl_order": crawl_order,
         "crawl_seen": crawl_seen,

@@ -7,15 +7,16 @@ alone, for real:
 - **BMP** — uncompressed 24-bit ``BI_RGB`` (bottom-up rows, 4-byte padding);
 - **WAV** — RIFF/WAVE PCM, 16-bit mono;
 - **PNG** — 8-bit RGB, all five scanline filters (None/Sub/Up/Average/
-  Paeth), zlib (stdlib) IDAT streams.
+  Paeth), zlib (stdlib) IDAT streams;
+- **AVI** — RIFF video container with uncompressed DIB frames (the
+  frame-sample path operates on real decoded frames).
 
 Each codec has an encoder (used by the synthetic media table) and a
 decoder (used by ``DecodeStage``); round-trip identity is pytest-locked.
 The PNG encoder deliberately cycles the filter type per row so the
-decoder's filter paths are exercised by every image.  JPEG and video
-codecs remain genuinely unimplemented (DCT entropy coding is out of
-scope) — ``media_info`` reports them as unsupported and the decode stage
-raises, which is the honest boundary.
+decoder's filter paths are exercised by every image.  JPEG (DCT entropy
+coding) remains genuinely unimplemented — ``media_info`` reports it as
+unsupported and the decode stage raises, which is the honest boundary.
 """
 
 from __future__ import annotations
@@ -38,6 +39,8 @@ def sniff(data: bytes) -> str | None:
         return "png"
     if data[:4] == RIFF_MAGIC and data[8:12] == b"WAVE":
         return "wav"
+    if data[:4] == RIFF_MAGIC and data[8:12] == b"AVI ":
+        return "avi"
     if data[:3] == JPEG_MAGIC:
         return "jpeg"
     return None
@@ -276,6 +279,11 @@ def media_info(data: bytes) -> dict:
         return {"kind": "wav", "width": None, "height": None,
                 "sample_rate": rate,
                 "duration_ms": int(len(samples) * 1000 / rate)}
+    if kind == "avi":
+        frames, fps = decode_avi(data)
+        return {"kind": "avi", "width": int(frames.shape[2]),
+                "height": int(frames.shape[1]), "sample_rate": None,
+                "duration_ms": int(len(frames) * 1000 / max(fps, 1))}
     raise NotImplementedError(f"no decoder for payload kind: {kind!r}")
 
 
@@ -285,3 +293,92 @@ def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
     xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
     return pixels[ys][:, xs]
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF, uncompressed DIB frames) — the video container
+# ---------------------------------------------------------------------------
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(N, H, W, 3) uint8 RGB frames -> minimal uncompressed AVI bytes.
+
+    RIFF 'AVI ' with an hdrl (avih + one 'vids'/'DIB ' stream) and a movi
+    list of '00db' chunks, each a bottom-up BGR DIB with 4-byte row padding
+    (the same pixel layout as the BMP codec)."""
+    n, h, w, c = frames.shape
+    assert c == 3
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    frame_size = (row_bytes + pad) * h
+
+    def dib(frame: np.ndarray) -> bytes:
+        bgr = frame[:, :, ::-1]
+        body = bytearray()
+        zeros = b"\x00" * pad
+        for r in range(h - 1, -1, -1):
+            body += bgr[r].tobytes() + zeros
+        return bytes(body)
+
+    us_per_frame = int(1_000_000 / fps)
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        us_per_frame, frame_size * fps, 0, 0x10, n, 0, 1, frame_size, w, h,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0,
+                                        n, frame_size, 0, 0xFFFFFFFF)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        out = cid + struct.pack("<I", len(body)) + body
+        return out + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in frames))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
+    """Minimal AVI bytes -> ((N, H, W, 3) uint8 RGB frames, fps)."""
+    if data[:4] != RIFF_MAGIC or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    w = h = None
+    us_per_frame = 100_000
+    frames = []
+
+    def walk(buf: bytes):
+        nonlocal w, h, us_per_frame
+        pos = 0
+        while pos + 8 <= len(buf):
+            cid = buf[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            body = buf[pos + 8 : pos + 8 + size]
+            if cid == b"LIST":
+                walk(body[4:])  # skip the list type fourcc
+            elif cid == b"avih":
+                us_per_frame, = struct.unpack_from("<I", body, 0)
+                w, h = struct.unpack_from("<II", body, 32)
+            elif cid in (b"00db", b"00dc"):
+                frames.append(body)
+            pos += 8 + size + (size & 1)
+
+    walk(data[12:])
+    if w is None or h is None:
+        raise ValueError("AVI missing avih header")
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
+    for i, fb in enumerate(frames):
+        raw = np.frombuffer(fb, dtype=np.uint8, count=stride * h)
+        rows = raw.reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
+        out[i] = rows[::-1, :, ::-1]  # bottom-up BGR -> top-down RGB
+    fps = int(round(1_000_000 / us_per_frame)) if us_per_frame else 10
+    return out, fps

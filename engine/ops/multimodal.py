@@ -4,12 +4,13 @@ Image/audio/video payloads are ``binary`` columns with typed metadata,
 processed by actor-pool ``map_batches`` stages.  The container ships no
 PIL/torchaudio/ffmpeg, so ``engine.ops.codecs`` implements the decodable-
 without-libraries formats from scratch — uncompressed 24-bit BMP, PCM WAV,
-and 8-bit RGB PNG (stdlib zlib) — and ``DecodeStage`` REALLY decodes those
-payloads (dimensions from pixels, duration from samples).  Formats that
-genuinely need an external codec (JPEG entropy decode, video containers)
-raise ``NotImplementedError`` — that is the honest boundary, and
-``FakeDecodeStage`` remains the deterministic stand-in for plumbing tests
-over arbitrary payloads.
+8-bit RGB PNG (stdlib zlib), and AVI video containers with DIB frames —
+and ``DecodeStage`` REALLY decodes those payloads (dimensions from
+pixels, duration from samples/frames); ``FrameSampleStage`` samples real
+decoded video frames.  Formats that genuinely need an external codec
+(JPEG entropy decode) raise ``NotImplementedError`` — that is the honest
+boundary, and ``FakeDecodeStage`` remains the deterministic stand-in for
+plumbing tests over arbitrary payloads.
 """
 
 from __future__ import annotations
@@ -24,8 +25,10 @@ import pyarrow as pa
 import ray.data as rd
 
 from .codecs import (
+    decode_avi,
     decode_bmp,
     decode_png,
+    encode_avi,
     encode_bmp,
     encode_png,
     encode_wav,
@@ -49,7 +52,7 @@ FEATURES_DIM = 16
 DECODE_SCHEMA = pa.schema(
     [
         pa.field("media_id", pa.int64()),
-        pa.field("kind", pa.string()),        # bmp | png | wav
+        pa.field("kind", pa.string()),        # bmp | png | wav | avi
         pa.field("width", pa.int32()),
         pa.field("height", pa.int32()),
         pa.field("sample_rate", pa.int32()),
@@ -59,9 +62,9 @@ DECODE_SCHEMA = pa.schema(
 
 
 class DecodeStage:
-    """REAL decode stage (actor pool): BMP/PNG/WAV payloads are decoded by
-    the from-scratch codecs (``engine.ops.codecs``); anything else raises
-    ``NotImplementedError`` (JPEG/video need external codecs).
+    """REAL decode stage (actor pool): BMP/PNG/WAV/AVI payloads are decoded
+    by the from-scratch codecs (``engine.ops.codecs``); anything else raises
+    ``NotImplementedError`` (JPEG needs an external codec).
 
     Usage at scale::
 
@@ -210,8 +213,9 @@ def media_table_from_documents(sf_dir: str):
 
 def real_media_table(sf_dir: str):
     """Deterministic REAL-codec media table derived from doc ids: BMP images
-    (doc_id % 3 == 0), PCM WAV tones (== 1), PNG images (== 2).  Pure in
-    doc_id, so results are identical across runs/partitionings/retries."""
+    (doc_id % 3 == 0), PCM WAV tones (== 1), PNG images (% 6 == 2) and AVI
+    videos (% 6 == 5).  Pure in doc_id, so results are identical across
+    runs/partitionings/retries."""
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
 
     def build(t: pa.Table) -> pa.Table:
@@ -229,11 +233,16 @@ def real_media_table(sf_dir: str):
                 tone = (np.sin(np.arange(n) * (0.05 + (i % 7) * 0.01)) * 20000)
                 payloads.append(encode_wav(tone.astype(np.int16), 8000))
                 types.append("audio")
-            else:
+            elif i % 6 == 2:
                 px = rng.integers(0, 256, size=(10 + i % 6, 14 + i % 10, 3),
                                   dtype=np.uint8)
                 payloads.append(encode_png(px))
                 types.append("image")
+            else:  # i % 6 == 5: a real video container
+                frames = rng.integers(0, 256, size=(4 + i % 5, 10, 12, 3),
+                                      dtype=np.uint8)
+                payloads.append(encode_avi(frames, fps=8))
+                types.append("video")
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
@@ -275,6 +284,54 @@ def media_thumbnails(sf_dir: str, out_w: int = 8, out_h: int = 8) -> pd.DataFram
         .sort_values("media_id")
         .reset_index(drop=True)
     )
+
+
+class FrameSampleStage:
+    """Video payloads -> every k-th decoded frame (media_id, frame_index,
+    width, height, pixels_md5) — the frame-sampling shape of a video
+    pipeline on real container bytes; non-video rows pass through empty."""
+
+    def __init__(self, every: int = 2):
+        self.every = max(1, every)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, ws, hs, fps_ = [], [], [], [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            if sniff(payload) != "avi":
+                continue
+            frames, _fps = decode_avi(payload)
+            for fi in range(0, len(frames), self.every):
+                ids.append(mid)
+                idxs.append(fi)
+                ws.append(frames.shape[2])
+                hs.append(frames.shape[1])
+                fps_.append(hashlib.md5(frames[fi].tobytes()).hexdigest())
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_index": pa.array(idxs, pa.int32()),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+                "frame_md5": pa.array(fps_, pa.string()),
+            }
+        )
+
+
+def media_frames(sf_dir: str, every: int = 2) -> pd.DataFrame:
+    """media_id, frame_index, width, height, frame_md5 for every 2nd frame
+    of the video payloads (real AVI decode + frame sampling)."""
+    out = (
+        real_media_table(sf_dir)
+        .map_batches(
+            lambda t, e=every: FrameSampleStage(e)(t),
+            batch_format="pyarrow",
+            batch_size=32,  # video rows are the heaviest payloads
+        )
+        .to_pandas()
+    )
+    return out.sort_values(["media_id", "frame_index"]).reset_index(drop=True)
 
 
 def media_metadata(sf_dir: str) -> pd.DataFrame:

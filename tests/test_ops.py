@@ -269,7 +269,7 @@ def test_media_thumbnails_deterministic(ray_session, tmp_path):
     a = media_thumbnails(str(d))
     b = media_thumbnails(str(d))
     assert a.equals(b)
-    assert len(a) == 16  # images only (doc_id % 3 in {0, 2})
+    assert len(a) == 12  # images only (doc_id % 3 == 0 or % 6 == 2)
 
 
 def test_feature_stage_dim(ray_session):
@@ -549,3 +549,32 @@ def test_hll_registers_merge_like_union():
     exact = len(set(a.tolist()) | set(b.tolist()))
     # m=4096 -> se ~1.6%; 0.06 is ~3.7 sigma (this draw sits near 3 sigma)
     assert abs(est - exact) / exact < 0.06
+
+
+def test_media_frames_real_avi_sampling(ray_session, tmp_path):
+    """media_frames samples every 2nd REAL decoded frame of the AVI rows and
+    the frame hashes match a direct decode."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from engine.ops.codecs import decode_avi
+    from engine.ops.multimodal import media_frames, real_media_table
+
+    d = tmp_path / "vid"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(24), pa.int64()),
+                  "text": pa.array(["x"] * 24, pa.string())}),
+        d / "documents.parquet",
+    )
+    got = media_frames(str(d), every=2)
+    vids = {r["media_id"]: r["payload"] for r in real_media_table(str(d)).take_all()
+            if r["media_type"] == "video"}
+    assert set(got["media_id"]) == set(vids)  # every video sampled
+    for mid, payload in vids.items():
+        frames, _fps = decode_avi(payload)
+        sub = got[got.media_id == mid].sort_values("frame_index")
+        assert list(sub["frame_index"]) == list(range(0, len(frames), 2))
+        for fi, md5 in zip(sub["frame_index"], sub["frame_md5"]):
+            assert md5 == hashlib.md5(frames[fi].tobytes()).hexdigest()
