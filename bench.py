@@ -52,6 +52,12 @@ BENCH_QUERY_NAMES = [
     "chunk_tokens",
     "events_asof_join",
     "sessionize_events",
+    "events_hopping",
+    "token_count_bpe",
+    "near_dedup_canonical",
+    "hll_distinct_tokens",
+    "media_decode",
+    "media_frames",
 ]
 
 
