@@ -241,6 +241,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "allowlist_filter": relational.allowlist_filter,
         "distinct_sources": relational.distinct_sources,
         "nation_region_join": relational.nation_region_join,
+        "order_priority_revenue": relational.order_priority_revenue,
+        "sample_documents": relational.sample_documents,
         # text analysis (M11/M12/M13 + training-data ops)
         "token_count": text.token_count,
         "token_count_bpe": text.token_count_bpe,
@@ -360,6 +362,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE source IN ('src1', 'src3') ORDER BY doc_id
         """,
         "distinct_sources": "SELECT DISTINCT source FROM documents ORDER BY source",
+        "order_priority_revenue": """
+            SELECT o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "sample_documents": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE (doc_id * 2654435761) % 100 < 10 ORDER BY doc_id
+        """,
         "nation_region_join": """
             SELECT r_name, count(*) AS n_customers
             FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -351,3 +351,108 @@ def events_hopping(sf_dir: str, window_min: int = 60, hop_min: int = 15) -> pd.D
         .sort_values(["event_type", "window_start"])
         .reset_index(drop=True)
     )
+
+
+def order_priority_revenue(sf_dir: str) -> pd.DataFrame:
+    """BIG x BIG bucketed hash join (no broadcast side): orders x lineitem
+    on orderkey -> revenue per order priority.
+
+    Neither side fits a broadcast at 100 TB, so both shuffle ONCE on the
+    same key-bucket: lineitem first combines per batch to (orderkey, rev)
+    partials (the combiner halves the exchanged rows), both sides union
+    with a side tag, one groupby(bucket) co-locates matching keys, and the
+    in-group pandas merge + priority rollup emits tiny partials for a final
+    priority sum.  Join key buckets reuse THE partitioning idiom of the
+    crawl's fetch join.
+    """
+    N_BUCKETS = 32
+    _JOIN_SCHEMA = pa.schema(
+        [("key", pa.int64()), ("side", pa.int8()),
+         ("prio", pa.string()), ("rev", pa.float64()), ("bucket", pa.int32())]
+    )
+
+    orders = read_pruned(_t(sf_dir, "orders"), ["o_orderkey", "o_orderpriority"])
+    items = read_pruned(
+        _t(sf_dir, "lineitem"), ["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"].to_numpy()
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "side": pa.array(np.zeros(len(keys), np.int8), pa.int8()),
+                "prio": t["o_orderpriority"],
+                "rev": pa.array(np.zeros(len(keys)), pa.float64()),
+                "bucket": pa.array((keys % N_BUCKETS).astype(np.int32), pa.int32()),
+            },
+            schema=_JOIN_SCHEMA,
+        )
+
+    def item_partials(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "key": t["l_orderkey"].to_numpy(),
+                "rev": t["l_extendedprice"].to_numpy()
+                * (1.0 - t["l_discount"].to_numpy()),
+            }
+        )
+        g = df.groupby("key", as_index=False)["rev"].sum()  # per-batch combiner
+        keys = g["key"].to_numpy()
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "side": pa.array(np.ones(len(keys), np.int8), pa.int8()),
+                "prio": pa.array([None] * len(keys), pa.string()),
+                "rev": pa.array(g["rev"].to_numpy(), pa.float64()),
+                "bucket": pa.array((keys % N_BUCKETS).astype(np.int32), pa.int32()),
+            },
+            schema=_JOIN_SCHEMA,
+        )
+
+    _OUT_SCHEMA = pa.schema([("o_orderpriority", pa.string()), ("revenue", pa.float64())])
+
+    def join_group(g: pd.DataFrame) -> pa.Table:
+        left = g[g["side"] == 0][["key", "prio"]]
+        right = g[g["side"] == 1].groupby("key", as_index=False)["rev"].sum()
+        m = left.merge(right, on="key", how="inner")
+        out = m.groupby("prio", as_index=False)["rev"].sum().rename(
+            columns={"prio": "o_orderpriority", "rev": "revenue"}
+        )
+        return pa.Table.from_pandas(
+            out, schema=_OUT_SCHEMA, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    from ray.data.aggregate import Sum
+
+    both = orders.map_batches(order_rows, batch_format="pyarrow").union(
+        items.map_batches(item_partials, batch_format="pyarrow", batch_size=65536)
+    )
+    out = (
+        both.groupby("bucket")
+        .map_groups(join_group, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(0)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SAMPLE_MULT = 2654435761  # Knuth multiplicative constant, shared with the oracle
+
+
+def sample_documents(sf_dir: str, pct: int = 10) -> pd.DataFrame:
+    """Deterministic arithmetic sampling gate: keep doc_id rows whose
+    multiplicative hash lands under pct% — the unbiased distributed-sample
+    primitive (no RNG state; same rows at any parallelism), expressible in
+    SQL so the oracle runs the identical arithmetic."""
+    ds = read_pruned(_t(sf_dir, "documents"), ["doc_id", "source", "n_chars"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        mask = (ids * SAMPLE_MULT) % 100 < pct
+        return t.filter(pa.array(mask))
+
+    out = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
