@@ -242,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_sources": relational.distinct_sources,
         "nation_region_join": relational.nation_region_join,
         "order_priority_revenue": relational.order_priority_revenue,
+        "top_order_per_customer": relational.top_order_per_customer,
         "sample_documents": relational.sample_documents,
         # text analysis (M11/M12/M13 + training-data ops)
         "token_count": text.token_count,
@@ -367,6 +368,14 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue
             FROM orders JOIN lineitem ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "top_order_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+            QUALIFY row_number() OVER (
+              PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey
+            ) = 1
+            ORDER BY o_custkey
         """,
         "sample_documents": """
             SELECT doc_id, source, n_chars FROM documents
