@@ -36,6 +36,7 @@ from .codecs import (
     resize_nearest,
     sniff,
 )
+from .io import read_pruned
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -191,8 +192,7 @@ def media_table_from_documents(sf_dir: str):
     Gives the multimodal stages a deterministic binary payload column without
     external data; media_type cycles deterministically by doc_id.
     """
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"])
+    ds = read_pruned(os.path.join(sf_dir, "documents.parquet"), ["doc_id", "text"])
 
     types = ("image", "audio", "video")
 
@@ -216,7 +216,7 @@ def real_media_table(sf_dir: str):
     (doc_id % 3 == 0), PCM WAV tones (== 1), PNG images (% 6 == 2) and AVI
     videos (% 6 == 5).  Pure in doc_id, so results are identical across
     runs/partitionings/retries."""
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    ds = read_pruned(os.path.join(sf_dir, "documents.parquet"), ["doc_id"])
 
     def build(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()

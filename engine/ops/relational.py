@@ -156,11 +156,31 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
 
 
+N_KEY_BUCKETS = 64  # coarse shuffle width for all per-user window ops
+
+
+def _bucket_by(col: str):
+    """map_batches fn adding ``bucket = key % N_KEY_BUCKETS`` (the coarse-
+    bucket shuffle idiom: one shuffle moves each key's rows to ONE group,
+    the per-key work then runs vectorized in pandas inside the bucket —
+    avoids the measured ~1 ms/group map_groups overhead at 10^8 keys)."""
+
+    def add(t: pa.Table) -> pa.Table:
+        keys = t[col].to_numpy()
+        return t.append_column(
+            "bucket", pa.array((keys % N_KEY_BUCKETS).astype(np.int32), pa.int32())
+        )
+
+    return add
+
+
 def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     """Session windows per user: a new session starts after a >gap idle period.
 
-    The streaming-shaped op from ray_guide: partition by key (user), sort by
-    ts inside each group, sessionize with pandas.  Output is integer-only.
+    Shuffle on the coarse ``user_id % 64`` bucket (same-user rows land in the
+    same bucket), then sessionize EVERY user in the bucket in one vectorized
+    pandas pass: sort by (user, ts, id), session boundary = user change OR
+    idle gap, cumsum -> session label, one groupby(label) agg.
     """
     ds = read_pruned(_t(sf_dir, "events"), ["user_id", "ts", "event_id"])
 
@@ -169,10 +189,11 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
         [("user_id", pa.int64()), ("session_start", pa.int64()), ("n_events", pa.int64())]
     )
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        new = (g["ts"].diff() > gap).cumsum()
-        agg = g.groupby(new).agg(
+    def sessions(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        sess = (new_user | (g["ts"].diff() > gap)).cumsum()
+        agg = g.groupby(sess).agg(
             user_id=("user_id", "first"),
             session_start=("event_id", "min"),
             n_events=("event_id", "size"),
@@ -182,7 +203,8 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
         ).replace_schema_metadata(None)
 
     out = (
-        ds.groupby("user_id")
+        ds.map_batches(_bucket_by("user_id"), batch_format="pyarrow")
+        .groupby("bucket")
         .map_groups(sessions, batch_format="pandas")
         .to_pandas()
     )
@@ -191,9 +213,10 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
 
 def events_asof_join(sf_dir: str) -> pd.DataFrame:
     """As-of join: for each signup event, the value of the user's most recent
-    prior (ts <=) error event.  Composition pattern from ray_guide: partition
-    by key, sort by ts within the group, ``pd.merge_asof`` per group.  Rows
-    with no prior error are dropped (inner as-of).
+    prior (ts <=) error event.  Coarse-bucket shuffle on ``user_id % 64``,
+    then ONE ``pd.merge_asof(..., by="user_id")`` handles every user in the
+    bucket vectorized (merge_asof's ``by=`` scopes the backward search to
+    the same user).  Rows with no prior error are dropped (inner as-of).
     """
     ds = read_pruned(
         _t(sf_dir, "events"), ["event_id", "user_id", "ts", "event_type", "value"]
@@ -211,8 +234,9 @@ def events_asof_join(sf_dir: str) -> pd.DataFrame:
             return _ASOF_SCHEMA.empty_table()
         out = pd.merge_asof(
             s[["event_id", "user_id", "ts"]],
-            err[["ts", "value"]].rename(columns={"value": "last_error_value"}),
+            err[["user_id", "ts", "value"]].rename(columns={"value": "last_error_value"}),
             on="ts",
+            by="user_id",
             direction="backward",
         ).dropna(subset=["last_error_value"])
         return pa.Table.from_pandas(
@@ -220,16 +244,23 @@ def events_asof_join(sf_dir: str) -> pd.DataFrame:
             schema=_ASOF_SCHEMA, preserve_index=False,
         ).replace_schema_metadata(None)
 
-    out = ds.groupby("user_id").map_groups(asof, batch_format="pandas").to_pandas()
+    out = (
+        ds.map_batches(_bucket_by("user_id"), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(asof, batch_format="pandas")
+        .to_pandas()
+    )
     return out.sort_values("event_id").reset_index(drop=True)
 
 
 def events_running_sum(sf_dir: str) -> pd.DataFrame:
     """Running per-user cumulative sum of value in (ts, event_id) order.
 
-    The window-function analog: groupby(key).map_groups with a sorted cumsum
-    (ray_guide 'Streaming-shaped workloads').  Rounded to 2 decimals so the
-    comparison is robust to last-bit accumulation differences.
+    The window-function analog on the coarse-bucket idiom: shuffle on
+    ``user_id % 64``, sort the whole bucket by (user, ts, id) once, then a
+    single vectorized ``groupby(user_id).cumsum()`` covers every user in
+    the bucket.  Rounded to 2 decimals so the comparison is robust to
+    last-bit accumulation differences.
     """
     ds = read_pruned(_t(sf_dir, "events"), ["event_id", "user_id", "ts", "value"])
 
@@ -239,14 +270,19 @@ def events_running_sum(sf_dir: str) -> pd.DataFrame:
     )
 
     def run(g: pd.DataFrame):
-        g = g.sort_values(["ts", "event_id"], kind="mergesort").copy()
-        g["running_value"] = g["value"].cumsum().round(2)
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort").copy()
+        g["running_value"] = g.groupby("user_id")["value"].cumsum().round(2)
         return pa.Table.from_pandas(
             g[["event_id", "user_id", "running_value"]],
             schema=_RUN_SCHEMA, preserve_index=False,
         ).replace_schema_metadata(None)
 
-    out = ds.groupby("user_id").map_groups(run, batch_format="pandas").to_pandas()
+    out = (
+        ds.map_batches(_bucket_by("user_id"), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(run, batch_format="pandas")
+        .to_pandas()
+    )
     return out.sort_values("event_id").reset_index(drop=True)
 
 
@@ -308,11 +344,13 @@ def nation_region_join(sf_dir: str) -> pd.DataFrame:
 def events_hopping(sf_dir: str, window_min: int = 60, hop_min: int = 15) -> pd.DataFrame:
     """Hopping (sliding) event-time windows: 1h windows advancing every 15m.
 
-    Each event belongs to window_min/hop_min consecutive windows, so the
-    batch stage EXPLODES each event into its window starts and pre-counts
-    (the partial-aggregation pattern); the shuffle then moves only
-    (event_type, window_start, n) partials.  Exact counts; the DuckDB
-    oracle runs the same explode via unnest(range(...)).
+    Each event belongs to window_min/hop_min consecutive windows.  The batch
+    stage first combines per (event_type, hop-bucket) — the hop-partial table
+    is <= |types| x |hops| rows regardless of event count — and only THEN
+    expands each hop-partial into its k window starts, so the explode runs
+    over partials, not raw events (k x fewer exploded rows).  The shuffle
+    moves only (event_type, window_start, n) partials.  Exact counts; the
+    DuckDB oracle runs the same explode via unnest(range(...)).
     """
     assert window_min % hop_min == 0
     k_wins = window_min // hop_min
@@ -321,19 +359,27 @@ def events_hopping(sf_dir: str, window_min: int = 60, hop_min: int = 15) -> pd.D
 
     def partial(batch: pa.Table) -> pa.Table:
         base = pc.floor_temporal(batch["ts"], multiple=hop_min, unit="minute")
-        base_us = pc.cast(base, pa.int64()).to_numpy()
-        types = batch["event_type"].to_pandas()
-        frames = []
-        for j in range(k_wins):
-            frames.append(
-                pd.DataFrame(
-                    {"event_type": types, "win_us": base_us - j * hop_us}
-                )
-            )
-        df = pd.concat(frames, ignore_index=True)
-        g = df.groupby(["event_type", "win_us"], as_index=False).size().rename(
-            columns={"size": "n"}
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pandas(),
+                "base_us": pc.cast(base, pa.int64()).to_numpy(),
+            }
         )
+        hp = df.groupby(["event_type", "base_us"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )  # combine FIRST: one row per (type, hop) per batch
+        frames = [
+            pd.DataFrame(
+                {
+                    "event_type": hp["event_type"],
+                    "win_us": hp["base_us"] - j * hop_us,
+                    "n": hp["n"],
+                }
+            )
+            for j in range(k_wins)
+        ]
+        df = pd.concat(frames, ignore_index=True)
+        g = df.groupby(["event_type", "win_us"], as_index=False)["n"].sum()
         return _from_pandas(g)
 
     from ray.data.aggregate import Sum
