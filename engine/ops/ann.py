@@ -244,9 +244,11 @@ def embedding_near_pairs(sf_dir: str, threshold: float = 0.95, n_planes: int = 8
        ``n_tables`` independent ``n_planes``-hyperplane tables (only the tiny
        plane tensor is broadcast); (table, code) keys shuffle through 64
        coarse buckets and each bucket emits its within-code id pairs.
-    2. verify: candidate pairs (deduped across tables) chunk into a Dataset;
-       each task reads ONLY the vectors its chunk references via parquet
-       predicate pushdown and keeps pairs with exact cosine >= threshold.
+    2. verify: candidate pairs (deduped across tables inside a pair-hash
+       bucket shuffle — never on the driver) stream into verify tasks; each
+       task reads ONLY the vectors its chunk references, from the touched
+       ``bucket=K/`` partitions of a one-time bucketed embeddings copy, and
+       keeps pairs with exact cosine >= threshold.
 
     Recall: a pair at cosine 0.95 (theta <= 18.2 deg) shares a bucket in one
     table with p = (1 - theta/pi)^n_planes ≈ 0.43; missing all 24 tables has
@@ -299,26 +301,30 @@ def embedding_near_pairs(sf_dir: str, threshold: float = 0.95, n_planes: int = 8
         return pa.table({"vec_a": pa.array(a, pa.int64()),
                          "vec_b": pa.array(b, pa.int64())}, schema=_NP_PAIR_SCHEMA)
 
-    candidates = (
+    from .dedup import _pair_dedup_ds, _pairs_to_pandas
+    from .io import bucketed_copy, read_bucket_ids
+
+    N_VERIFY_BUCKETS = 32
+    candidates = _pair_dedup_ds(
         _emb(sf_dir)
         .map_batches(code_rows, batch_format="pyarrow", batch_size=4096)
         .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
+        .map_groups(bucket_pairs, batch_format="pandas"),
+        cols=("vec_a", "vec_b"),
     )
-    if len(candidates) == 0:
-        return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
-                             "vec_b": pd.Series([], dtype="int64")})
-    candidates = candidates.drop_duplicates().reset_index(drop=True)
+    emb_bucketed = bucketed_copy(
+        path, "vec_id", ["vec_id", "embedding"], N_VERIFY_BUCKETS
+    )
 
     def verify_chunk(t: pa.Table) -> pa.Table:
-        import pyarrow.parquet as _pq
-
         a = t["vec_a"].to_numpy()
         b = t["vec_b"].to_numpy()
+        if len(a) == 0:
+            return _NP_PAIR_SCHEMA.empty_table()
         need = sorted(set(a.tolist()) | set(b.tolist()))
-        tex = _pq.read_table(path, columns=["vec_id", "embedding"],
-                             filters=[("vec_id", "in", need)])
+        tex = read_bucket_ids(
+            emb_bucketed, "vec_id", ["vec_id", "embedding"], need, N_VERIFY_BUCKETS
+        )
         ids, mat = _to_matrix(tex)
         mn = _normalize(mat)
         pos = {int(v): i for i, v in enumerate(ids)}
@@ -329,17 +335,10 @@ def embedding_near_pairs(sf_dir: str, threshold: float = 0.95, n_planes: int = 8
         return pa.table({"vec_a": pa.array(a[keep], pa.int64()),
                          "vec_b": pa.array(b[keep], pa.int64())}, schema=_NP_PAIR_SCHEMA)
 
-    n_chunks = max(1, -(-len(candidates) // 4096))
-    out = (
-        rd.from_pandas(candidates)
-        .repartition(n_chunks)
-        .map_batches(verify_chunk, batch_format="pyarrow")
-        .to_pandas()
+    return _pairs_to_pandas(
+        candidates.map_batches(verify_chunk, batch_format="pyarrow", batch_size=4096),
+        cols=("vec_a", "vec_b"),
     )
-    if "vec_a" not in out.columns:  # every chunk verified empty
-        return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
-                             "vec_b": pd.Series([], dtype="int64")})
-    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
 def _train_codebook(sf_dir: str, n_cells: int, seed: int = 42,

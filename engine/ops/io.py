@@ -22,3 +22,71 @@ def read_pruned(path: str, columns: list):
     full = pq.ParquetFile(path).schema_arrow
     schema = pa.schema([full.field(c) for c in columns])
     return rd.read_parquet(path, columns=list(columns), schema=schema)
+
+
+def bucketed_copy(path: str, id_col: str, columns: list, n_buckets: int = 32) -> str:
+    """Write (once, cached) a copy of ``path`` partitioned ``bucket=K/`` by
+    ``id_col % n_buckets`` and return the cache directory.
+
+    The candidate-verify pattern (VERDICT r2 "what's wrong" #3): an
+    ``in``-filter read against ONE monolithic parquet re-scans the footer and
+    every overlapping row group per verify chunk; routing reads to the id's
+    bucket file makes verify cost scale with candidates, not corpus.  The
+    write is a distributed one-shuffle Ray job; the cache key includes the
+    source file's (mtime, size) so a regenerated table invalidates it.
+    Reuses the ``fetch_bucket_group`` bucketing idiom of engine.crawl.
+    """
+    import hashlib
+    import json
+    import os
+
+    st = os.stat(path)
+    key = hashlib.md5(
+        f"{os.path.abspath(path)}|{st.st_mtime_ns}|{st.st_size}|{id_col}|"
+        f"{','.join(columns)}|{n_buckets}".encode()
+    ).hexdigest()[:16]
+    dest = os.path.join("/tmp", "engine_bucket_cache", key)
+    marker = os.path.join(dest, "_done.json")
+    if os.path.exists(marker):
+        return dest
+
+    import numpy as np
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy()
+        return t.append_column(
+            "bucket", pa.array((ids % n_buckets).astype(np.int64), pa.int64())
+        )
+
+    os.makedirs(dest, exist_ok=True)
+    read_pruned(path, columns).map_batches(
+        add_bucket, batch_format="pyarrow"
+    ).write_parquet(dest, partition_cols=["bucket"])
+    with open(marker, "w") as f:
+        json.dump({"source": path, "id_col": id_col, "n_buckets": n_buckets}, f)
+    return dest
+
+
+def read_bucket_ids(dest: str, id_col: str, columns: list, ids, n_buckets: int = 32) -> pa.Table:
+    """Read only the rows of a ``bucketed_copy`` dir whose ``id_col`` is in
+    ``ids``: opens ONLY the touched ``bucket=K/`` partitions, with an
+    ``in``-filter inside each small bucket file (row-group pruned)."""
+    import os
+    from collections import defaultdict
+
+    import pyarrow.dataset as pads
+
+    by_bucket = defaultdict(list)
+    for i in ids:
+        by_bucket[int(i) % n_buckets].append(int(i))
+    parts = []
+    for b, want in by_bucket.items():
+        bdir = os.path.join(dest, f"bucket={b}")
+        if not os.path.isdir(bdir):
+            continue
+        dset = pads.dataset(bdir, format="parquet")
+        t = dset.to_table(columns=columns, filter=pads.field(id_col).isin(want))
+        parts.append(t)
+    if not parts:
+        return pa.schema([]).empty_table()
+    return pa.concat_tables(parts)

@@ -578,3 +578,46 @@ def test_media_frames_real_avi_sampling(ray_session, tmp_path):
         assert list(sub["frame_index"]) == list(range(0, len(frames), 2))
         for fi, md5 in zip(sub["frame_index"], sub["frame_md5"]):
             assert md5 == hashlib.md5(frames[fi].tobytes()).hexdigest()
+
+
+def test_connected_components_chain_converges_fast(ray_session):
+    """A 3000-node path graph: pure 1-hop min-label propagation would need
+    ~3000 rounds; the pointer-jumping edges must contract it inside the
+    64-round cap.  Every node's label must be the chain head (0)."""
+    import ray.data as rd
+
+    from engine.ops.dedup import connected_components_ds
+
+    n = 3000
+    pairs = pa.table({"doc_a": pa.array(range(n - 1), pa.int64()),
+                      "doc_b": pa.array(range(1, n), pa.int64())})
+    labels = connected_components_ds(rd.from_arrow(pairs)).to_pandas()
+    assert len(labels) == n
+    assert (labels["label"] == 0).all()
+
+
+def test_connected_components_pairs_rival_corpus(ray_session):
+    """The web-corpus shape union-find-on-the-driver fails on: pair count on
+    the order of the node count (boilerplate-heavy near-dup rate).  5k nodes
+    in 50 clusters of 100 with ring+skip edges (~2 pairs/node); labels must
+    be each cluster's min id, computed without any driver-side graph."""
+    import ray.data as rd
+
+    from engine.ops.dedup import connected_components_ds
+
+    n_clusters, size = 50, 100
+    a_list, b_list = [], []
+    for c in range(n_clusters):
+        base = c * 1000
+        for i in range(size):
+            a_list.append(base + i)           # ring edge
+            b_list.append(base + (i + 1) % size)
+            a_list.append(base + i)           # skip edge (denser graph)
+            b_list.append(base + (i * 7) % size)
+    pairs = pa.table({"doc_a": pa.array(a_list, pa.int64()),
+                      "doc_b": pa.array(b_list, pa.int64())})
+    labels = connected_components_ds(rd.from_arrow(pairs)).to_pandas()
+    assert len(labels) == n_clusters * size
+    got = labels.set_index("node")["label"].sort_index()
+    want = (got.index // 1000) * 1000
+    assert (got.to_numpy() == want.to_numpy()).all()
