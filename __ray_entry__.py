@@ -151,10 +151,11 @@ def crawl_metrics(sf_dir: str):
 
 
 def pdf_golden_check(sf_dir: str):
-    """PDF-encoding twin of extract_golden_check: generate the pdf-encoded
-    corpus (same content, real uncompressed PDF bytes via engine.pdf),
-    re-extract every page through the from-scratch content-stream reader,
-    and report per-url byte-identity against the golden text column."""
+    """PDF-encoding twin of extract_golden_check: generate the FLATE-encoded
+    pdf corpus (same content, real PDF bytes with /FlateDecode content
+    streams via engine.pdf), re-extract every page through the from-scratch
+    content-stream reader (zlib inflate + text operators), and report
+    per-url byte-identity against the golden text column."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data as rd
@@ -164,7 +165,7 @@ def pdf_golden_check(sf_dir: str):
 
     sf = _sf_of(sf_dir)
     n_pages = max(200, int(sf * 20_000))  # pdf render+extract is heavier
-    cfg = CorpusConfig(n_pages=n_pages, n_hosts=20, n_buckets=8, encoding="pdf")
+    cfg = CorpusConfig(n_pages=n_pages, n_hosts=20, n_buckets=8, encoding="pdf_flate")
     corpus = generate_corpus(
         os.path.join("/tmp", f"graft_corpus_{cfg.cache_key()}"), cfg
     )

@@ -16,17 +16,21 @@ of ISO 32000 the pipeline needs, from scratch:
 - **writer** (``render_pdf_page_bytes``): a valid single-file PDF 1.4 with a
   correct xref table, one ``Tm``-positioned ``Tj`` per word, link annots on
   the last page — the PDF twin of ``engine.synth``'s HTML layout encoding.
+  ``compress=True`` emits ``/Filter /FlateDecode`` content streams.
 
 Geometry convention (shared writer<->reader, mirrors the HTML encoding): the
 ``Tm`` y operand carries the word's vertical MIDLINE (the reference computes
 ``(BoundingBox.Top+BoundingBox.Bottom)/2`` at ``PdfToMarkdownConverter.cs:287``);
 ``Right = left + CHAR_WIDTH * len(text)`` uses the same fixed metric as the
-HTML path.  Only uncompressed streams are supported — ``/Filter`` raises.
+HTML path.  Streams may be raw or ``/FlateDecode`` (stdlib zlib — what
+PdfPig's corpus overwhelmingly uses); other filters raise.  Strings may be
+literal ``(..)`` or hex ``<..>``.
 """
 
 from __future__ import annotations
 
 import re
+import zlib
 
 from .extract import CHAR_WIDTH
 
@@ -116,6 +120,51 @@ def _read_literal_string(data: bytes, i: int):
     raise ValueError("unterminated PDF string")
 
 
+def _read_hex_string(data: bytes, i: int):
+    """data[i] == '<' (and data[i+1] != '<') -> (decoded string, index after
+    '>').  ISO 32000 7.3.4.3: hex pairs, whitespace ignored, odd final digit
+    padded with 0."""
+    assert data[i : i + 1] == b"<"
+    j = data.index(b">", i)
+    digits = re.sub(rb"\s+", b"", data[i + 1 : j])
+    if len(digits) % 2:
+        digits += b"0"
+    return bytes.fromhex(digits.decode("ascii")).decode("utf-8", errors="replace"), j + 1
+
+
+def _decode_stream(dict_part: bytes, raw: bytes) -> bytes:
+    """Apply the stream dict's /Filter chain.  FlateDecode via stdlib zlib;
+    anything else keeps the honest from-scratch boundary and raises."""
+    fm = re.search(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)", dict_part)
+    if not fm:
+        return raw
+    filters = re.findall(rb"/([A-Za-z0-9]+)", fm.group(1))
+    for f in filters:
+        if f == b"FlateDecode":
+            raw = zlib.decompress(raw)
+        else:
+            raise NotImplementedError(
+                "PDF stream filter /%s is not supported (from-scratch reader "
+                "handles raw and /FlateDecode streams)" % f.decode("ascii")
+            )
+    return raw
+
+
+def _extract_stream(cbody: bytes):
+    """Object body -> raw stream bytes, preferring the /Length entry (binary
+    flate data may contain 'endstream' by chance; the keyword scan is only
+    the fallback for files without a direct-integer /Length)."""
+    sm = re.search(rb"\bstream\r?\n", cbody)
+    if not sm:
+        return None
+    start = sm.end()
+    lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", cbody[: sm.start()])
+    if lm:
+        return cbody[start : start + int(lm.group(1))]
+    em = _STREAM_RE.search(cbody)
+    return em.group(1) if em else None
+
+
 _CONTENT_TOKEN_RE = re.compile(
     rb"(" + _NUM + rb")|(/[^\s/\[\]()<>]+)|(\[|\])|(BT|ET|Tf|Td|TD|Tm|TL|T\*|Tj|TJ|Tc|Tw|q|Q|cm|re|[fWnS])"
 )
@@ -152,6 +201,16 @@ def _parse_content(stream: bytes) -> list:
         if c == b"(":
             s, i = _read_literal_string(stream, i)
             (in_array if in_array is not None else stack).append(s)
+            continue
+        if c == b"<":
+            if stream[i + 1 : i + 2] == b"<":  # inline dict (e.g. BDC): skip open
+                i += 2
+                continue
+            s, i = _read_hex_string(stream, i)
+            (in_array if in_array is not None else stack).append(s)
+            continue
+        if c == b">" and stream[i + 1 : i + 2] == b">":  # inline dict close
+            i += 2
             continue
         m = _CONTENT_TOKEN_RE.match(stream, i)
         if not m:
@@ -222,9 +281,12 @@ def _page_annot_uris(objs: dict, page_body: bytes) -> list:
         body = objs.get(int(ref.group(1)), b"")
         if b"/Link" not in body:
             continue
-        um = re.search(rb"/URI\s*\(", body)
+        um = re.search(rb"/URI\s*([(<])", body)
         if um:
-            s, _ = _read_literal_string(body, um.end() - 1)
+            if um.group(1) == b"(":
+                s, _ = _read_literal_string(body, um.end() - 1)
+            else:
+                s, _ = _read_hex_string(body, um.end() - 1)
             uris.append(s)
     return uris
 
@@ -262,14 +324,10 @@ def parse_pdf_layout(data: bytes) -> tuple[list, list]:
         words = []
         if contents_ref is not None:
             cbody = objs[contents_ref]
-            if b"/Filter" in cbody.split(b"stream", 1)[0]:
-                raise NotImplementedError(
-                    "compressed PDF content streams are not supported "
-                    "(from-scratch reader handles uncompressed streams only)"
-                )
-            sm = _STREAM_RE.search(cbody)
-            if sm:
-                words = _parse_content(sm.group(1))
+            dict_part = cbody.split(b"stream", 1)[0]
+            raw = _extract_stream(cbody)
+            if raw is not None:
+                words = _parse_content(_decode_stream(dict_part, raw))
         pages.append((page_no, height, words))
         hrefs.extend(_page_annot_uris(objs, body))
     return pages, hrefs
@@ -282,12 +340,14 @@ def parse_pdf_layout(data: bytes) -> tuple[list, list]:
 PAGE_WIDTH = 612.0
 
 
-def render_pdf_page_bytes(word_pages: list, hrefs: list) -> bytes:
-    """[(page_no, height, [(x, y, word)])] + hrefs -> a valid uncompressed PDF.
+def render_pdf_page_bytes(word_pages: list, hrefs: list, compress: bool = False) -> bytes:
+    """[(page_no, height, [(x, y, word)])] + hrefs -> a valid PDF.
 
     One ``Tm``-positioned ``Tj`` per word (y = midline, see module note);
     link annotations for every href attached to the LAST page in order
-    (matching the HTML encoding's trailing <nav> block).
+    (matching the HTML encoding's trailing <nav> block).  ``compress=True``
+    emits ``/Filter /FlateDecode`` content streams (deterministic zlib
+    level 9), matching what real-world PDF producers write.
     """
     n_pages = len(word_pages)
     objects: list = []  # (obj_num, body_bytes) in file order
@@ -320,10 +380,16 @@ def render_pdf_page_bytes(word_pages: list, hrefs: list) -> bytes:
             page += b" /Annots [" + refs + b"]"
         page += b" >>"
         objects.append((page_obj[i], page))
+        if compress:
+            payload = zlib.compress(content, 9)
+            cdict = b"<< /Length %d /Filter /FlateDecode >>" % len(payload)
+        else:
+            payload = content
+            cdict = b"<< /Length %d >>" % len(payload)
         objects.append(
             (
                 content_obj[i],
-                b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream",
+                cdict + b"\nstream\n" + payload + b"\nendstream",
             )
         )
 

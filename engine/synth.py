@@ -80,8 +80,9 @@ class CorpusConfig:
     #                           Common-Crawl pages are tens of KB, so benches
     #                           use >1 to get realistic per-page weight
     n_seed_hosts: int = 4     # seeds = first page of this many hosts (+1 dup)
-    encoding: str = "html"    # page payload encoding: "html" | "pdf" — same
-    #                           content either way (build_page_content);
+    encoding: str = "html"    # page payload encoding: "html" | "pdf" |
+    #                           "pdf_flate" (FlateDecode content streams) —
+    #                           same content either way (build_page_content);
     #                           extraction output is byte-identical
 
     def cache_key(self) -> str:
@@ -395,14 +396,16 @@ def build_page_html(row_id: int, cfg: CorpusConfig, assign: dict) -> str:
     return "".join(parts)
 
 
-def build_page_pdf(row_id: int, cfg: CorpusConfig, assign: dict) -> bytes:
-    """The SAME page as build_page_html, encoded as a real uncompressed PDF
-    (content streams + link annotations; ``engine.pdf``).  Extraction output
-    is byte-identical across the two encodings."""
+def build_page_pdf(row_id: int, cfg: CorpusConfig, assign: dict,
+                   compress: bool = False) -> bytes:
+    """The SAME page as build_page_html, encoded as a real PDF (content
+    streams + link annotations; ``engine.pdf``); ``compress=True`` emits
+    FlateDecode streams.  Extraction output is byte-identical across all
+    encodings."""
     from .pdf import render_pdf_page_bytes
 
     _title, doc_pages, hrefs = build_page_content(row_id, cfg, assign)
-    return render_pdf_page_bytes(layout_word_boxes(doc_pages), hrefs)
+    return render_pdf_page_bytes(layout_word_boxes(doc_pages), hrefs, compress=compress)
 
 
 # ---------------------------------------------------------------------------
@@ -420,6 +423,8 @@ def gen_rows(ids, cfg: CorpusConfig, assign: dict) -> pa.Table:
         u = url_of(rid, assign)
         if cfg.encoding == "pdf":
             html = build_page_pdf(rid, cfg, assign)
+        elif cfg.encoding == "pdf_flate":
+            html = build_page_pdf(rid, cfg, assign, compress=True)
         else:
             html = build_page_html(rid, cfg, assign).encode("utf-8")
         urls.append(u)

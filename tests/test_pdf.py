@@ -77,7 +77,29 @@ def test_writer_reader_roundtrip_boxes_and_hrefs():
     assert got_pages[1][2] == pages[1][2]
 
 
-def test_compressed_stream_raises():
+def test_flate_writer_reader_roundtrip():
+    """compress=True emits /FlateDecode streams; the reader inflates them and
+    recovers identical word boxes + hrefs (VERDICT r2 next-round #3)."""
+    from engine.pdf import parse_pdf_layout, render_pdf_page_bytes
+
+    pages = [
+        (1, 792.0, [(72.0, 760.0, "Alpha"), (120.0, 760.0, "Beta")]),
+        (2, 792.0, [(72.0, 760.0, "Delta"), (72.0, 746.0, "Eps")]),
+    ]
+    hrefs = ["https://a.test/x.html"]
+    data = render_pdf_page_bytes(pages, hrefs, compress=True)
+    assert b"/FlateDecode" in data
+    assert b"Alpha" not in data  # text really is compressed
+    got_pages, got_hrefs = parse_pdf_layout(data)
+    assert got_hrefs == hrefs
+    assert got_pages[0][2] == pages[0][2]
+    assert got_pages[1][2] == pages[1][2]
+    # compressed and uncompressed encodings parse identically
+    plain_pages, plain_hrefs = parse_pdf_layout(render_pdf_page_bytes(pages, hrefs))
+    assert (got_pages, got_hrefs) == (plain_pages, plain_hrefs)
+
+
+def test_unsupported_filter_raises():
     from engine.pdf import parse_pdf_layout
 
     data = (
@@ -85,11 +107,25 @@ def test_compressed_stream_raises():
         b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
         b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
         b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>\nendobj\n"
-        b"4 0 obj\n<< /Length 2 /Filter /FlateDecode >>\nstream\nxx\nendstream\nendobj\n"
+        b"4 0 obj\n<< /Length 2 /Filter /DCTDecode >>\nstream\nxx\nendstream\nendobj\n"
         b"%%EOF\n"
     )
-    with pytest.raises(NotImplementedError, match="compressed"):
+    with pytest.raises(NotImplementedError, match="DCTDecode"):
         parse_pdf_layout(data)
+
+
+def test_hex_strings():
+    """<...> hex strings in content streams and /URI values (ISO 32000
+    7.3.4.3: whitespace ignored, odd final digit zero-padded)."""
+    from engine.pdf import _parse_content, _read_hex_string
+
+    assert _read_hex_string(b"<48656C6C6F>", 0) == ("Hello", 12)
+    assert _read_hex_string(b"<48 65 6C\n6C 6F>", 0)[0] == "Hello"
+    assert _read_hex_string(b"<5>", 0)[0] == "P"  # odd digit -> 0x50
+    words = _parse_content(b"BT 1 0 0 1 10.0 20.0 Tm <48656C6C6F> Tj ET")
+    assert words == [(10.0, 20.0, "Hello")]
+    arr = _parse_content(b"BT 1 0 0 1 0.0 0.0 Tm [<4142> (cd)] TJ ET")
+    assert [w for _, _, w in arr] == ["AB", "cd"]
 
 
 # ------------------------------------------------------- encoding equivalence
@@ -113,7 +149,9 @@ def test_pdf_extraction_byte_identical_to_html():
         u = url_of(rid, assign)
         dh = extract_document(build_page_html(rid, cfg, assign).encode(), u)
         dp = extract_document(build_page_pdf(rid, cfg, assign), u)
+        df = extract_document(build_page_pdf(rid, cfg, assign, compress=True), u)
         assert dh == dp, u
+        assert dh == df, u  # flate-encoded twin extracts identically too
         sop_seen |= dh["header_doc"] is not None
         table_seen |= "| Step |" in (dh["markdown"] or "")
     assert sop_seen and table_seen  # the hard extractor paths were exercised
