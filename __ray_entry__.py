@@ -3,9 +3,10 @@
 ``entry()`` runs the flagship crawl pipeline at sf0.001 scale.  ``queries()``
 exposes one callable per implemented operator/pipeline (SURVEY.md §2 plus the
 training-data ops); ``oracle_sql()`` provides the DuckDB-checkable subset.
-Genuinely non-SQL ops (LSH candidate generation, simhash, heuristic lang-ID,
-the crawl loop itself) have no oracle entry — the driver records a rows-only
-check, and `tests/` holds their exactness/conformance proofs.
+Genuinely non-SQL ops (LSH candidate generation, heuristic lang-ID, the
+crawl loop itself) have no oracle entry — the driver records a rows-only
+check, and `tests/` holds their exactness/conformance proofs.  simhash
+signatures ARE oracle-checked (md5-prefix bit source, SQL-expressible).
 
 Ray is initialised by the driver BEFORE this module is imported; nothing here
 calls ``ray.init()`` / ``ray.shutdown()``.
@@ -447,6 +448,29 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical_id
             FROM documents ORDER BY doc_id
+        """,
+        "simhash_signatures": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(list_distinct(list_filter(
+                       string_split_regex(lower(text), '\s+'),
+                       x -> x <> ''))) AS w
+              FROM documents
+            ), th AS (
+              SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h
+              FROM toks
+            ), bits AS (
+              SELECT doc_id, j,
+                     SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+              FROM th, range(63) t(j)
+              GROUP BY doc_id, j
+            ), sh AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN acc > 0 THEN (1::BIGINT << j::INTEGER)
+                              ELSE 0 END)::BIGINT AS simhash
+              FROM bits GROUP BY doc_id
+            )
+            SELECT d.doc_id, COALESCE(sh.simhash, 0)::BIGINT AS simhash
+            FROM documents d LEFT JOIN sh USING (doc_id) ORDER BY doc_id
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings

@@ -294,7 +294,9 @@ _SIMHASH_MEMO: dict = {}
 def _token_bits(w: str) -> np.ndarray:
     v = _SIMHASH_MEMO.get(w)
     if v is None:
-        h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+        # md5 prefix (not blake2b) so the signature is DuckDB-expressible:
+        # ('0x' || substr(md5(w),1,16))::UBIGINT computes the same 64 bits.
+        h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
         bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
         v = np.where(bits == 1, 1, -1).astype(np.int64)
         if len(_SIMHASH_MEMO) < 1_000_000:
