@@ -193,6 +193,200 @@ def run_bench() -> dict:
     return result
 
 
+def _gen_smoke_tables(dest: str, n_docs: int, n_vecs: int, dim: int = 32) -> None:
+    """Deterministic 'web-corpus-shaped' tables for the dedup/ANN scale smoke
+    (VERDICT r2 next-round #9): documents.parquet (40-token docs, ~1% planted
+    near-dups J~0.85, ~0.2% planted exact dups) and embeddings.parquet
+    (dim-32 vectors, 0.1% planted cosine~1 pairs).  All content is a pure
+    function of the row id (splitmix-style mix), so regenerated tables are
+    byte-stable and op counters are rerun-deterministic.  Generation is a
+    distributed map_batches; the driver only streams batches into one file
+    (single-file layout is what the ops' bucketed_copy path expects)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    marker = os.path.join(dest, "_done.json")
+    if os.path.exists(marker):
+        return
+    os.makedirs(dest, exist_ok=True)
+
+    V = 30000
+    vocab = np.array([f"w{i:05d}" for i in range(V)])
+
+    def gen_docs(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy()
+        base = ids.copy()
+        near = (ids % 200 == 1) & (ids > 0)
+        exact = (ids % 500 == 2) & (ids > 1)
+        base[near] = ids[near] - 1
+        base[exact] = ids[exact] - 2
+        m = base.astype(np.uint64) * np.uint64(6364136223846793005) + np.uint64(
+            1442695040888963407
+        )
+        pp = np.arange(40, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        x = (m[:, None] ^ pp[None, :]) * np.uint64(2685821657736338717)
+        idx = ((x >> np.uint64(33)) % np.uint64(V)).astype(np.int64)
+        words = vocab[idx]
+        words[near, 39] = "dupmarker"
+        texts = [" ".join(row) for row in words]
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())}
+        )
+
+    docs_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    with pq.ParquetWriter(os.path.join(dest, "documents.parquet"), docs_schema) as w:
+        for b in (
+            rd.range(n_docs)
+            .map_batches(gen_docs, batch_format="pyarrow", batch_size=100_000)
+            .iter_batches(batch_format="pyarrow", batch_size=100_000)
+        ):
+            w.write_table(b)
+
+    def mix64(x: np.ndarray) -> np.ndarray:
+        # splitmix64 finalizer: uint64 -> well-mixed uint64, vectorized
+        x = (x + np.uint64(0x9E3779B97F4A7C15))
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+    def gauss(ids64: np.ndarray, salt: int) -> np.ndarray:
+        """(n, dim) iid standard normals, pure function of (id, j, salt) —
+        uniform directions, so non-planted cosine>=0.95 pairs are
+        vanishingly rare (unlike smooth deterministic functions of id)."""
+        cell = ids64[:, None] * np.uint64(dim * 2) + np.arange(
+            dim, dtype=np.uint64
+        )[None, :] * np.uint64(2) + np.uint64(salt)
+        u1 = (mix64(cell) >> np.uint64(11)).astype(np.float64) * 2.0**-53
+        u2 = (mix64(cell + np.uint64(1)) >> np.uint64(11)).astype(np.float64) * 2.0**-53
+        return np.sqrt(-2.0 * np.log(u1 + 1e-300)) * np.cos(2.0 * np.pi * u2)
+
+    def gen_vecs(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy()
+        base = ids.copy()
+        near = (ids % 1000 == 1) & (ids > 0)
+        base[near] = ids[near] - 1
+        mat = gauss(base.astype(np.uint64), salt=0)
+        mat[near] += 0.02 * gauss(ids[near].astype(np.uint64), salt=1_000_003)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    list(mat.astype(np.float32)), pa.list_(pa.float32())
+                ),
+            }
+        )
+
+    emb_schema = pa.schema([("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))])
+    with pq.ParquetWriter(os.path.join(dest, "embeddings.parquet"), emb_schema) as w:
+        for b in (
+            rd.range(n_vecs)
+            .map_batches(gen_vecs, batch_format="pyarrow", batch_size=50_000)
+            .iter_batches(batch_format="pyarrow", batch_size=50_000)
+        ):
+            w.write_table(b)
+
+    with open(marker, "w") as f:
+        json.dump({"n_docs": n_docs, "n_vecs": n_vecs, "dim": dim}, f)
+
+
+def run_dedup_smoke() -> dict:
+    """Scale smoke for the dedup/ANN family (VERDICT r2 next-round #9): runs
+    minhash_lsh_pairs, simhash_near_pairs, embedding_near_pairs and the
+    partitioned-IVF build+probe on a multi-million-row synthetic corpus,
+    TWICE each, and reports wall seconds + output counters + rerun
+    determinism.  Appends the result to BENCH/BASELINE.md."""
+    import ray
+
+    n_docs = int(os.environ.get("GRAFT_SMOKE_DOCS", "5000000"))
+    n_vecs = int(os.environ.get("GRAFT_SMOKE_VECS", "2000000"))
+    repeat = os.environ.get("GRAFT_SMOKE_REPEAT", "1") == "1"
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    dest = os.path.join("/tmp", f"graft_dedup_smoke_{n_docs}_{n_vecs}")
+    t0 = time.time()
+    _gen_smoke_tables(dest, n_docs, n_vecs)
+    gen_sec = time.time() - t0
+
+    from engine.ops import ann, dedup
+
+    idx_dir = os.path.join(dest, "ivf_idx")
+
+    def op_ivf_build():
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        ann.build_ivf_index(dest, idx_dir, n_cells=128)
+        return None
+
+    ops = {
+        "minhash_lsh_pairs": lambda: dedup.minhash_lsh_pairs(dest),
+        "simhash_near_pairs": lambda: dedup.simhash_near_pairs(dest),
+        # n_planes=16: ~65k codes/table so fine buckets stay ~n/65k; the
+        # sf-scale default of 8 would put every vector in one of 256 buckets
+        "embedding_near_pairs": lambda: ann.embedding_near_pairs(dest, n_planes=16),
+        "ivf_build": op_ivf_build,
+        "ivf_probe": lambda: ann.ann_topk_ivf_partitioned(
+            dest, n_queries=16, k=10, index_dir=idx_dir
+        ),
+    }
+
+    results: dict = {"gen_sec": round(gen_sec, 1)}
+    deterministic = True
+    for name, fn in ops.items():
+        t0 = time.time()
+        out = fn()
+        sec1 = time.time() - t0
+        n1 = None if out is None else len(out)
+        entry = {"sec": round(sec1, 1), "rows": n1}
+        if repeat:
+            t0 = time.time()
+            out2 = fn()
+            entry["sec_rerun"] = round(time.time() - t0, 1)
+            n2 = None if out2 is None else len(out2)
+            entry["rows_rerun"] = n2
+            if n1 != n2:
+                deterministic = False
+        results[name] = entry
+
+    sizes = {
+        f: round(os.path.getsize(os.path.join(dest, f)) / 1e6, 1)
+        for f in ("documents.parquet", "embeddings.parquet")
+    }
+    result = {
+        "metric": "dedup_smoke",
+        "n_docs": n_docs,
+        "n_vecs": n_vecs,
+        "num_cpus": NUM_CPUS,
+        "table_mb": sizes,
+        "deterministic_counters": deterministic,
+        "ops": results,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+        f.write(
+            f"\n| {time.strftime('%Y-%m-%d %H:%M')} | dedup-smoke "
+            f"docs={n_docs} vecs={n_vecs} cpus={NUM_CPUS} "
+            f"({sizes['documents.parquet']}MB/{sizes['embeddings.parquet']}MB) | "
+            + " ".join(
+                f"{k}={v['sec']}s/{v['rows']}r" for k, v in results.items()
+                if isinstance(v, dict)
+            )
+            + f" | deterministic={deterministic} |"
+        )
+    ray.shutdown()
+    return result
+
+
 def run_scaling():
     import subprocess
 
@@ -260,5 +454,7 @@ def run_scaling():
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--dedup-smoke" in sys.argv:
+        print(json.dumps(run_dedup_smoke()))
     else:
         print(json.dumps(run_bench()))

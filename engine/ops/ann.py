@@ -287,6 +287,9 @@ def embedding_near_pairs(sf_dir: str, threshold: float = 0.95, n_planes: int = 8
         )
 
     def bucket_pairs(g: pd.DataFrame) -> pa.Table:
+        # singleton (table, code) groups can't pair: drop vectorized before
+        # the per-key iteration (same prefilter as the dedup bucket_pairs).
+        g = g[g.groupby("key")["key"].transform("size") >= 2]
         out_a, out_b = [], []
         for _, sub in g.groupby("key", sort=False):
             ids = np.unique(sub["vec_id"].to_numpy())
@@ -441,21 +444,19 @@ def ann_topk_ivf_partitioned(sf_dir: str, n_queries: int = 5, k: int = 10,
     qn = _normalize(q_mat)
     q_cells = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe]
     needed = sorted({int(c) for row in q_cells for c in row})
-    # one lazy dataset per probed cell — unprobed cells are never opened;
-    # the hive partition value ("cell") is inferred from the path by the
-    # parquet reader and rides along as a column
-    parts = []
+    # ONE lazy dataset over only the probed cells' files — unprobed cells
+    # are never opened; the hive partition value ("cell") is inferred from
+    # each file's path and rides along as a column.  A single read op (not
+    # one per cell unioned) keeps plan/launch overhead constant in n_probe.
+    files = []
     for c in needed:
         d = os.path.join(index_dir, f"cell={c}")
         if not os.path.isdir(d):
             continue
-        files = sorted(
+        files.extend(sorted(
             os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
-        )
-        if not files:
-            continue
-        parts.append(rd.read_parquet(files))
-    if not parts:
+        ))
+    if not files:
         return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
                              "vec_id": pd.Series([], dtype="int64")})
     qref = ray.put((q_ids, qn, q_cells))
@@ -484,7 +485,7 @@ def ann_topk_ivf_partitioned(sf_dir: str, n_queries: int = 5, k: int = 10,
             "sim": pa.array(out_s, pa.float64()),
         })
 
-    ds = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+    ds = rd.read_parquet(files)
     cands = ds.map_batches(
         probe, batch_format="pyarrow", batch_size=4096
     ).to_pandas()

@@ -218,6 +218,11 @@ def _minhash_pairs_ds(sf_dir: str, threshold: float = 0.5, k_shingle: int = 3):
         )
 
     def bucket_pairs(g: pd.DataFrame) -> pa.Table:
+        # prefilter: at corpus scale almost every band key is a singleton;
+        # drop those vectorized BEFORE the per-key Python iteration (5M docs
+        # -> ~1M fine keys per shuffle bucket, so iterating size-1 groups
+        # would dominate the stage).
+        g = g[g.groupby("band_key")["band_key"].transform("size") >= 2]
         out_a, out_b = [], []
         for _, sub in g.groupby("band_key", sort=False):
             ids = sorted(sub["doc_id"].unique())
@@ -376,6 +381,9 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
         )
 
     def bucket_pairs(g: pd.DataFrame) -> pa.Table:
+        # singleton (blk, key) groups can't produce pairs: drop vectorized
+        # before the per-key iteration (see minhash bucket_pairs).
+        g = g[g.groupby(["blk", "key"])["key"].transform("size") >= 2]
         out_a: list = []
         out_b: list = []
         for _, sub in g.groupby(["blk", "key"], sort=False):
