@@ -22,8 +22,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-import ray.data as rd
-
 from .codecs import (
     decode_avi,
     decode_bmp,

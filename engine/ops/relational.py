@@ -17,7 +17,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
-import ray.data as rd
 
 from .io import read_pruned
 
