@@ -621,3 +621,41 @@ def test_connected_components_pairs_rival_corpus(ray_session):
     got = labels.set_index("node")["label"].sort_index()
     want = (got.index // 1000) * 1000
     assert (got.to_numpy() == want.to_numpy()).all()
+
+
+def test_bucketed_copy_cache_and_reads(ray_session, tmp_path):
+    """bucketed_copy writes hive bucket=K partitions once (cache keyed on
+    source mtime+size), read_bucket_ids opens only touched buckets, and a
+    REWRITTEN source invalidates the cache."""
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    from engine.ops.io import bucketed_copy, read_bucket_ids
+
+    src = tmp_path / "docs.parquet"
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(100), pa.int64()),
+                  "text": pa.array([f"t{i}" for i in range(100)], pa.string())}),
+        src,
+    )
+    d1 = bucketed_copy(str(src), "doc_id", ["doc_id", "text"], 8)
+    assert bucketed_copy(str(src), "doc_id", ["doc_id", "text"], 8) == d1  # cached
+    assert sorted(x for x in os.listdir(d1) if x.startswith("bucket=")) == [
+        f"bucket={b}" for b in range(8)
+    ]
+    t = read_bucket_ids(d1, "doc_id", ["doc_id", "text"], [3, 11, 99], 8)
+    assert sorted(t["doc_id"].to_pylist()) == [3, 11, 99]
+    assert sorted(t["text"].to_pylist()) == ["t11", "t3", "t99"]
+
+    time.sleep(0.01)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(50), pa.int64()),
+                  "text": pa.array(["x"] * 50, pa.string())}),
+        src,
+    )
+    d2 = bucketed_copy(str(src), "doc_id", ["doc_id", "text"], 8)
+    assert d2 != d1  # mtime/size change invalidates
+    t2 = read_bucket_ids(d2, "doc_id", ["doc_id", "text"], [3], 8)
+    assert t2["text"].to_pylist() == ["x"]
