@@ -331,9 +331,13 @@ def run_dedup_smoke() -> dict:
     ops = {
         "minhash_lsh_pairs": lambda: dedup.minhash_lsh_pairs(dest),
         "simhash_near_pairs": lambda: dedup.simhash_near_pairs(dest),
-        # n_planes=16: ~65k codes/table so fine buckets stay ~n/65k; the
-        # sf-scale default of 8 would put every vector in one of 256 buckets
-        "embedding_near_pairs": lambda: ann.embedding_near_pairs(dest, n_planes=16),
+        # n_planes ~ log2(n)+3 (see embedding_near_pairs SIZING note):
+        # 24 planes -> ~16.7M codes/table, ~0.12 random collisions per vector
+        # per table at 2M rows; the sf-scale default of 8 would explode
+        # ~685M quadratic-noise candidates here
+        "embedding_near_pairs": lambda: ann.embedding_near_pairs(
+            dest, n_planes=24, verify_batch_size=32768
+        ),
         "ivf_build": op_ivf_build,
         "ivf_probe": lambda: ann.ann_topk_ivf_partitioned(
             dest, n_queries=16, k=10, index_dir=idx_dir

@@ -234,7 +234,8 @@ _NP_PAIR_SCHEMA = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
 
 
 def embedding_near_pairs(sf_dir: str, threshold: float = 0.95, n_planes: int = 8,
-                         n_tables: int = 24, seed: int = 42) -> pd.DataFrame:
+                         n_tables: int = 24, seed: int = 42,
+                         verify_batch_size: int = 4096) -> pd.DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine >= threshold).
 
     LSH bucket-then-verify (VERDICT r1 next-round #1 — no full-matrix
@@ -255,6 +256,13 @@ def embedding_near_pairs(sf_dir: str, threshold: float = 0.95, n_planes: int = 8
     probability (1-p)^24 ≈ 1.5e-6 — verified exactly-equal to brute force on
     the planted-pair corpus in pytest and hash-equal to the DuckDB cross-join
     oracle at driver scales.
+
+    SIZING: random-pair candidates per table ~ C(n,2) / 2^n_planes, so
+    n_planes must grow with log2(n) — callers at corpus scale should pass
+    n_planes ≈ log2(n) + 3 (the 5M-row smoke uses 24; the sf-scale default
+    of 8 would put ~n/256 vectors in every bucket and explode quadratic
+    noise).  verify_batch_size trades per-task memory against the number of
+    bucketed-read passes over the embeddings copy.
     """
     path = _emb_path(sf_dir)
     dim = _embedding_dim(path)
@@ -339,7 +347,9 @@ def embedding_near_pairs(sf_dir: str, threshold: float = 0.95, n_planes: int = 8
                          "vec_b": pa.array(b[keep], pa.int64())}, schema=_NP_PAIR_SCHEMA)
 
     return _pairs_to_pandas(
-        candidates.map_batches(verify_chunk, batch_format="pyarrow", batch_size=4096),
+        candidates.map_batches(
+            verify_chunk, batch_format="pyarrow", batch_size=verify_batch_size
+        ),
         cols=("vec_a", "vec_b"),
     )
 
