@@ -90,27 +90,54 @@ def _perm_params(seed: int = 42):
     return a, b
 
 
-_SHINGLE_MEMO: dict = {}
+_TOKEN_HASH_MEMO: dict = {}
+
+# odd multipliers making the k-gram combine order-sensitive, + splitmix
+# finalizer constants (public-domain splitmix64)
+_POS_MULT = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+     0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63, 0xFF51AFD7ED558CCD],
+    dtype=np.uint64,
+)
 
 
-def _shingle_hash(g: str) -> int:
-    v = _SHINGLE_MEMO.get(g)
+def _token_hash(w: str) -> int:
+    """blake2b-64 of one token, memoized per worker: natural-language token
+    frequency is Zipf, so the cache absorbs almost all occurrences — the
+    per-SHINGLE digest of rounds 1-2 paid the hash cost V^k times more."""
+    v = _TOKEN_HASH_MEMO.get(w)
     if v is None:
-        v = int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big") & (
-            (1 << 61) - 1
-        )
-        if len(_SHINGLE_MEMO) < 2_000_000:
-            _SHINGLE_MEMO[g] = v
+        v = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+        if len(_TOKEN_HASH_MEMO) < 2_000_000:
+            _TOKEN_HASH_MEMO[w] = v
     return v
 
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
 def _shingles(text: str, k: int = 3) -> np.ndarray:
+    """DISTINCT k-token-gram hashes (uint64 < 2^61), fully vectorized after
+    per-token hashing: shingle hash = splitmix-mixed positional combine of
+    the k token hashes (order-sensitive), np.unique for the set."""
     toks = text.lower().split()
-    if len(toks) < k:
-        grams = {" ".join(toks)} if toks else set()
+    n = len(toks)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    th = np.fromiter((_token_hash(w) for w in toks), dtype=np.uint64, count=n)
+    if n < k:
+        h = np.uint64(0)
+        for j in range(n):
+            h ^= th[j] * _POS_MULT[j]
+        g = np.array([h], dtype=np.uint64)
     else:
-        grams = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
-    return np.fromiter((_shingle_hash(g) for g in grams), dtype=np.uint64, count=len(grams))
+        g = np.zeros(n - k + 1, dtype=np.uint64)
+        for j in range(k):
+            g ^= th[j : n - k + 1 + j] * _POS_MULT[j]
+    return np.unique(_mix64(g) & np.uint64((1 << 61) - 1))
 
 
 def _minhash_sig(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -119,6 +146,43 @@ def _minhash_sig(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np
     # (a*x + b) mod p for each perm; min over shingles
     vals = (a[None, :] * shingle_hashes[:, None] + b[None, :]) % np.uint64(_MERSENNE)
     return vals.min(axis=0)
+
+
+def _minhash_sigs_batch(sh_list: list, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Signatures for a whole batch in ONE (S_total, 64) permute-and-min:
+    all docs' shingles concatenate, the linear hash evaluates once, and
+    ``np.minimum.reduceat`` takes each doc's min over its segment — no
+    per-doc Python in the permute step."""
+    n = len(sh_list)
+    sigs = np.full((n, N_PERM), np.iinfo(np.uint64).max, dtype=np.uint64)
+    counts = np.fromiter((len(s) for s in sh_list), dtype=np.int64, count=n)
+    nonempty = counts > 0
+    if not nonempty.any():
+        return sigs
+    all_sh = np.concatenate([s for s in sh_list if len(s)])
+    offs = np.concatenate([[0], np.cumsum(counts[nonempty])[:-1]])
+    # one perm at a time: the working set stays ~len(all_sh)*8 bytes instead
+    # of a (S, 64) product matrix — cache-resident and allocation-light
+    out = np.empty((N_PERM, len(offs)), dtype=np.uint64)
+    m = np.uint64(_MERSENNE)
+    for i in range(N_PERM):
+        v = (a[i] * all_sh + b[i]) % m
+        out[i] = np.minimum.reduceat(v, offs)
+    sigs[nonempty] = out.T
+    return sigs
+
+
+def _band_keys(sigs: np.ndarray) -> np.ndarray:
+    """(n_docs, N_BANDS) int64 band keys, vectorized: positional combine of
+    each band's ROWS_PER_BAND signature values + the band id, splitmix
+    finalizer, masked int64-safe (replaces 16 per-doc blake2b calls)."""
+    n = sigs.shape[0]
+    bands = sigs.reshape(n, N_BANDS, ROWS_PER_BAND)
+    h = np.zeros((n, N_BANDS), dtype=np.uint64)
+    for j in range(ROWS_PER_BAND):
+        h ^= bands[:, :, j] * _POS_MULT[j]
+    h ^= np.arange(N_BANDS, dtype=np.uint64)[None, :] * np.uint64(0x2545F4914F6CDD1D)
+    return (_mix64(h) & np.uint64((1 << 63) - 1)).astype(np.int64)
 
 
 N_VERIFY_BUCKETS = 32  # width of the bucketed_copy used by verify reads
@@ -195,25 +259,19 @@ def _minhash_pairs_ds(sf_dir: str, threshold: float = 0.5, k_shingle: int = 3):
     # noise.  Standard LSH practice; deterministic.
 
     def band_rows(t: pa.Table) -> pa.Table:
-        doc_ids, band_keys, buckets = [], [], []
-        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            sig = _minhash_sig(_shingles(txt, k_shingle), a_par, b_par)
-            for band in range(N_BANDS):
-                chunk = sig[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
-                h = int.from_bytes(
-                    hashlib.blake2b(
-                        band.to_bytes(2, "big") + chunk.tobytes(), digest_size=8
-                    ).digest(),
-                    "big",
-                ) & ((1 << 63) - 1)
-                doc_ids.append(did)
-                band_keys.append(h)
-                buckets.append(h % N_SHUFFLE_BUCKETS)
+        ids = t["doc_id"].to_numpy()
+        sh_list = [_shingles(tx, k_shingle) for tx in t["text"].to_pylist()]
+        sigs = _minhash_sigs_batch(sh_list, a_par, b_par)
+        keys = _band_keys(sigs)  # (n, N_BANDS)
+        doc_ids = np.repeat(ids, N_BANDS)
+        band_keys = keys.reshape(-1)
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.int64()),
                 "band_key": pa.array(band_keys, pa.int64()),
-                "bucket": pa.array(buckets, pa.int32()),
+                "bucket": pa.array(
+                    (band_keys % N_SHUFFLE_BUCKETS).astype(np.int32), pa.int32()
+                ),
             }
         )
 
