@@ -336,7 +336,7 @@ def run_dedup_smoke() -> dict:
         # per table at 2M rows; the sf-scale default of 8 would explode
         # ~685M quadratic-noise candidates here
         "embedding_near_pairs": lambda: ann.embedding_near_pairs(
-            dest, n_planes=24, verify_batch_size=32768
+            dest, n_planes=24
         ),
         "ivf_build": op_ivf_build,
         "ivf_probe": lambda: ann.ann_topk_ivf_partitioned(
