@@ -166,32 +166,69 @@ def _extract_stream(cbody: bytes):
 
 
 _CONTENT_TOKEN_RE = re.compile(
-    rb"(" + _NUM + rb")|(/[^\s/\[\]()<>]+)|(\[|\])|(BT|ET|Tf|Td|TD|Tm|TL|T\*|Tj|TJ|Tc|Tw|q|Q|cm|re|[fWnS])"
+    rb"(" + _NUM + rb")|(/[^\s/\[\]()<>]+)|(\[|\])|(BT|ET|Tf|Td|TD|Tm|TL|T\*|Tj|TJ|Tc|Tw|Tz|q|Q|cm|re|[fWnS])"
 )
+
+_IDENTITY = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _mat_mult(m1: tuple, m2: tuple) -> tuple:
+    """m1 x m2 for PDF 6-tuples (a b c d e f) == [[a,b,0],[c,d,0],[e,f,1]]."""
+    a1, b1, c1, d1, e1, f1 = m1
+    a2, b2, c2, d2, e2, f2 = m2
+    return (
+        a1 * a2 + b1 * c2,
+        a1 * b2 + b1 * d2,
+        c1 * a2 + d1 * c2,
+        c1 * b2 + d1 * d2,
+        e1 * a2 + f1 * c2 + e2,
+        e1 * b2 + f1 * d2 + f2,
+    )
+
+
+def _translate(tx: float, ty: float) -> tuple:
+    return (1.0, 0.0, 0.0, 1.0, tx, ty)
 
 
 def _parse_content(stream: bytes) -> list:
     """Text ops -> word boxes [(left, mid_y, text)] (one per whitespace word).
 
     Position state per ISO 32000 9.4.2: Td/TD translate the LINE matrix, Tm
-    sets it absolutely, T* advances by the leading; Tj/TJ emit at the current
-    point and advance x by the fixed CHAR_WIDTH metric (+1 char per space).
+    sets it absolutely, T* advances by the leading; Tj/TJ emit at the text
+    matrix's current point (composed with the CTM) and advance x by the fixed
+    CHAR_WIDTH metric (+1 char per space).
+
+    Text state (9.3): ``Tc`` char spacing adds to every char advance, ``Tw``
+    word spacing adds to every space advance, ``Tz`` scales all horizontal
+    advances by percent/100.  Graphics state (8.4): ``cm`` COMPOSES onto the
+    CTM (full affine 6-tuple algebra — emitted positions are tm x ctm), and
+    ``q``/``Q`` push/pop (ctm, Tc, Tw, Tz).  Rotation components flow through
+    the matrix math but downstream line-building assumes upright text (the
+    reference's PdfPig path has the same practical assumption).
     """
     words = []
     i = 0
     n = len(stream)
     stack: list = []  # operand stack: numbers, names, strings, arrays
-    line_x = line_y = 0.0
-    cur_x = cur_y = 0.0
+    ctm = _IDENTITY
+    gs_stack: list = []  # q/Q: (ctm, char_sp, word_sp, h_scale)
+    tm = tlm = _IDENTITY  # text matrix / text line matrix (valid inside BT..ET)
     leading = 0.0
+    char_sp = 0.0  # Tc
+    word_sp = 0.0  # Tw
+    h_scale = 1.0  # Tz / 100
     in_array = None
 
     def emit(s: str):
-        nonlocal cur_x
+        nonlocal tm
+        adv_char = (CHAR_WIDTH + char_sp) * h_scale
+        adv_space = (CHAR_WIDTH + char_sp + word_sp) * h_scale
         for piece in s.split(" "):
             if piece:
-                words.append((cur_x, cur_y, piece))
-            cur_x += CHAR_WIDTH * (len(piece) + 1)
+                trm = _mat_mult(tm, ctm)
+                words.append((trm[4], trm[5], piece))
+                tm = _mat_mult(_translate(adv_char * len(piece), 0.0), tm)
+            tm = _mat_mult(_translate(adv_space, 0.0), tm)
 
     while i < n:
         c = stream[i : i + 1]
@@ -231,26 +268,40 @@ def _parse_content(stream: bytes) -> list:
             o = op.decode("latin-1")
             if o == "Td" and len(stack) >= 2:
                 ty, tx = stack.pop(), stack.pop()
-                line_x += tx
-                line_y += ty
-                cur_x, cur_y = line_x, line_y
+                tm = tlm = _mat_mult(_translate(tx, ty), tlm)
             elif o == "TD" and len(stack) >= 2:
                 ty, tx = stack.pop(), stack.pop()
                 leading = -ty
-                line_x += tx
-                line_y += ty
-                cur_x, cur_y = line_x, line_y
+                tm = tlm = _mat_mult(_translate(tx, ty), tlm)
             elif o == "Tm" and len(stack) >= 6:
                 f_ = stack.pop()
                 e_ = stack.pop()
-                stack = stack[: max(0, len(stack) - 4)]  # a b c d ignored (no rotation)
-                line_x, line_y = e_, f_
-                cur_x, cur_y = line_x, line_y
+                d_ = stack.pop()
+                c_ = stack.pop()
+                b_ = stack.pop()
+                a_ = stack.pop()
+                tm = tlm = (a_, b_, c_, d_, e_, f_)
             elif o == "TL" and stack:
                 leading = stack.pop()
             elif o == "T*":
-                line_y -= leading
-                cur_x, cur_y = line_x, line_y
+                tm = tlm = _mat_mult(_translate(0.0, -leading), tlm)
+            elif o == "Tc" and stack:
+                char_sp = stack.pop()
+            elif o == "Tw" and stack:
+                word_sp = stack.pop()
+            elif o == "Tz" and stack:
+                h_scale = stack.pop() / 100.0
+            elif o == "cm" and len(stack) >= 6:
+                mat = tuple(stack[-6:])
+                stack = stack[:-6]
+                ctm = _mat_mult(mat, ctm)
+            elif o == "q":
+                gs_stack.append((ctm, char_sp, word_sp, h_scale))
+                stack = []
+            elif o == "Q":
+                if gs_stack:
+                    ctm, char_sp, word_sp, h_scale = gs_stack.pop()
+                stack = []
             elif o == "Tj" and stack:
                 s = stack.pop()
                 if isinstance(s, str):
@@ -263,12 +314,18 @@ def _parse_content(stream: bytes) -> list:
                             emit(el)
                         else:  # kerning: thousandths of text space (size-agnostic
                             # here: the fixed-metric model scales by CHAR_WIDTH*2)
-                            cur_x -= float(el) / 1000.0 * CHAR_WIDTH * 2.0
+                            tm = _mat_mult(
+                                _translate(
+                                    -float(el) / 1000.0 * CHAR_WIDTH * 2.0 * h_scale,
+                                    0.0,
+                                ),
+                                tm,
+                            )
             elif o in ("BT", "ET"):
-                line_x = line_y = cur_x = cur_y = 0.0
+                tm = tlm = _IDENTITY
                 stack = []
             else:
-                stack = []  # Tf/Tc/Tw/q/Q/cm/re/...: operands consumed, no-op
+                stack = []  # Tf/re/f/W/n/S: operands consumed, no-op
     return words
 
 

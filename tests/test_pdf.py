@@ -209,3 +209,58 @@ def test_crawl_over_pdf_corpus_matches_oracle(tmp_path, ray_session):
     hits = docs[docs.status == "hit"]
     for u, m in zip(hits.url, hits.markdown):
         assert golden[u] == m, u
+
+
+def test_text_state_spacing_operators():
+    """Tc/Tw/Tz advance semantics (ISO 32000 9.3): char spacing widens every
+    char advance, word spacing every space advance, Tz scales horizontally."""
+    from engine.extract import CHAR_WIDTH
+    from engine.pdf import _parse_content
+
+    # baseline: two words, advance = CHAR_WIDTH * (len + 1 space)
+    base = _parse_content(b"BT 1 0 0 1 0 0 Tm (ab cd) Tj ET")
+    assert base[1][0] == CHAR_WIDTH * 3
+
+    # Tc 2: each char advance grows by 2 -> second word at (CW+2)*3
+    tc = _parse_content(b"BT 2 Tc 1 0 0 1 0 0 Tm (ab cd) Tj ET")
+    assert tc[1][0] == (CHAR_WIDTH + 2) * 3
+
+    # Tw 5: only the space advance grows
+    tw = _parse_content(b"BT 5 Tw 1 0 0 1 0 0 Tm (ab cd) Tj ET")
+    assert tw[1][0] == CHAR_WIDTH * 3 + 5
+
+    # Tz 50: all horizontal advances halve
+    tz = _parse_content(b"BT 50 Tz 1 0 0 1 0 0 Tm (ab cd) Tj ET")
+    assert tz[1][0] == CHAR_WIDTH * 3 / 2
+
+
+def test_cm_ctm_composition_and_qQ():
+    """cm composes onto the CTM (emitted = tm x ctm); q/Q save/restore."""
+    from engine.pdf import _parse_content
+
+    # translate CTM by (100, 50): Tm-positioned text shifts by it
+    words = _parse_content(
+        b"1 0 0 1 100 50 cm BT 1 0 0 1 10 20 Tm (A) Tj ET"
+    )
+    assert words[0][:2] == (110.0, 70.0)
+
+    # scale-then-translate composition: cm S then cm T -> point*S then +T
+    words = _parse_content(
+        b"2 0 0 2 0 0 cm 1 0 0 1 7 9 cm BT 1 0 0 1 10 20 Tm (A) Tj ET"
+    )
+    # tm(10,20) x (T x S ... composition order: second cm pre-multiplies)
+    # ctm = T x S_prior: x' = (10 + 7*... ) -- verify against manual algebra
+    from engine.pdf import _IDENTITY, _mat_mult
+
+    ctm = _mat_mult((1, 0, 0, 1, 7, 9), (2, 0, 0, 2, 0, 0))
+    exp = _mat_mult((1, 0, 0, 1, 10, 20), ctm)
+    assert words[0][:2] == (exp[4], exp[5])
+
+    # q/Q: the inner cm is discarded after Q
+    words = _parse_content(
+        b"q 1 0 0 1 500 500 cm BT 1 0 0 1 1 2 Tm (IN) Tj ET Q "
+        b"BT 1 0 0 1 3 4 Tm (OUT) Tj ET"
+    )
+    d = {w: (x, y) for x, y, w in words}
+    assert d["IN"] == (501.0, 502.0)
+    assert d["OUT"] == (3.0, 4.0)
