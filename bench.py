@@ -43,6 +43,7 @@ BENCH_QUERY_NAMES = [
     "exact_dedup",
     "minhash_lsh_pairs",
     "simhash_near_pairs",
+    "ngram_jaccard_pairs",
     "ann_topk",
     "ann_topk_lsh",
     "ann_topk_ivf",

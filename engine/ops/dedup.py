@@ -659,3 +659,134 @@ def near_dedup_canonical(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs (the prompt's dedup family, standalone + oracle)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(sf_dir: str, k: int = 3,
+                        threshold_num: int = 1, threshold_den: int = 2) -> pd.DataFrame:
+    """EXACT token-k-gram Jaccard near-dup pairs via a distributed inverted
+    index (no sketching): pairs (doc_a < doc_b) whose distinct-shingle sets
+    satisfy ``|A∩B| / |A∪B| >= threshold_num/threshold_den``.
+
+    Shape (the PPJoin-lite inverted-index idiom):
+
+    1. map_batches: doc -> DISTINCT string shingles ``tok[i..i+k)`` joined by
+       a single space over ``text.lower().split()``; every row carries the
+       doc's distinct-shingle count ``n`` so pair sizes need no second join.
+    2. shuffle shingle rows into 64 coarse buckets by shingle crc32; within a
+       bucket a vectorized self-merge on the shingle emits per-shingle pair
+       PARTIALS (doc_a, doc_b, n_a, n_b, c) — combined per bucket before the
+       second shuffle.
+    3. shuffle partials by pair hash; sum c per pair and keep pairs with
+       ``(den+num)*c >= num*(n_a+n_b)`` (integer cross-multiplication of
+       c/(n_a+n_b-c) >= num/den — float-free outputs for the oracle hash).
+
+    Exact (no LSH recall loss), so DuckDB-oracle-checkable; the cost model is
+    sum(f^2) over shingle document-frequencies f — boilerplate-heavy corpora
+    need the MinHash path instead (this op is the exactness baseline the
+    sketch is judged against).  Docs with fewer than k tokens emit no
+    shingles (mirrored by construction in the SQL oracle's position join).
+    """
+    import zlib
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    N_SHUFFLE_BUCKETS = 64
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        out_id: list = []
+        out_sh: list = []
+        out_n: list = []
+        for did, tx in zip(ids, t["text"].to_pylist()):
+            toks = tx.lower().split()
+            if len(toks) < k:
+                continue
+            shs = set()
+            for i in range(len(toks) - k + 1):
+                shs.add(" ".join(toks[i : i + k]))
+            n = len(shs)
+            out_id.extend([int(did)] * n)
+            out_sh.extend(shs)
+            out_n.extend([n] * n)
+        buckets = np.fromiter(
+            (zlib.crc32(s.encode()) % N_SHUFFLE_BUCKETS for s in out_sh),
+            dtype=np.int32, count=len(out_sh),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "sh": pa.array(out_sh, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+                "bucket": pa.array(buckets, pa.int32()),
+            }
+        )
+
+    PAIR_PARTIAL_SCHEMA = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+         ("n_a", pa.int64()), ("n_b", pa.int64()),
+         ("c", pa.int64()), ("pbucket", pa.int32())]
+    )
+
+    def bucket_pair_partials(g: pd.DataFrame) -> pa.Table:
+        g = g[g.groupby("sh")["sh"].transform("size") >= 2]
+        if len(g) == 0:
+            return PAIR_PARTIAL_SCHEMA.empty_table()
+        m = g.merge(g, on="sh", suffixes=("_x", "_y"))
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        c = (
+            m.groupby(["doc_id_x", "doc_id_y", "n_x", "n_y"], sort=False)
+            .size().reset_index(name="c")
+        )
+        a = c["doc_id_x"].to_numpy()
+        b = c["doc_id_y"].to_numpy()
+        pb = ((a * np.int64(1_000_003) + b) % N_SHUFFLE_BUCKETS).astype(np.int32)
+        return pa.table(
+            {"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64()),
+             "n_a": pa.array(c["n_x"].to_numpy(), pa.int64()),
+             "n_b": pa.array(c["n_y"].to_numpy(), pa.int64()),
+             "c": pa.array(c["c"].to_numpy(), pa.int64()),
+             "pbucket": pa.array(pb, pa.int32())},
+            schema=PAIR_PARTIAL_SCHEMA,
+        )
+
+    OUT_SCHEMA = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+         ("n_common", pa.int64()), ("n_a", pa.int64()), ("n_b", pa.int64())]
+    )
+
+    def sum_and_filter(g: pd.DataFrame) -> pa.Table:
+        s = (
+            g.groupby(["doc_a", "doc_b", "n_a", "n_b"], sort=False)["c"]
+            .sum().reset_index()
+        )
+        keep = (threshold_den + threshold_num) * s["c"] >= threshold_num * (
+            s["n_a"] + s["n_b"]
+        )
+        s = s[keep]
+        return pa.table(
+            {"doc_a": pa.array(s["doc_a"].to_numpy(), pa.int64()),
+             "doc_b": pa.array(s["doc_b"].to_numpy(), pa.int64()),
+             "n_common": pa.array(s["c"].to_numpy(), pa.int64()),
+             "n_a": pa.array(s["n_a"].to_numpy(), pa.int64()),
+             "n_b": pa.array(s["n_b"].to_numpy(), pa.int64())},
+            schema=OUT_SCHEMA,
+        )
+
+    out = (
+        ds.map_batches(shingle_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pair_partials, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(sum_and_filter, batch_format="pandas")
+        .to_pandas()
+    )
+    if "doc_a" not in out.columns:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("doc_a", "doc_b", "n_common", "n_a", "n_b")}
+        )
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

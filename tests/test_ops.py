@@ -659,3 +659,51 @@ def test_bucketed_copy_cache_and_reads(ray_session, tmp_path):
     assert d2 != d1  # mtime/size change invalidates
     t2 = read_bucket_ids(d2, "doc_id", ["doc_id", "text"], [3], 8)
     assert t2["text"].to_pylist() == ["x"]
+
+
+def test_ngram_jaccard_pairs_exact_vs_bruteforce(ray_session, tmp_path):
+    """The inverted-index distributed impl equals brute-force all-pairs
+    Jaccard on a corpus with planted near-dups."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(50)]
+    texts, ids = [], []
+    for i in range(60):
+        toks = [vocab[j] for j in rng.integers(0, 50, size=30)]
+        texts.append(" ".join(toks))
+        ids.append(i)
+    # planted near-dups: copy with one token changed
+    for i in range(5):
+        toks = texts[i].split()
+        toks[3] = "CHANGED"
+        texts.append(" ".join(toks))
+        ids.append(100 + i)
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts}),
+        str(d / "documents.parquet"),
+    )
+
+    from engine.ops.dedup import ngram_jaccard_pairs
+
+    got = ngram_jaccard_pairs(str(d))
+
+    # brute force
+    def sh(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    exp = []
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sh(texts[x]), sh(texts[y])
+            c = len(a & b)
+            if 3 * c >= len(a) + len(b):
+                exp.append((ids[x], ids[y], c, len(a), len(b)))
+    exp = sorted(exp)
+    assert len(exp) >= 5  # the planted dups must actually pair
+    got_t = [tuple(int(v) for v in row) for row in got.itertuples(index=False)]
+    assert got_t == exp
