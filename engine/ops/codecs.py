@@ -9,14 +9,18 @@ alone, for real:
 - **PNG** — 8-bit RGB, all five scanline filters (None/Sub/Up/Average/
   Paeth), zlib (stdlib) IDAT streams;
 - **AVI** — RIFF video container with uncompressed DIB frames (the
-  frame-sample path operates on real decoded frames).
+  frame-sample path operates on real decoded frames);
+- **JPEG** — baseline sequential DCT (ITU-T T.81): Annex K quant/Huffman
+  tables, 4:4:4 encoder; decoder additionally handles 2x subsampling
+  (4:2:0/4:2:2), multiple DQT/DHT segments and DRI restart intervals.
+  Progressive (SOF2) and arithmetic coding raise — that is the remaining
+  honest boundary.
 
 Each codec has an encoder (used by the synthetic media table) and a
-decoder (used by ``DecodeStage``); round-trip identity is pytest-locked.
-The PNG encoder deliberately cycles the filter type per row so the
-decoder's filter paths are exercised by every image.  JPEG (DCT entropy
-coding) remains genuinely unimplemented — ``media_info`` reports it as
-unsupported and the decode stage raises, which is the honest boundary.
+decoder (used by ``DecodeStage``); round-trip identity is pytest-locked
+(JPEG round-trips within a lossy tolerance, exact on dimensions).  The PNG
+encoder deliberately cycles the filter type per row so the decoder's filter
+paths are exercised by every image.
 """
 
 from __future__ import annotations
@@ -284,6 +288,10 @@ def media_info(data: bytes) -> dict:
         return {"kind": "avi", "width": int(frames.shape[2]),
                 "height": int(frames.shape[1]), "sample_rate": None,
                 "duration_ms": int(len(frames) * 1000 / max(fps, 1))}
+    if kind == "jpeg":
+        px = decode_jpeg(data)
+        return {"kind": "jpeg", "width": px.shape[1], "height": px.shape[0],
+                "sample_rate": None, "duration_ms": None}
     raise NotImplementedError(f"no decoder for payload kind: {kind!r}")
 
 
@@ -382,3 +390,488 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
         out[i] = rows[::-1, :, ::-1]  # bottom-up BGR -> top-down RGB
     fps = int(round(1_000_000 / us_per_frame)) if us_per_frame else 10
     return out, fps
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT, ITU-T T.81) — encoder + decoder from scratch
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63], dtype=np.int64)
+
+# Annex K base quantization tables
+_QT_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64)
+_QT_CHR = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int64)
+
+# Annex K typical Huffman tables: (BITS counts per code length 1..16, HUFFVAL)
+_HT_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+              list(range(12)))
+_HT_DC_CHR = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+              list(range(12)))
+_HT_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+     0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+     0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+     0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+     0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+_HT_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+     0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+     0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+     0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+     0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+     0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    a = np.zeros((8, 8))
+    for u in range(8):
+        c = np.sqrt(0.125) if u == 0 else 0.5
+        for x in range(8):
+            a[u, x] = c * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return a
+
+
+_DCT_A = _dct_matrix()
+
+
+def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    q = max(1, min(100, quality))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _huff_codes(bits: list, vals: list) -> dict:
+    """Canonical Huffman: symbol -> (code, length)."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """Value -> (category, appended bits) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    cat = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << cat) - 1
+    return cat, bits
+
+
+def _encode_block(writer: "_BitWriter", blk: np.ndarray, qt: np.ndarray,
+                  dc_tab: dict, ac_tab: dict, pred: int) -> int:
+    """FDCT + quantize + entropy-code one 8x8 block; returns the new DC
+    predictor."""
+    d = _DCT_A @ (blk - 128.0) @ _DCT_A.T
+    zz = np.round(d.reshape(-1)[_ZIGZAG] / qt[_ZIGZAG]).astype(np.int64)
+    diff = int(zz[0]) - pred
+    cat, bits = _magnitude(diff)
+    code, ln = dc_tab[cat]
+    writer.write(code, ln)
+    if cat:
+        writer.write(bits, cat)
+    run = 0
+    last_nz = np.nonzero(zz[1:])[0]
+    end = (last_nz[-1] + 2) if len(last_nz) else 1
+    for k in range(1, end):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]  # ZRL
+            writer.write(code, ln)
+            run -= 16
+        cat, bits = _magnitude(v)
+        code, ln = ac_tab[(run << 4) | cat]
+        writer.write(code, ln)
+        writer.write(bits, cat)
+        run = 0
+    if end < 64:
+        code, ln = ac_tab[0x00]  # EOB
+        writer.write(code, ln)
+    return int(zz[0])
+
+
+_JPEG_SAMPLING = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 90, *,
+                subsample: str = "444", restart_interval: int = 0) -> bytes:
+    """Baseline sequential JPEG, 3-component YCbCr, Annex K quant
+    (quality-scaled) + typical Huffman tables.  ``subsample`` picks the Y
+    sampling factors ("444" = none, "422" = 2x1, "420" = 2x2 with
+    box-averaged chroma); ``restart_interval`` > 0 emits DRI + RSTn
+    markers every that many MCUs.  Both exist so the decoder's
+    subsampling/restart paths are exercised by our own bytes."""
+    hy, vy = _JPEG_SAMPLING[subsample]
+    h, w = pixels.shape[:2]
+    rgb = pixels.astype(np.float64)
+    y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128
+    cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128
+    qts = [_scaled_qt(_QT_LUM, quality), _scaled_qt(_QT_CHR, quality)]
+    dc_tabs = [_huff_codes(*_HT_DC_LUM), _huff_codes(*_HT_DC_CHR)]
+    ac_tabs = [_huff_codes(*_HT_AC_LUM), _huff_codes(*_HT_AC_CHR)]
+
+    mcux = (w + 8 * hy - 1) // (8 * hy)
+    mcuy = (h + 8 * vy - 1) // (8 * vy)
+    # edge-replicate pad each plane to its MCU-aligned size up front, then
+    # downsample chroma by box-averaging the sampling-factor cell
+    y = np.pad(y, ((0, mcuy * 8 * vy - h), (0, mcux * 8 * hy - w)), mode="edge")
+    chroma = []
+    for p in (cb, cr):
+        p = np.pad(p, ((0, mcuy * 8 * vy - h), (0, mcux * 8 * hy - w)),
+                   mode="edge")
+        if vy > 1:
+            p = (p[0::2, :] + p[1::2, :]) / 2.0
+        if hy > 1:
+            p = (p[:, 0::2] + p[:, 1::2]) / 2.0
+        chroma.append(p)
+
+    writer = _BitWriter()
+    pred = [0, 0, 0]
+    rst = 0
+    for mi in range(mcux * mcuy):
+        if restart_interval and mi and mi % restart_interval == 0:
+            writer.flush()
+            writer.buf += bytes([0xFF, 0xD0 + rst])  # RSTn, unstuffed
+            rst = (rst + 1) % 8
+            pred = [0, 0, 0]
+        my, mx = divmod(mi, mcux)
+        for by in range(vy):
+            for bx in range(hy):
+                ys, xs = (my * vy + by) * 8, (mx * hy + bx) * 8
+                pred[0] = _encode_block(
+                    writer, y[ys : ys + 8, xs : xs + 8], qts[0],
+                    dc_tabs[0], ac_tabs[0], pred[0])
+        for ci, plane in enumerate(chroma, start=1):
+            ys, xs = my * 8, mx * 8
+            pred[ci] = _encode_block(
+                writer, plane[ys : ys + 8, xs : xs + 8], qts[1],
+                dc_tabs[1], ac_tabs[1], pred[ci])
+    writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, qt in enumerate(qts):
+        out += seg(0xDB, bytes([tq]) + bytes(int(v) for v in qt[_ZIGZAG]))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, hv, tq in ((1, (hy << 4) | vy, 0), (2, 0x11, 1), (3, 0x11, 1)):
+        sof += bytes([cid, hv, tq])
+    out += seg(0xC0, sof)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    for tc_th, (bits, vals) in (
+        ((0, 0), _HT_DC_LUM), ((1, 0), _HT_AC_LUM),
+        ((0, 1), _HT_DC_CHR), ((1, 1), _HT_AC_CHR),
+    ):
+        tc, th = tc_th
+        out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+    sos = bytes([3])
+    for cid, tabs in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        sos += bytes([cid, tabs])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += writer.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing
+    already applied by the caller."""
+
+    def __init__(self, data: bytes):
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.pos = 0
+
+    def read_bit(self) -> int:
+        b = int(self.bits[self.pos])
+        self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        v = 0
+        chunk = self.bits[self.pos : self.pos + n]
+        for b in chunk:
+            v = (v << 1) | int(b)
+        self.pos += n
+        return v
+
+
+def _huff_decode_table(bits: list, vals: list) -> dict:
+    """(code, length) -> symbol for decode."""
+    inv = {}
+    for sym, (code, ln) in _huff_codes(bits, vals).items():
+        inv[(ln, code)] = sym
+    return inv
+
+
+def _read_symbol(br: _BitReader, table: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline sequential JPEG decoder (SOF0): multiple DQT/DHT, component
+    sampling factors 1-2 (4:4:4 / 4:2:2 / 4:2:0), DRI restart intervals,
+    1- or 3-component scans.  Returns uint8 RGB (H, W, 3)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    qts: dict = {}
+    dc_tables: dict = {}
+    ac_tables: dict = {}
+    comps: list = []
+    h = w = 0
+    restart_interval = 0
+    i = 2
+    scan_data = None
+    scan_comps = None
+    while i < len(data):
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        ln = struct.unpack(">H", data[i + 2 : i + 4])[0]
+        body = data[i + 4 : i + 2 + ln]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0x0F
+                j += 1
+                if pq:
+                    vals = np.frombuffer(body[j : j + 128], dtype=">u2").astype(np.int64)
+                    j += 128
+                else:
+                    vals = np.frombuffer(body[j : j + 64], dtype=np.uint8).astype(np.int64)
+                    j += 64
+                qt = np.zeros(64, dtype=np.int64)
+                qt[_ZIGZAG] = vals
+                qts[tq] = qt
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0x0F
+                bits = list(body[j + 1 : j + 17])
+                n = sum(bits)
+                vals = list(body[j + 17 : j + 17 + n])
+                (ac_tables if tc else dc_tables)[th] = _huff_decode_table(bits, vals)
+                j += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            h, w = struct.unpack(">HH", body[1:5])
+            nc = body[5]
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential JPEG (SOF0) is supported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = []
+            for c in range(ns):
+                cs, tabs = body[1 + 2 * c : 3 + 2 * c]
+                comp = next(cc for cc in comps if cc["id"] == cs)
+                scan_comps.append({**comp, "td": tabs >> 4, "ta": tabs & 0x0F})
+            # entropy-coded data runs to the next non-RST marker
+            j = i + 2 + ln
+            start = j
+            while j < len(data) - 1:
+                if data[j] == 0xFF and data[j + 1] not in (0x00,) and not (
+                    0xD0 <= data[j + 1] <= 0xD7
+                ):
+                    break
+                j += 1
+            scan_data = data[start:j]
+            i = j
+            continue
+        i += 2 + ln
+    if scan_data is None or not comps:
+        raise ValueError("JPEG has no scan")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = {
+        c["id"]: np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64)
+        for c in comps
+    }
+
+    # split on restart markers, unstuffing 0xFF00 inside each interval
+    intervals = []
+    cur = bytearray()
+    k = 0
+    while k < len(scan_data):
+        if (
+            scan_data[k] == 0xFF
+            and k + 1 < len(scan_data)
+            and 0xD0 <= scan_data[k + 1] <= 0xD7
+        ):
+            intervals.append(bytes(cur))
+            cur = bytearray()
+            k += 2
+            continue
+        if scan_data[k] == 0xFF and k + 1 < len(scan_data) and scan_data[k + 1] == 0x00:
+            cur.append(0xFF)
+            k += 2
+            continue
+        cur.append(scan_data[k])
+        k += 1
+    intervals.append(bytes(cur))
+
+    n_mcus = mcux * mcuy
+    mcus_per_interval = restart_interval if restart_interval else n_mcus
+    mcu_idx = 0
+    for interval in intervals:
+        if mcu_idx >= n_mcus:
+            break
+        br = _BitReader(interval)
+        pred = {c["id"]: 0 for c in comps}
+        for _ in range(min(mcus_per_interval, n_mcus - mcu_idx)):
+            my, mx = divmod(mcu_idx, mcux)
+            for sc in scan_comps:
+                for by in range(sc["v"]):
+                    for bx in range(sc["h"]):
+                        t = _read_symbol(br, dc_tables[sc["td"]])
+                        diff = _extend(br.read_bits(t), t)
+                        pred[sc["id"]] += diff
+                        zz = np.zeros(64, dtype=np.int64)
+                        zz[0] = pred[sc["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _read_symbol(br, ac_tables[sc["ta"]])
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                break
+                            zz[k] = _extend(br.read_bits(s), s)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[_ZIGZAG] = zz * qts[sc["tq"]]
+                        blk = _DCT_A.T @ coef.reshape(8, 8) @ _DCT_A + 128.0
+                        py = (my * sc["v"] + by) * 8
+                        px = (mx * sc["h"] + bx) * 8
+                        planes[sc["id"]][py : py + 8, px : px + 8] = blk
+            mcu_idx += 1
+
+    # upsample to full-res and crop
+    full = []
+    for c in comps:
+        p = planes[c["id"]]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1:
+            p = np.repeat(p, ry, axis=0)
+        if rx > 1:
+            p = np.repeat(p, rx, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        yv = np.clip(full[0], 0, 255)
+        return np.dstack([yv, yv, yv]).astype(np.uint8)
+    yv, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = yv + 1.402 * cr
+    g = yv - 0.344136 * cb - 0.714136 * cr
+    b = yv + 1.772 * cb
+    return np.clip(np.dstack([r, g, b]), 0, 255).astype(np.uint8)

@@ -4,13 +4,14 @@ Image/audio/video payloads are ``binary`` columns with typed metadata,
 processed by actor-pool ``map_batches`` stages.  The container ships no
 PIL/torchaudio/ffmpeg, so ``engine.ops.codecs`` implements the decodable-
 without-libraries formats from scratch — uncompressed 24-bit BMP, PCM WAV,
-8-bit RGB PNG (stdlib zlib), and AVI video containers with DIB frames —
-and ``DecodeStage`` REALLY decodes those payloads (dimensions from
-pixels, duration from samples/frames); ``FrameSampleStage`` samples real
-decoded video frames.  Formats that genuinely need an external codec
-(JPEG entropy decode) raise ``NotImplementedError`` — that is the honest
-boundary, and ``FakeDecodeStage`` remains the deterministic stand-in for
-plumbing tests over arbitrary payloads.
+8-bit RGB PNG (stdlib zlib), baseline-sequential JPEG, and AVI video
+containers with DIB frames — and ``DecodeStage`` REALLY decodes those
+payloads (dimensions from pixels, duration from samples/frames);
+``FrameSampleStage`` samples real decoded video frames.  Formats that
+genuinely need an external codec (progressive JPEG, arithmetic coding)
+raise ``NotImplementedError`` — that is the honest boundary, and
+``FakeDecodeStage`` remains the deterministic stand-in for plumbing tests
+over arbitrary payloads.
 """
 
 from __future__ import annotations
@@ -25,9 +26,11 @@ import pyarrow as pa
 from .codecs import (
     decode_avi,
     decode_bmp,
+    decode_jpeg,
     decode_png,
     encode_avi,
     encode_bmp,
+    encode_jpeg,
     encode_png,
     encode_wav,
     media_info,
@@ -84,7 +87,7 @@ class DecodeStage:
         for mid, payload in zip(
             batch["media_id"].to_pylist(), batch["payload"].to_pylist()
         ):
-            info = media_info(payload)  # raises NotImplementedError on jpeg etc.
+            info = media_info(payload)  # raises NotImplementedError on unknowns
             rows["media_id"].append(mid)
             rows["kind"].append(info["kind"])
             rows["width"].append(info["width"])
@@ -115,6 +118,8 @@ class ThumbnailStage:
                 px = decode_bmp(payload)
             elif kind == "png":
                 px = decode_png(payload)
+            elif kind == "jpeg":
+                px = decode_jpeg(payload)
             else:
                 continue  # audio/video rows carry no pixels
             small = resize_nearest(px, self.out_w, self.out_h)
@@ -211,9 +216,9 @@ def media_table_from_documents(sf_dir: str):
 
 def real_media_table(sf_dir: str):
     """Deterministic REAL-codec media table derived from doc ids: BMP images
-    (doc_id % 3 == 0), PCM WAV tones (== 1), PNG images (% 6 == 2) and AVI
-    videos (% 6 == 5).  Pure in doc_id, so results are identical across
-    runs/partitionings/retries."""
+    (doc_id % 3 == 0), PCM WAV tones (== 1), PNG (% 12 == 2) or JPEG
+    (% 12 == 8) images and AVI videos (% 6 == 5).  Pure in doc_id, so
+    results are identical across runs/partitionings/retries."""
     ds = read_pruned(os.path.join(sf_dir, "documents.parquet"), ["doc_id"])
 
     def build(t: pa.Table) -> pa.Table:
@@ -234,7 +239,9 @@ def real_media_table(sf_dir: str):
             elif i % 6 == 2:
                 px = rng.integers(0, 256, size=(10 + i % 6, 14 + i % 10, 3),
                                   dtype=np.uint8)
-                payloads.append(encode_png(px))
+                payloads.append(
+                    encode_png(px) if i % 12 == 2 else encode_jpeg(px)
+                )
                 types.append("image")
             else:  # i % 6 == 5: a real video container
                 frames = rng.integers(0, 256, size=(4 + i % 5, 10, 12, 3),

@@ -35,6 +35,34 @@ def test_png_roundtrip(px):
     assert np.array_equal(decode_png(encode_png(px)), px)
 
 
+@st.composite
+def smooth_images(draw, max_side=24):
+    """Low-frequency content (JPEG is lossy; smooth images bound the error)."""
+    h = draw(st.integers(1, max_side))
+    w = draw(st.integers(1, max_side))
+    a = draw(st.integers(0, 7))
+    b = draw(st.integers(0, 7))
+    base = draw(st.integers(0, 255))
+    yy, xx = np.mgrid[0:h, 0:w]
+    plane = base + a * yy + b * xx
+    return np.stack([np.clip(plane, 0, 255), np.clip(plane - 40, 0, 255),
+                     np.clip(plane - 90, 0, 255)], axis=-1).astype(np.uint8)
+
+
+@settings(max_examples=25, deadline=None)
+@given(smooth_images(), st.sampled_from(["444", "422", "420"]),
+       st.sampled_from([0, 2]))
+def test_jpeg_roundtrip_lossy(px, subsample, restart_interval):
+    from engine.ops.codecs import decode_jpeg, encode_jpeg
+
+    out = decode_jpeg(encode_jpeg(px, quality=95, subsample=subsample,
+                                  restart_interval=restart_interval))
+    assert out.shape == px.shape
+    # clipped linear gradients survive quality-95 DCT within a small bound
+    err = np.abs(out.astype(int) - px.astype(int))
+    assert float(err.mean()) <= 8.0 and int(err.max()) <= 64
+
+
 @settings(max_examples=25, deadline=None)
 @given(st.integers(0, 5000), st.sampled_from([8000, 16000, 44100]),
        st.integers(0, 2**31 - 1))

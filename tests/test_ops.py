@@ -179,17 +179,45 @@ def test_fake_decode_deterministic(ray_session):
 
 
 def test_decode_stage_rejects_unsupported_codecs():
-    """JPEG/unknown payloads genuinely cannot be decoded here: the stage
-    raises instead of faking (the honest boundary)."""
+    """Unknown payloads and progressive JPEG genuinely cannot be decoded
+    here: the stage raises instead of faking (the honest boundary)."""
+    import numpy as np
+
+    from engine.ops.codecs import encode_jpeg
     from engine.ops.multimodal import DecodeStage
 
     stage = DecodeStage()
     with pytest.raises(NotImplementedError):
         stage(pa.table({"media_id": pa.array([1], pa.int64()),
                         "payload": pa.array([b"x"], pa.binary())}))
-    with pytest.raises(NotImplementedError):  # JPEG magic, no DCT decoder
+    # progressive JPEG (SOF2): flip the baseline SOF0 marker of our own bytes
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    prog = encode_jpeg(px).replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError):
         stage(pa.table({"media_id": pa.array([1], pa.int64()),
-                        "payload": pa.array([b"\xff\xd8\xff\xe0rest"], pa.binary())}))
+                        "payload": pa.array([prog], pa.binary())}))
+
+
+def test_jpeg_roundtrip_all_modes():
+    """Our own baseline JPEG bytes decode at every subsampling mode and
+    restart interval; smooth content stays within a lossy tolerance."""
+    import numpy as np
+
+    from engine.ops.codecs import decode_jpeg, encode_jpeg, media_info
+
+    h, w = 21, 34
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = np.stack([(yy * 3 + xx * 2) % 256, (yy * 5) % 256, (xx * 7) % 256],
+                  axis=-1).astype(np.uint8)
+    for sub in ("444", "422", "420"):
+        for ri in (0, 3):
+            data = encode_jpeg(px, quality=95, subsample=sub,
+                               restart_interval=ri)
+            out = decode_jpeg(data)
+            assert out.shape == px.shape
+            assert int(np.abs(out.astype(int) - px.astype(int)).max()) <= 16
+    info = media_info(encode_jpeg(px))
+    assert (info["kind"], info["width"], info["height"]) == ("jpeg", w, h)
 
 
 def test_codec_roundtrips():
