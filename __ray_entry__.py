@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": text.quality_score,
         "classify": text.classify,
         "keywords_topk": text.keywords_topk,
+        "tfidf_topk": text.tfidf_topk,
         "lang_counts": text.lang_counts,
         "langid_predict": text.langid_predict,
         "fingerprint_md5": text.fingerprint_md5,
@@ -417,6 +418,25 @@ def oracle_sql() -> dict[str, str]:
               SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
             WHERE term NOT IN ({stop_list}) AND term <> ''
             GROUP BY term ORDER BY n DESC, term LIMIT 20
+        """,
+        # score rounded to 6 decimals on BOTH sides (see text.tfidf_topk):
+        # libm ln() may differ by 1 ulp between numpy and DuckDB
+        "tfidf_topk": r"""
+            WITH tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(text), '\s+')) AS term
+                FROM documents)
+              WHERE term <> '' GROUP BY doc_id, term
+            ), dfx AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), n AS (SELECT count(*) AS n FROM documents)
+            SELECT doc_id, term, tf, df,
+                   ROUND(tf * ln(CAST(n.n AS DOUBLE) / df), 6) AS score
+            FROM tf JOIN dfx USING (term) CROSS JOIN n
+            QUALIFY row_number()
+              OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 5
+            ORDER BY doc_id, score DESC, term
         """,
         "lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang",
         "fingerprint_md5": "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",

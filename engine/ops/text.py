@@ -154,6 +154,87 @@ def keywords_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
     return merged.head(k).reset_index(drop=True)
 
 
+def tfidf_topk(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Per-document top-k terms by TF-IDF (whitespace tokens, lowercased).
+
+    Scale shape: (doc_id, term, tf) partials come out of a vectorized
+    ``map_batches`` (Arrow split/flatten + one pandas groupby — the text
+    column never leaves the batch); ``df`` is computed WITHIN a
+    term-hash coarse-bucket shuffle (same term -> same bucket, so the
+    per-term distinct-doc count is bucket-local) and attached to the tf
+    rows in the same group; the per-doc top-k ranks inside a doc-bucket
+    shuffle, vectorized in pandas.  N comes from parquet metadata.  Two
+    all-to-alls total, each over narrow (doc_id, term, tf) rows.
+
+    ``score = round(tf * ln(N / df), 6)`` — rounded in BOTH this op and
+    the DuckDB oracle so cross-library libm ulp noise cannot flip the
+    value hash; ties rank by term ascending.
+    """
+    import pyarrow.parquet as _pqm
+
+    n_total = _pqm.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    N_BUCKETS = 64
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        d = pd.DataFrame({
+            "doc_id": t["doc_id"].take(parent).to_numpy(zero_copy_only=False),
+            "term": flat.to_pandas(),
+        })
+        d = d[d["term"] != ""]
+        tf = d.groupby(["doc_id", "term"], sort=False).size().reset_index(name="tf")
+        tbucket = pd.util.hash_array(tf["term"].to_numpy(dtype=object)) % N_BUCKETS
+        return pa.table({
+            "doc_id": pa.array(tf["doc_id"].to_numpy(), pa.int64()),
+            "term": pa.array(tf["term"], pa.string()),
+            "tf": pa.array(tf["tf"].to_numpy(), pa.int64()),
+            "tbucket": pa.array(tbucket.astype(np.int32), pa.int32()),
+        })
+
+    def attach_df(g: pd.DataFrame) -> pa.Table:
+        # rows are unique (doc, term) pairs, so df = per-term group size
+        dfc = g.groupby("term")["term"].transform("size").to_numpy()
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+            "term": pa.array(g["term"], pa.string()),
+            "tf": pa.array(g["tf"].to_numpy(), pa.int64()),
+            "df": pa.array(dfc, pa.int64()),
+            "dbucket": pa.array(
+                (g["doc_id"].to_numpy() % N_BUCKETS).astype(np.int32), pa.int32()),
+        })
+
+    def topk_per_doc(g: pd.DataFrame) -> pa.Table:
+        score = np.round(
+            g["tf"].to_numpy() * np.log(n_total / g["df"].to_numpy()), 6)
+        d = g.assign(score=score).sort_values(
+            ["doc_id", "score", "term"], ascending=[True, False, True],
+            kind="mergesort")
+        d = d.groupby("doc_id", sort=False).head(k)
+        return pa.table({
+            "doc_id": pa.array(d["doc_id"].to_numpy(), pa.int64()),
+            "term": pa.array(d["term"], pa.string()),
+            "tf": pa.array(d["tf"].to_numpy(), pa.int64()),
+            "df": pa.array(d["df"].to_numpy(), pa.int64()),
+            "score": pa.array(d["score"].to_numpy(), pa.float64()),
+        })
+
+    out = (
+        ds.map_batches(tf_partial, batch_format="pyarrow", batch_size=4096)
+        .groupby("tbucket")
+        .map_groups(attach_df, batch_format="pandas")
+        .groupby("dbucket")
+        .map_groups(topk_per_doc, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(
+        ["doc_id", "score", "term"], ascending=[True, False, True],
+        kind="mergesort").reset_index(drop=True)
+
+
 def lang_counts(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Count
 
