@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": ann.ann_topk_ivf,
         "ann_topk_ivf_partitioned": ann.ann_topk_ivf_partitioned,
         "embedding_near_pairs": ann.embedding_near_pairs,
+        "embedding_dedup_canonical": ann.embedding_dedup_canonical,
         # multimodal plumbing
         "media_sizes": multimodal.media_sizes,
         "media_metadata": multimodal.media_metadata,

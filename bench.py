@@ -40,6 +40,7 @@ BENCH_QUERY_NAMES = [
     "quality_score",
     "classify",
     "keywords_topk",
+    "tfidf_topk",
     "exact_dedup",
     "minhash_lsh_pairs",
     "simhash_near_pairs",

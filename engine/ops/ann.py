@@ -24,6 +24,10 @@ def _emb(sf_dir: str):
                        ["vec_id", "embedding"])
 
 
+def _emb_ids(sf_dir: str):
+    return read_pruned(os.path.join(sf_dir, "embeddings.parquet"), ["vec_id"])
+
+
 def _emb_path(sf_dir: str) -> str:
     return os.path.join(sf_dir, "embeddings.parquet")
 
@@ -233,9 +237,11 @@ def ann_topk_ivf(sf_dir: str, n_queries: int = 5, k: int = 10, n_cells: int = 16
 _NP_PAIR_SCHEMA = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
 
 
-def embedding_near_pairs(sf_dir: str, threshold: float = 0.95, n_planes: int = 8,
-                         n_tables: int = 24, seed: int = 42) -> pd.DataFrame:
-    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine >= threshold).
+def _embedding_pairs_ds(sf_dir: str, threshold: float = 0.95, n_planes: int = 8,
+                        n_tables: int = 24, seed: int = 42):
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine >= threshold)
+    as a verified-pairs DATASET (consumed by ``embedding_near_pairs`` and
+    ``embedding_dedup_canonical``).
 
     LSH bucket-then-verify (VERDICT r1 next-round #1 — no full-matrix
     broadcast, no all-pairs matmul):
@@ -387,7 +393,7 @@ def embedding_near_pairs(sf_dir: str, threshold: float = 0.95, n_planes: int = 8
                 out, pa.array((v % N_VERIFY_BUCKETS).astype(np.int32), pa.int32()))
         return fn
 
-    verified = (
+    return (
         candidates.map_batches(add_mod_bucket("vec_a", "abucket"), batch_format="pyarrow")
         .groupby("abucket")
         .map_groups(attach_a, batch_format="pandas")
@@ -395,7 +401,61 @@ def embedding_near_pairs(sf_dir: str, threshold: float = 0.95, n_planes: int = 8
         .groupby("bbucket")
         .map_groups(attach_b_verify, batch_format="pandas")
     )
-    return _pairs_to_pandas(verified, cols=("vec_a", "vec_b"))
+
+
+def embedding_near_pairs(sf_dir: str, threshold: float = 0.95, n_planes: int = 8,
+                         n_tables: int = 24, seed: int = 42) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs — see ``_embedding_pairs_ds``
+    for the LSH bucket-then-verify shape; this wrapper only collects the
+    (small) verified pair set into the query-contract DataFrame."""
+    from .dedup import _pairs_to_pandas
+
+    return _pairs_to_pandas(
+        _embedding_pairs_ds(sf_dir, threshold=threshold, n_planes=n_planes,
+                            n_tables=n_tables, seed=seed),
+        cols=("vec_a", "vec_b"))
+
+
+def embedding_dedup_canonical(sf_dir: str, threshold: float = 0.95,
+                              n_planes: int = 8, n_tables: int = 24,
+                              seed: int = 42) -> pd.DataFrame:
+    """vec_id -> canonical_id under TRANSITIVE embedding-cosine near-dup.
+
+    The semantic-dedup composition: hyperplane-LSH verified pairs
+    (``_embedding_pairs_ds``) feed the DISTRIBUTED min-label connected
+    components (``dedup.connected_components_ds``); each component's
+    canonical is its min vec_id; vectors in no pair map to themselves.
+    Same scale shape as ``dedup.near_dedup_canonical`` — pairs stream into
+    CC without touching the driver, and only the non-identity (node,
+    label) rows broadcast for the final streaming assign."""
+    from .dedup import connected_components_ds
+
+    def to_doc_cols(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_a": t["vec_a"], "doc_b": t["vec_b"]})
+
+    pairs = _embedding_pairs_ds(
+        sf_dir, threshold=threshold, n_planes=n_planes, n_tables=n_tables,
+        seed=seed).map_batches(to_doc_cols, batch_format="pyarrow")
+    lab_df = connected_components_ds(pairs).to_pandas()
+    comp = dict(zip(lab_df["node"].to_numpy().tolist(),
+                    lab_df["label"].to_numpy().tolist()))
+    comp_ref = ray.put(comp)
+
+    def assign(t: pa.Table) -> pa.Table:
+        lookup = ray.get(comp_ref)
+        ids = t["vec_id"].to_numpy()
+        canon = np.fromiter(
+            (lookup.get(int(i), int(i)) for i in ids), dtype=np.int64,
+            count=len(ids))
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "canonical_id": pa.array(canon, pa.int64())})
+
+    out = (
+        _emb_ids(sf_dir)
+        .map_batches(assign, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("vec_id").reset_index(drop=True)
 
 
 def _train_codebook(sf_dir: str, n_cells: int, seed: int = 42,

@@ -169,6 +169,42 @@ def test_embedding_near_pairs_finds_planted(ray_session, tmp_path):
     assert got == want
 
 
+def test_embedding_dedup_canonical_transitive(ray_session, tmp_path):
+    """A noise chain v0 ~ v100 ~ v200 collapses to one canonical (min id)
+    even when cos(v0, v200) alone is below threshold; isolated vectors map
+    to themselves."""
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((30, 16)).astype(np.float32)
+    v0 = base[0]
+    v100 = v0 + 0.14 * rng.standard_normal(16).astype(np.float32)
+    v200 = v100 + 0.14 * rng.standard_normal(16).astype(np.float32)
+    rows = np.vstack([base, v100, v200])
+    ids = list(range(30)) + [100, 200]
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([r.tolist() for r in rows], pa.list_(pa.float32())),
+    })
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(t, d / "embeddings.parquet")
+
+    mn = rows / np.linalg.norm(rows, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    # the chain premise: adjacent links above threshold, far ends below
+    assert sims[0, 30] >= 0.95 and sims[30, 31] >= 0.95 and sims[0, 31] < 0.95
+
+    from engine.ops.ann import embedding_dedup_canonical
+
+    out = embedding_dedup_canonical(str(d), threshold=0.95)
+    canon = dict(zip(out["vec_id"], out["canonical_id"]))
+    assert canon[0] == canon[100] == canon[200] == 0
+    lonely = [i for i in range(1, 30)
+              if all(sims[i, j] < 0.95 for j in range(len(ids)) if j != i)]
+    assert lonely and all(canon[i] == i for i in lonely)
+
+
 def test_fake_decode_deterministic(ray_session):
     from engine.ops.multimodal import media_metadata
 
