@@ -301,6 +301,22 @@ def oracle_sql() -> dict[str, str]:
         f"WHEN regexp_matches(text, '{pat[4:]}', 'i') THEN '{label}'"
         for pat, label in CATEGORY_PATTERNS
     )
+    # langid oracle generated FROM the engine's profiles so they can't drift;
+    # CASE order = sorted profile names = the Python strict-greater tie-break
+    from engine.ops.text import _LANG_PROFILES
+
+    _langs = sorted(_LANG_PROFILES)
+    lang_counts_sql = ",\n                   ".join(
+        "len(list_filter(words, x -> x IN ({}))) AS n_{}".format(
+            ", ".join(f"'{w}'" for w in sorted(_LANG_PROFILES[lang])), lang)
+        for lang in _langs
+    )
+    _mx = "greatest({})".format(", ".join(f"n_{lang}" for lang in _langs))
+    lang_case = (
+        f"CASE WHEN {_mx} = 0 THEN 'und' "
+        + " ".join(f"WHEN n_{lang} = {_mx} THEN '{lang}'" for lang in _langs[:-1])
+        + f" ELSE '{_langs[-1]}' END"
+    )
     return {
         "q1_agg": """
             SELECT l_returnflag, l_linestatus,
@@ -440,6 +456,19 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id, score DESC, term
         """,
         "lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang",
+        "langid_predict": rf"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_distinct(string_split_regex(lower(text), '\s+')) AS words
+              FROM documents
+            ), c AS (
+              SELECT doc_id,
+                   {lang_counts_sql}
+              FROM w
+            )
+            SELECT doc_id, {lang_case} AS lang_pred
+            FROM c ORDER BY doc_id
+        """,
         "fingerprint_md5": "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
         "chunk_documents": """
             WITH idx AS (

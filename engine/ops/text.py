@@ -255,8 +255,10 @@ _LANG_PROFILES = {
 def langid_predict(sf_dir: str) -> pd.DataFrame:
     """Heuristic language ID (stop-word profile votes; 'und' = undetermined).
 
-    Rows-only (no SQL oracle): the heuristic is not SQL-expressible.
-    Deterministic: ties break on profile-name order.
+    Deterministic: ties break on profile-name order (strict-greater scan
+    over sorted names).  The DuckDB oracle mirrors this exactly — distinct
+    word-set intersections per profile + an ordered CASE argmax, generated
+    from ``_LANG_PROFILES`` in ``__ray_entry__.oracle_sql``.
     """
     ds = _docs(sf_dir, ["doc_id", "text"])
 
