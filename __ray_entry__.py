@@ -317,6 +317,15 @@ def oracle_sql() -> dict[str, str]:
         + " ".join(f"WHEN n_{lang} = {_mx} THEN '{lang}'" for lang in _langs[:-1])
         + f" ELSE '{_langs[-1]}' END"
     )
+    # rolling-fingerprint oracle: powers B^e mod 2^64 generated from the
+    # engine's base so the ring can't drift (window=16 default)
+    from engine.ops.text import _ROLL_B
+
+    _roll_w = 16
+    roll_powers = ", ".join(
+        f"({e}, CAST({pow(int(_ROLL_B), e, 1 << 64)} AS UBIGINT))"
+        for e in range(_roll_w)
+    )
     return {
         "q1_agg": """
             SELECT l_returnflag, l_linestatus,
@@ -470,6 +479,41 @@ def oracle_sql() -> dict[str, str]:
             FROM c ORDER BY doc_id
         """,
         "fingerprint_md5": "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+        # min-of-rolling-polynomial-hash (window 16, ring mod 2^64, result
+        # masked to 63 bits AFTER the min — mirrors text._roll_fp_one):
+        # bytes come from hex(encode(text)), terms use HUGEINT to avoid
+        # overflow, short docs hash their whole length with shrunk powers
+        "fingerprint_rolling": f"""
+            WITH powers(e, v) AS (VALUES {roll_powers}),
+            hx AS (
+              SELECT doc_id, hex(encode(text)) AS hs,
+                     octet_length(encode(text)) AS n
+              FROM documents
+            ),
+            win AS (
+              SELECT doc_id, hs, least(n, {_roll_w}) AS L,
+                     unnest(range(0, n - least(n, {_roll_w}) + 1)) AS i
+              FROM hx WHERE n > 0
+            ),
+            trm AS (
+              SELECT doc_id, i, L, hs, unnest(range(0, L)) AS j FROM win
+            ),
+            hsh AS (
+              SELECT doc_id, i,
+                     CAST(sum(CAST(CAST(('0x' || substr(hs, CAST(2*(i+j)+1 AS INT), 2))
+                                        AS UBIGINT) AS HUGEINT) * CAST(p.v AS HUGEINT))
+                          % 18446744073709551616 AS UBIGINT) AS h64
+              FROM trm JOIN powers p ON p.e = L - 1 - j
+              GROUP BY doc_id, i
+            ),
+            sel AS (
+              SELECT doc_id, CAST(min(h64) % 9223372036854775808 AS BIGINT) AS fp
+              FROM hsh GROUP BY doc_id
+            )
+            SELECT d.doc_id, COALESCE(s.fp, 0) AS fp
+            FROM documents d LEFT JOIN sel s ON d.doc_id = s.doc_id
+            ORDER BY d.doc_id
+        """,
         "chunk_documents": """
             WITH idx AS (
               SELECT doc_id, text,

@@ -338,7 +338,8 @@ def _roll_fp_one(b: np.ndarray, window: int) -> int:
 def fingerprint_rolling(sf_dir: str, window: int = 16) -> pd.DataFrame:
     """doc_id, fp — min-of-rolling-polynomial-hash fingerprint (winnowing-style).
 
-    Rows-only: the rolling hash is not SQL-expressible.  Deterministic; the
+    Deterministic; DuckDB-oracle-checked (HUGEINT ring arithmetic over
+    hex-extracted bytes, powers generated from _ROLL_B).  The
     hash ring is mod 2^64 so each doc is a handful of numpy kernels, not a
     per-byte Python loop (VERDICT r1 "what's wrong" #4).
     """
