@@ -172,7 +172,11 @@ def run_bench() -> dict:
 
     queries = {"crawl": round(crawl_sec, 3)}
     qmap = entrymod.queries()
-    for name in BENCH_QUERY_NAMES:
+    # the scaling ladder measures ONLY the crawl headline; skipping the
+    # query battery in those subprocesses cuts a 2-cpu ladder run from
+    # ~35 min to ~6 min without touching the metric
+    skip_queries = os.environ.get("GRAFT_BENCH_SKIP_QUERIES") == "1"
+    for name in [] if skip_queries else BENCH_QUERY_NAMES:
         t0 = time.time()
         out = qmap[name](SF_DIR)
         if hasattr(out, "count") and not hasattr(out, "__len__"):
@@ -397,7 +401,8 @@ def run_scaling():
     import subprocess
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
+                   GRAFT_BENCH_SKIP_QUERIES="1")
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env,
