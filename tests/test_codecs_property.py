@@ -40,8 +40,8 @@ def smooth_images(draw, max_side=24):
     """Low-frequency content (JPEG is lossy; smooth images bound the error)."""
     h = draw(st.integers(1, max_side))
     w = draw(st.integers(1, max_side))
-    a = draw(st.integers(0, 7))
-    b = draw(st.integers(0, 7))
+    a = draw(st.integers(0, 3))
+    b = draw(st.integers(0, 3))
     base = draw(st.integers(0, 255))
     yy, xx = np.mgrid[0:h, 0:w]
     plane = base + a * yy + b * xx
