@@ -238,7 +238,8 @@ _NP_PAIR_SCHEMA = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
 
 
 def _embedding_pairs_ds(sf_dir: str, threshold: float = 0.95, n_planes: int = 8,
-                        n_tables: int = 24, seed: int = 42):
+                        n_tables: int = 24, seed: int = 42,
+                        min_table_hits: int = 2):
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine >= threshold)
     as a verified-pairs DATASET (consumed by ``embedding_near_pairs`` and
     ``embedding_dedup_canonical``).
@@ -259,16 +260,23 @@ def _embedding_pairs_ds(sf_dir: str, threshold: float = 0.95, n_planes: int = 8,
        at most once per pass regardless of candidate count.
 
     Recall: a pair at cosine 0.95 (theta <= 18.2 deg) shares a bucket in one
-    table with p = (1 - theta/pi)^n_planes ≈ 0.43; missing all 24 tables has
-    probability (1-p)^24 ≈ 1.5e-6 — verified exactly-equal to brute force on
-    the planted-pair corpus in pytest and hash-equal to the DuckDB cross-join
-    oracle at driver scales.
+    table with p = (1 - theta/pi)^n_planes ≈ 0.43 (n_planes=8; similar at
+    24); with ``min_table_hits=2`` (AND-amplification in the pair-dedup
+    shuffle) the miss probability is P(<2 of 24 tables) ≈ 3e-5 — verified
+    exactly-equal to brute force on the planted-pair corpus in pytest and
+    hash-equal to the DuckDB cross-join oracle at driver scales.
 
-    SIZING: random-pair candidates per table ~ C(n,2) / 2^n_planes, so
-    n_planes must grow with log2(n) — callers at corpus scale should pass
-    n_planes ≈ log2(n) + 3 (the 5M-row smoke uses 24; the sf-scale default
-    of 8 would put ~n/256 vectors in every bucket and explode quadratic
-    noise).
+    SIZING: the uniform-code estimate C(n,2)/2^n_planes per table
+    UNDERSTATES random collisions by ~100x for low-dim embeddings (random
+    32-dim angles concentrate near 90° with std 1/sqrt(dim) ≈ 10°, and the
+    collision integral is dominated by the close-angle tail — measured
+    45.8M raw candidates from 2M vectors at n_planes=24).  That is why
+    ``min_table_hits=2`` is the default: independent random collisions
+    almost never repeat across tables (the 45.8M collapse to ~tens of
+    thousands), while true near-dups collide in ~10 of 24 tables.
+    n_planes should still grow with log2(n) (the 5M-row smoke uses 24) to
+    keep the PER-TABLE candidate volume — and with it the first shuffle —
+    bounded.
     """
     path = _emb_path(sf_dir)
     dim = _embedding_dim(path)
@@ -328,6 +336,7 @@ def _embedding_pairs_ds(sf_dir: str, threshold: float = 0.95, n_planes: int = 8,
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas"),
         cols=("vec_a", "vec_b"),
+        min_count=min_table_hits,
     )
     emb_bucketed = bucketed_copy(
         path, "vec_id", ["vec_id", "embedding"], N_VERIFY_BUCKETS
@@ -404,7 +413,8 @@ def _embedding_pairs_ds(sf_dir: str, threshold: float = 0.95, n_planes: int = 8,
 
 
 def embedding_near_pairs(sf_dir: str, threshold: float = 0.95, n_planes: int = 8,
-                         n_tables: int = 24, seed: int = 42) -> pd.DataFrame:
+                         n_tables: int = 24, seed: int = 42,
+                         min_table_hits: int = 2) -> pd.DataFrame:
     """Embedding-cosine near-duplicate pairs — see ``_embedding_pairs_ds``
     for the LSH bucket-then-verify shape; this wrapper only collects the
     (small) verified pair set into the query-contract DataFrame."""
@@ -412,7 +422,8 @@ def embedding_near_pairs(sf_dir: str, threshold: float = 0.95, n_planes: int = 8
 
     return _pairs_to_pandas(
         _embedding_pairs_ds(sf_dir, threshold=threshold, n_planes=n_planes,
-                            n_tables=n_tables, seed=seed),
+                            n_tables=n_tables, seed=seed,
+                            min_table_hits=min_table_hits),
         cols=("vec_a", "vec_b"))
 
 

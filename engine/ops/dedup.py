@@ -188,12 +188,23 @@ def _band_keys(sigs: np.ndarray) -> np.ndarray:
 N_VERIFY_BUCKETS = 32  # width of the bucketed_copy used by verify reads
 
 
-def _pair_dedup_ds(pairs_ds, cols=("doc_a", "doc_b"), n_buckets: int = 64):
+def _pair_dedup_ds(pairs_ds, cols=("doc_a", "doc_b"), n_buckets: int = 64,
+                   min_count: int = 1):
     """Distributed pair-dedup (VERDICT r2 "what's wrong" #5): candidate
     (a, b) pairs found in multiple bands/blocks/tables are deduped INSIDE a
     pair-hash bucket shuffle — identical pairs hash to the same bucket, so a
     per-bucket vectorized drop_duplicates is exact and the candidate list
-    never materializes on the driver."""
+    never materializes on the driver.
+
+    ``min_count > 1`` turns the dedup into AND-amplification: only pairs
+    emitted at least that many times (= collided in that many independent
+    tables) survive.  For hyperplane LSH over low-dim embeddings this is
+    the difference between a usable candidate set and a quadratic one —
+    random 32-dim vector angles concentrate near 90° with std ~1/sqrt(dim),
+    so single-table collision rates sit orders of magnitude above the
+    uniform-code estimate (measured: 45.8M candidates from 2M vectors at
+    n_planes=24), while truly-near pairs collide in MANY tables.
+    """
     ca, cb = cols
     schema = pa.schema([(ca, pa.int64()), (cb, pa.int64())])
 
@@ -204,7 +215,11 @@ def _pair_dedup_ds(pairs_ds, cols=("doc_a", "doc_b"), n_buckets: int = 64):
         return t.append_column("pbucket", pa.array(h.astype(np.int32), pa.int32()))
 
     def dedup_group(g: pd.DataFrame) -> pa.Table:
-        out = g.drop_duplicates([ca, cb])
+        if min_count > 1:
+            out = g.groupby([ca, cb], sort=False).size().reset_index(name="_n")
+            out = out[out["_n"] >= min_count]
+        else:
+            out = g.drop_duplicates([ca, cb])
         return pa.table(
             {ca: pa.array(out[ca].to_numpy(), pa.int64()),
              cb: pa.array(out[cb].to_numpy(), pa.int64())},
