@@ -618,6 +618,23 @@ def oracle_sql() -> dict[str, str]:
               AND list_cosine_similarity(a.embedding, b.embedding) >= 0.95
             ORDER BY vec_a, vec_b
         """,
+        # transitive closure over the EXACT cosine pair set (recursive CTE
+        # reachability; min reachable node = component canonical) — the
+        # SQL ground truth the LSH+distributed-CC composition must match
+        "embedding_dedup_canonical": """
+            WITH RECURSIVE sym AS (
+              SELECT a.vec_id AS s, b.vec_id AS d
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id <> b.vec_id
+                AND list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+            ), reach(node, r) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.node
+            )
+            SELECT node AS vec_id, min(r) AS canonical_id
+            FROM reach GROUP BY node ORDER BY vec_id
+        """,
         "media_sizes": """
             SELECT doc_id AS media_id,
                    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

@@ -448,8 +448,11 @@ def embedding_dedup_canonical(sf_dir: str, threshold: float = 0.95,
         sf_dir, threshold=threshold, n_planes=n_planes, n_tables=n_tables,
         seed=seed).map_batches(to_doc_cols, batch_format="pyarrow")
     lab_df = connected_components_ds(pairs).to_pandas()
-    comp = dict(zip(lab_df["node"].to_numpy().tolist(),
-                    lab_df["label"].to_numpy().tolist()))
+    # an all-empty Dataset drops its schema in to_pandas() — no pairs
+    # means every vector is its own canonical
+    comp = ({} if lab_df.empty else
+            dict(zip(lab_df["node"].to_numpy().tolist(),
+                     lab_df["label"].to_numpy().tolist())))
     comp_ref = ray.put(comp)
 
     def assign(t: pa.Table) -> pa.Table:

@@ -649,9 +649,11 @@ def near_dedup_canonical(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     labels = connected_components_ds(_minhash_pairs_ds(sf_dir, threshold))
 
     lab_df = labels.to_pandas()
-    comp = dict(
+    # an all-empty Dataset drops its schema in to_pandas() — no pairs
+    # means every doc is its own canonical
+    comp = ({} if lab_df.empty else dict(
         zip(lab_df["node"].to_numpy().tolist(), lab_df["label"].to_numpy().tolist())
-    )
+    ))
 
     import ray
 

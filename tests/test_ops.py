@@ -200,9 +200,45 @@ def test_embedding_dedup_canonical_transitive(ray_session, tmp_path):
     out = embedding_dedup_canonical(str(d), threshold=0.95)
     canon = dict(zip(out["vec_id"], out["canonical_id"]))
     assert canon[0] == canon[100] == canon[200] == 0
+
+    # the SQL oracle (recursive-CTE closure over exact pairs) agrees on
+    # this corpus, where pairs actually exist — not just the identity case
+    import duckdb
+
+    import __ray_entry__ as E
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d / 'embeddings.parquet'}')")
+    sql_out = con.execute(E.oracle_sql()["embedding_dedup_canonical"]).fetchdf()
+    assert out.reset_index(drop=True).equals(
+        sql_out.astype({"vec_id": "int64", "canonical_id": "int64"}))
     lonely = [i for i in range(1, 30)
               if all(sims[i, j] < 0.95 for j in range(len(ids)) if j != i)]
     assert lonely and all(canon[i] == i for i in lonely)
+
+
+def test_embedding_dedup_canonical_no_pairs(ray_session, tmp_path):
+    """Zero near-dup pairs -> identity mapping (the empty Dataset drops its
+    schema in to_pandas; regression for the KeyError this once raised)."""
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(11)
+    rows = rng.standard_normal((20, 16)).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(list(range(20)), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in rows], pa.list_(pa.float32())),
+    })
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(t, d / "embeddings.parquet")
+
+    from engine.ops.ann import embedding_dedup_canonical
+
+    out = embedding_dedup_canonical(str(d), threshold=0.95)
+    assert len(out) == 20
+    assert (out["vec_id"].to_numpy() == out["canonical_id"].to_numpy()).all()
 
 
 def test_fake_decode_deterministic(ray_session):
