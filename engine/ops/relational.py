@@ -173,8 +173,10 @@ def _bucket_by(col: str):
     return add
 
 
-def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
-    """Session windows per user: a new session starts after a >gap idle period.
+def _sessionize_events_ds(sf_dir: str, gap_minutes: int = 30):
+    """Session windows per user as a DATASET (scale consumers count/write it;
+    the query-contract wrapper collects): a new session starts after a >gap
+    idle period.
 
     Shuffle on the coarse ``user_id % 64`` bucket (same-user rows land in the
     same bucket), then sessionize EVERY user in the bucket in one vectorized
@@ -201,21 +203,25 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
             agg.reset_index(drop=True), schema=_SESSIONS_SCHEMA, preserve_index=False
         ).replace_schema_metadata(None)
 
-    out = (
+    return (
         ds.map_batches(_bucket_by("user_id"), batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(sessions, batch_format="pandas")
-        .to_pandas()
     )
+
+
+def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    out = _sessionize_events_ds(sf_dir, gap_minutes).to_pandas()
     return out.sort_values(["user_id", "session_start"]).reset_index(drop=True)
 
 
-def events_asof_join(sf_dir: str) -> pd.DataFrame:
-    """As-of join: for each signup event, the value of the user's most recent
-    prior (ts <=) error event.  Coarse-bucket shuffle on ``user_id % 64``,
-    then ONE ``pd.merge_asof(..., by="user_id")`` handles every user in the
-    bucket vectorized (merge_asof's ``by=`` scopes the backward search to
-    the same user).  Rows with no prior error are dropped (inner as-of).
+def _events_asof_join_ds(sf_dir: str):
+    """As-of join as a DATASET (the query-contract wrapper collects): for
+    each signup event, the value of the user's most recent prior (ts <=)
+    error event.  Coarse-bucket shuffle on ``user_id % 64``, then ONE
+    ``pd.merge_asof(..., by="user_id")`` handles every user in the bucket
+    vectorized (merge_asof's ``by=`` scopes the backward search to the
+    same user).  Rows with no prior error are dropped (inner as-of).
     """
     ds = read_pruned(
         _t(sf_dir, "events"), ["event_id", "user_id", "ts", "event_type", "value"]
@@ -243,17 +249,21 @@ def events_asof_join(sf_dir: str) -> pd.DataFrame:
             schema=_ASOF_SCHEMA, preserve_index=False,
         ).replace_schema_metadata(None)
 
-    out = (
+    return (
         ds.map_batches(_bucket_by("user_id"), batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(asof, batch_format="pandas")
-        .to_pandas()
     )
+
+
+def events_asof_join(sf_dir: str) -> pd.DataFrame:
+    out = _events_asof_join_ds(sf_dir).to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
 
 
-def events_running_sum(sf_dir: str) -> pd.DataFrame:
-    """Running per-user cumulative sum of value in (ts, event_id) order.
+def _events_running_sum_ds(sf_dir: str):
+    """Running per-user cumulative sum of value in (ts, event_id) order,
+    as a DATASET (the query-contract wrapper collects).
 
     The window-function analog on the coarse-bucket idiom: shuffle on
     ``user_id % 64``, sort the whole bucket by (user, ts, id) once, then a
@@ -276,12 +286,15 @@ def events_running_sum(sf_dir: str) -> pd.DataFrame:
             schema=_RUN_SCHEMA, preserve_index=False,
         ).replace_schema_metadata(None)
 
-    out = (
+    return (
         ds.map_batches(_bucket_by("user_id"), batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(run, batch_format="pandas")
-        .to_pandas()
     )
+
+
+def events_running_sum(sf_dir: str) -> pd.DataFrame:
+    out = _events_running_sum_ds(sf_dir).to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
 
 
