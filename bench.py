@@ -348,7 +348,16 @@ def run_dedup_smoke() -> dict:
         "ivf_probe": lambda: ann.ann_topk_ivf_partitioned(
             dest, n_queries=16, k=10, index_dir=idx_dir
         ),
+        # the distributed-CC canonicalization compositions (pairs stream
+        # into min-label propagation; only the non-identity labels return)
+        "near_dedup_canonical": lambda: dedup.near_dedup_canonical(dest),
+        "embedding_dedup_canonical": lambda: ann.embedding_dedup_canonical(
+            dest, n_planes=24
+        ),
     }
+    only = os.environ.get("GRAFT_SMOKE_ONLY")
+    if only:
+        ops = {k: v for k, v in ops.items() if k in only.split(",")}
 
     results: dict = {"gen_sec": round(gen_sec, 1)}
     deterministic = True
