@@ -294,6 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from engine import oracles as _lsh_oracles
     from engine.ops.text import CATEGORY_PATTERNS, STOP_WORDS
 
     stop_list = ", ".join(f"'{w}'" for w in STOP_WORDS)
@@ -635,6 +636,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS vec_id, min(r) AS canonical_id
             FROM reach GROUP BY node ORDER BY vec_id
         """,
+        # full-pipeline LSH oracles GENERATED from the engine's own constants
+        # (perm params, splitmix constants, hot-bucket guards) — candidate
+        # generation AND verify both replicated exactly in uint64 ring SQL,
+        # see engine/oracles.py
+        "minhash_lsh_pairs": _lsh_oracles.minhash_lsh_pairs_sql(),
+        "simhash_near_pairs": _lsh_oracles.simhash_near_pairs_sql(),
+        "near_dedup_canonical": _lsh_oracles.near_dedup_canonical_sql(),
         "media_sizes": """
             SELECT doc_id AS media_id,
                    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

@@ -102,12 +102,16 @@ _POS_MULT = np.array(
 
 
 def _token_hash(w: str) -> int:
-    """blake2b-64 of one token, memoized per worker: natural-language token
+    """md5-prefix-64 of one token, memoized per worker: natural-language token
     frequency is Zipf, so the cache absorbs almost all occurrences — the
-    per-SHINGLE digest of rounds 1-2 paid the hash cost V^k times more."""
+    per-SHINGLE digest of rounds 1-2 paid the hash cost V^k times more.
+
+    md5 (not blake2b) so the whole MinHash pipeline is DuckDB-expressible:
+    ``('0x' || substr(md5(w),1,16))::UBIGINT`` computes the same 64 bits —
+    the same trade ``_token_bits`` made for the SimHash oracle."""
     v = _TOKEN_HASH_MEMO.get(w)
     if v is None:
-        v = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+        v = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
         if len(_TOKEN_HASH_MEMO) < 2_000_000:
             _TOKEN_HASH_MEMO[w] = v
     return v
@@ -187,6 +191,12 @@ def _band_keys(sigs: np.ndarray) -> np.ndarray:
 
 N_VERIFY_BUCKETS = 32  # width of the bucketed_copy used by verify reads
 
+# hot-bucket guards (shared with the generated DuckDB oracles so they can't
+# drift): a fine LSH group bigger than this is non-discriminative noise and
+# produces no pairs.  Standard LSH practice; deterministic.
+MINHASH_MAX_BUCKET = 256
+SIMHASH_MAX_BUCKET = 512
+
 
 def _pair_dedup_ds(pairs_ds, cols=("doc_a", "doc_b"), n_buckets: int = 64,
                    min_count: int = 1):
@@ -254,8 +264,9 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, k_shingle: int = 3) -
     against a BUCKETED docs copy -> pairs (a < b) with jaccard >= threshold.
     Output columns: doc_a, doc_b.
 
-    Rows-only for the driver (LSH candidate generation is not
-    SQL-expressible); exactness of the verify step is covered by pytest.
+    DuckDB-oracle-checked END TO END: the md5/splitmix/ring arithmetic is
+    deterministic and SQL-expressible, so `engine.oracles.minhash_lsh_pairs_sql`
+    replicates candidates AND verify exactly (generated from these constants).
     """
     return _pairs_to_pandas(_minhash_pairs_ds(sf_dir, threshold, k_shingle))
 
@@ -269,9 +280,7 @@ def _minhash_pairs_ds(sf_dir: str, threshold: float = 0.5, k_shingle: int = 3):
 
     N_SHUFFLE_BUCKETS = 64  # coarse shuffle key (see exact_dedup): the fine
     # (band, band_key) grouping happens vectorized inside each bucket group.
-    MAX_BUCKET = 256  # hot-bucket guard: a band bucket this big means the band
-    # is non-discriminative for these docs; its O(n^2) pairs are quadratic
-    # noise.  Standard LSH practice; deterministic.
+    MAX_BUCKET = MINHASH_MAX_BUCKET  # hot-bucket guard (see constant above)
 
     def band_rows(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy()
@@ -427,12 +436,13 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     and each bucket group verifies candidates with a vectorized XOR/popcount
     matrix.  Cross-block duplicate pairs are dropped inside a pair-hash
     bucket shuffle (never on the driver); only the final surviving pairs
-    reach the driver.  Rows-only.
+    reach the driver.  DuckDB-oracle-checked end to end
+    (`engine.oracles.simhash_near_pairs_sql`).
     """
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     N_SHUFFLE_BUCKETS = 64
-    MAX_BUCKET = 512  # hot-bucket guard (see minhash_lsh_pairs)
+    MAX_BUCKET = SIMHASH_MAX_BUCKET  # hot-bucket guard (see constant above)
 
     def block_rows(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy()

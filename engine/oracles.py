@@ -1,0 +1,233 @@
+"""Generated DuckDB oracle SQL for the LSH dedup family.
+
+The MinHash pipeline (`engine.ops.dedup`) is deterministic uint64 ring
+arithmetic end-to-end — md5-prefix token hashes, wrapping-multiply shingle
+combines, splitmix64 finalizers, (a*x+b) mod 2^64 mod (2^61-1) permutations,
+banded keys — so the ENTIRE candidate-generation + verify pipeline is
+SQL-expressible: DuckDB's UHUGEINT gives exact mod-2^64 products, xor/>>/&
+give the bit ops, and bit_xor gives the positional combines.  These builders
+generate that SQL *from the engine's own constants* (`_perm_params`,
+`_POS_MULT`, the splitmix constants, the hot-bucket guards) so the oracle
+can't drift from the implementation — the same pattern as the generated
+langid / rolling-fingerprint oracles in `__ray_entry__.py`.
+
+Reference parity note: the reference crawler's no-revisit set
+(SURVEY.md §2.7 D1) is exact-match only; the near-dup oracles cover the
+training-data extensions the prompt mandates.
+"""
+
+from __future__ import annotations
+
+from .ops import dedup as dd
+
+_M64 = 1 << 64
+_MASK61 = (1 << 61) - 1
+_MASK63 = (1 << 63) - 1
+# splitmix64 finalizer constants (must match dedup._mix64)
+_C1 = 0xBF58476D1CE4E5B9
+_C2 = 0x94D049BB133111EB
+# band-id mix constant (must match dedup._band_keys)
+_BANDC = 0x2545F4914F6CDD1D
+
+
+def _mul64(x: str, c) -> str:
+    """SQL for (x * c) mod 2^64 over UBIGINT operands, exact via UHUGEINT."""
+    return (f"CAST(((({x})::UHUGEINT * ({c})::UHUGEINT) % {_M64}::UHUGEINT)"
+            f" AS UBIGINT)")
+
+
+def _mix64(col: str) -> str:
+    """SQL splitmix64 finalizer over a UBIGINT column reference.
+
+    Mirrors dedup._mix64: x^=x>>30; x*=C1; x^=x>>27; x*=C2; x^=x>>31 —
+    all multiplies wrapping mod 2^64.  Inline expansion repeats the column
+    reference 8x, so callers should stage the input as a bare column.
+    """
+    t1 = f"xor({col}, {col} >> 30)"
+    t2 = _mul64(t1, _C1)
+    t3 = f"xor({t2}, {t2} >> 27)"
+    t4 = _mul64(t3, _C2)
+    return f"xor({t4}, {t4} >> 31)"
+
+
+def _pos_mult_case(var: str, k: int, base: int = 0) -> str:
+    """CASE mapping var = base..base+k-1 to _POS_MULT[0..k-1]."""
+    whens = " ".join(
+        f"WHEN {base + j} THEN {int(dd._POS_MULT[j])}::UBIGINT" for j in range(k - 1)
+    )
+    return (f"CASE ({var}) {whens} ELSE {int(dd._POS_MULT[k - 1])}::UBIGINT END")
+
+
+def _minhash_verified_pairs_ctes(threshold_num: int, threshold_den: int,
+                                 k: int = 3) -> str:
+    """CTE chain ending in `verified(doc_a, doc_b)` — the exact MinHash+LSH
+    near-dup pair set of dedup.minhash_lsh_pairs (candidates AND verify)."""
+    a_par, b_par = dd._perm_params()
+    perm_values = ", ".join(
+        f"({i}, {int(a_par[i])}::UBIGINT, {int(b_par[i])}::UBIGINT)"
+        for i in range(dd.N_PERM)
+    )
+    rpb = dd.ROWS_PER_BAND
+    win_joins = "\n".join(
+        f"              JOIN th t{j} ON t{j}.doc_id = t0.doc_id"
+        f" AND t{j}.i = t0.i + {j}" for j in range(1, k)
+    )
+    g3 = f"{_mul64('t0.h', int(dd._POS_MULT[0]))}"
+    for j in range(1, k):
+        g3 = f"xor({g3}, {_mul64(f't{j}.h', int(dd._POS_MULT[j]))})"
+    return rf"""
+            tok_arr AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                         x -> x <> '') AS toks
+              FROM documents
+            ), th AS (
+              SELECT doc_id, generate_subscripts(toks, 1) AS i,
+                     ('0x' || substr(md5(unnest(toks)), 1, 16))::UBIGINT AS h
+              FROM tok_arr
+            ), nt AS (
+              SELECT doc_id, count(*) AS n FROM th GROUP BY doc_id
+            ), g_full AS (      -- k-token windows (docs with n >= k)
+              SELECT t0.doc_id, {g3} AS g
+              FROM th t0
+{win_joins}
+            ), g_short AS (     -- n < k: one shingle combining all n tokens
+              SELECT t.doc_id,
+                     bit_xor({_mul64('t.h', _pos_mult_case('t.i - 1', k))}) AS g
+              FROM th t JOIN nt ON nt.doc_id = t.doc_id AND nt.n < {k}
+              GROUP BY t.doc_id
+            ), g_all AS (
+              SELECT doc_id, g FROM g_full
+              UNION ALL SELECT doc_id, g FROM g_short
+            ), sh AS (          -- DISTINCT 61-bit shingle hashes per doc
+              SELECT DISTINCT doc_id, ({_mix64('g')} & {_MASK61}::UBIGINT) AS s
+              FROM g_all
+            ), perms AS (
+              SELECT * FROM (VALUES {perm_values}) p(i, a, b)
+            ), sigs AS (        -- minhash: min((a*s + b) mod 2^64 mod p)
+              SELECT sh.doc_id, p.i,
+                     min(CAST(((p.a::UHUGEINT * sh.s::UHUGEINT + p.b::UHUGEINT)
+                               % {_M64}::UHUGEINT)
+                              % {dd._MERSENNE}::UHUGEINT AS UBIGINT)) AS sig
+              FROM sh CROSS JOIN perms p
+              GROUP BY sh.doc_id, p.i
+            ), allsigs AS (     -- shingle-less docs: sig = 2^64-1 (uint64 max)
+              SELECT d.doc_id, p.i,
+                     COALESCE(s.sig, {_M64 - 1}::UBIGINT) AS sig
+              FROM (SELECT doc_id FROM documents) d
+              CROSS JOIN perms p
+              LEFT JOIN sigs s ON s.doc_id = d.doc_id AND s.i = p.i
+            ), bh AS (          -- positional combine of each band's rows
+              SELECT doc_id, (i // {rpb}) AS band,
+                     bit_xor({_mul64('sig', _pos_mult_case(f'i % {rpb}', rpb))}) AS h0
+              FROM allsigs GROUP BY doc_id, band
+            ), bh2 AS (
+              SELECT doc_id, xor(h0, {_mul64('band', _BANDC)}) AS h1 FROM bh
+            ), keys AS (
+              SELECT doc_id,
+                     CAST(({_mix64('h1')} & {_MASK63}::UBIGINT) AS BIGINT) AS band_key
+              FROM bh2
+            ), grp AS (
+              SELECT band_key, count(DISTINCT doc_id) AS n
+              FROM keys GROUP BY band_key
+            ), cand AS (        -- LSH candidates, hot-bucket guard, deduped
+              SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+              FROM keys x
+              JOIN keys y ON y.band_key = x.band_key AND y.doc_id > x.doc_id
+              JOIN grp g ON g.band_key = x.band_key
+                        AND g.n <= {dd.MINHASH_MAX_BUCKET}
+            ), ssz AS (
+              SELECT d.doc_id, count(sh.s) AS n
+              FROM documents d LEFT JOIN sh ON sh.doc_id = d.doc_id
+              GROUP BY d.doc_id
+            ), ij AS (          -- shingle-set intersections (inverted index)
+              SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS nc
+              FROM sh x JOIN sh y ON y.s = x.s AND y.doc_id > x.doc_id
+              GROUP BY 1, 2
+            ), verified AS (    -- exact Jaccard >= {threshold_num}/{threshold_den},
+                                -- integer cross-multiplied (empty union => keep)
+              SELECT c.doc_a, c.doc_b
+              FROM cand c
+              JOIN ssz za ON za.doc_id = c.doc_a
+              JOIN ssz zb ON zb.doc_id = c.doc_b
+              LEFT JOIN ij ON ij.da = c.doc_a AND ij.db = c.doc_b
+              WHERE {threshold_den} * COALESCE(ij.nc, 0)
+                    >= {threshold_num} * (za.n + zb.n - COALESCE(ij.nc, 0))
+            )"""
+
+
+def minhash_lsh_pairs_sql(threshold_num: int = 1, threshold_den: int = 2,
+                          k: int = 3) -> str:
+    """Full-pipeline oracle for dedup.minhash_lsh_pairs (default threshold 1/2)."""
+    return (f"WITH {_minhash_verified_pairs_ctes(threshold_num, threshold_den, k)}\n"
+            "            SELECT doc_a, doc_b FROM verified"
+            " ORDER BY doc_a, doc_b")
+
+
+def near_dedup_canonical_sql(threshold_num: int = 1, threshold_den: int = 2,
+                             k: int = 3) -> str:
+    """Transitive closure over the verified MinHash pair set: recursive-CTE
+    reachability, min reachable id = canonical (docs in no pair map to
+    themselves) — the ground truth for the LSH -> distributed-CC composition.
+    """
+    return (f"WITH RECURSIVE {_minhash_verified_pairs_ctes(threshold_num, threshold_den, k)},\n"
+            """            sym AS (
+              SELECT doc_a AS s, doc_b AS d FROM verified
+              UNION ALL SELECT doc_b, doc_a FROM verified
+            ), reach(node, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.node
+            )
+            SELECT node AS doc_id, min(r) AS canonical_id
+            FROM reach GROUP BY node ORDER BY doc_id""")
+
+
+def simhash_near_pairs_sql(max_hamming: int = 3) -> str:
+    """Full-pipeline oracle for dedup.simhash_near_pairs: the md5-prefix
+    SimHash signature (identical CTEs to the simhash_signatures oracle),
+    candidates sharing >= 1 of the 4 16-bit blocks (pigeonhole for
+    Hamming <= 3), the per-(blk,key) hot-group guard, and the exact Hamming
+    verify via bit_count(xor(...)).
+    """
+    return rf"""
+            WITH toks AS (
+              SELECT doc_id, unnest(list_distinct(list_filter(
+                       string_split_regex(lower(text), '\s+'),
+                       x -> x <> ''))) AS w
+              FROM documents
+            ), th AS (
+              SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h
+              FROM toks
+            ), bits AS (
+              SELECT doc_id, j,
+                     SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+              FROM th, range(63) t(j)
+              GROUP BY doc_id, j
+            ), sg AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN acc > 0 THEN (1::BIGINT << j::INTEGER)
+                              ELSE 0 END)::BIGINT AS simhash
+              FROM bits GROUP BY doc_id
+            ), sig AS (
+              SELECT d.doc_id, COALESCE(sg.simhash, 0)::BIGINT AS simhash
+              FROM documents d LEFT JOIN sg USING (doc_id)
+            ), blocks AS (
+              SELECT doc_id, simhash, r.blk,
+                     CAST((CAST(simhash AS UBIGINT) >> (r.blk * 16))
+                          & 65535 AS INTEGER) AS key
+              FROM sig, range(4) r(blk)
+            ), grp AS (
+              SELECT blk, key, count(*) AS n FROM blocks GROUP BY blk, key
+            ), cand AS (
+              SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                     x.simhash AS ha, y.simhash AS hb
+              FROM blocks x
+              JOIN blocks y ON y.blk = x.blk AND y.key = x.key
+                           AND y.doc_id > x.doc_id
+              JOIN grp g ON g.blk = x.blk AND g.key = x.key
+                        AND g.n <= {dd.SIMHASH_MAX_BUCKET}
+            )
+            SELECT doc_a, doc_b FROM cand
+            WHERE bit_count(xor(CAST(ha AS UBIGINT), CAST(hb AS UBIGINT)))
+                  <= {max_hamming}
+            ORDER BY doc_a, doc_b"""
