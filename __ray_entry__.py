@@ -267,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": dedup.simhash_signatures,
         "simhash_near_pairs": dedup.simhash_near_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "dup_ngram_spans": dedup.dup_ngram_spans,
         # similarity search
         "ann_topk": ann.ann_topk_bruteforce,
         "ann_topk_lsh": ann.ann_topk_lsh,
@@ -643,6 +644,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _lsh_oracles.minhash_lsh_pairs_sql(),
         "simhash_near_pairs": _lsh_oracles.simhash_near_pairs_sql(),
         "near_dedup_canonical": _lsh_oracles.near_dedup_canonical_sql(),
+        "dup_ngram_spans": _lsh_oracles.dup_ngram_spans_sql(),
         "media_sizes": """
             SELECT doc_id AS media_id,
                    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

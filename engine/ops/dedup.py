@@ -817,3 +817,135 @@ def ngram_jaccard_pairs(sf_dir: str, k: int = 3,
              for c in ("doc_a", "doc_b", "n_common", "n_a", "n_b")}
         )
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-substring span detection (Lee et al. 2022-style, token level)
+# ---------------------------------------------------------------------------
+
+
+def _gram_hashes_positional(text: str, k: int) -> np.ndarray:
+    """61-bit hashes of ALL k-token-gram positions (1-based start positions
+    implied by array index) — the _shingles combine WITHOUT the distinct and
+    WITHOUT the short-doc special case (docs with n < k emit nothing)."""
+    toks = text.lower().split()
+    n = len(toks)
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    th = np.fromiter((_token_hash(w) for w in toks), dtype=np.uint64, count=n)
+    g = np.zeros(n - k + 1, dtype=np.uint64)
+    for j in range(k):
+        g ^= th[j : n - k + 1 + j] * _POS_MULT[j]
+    return _mix64(g) & np.uint64((1 << 61) - 1)
+
+
+_SPAN_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("span_start", pa.int64()), ("span_end", pa.int64())]
+)
+
+
+def dup_ngram_spans(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """(doc_id, span_start, span_end) — maximal 1-based token spans covered
+    by k-grams occurring >= 2 times ANYWHERE in the corpus (including twice
+    in the same doc): the exact-substring-dedup primitive of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"), at token
+    granularity, without the suffix array.
+
+    Scale shape (three narrow all-to-alls, text never shuffles):
+
+    1. map_batches: (gram_hash, doc_id, pos) rows for every k-gram position;
+       coarse bucket = gram_hash % 64, so every occurrence of a gram lands in
+       ONE bucket and per-bucket occurrence counts are global.
+    2. groupby(gram bucket): drop grams with < 2 occurrences (vectorized
+       transform-size prefilter — at corpus scale almost every gram is
+       unique); survivors re-key by doc bucket.
+    3. groupby(doc bucket): merge each doc's duplicated [pos, pos+k) windows
+       into maximal spans — adjacent-or-overlapping (next_start <= prev_start
+       + k) merge — with vectorized gaps-and-islands over a per-bucket sort.
+
+    DuckDB-oracle-checked end to end (engine.oracles.dup_ngram_spans_sql):
+    the gram hash is the same md5/splitmix ring as MinHash, and the output
+    is integer-only.  doc_id is int64; pos is the 1-based token index.
+    """
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    N_SHUFFLE_BUCKETS = 64
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        out_g, out_id, out_pos = [], [], []
+        for did, tx in zip(ids, t["text"].to_pylist()):
+            g = _gram_hashes_positional(tx, k)
+            if len(g) == 0:
+                continue
+            out_g.append(g.astype(np.int64))
+            out_id.append(np.full(len(g), did, dtype=np.int64))
+            out_pos.append(np.arange(1, len(g) + 1, dtype=np.int64))
+        if not out_g:
+            return pa.table(
+                {"gram": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64()),
+                 "pos": pa.array([], pa.int64()), "bucket": pa.array([], pa.int32())}
+            )
+        g = np.concatenate(out_g)
+        return pa.table(
+            {
+                "gram": pa.array(g, pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "pos": pa.array(np.concatenate(out_pos), pa.int64()),
+                "bucket": pa.array((g % N_SHUFFLE_BUCKETS).astype(np.int32), pa.int32()),
+            }
+        )
+
+    _DUP_POS_SCHEMA = pa.schema(
+        [("doc_id", pa.int64()), ("pos", pa.int64()), ("dbucket", pa.int32())]
+    )
+
+    def dup_positions(g: pd.DataFrame) -> pa.Table:
+        g = g[g.groupby("gram")["gram"].transform("size") >= 2]
+        ids = g["doc_id"].to_numpy()
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "pos": pa.array(g["pos"].to_numpy(), pa.int64()),
+             "dbucket": pa.array((ids % N_SHUFFLE_BUCKETS).astype(np.int32), pa.int32())},
+            schema=_DUP_POS_SCHEMA,
+        )
+
+    def merge_spans(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["doc_id", "pos"])
+        ids = g["doc_id"].to_numpy()
+        pos = g["pos"].to_numpy()
+        brk = np.ones(len(g), dtype=np.int64)
+        if len(g) > 1:
+            same_doc = ids[1:] == ids[:-1]
+            near = pos[1:] - pos[:-1] <= k
+            brk[1:] = (~(same_doc & near)).astype(np.int64)
+        isl = np.cumsum(brk)
+        df = pd.DataFrame({"doc_id": ids, "pos": pos, "isl": isl})
+        s = df.groupby("isl", sort=False).agg(
+            doc_id=("doc_id", "first"), span_start=("pos", "min"), span_end=("pos", "max")
+        )
+        return pa.table(
+            {"doc_id": pa.array(s["doc_id"].to_numpy(), pa.int64()),
+             "span_start": pa.array(s["span_start"].to_numpy(), pa.int64()),
+             "span_end": pa.array(s["span_end"].to_numpy() + (k - 1), pa.int64())},
+            schema=_SPAN_SCHEMA,
+        )
+
+    # NOTE: Ray's sort-based groupby can produce EMPTY output partitions
+    # (duplicate quantile boundaries over the narrow 64-value bucket key);
+    # those emit schema-less bundles, which logs Ray's one-per-operator
+    # bundle-schema-divergence warning.  Cosmetic and data-dependent —
+    # results are unaffected (verified vs the DuckDB oracle either way).
+    out = (
+        ds.map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(dup_positions, batch_format="pandas")
+        .groupby("dbucket")
+        .map_groups(merge_spans, batch_format="pandas")
+        .to_pandas()
+    )
+    if "doc_id" not in out.columns:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("doc_id", "span_start", "span_end")}
+        )
+    return out.sort_values(["doc_id", "span_start"]).reset_index(drop=True)

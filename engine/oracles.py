@@ -182,6 +182,54 @@ def near_dedup_canonical_sql(threshold_num: int = 1, threshold_den: int = 2,
             FROM reach GROUP BY node ORDER BY doc_id""")
 
 
+def dup_ngram_spans_sql(k: int = 5) -> str:
+    """Oracle for dedup.dup_ngram_spans: the same md5/splitmix gram hash at
+    every position (no distinct), occurrence counts >= 2, and SQL
+    gaps-and-islands for the maximal-span merge — integer-only output."""
+    win_joins = "\n".join(
+        f"              JOIN th t{j} ON t{j}.doc_id = t0.doc_id"
+        f" AND t{j}.i = t0.i + {j}" for j in range(1, k)
+    )
+    g = f"{_mul64('t0.h', int(dd._POS_MULT[0]))}"
+    for j in range(1, k):
+        g = f"xor({g}, {_mul64(f't{j}.h', int(dd._POS_MULT[j]))})"
+    return rf"""
+            WITH tok_arr AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                         x -> x <> '') AS toks
+              FROM documents
+            ), th AS (
+              SELECT doc_id, generate_subscripts(toks, 1) AS i,
+                     ('0x' || substr(md5(unnest(toks)), 1, 16))::UBIGINT AS h
+              FROM tok_arr
+            ), g_pos AS (       -- gram hash at every k-window position
+              SELECT t0.doc_id, t0.i, {g} AS g
+              FROM th t0
+{win_joins}
+            ), s_pos AS (
+              SELECT doc_id, i, ({_mix64('g')} & {_MASK61}::UBIGINT) AS s
+              FROM g_pos
+            ), cnt AS (
+              SELECT s, count(*) AS n FROM s_pos GROUP BY s
+            ), dup AS (         -- positions whose gram repeats anywhere
+              SELECT p.doc_id, p.i
+              FROM s_pos p JOIN cnt ON cnt.s = p.s AND cnt.n >= 2
+            ), isl AS (         -- gaps-and-islands: windows [i, i+k) merge
+                                -- when next_start - prev_start <= k
+              SELECT doc_id, i,
+                     CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                               <= {k} THEN 0 ELSE 1 END AS brk
+              FROM dup
+            ), grp AS (
+              SELECT doc_id, i,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS isl_id
+              FROM isl
+            )
+            SELECT doc_id, min(i) AS span_start, max(i) + {k - 1} AS span_end
+            FROM grp GROUP BY doc_id, isl_id
+            ORDER BY doc_id, span_start"""
+
+
 def simhash_near_pairs_sql(max_hamming: int = 3) -> str:
     """Full-pipeline oracle for dedup.simhash_near_pairs: the md5-prefix
     SimHash signature (identical CTEs to the simhash_signatures oracle),

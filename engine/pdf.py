@@ -22,9 +22,11 @@ Geometry convention (shared writer<->reader, mirrors the HTML encoding): the
 ``Tm`` y operand carries the word's vertical MIDLINE (the reference computes
 ``(BoundingBox.Top+BoundingBox.Bottom)/2`` at ``PdfToMarkdownConverter.cs:287``);
 ``Right = left + CHAR_WIDTH * len(text)`` uses the same fixed metric as the
-HTML path.  Streams may be raw or ``/FlateDecode`` (stdlib zlib — what
-PdfPig's corpus overwhelmingly uses); other filters raise.  Strings may be
-literal ``(..)`` or hex ``<..>``.
+HTML path.  Streams may be raw, ``/FlateDecode`` (stdlib zlib — what
+PdfPig's corpus overwhelmingly uses), ``/LZWDecode`` (from-scratch TIFF-style
+LZW with EarlyChange=1), ``/ASCIIHexDecode``, ``/ASCII85Decode``, or
+``/RunLengthDecode``; remaining filters (DCT/CCITT/JBIG2/Crypt) raise.
+Strings may be literal ``(..)`` or hex ``<..>``.
 """
 
 from __future__ import annotations

@@ -807,3 +807,77 @@ def test_ngram_jaccard_pairs_exact_vs_bruteforce(ray_session, tmp_path):
     assert len(exp) >= 5  # the planted dups must actually pair
     got_t = [tuple(int(v) for v in row) for row in got.itertuples(index=False)]
     assert got_t == exp
+
+
+def test_dup_ngram_spans_planted(ray_session, tmp_path):
+    """Planted repeated sentence across two docs -> exactly the covering
+    spans come back, merged maximally; unique docs produce no spans."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(11)
+    vocab = [f"u{i}x{j}" for i in range(40) for j in range(40)]  # unique-ish
+    rows = []
+    # 20 unique docs: tokens drawn without replacement from a huge vocab so
+    # no 5-gram can repeat
+    perm = rng.permutation(len(vocab))
+    off = 0
+    for i in range(20):
+        toks = [vocab[p] for p in perm[off : off + 40]]
+        off += 40
+        rows.append((i, " ".join(toks)))
+    # plant: one 12-token sentence shared verbatim by docs 100 and 101 at
+    # different offsets (tokens 5..16 and 20..31, 0-based)
+    sent = [f"planted{j}" for j in range(12)]
+    a = [vocab[p] for p in perm[off : off + 40]]; off += 40
+    b = [vocab[p] for p in perm[off : off + 40]]; off += 40
+    a[5:17] = sent
+    b[20:32] = sent
+    rows.append((100, " ".join(a)))
+    rows.append((101, " ".join(b)))
+    # plant: doc 102 repeats its OWN first 8 tokens at the end
+    c = [vocab[p] for p in perm[off : off + 30]]
+    c = c + c[:8]
+    rows.append((102, " ".join(c)))
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": [r[1] for r in rows]}),
+        str(d / "documents.parquet"),
+    )
+
+    from engine.ops.dedup import dup_ngram_spans
+
+    got = dup_ngram_spans(str(d), k=5)
+
+    # docs 0..19 contribute nothing
+    assert (got["doc_id"] >= 100).all()
+    # the shared sentence: 12 tokens -> k-gram starts cover an 12-token span.
+    # doc 100: tokens 6..17 1-based -> span_start=6, span_end=17
+    g100 = got[got["doc_id"] == 100]
+    assert [(int(r.span_start), int(r.span_end)) for r in g100.itertuples()] == [(6, 17)]
+    g101 = got[got["doc_id"] == 101]
+    assert [(int(r.span_start), int(r.span_end)) for r in g101.itertuples()] == [(21, 32)]
+    # doc 102: first 8 tokens (1..8) and the trailing copy (31..38)
+    g102 = got[got["doc_id"] == 102]
+    assert [(int(r.span_start), int(r.span_end)) for r in g102.itertuples()] == [
+        (1, 8), (31, 38)]
+
+
+def test_dup_ngram_spans_matches_oracle_sf0001(ray_session):
+    """Engine == generated DuckDB oracle on the real sf0.001 corpus."""
+    import duckdb
+
+    from engine import oracles
+    from engine.ops.dedup import dup_ngram_spans
+
+    sf = "/root/testdata/sf0.001"
+    got = dup_ngram_spans(sf)
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    exp = con.sql(oracles.dup_ngram_spans_sql()).df()
+    assert got.reset_index(drop=True).astype("int64").equals(exp.astype("int64"))
