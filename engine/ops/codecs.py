@@ -78,11 +78,17 @@ def decode_bmp(data: bytes) -> np.ndarray:
         raise ValueError("not a BMP")
     off = struct.unpack_from("<I", data, 10)[0]
     hdr_size = struct.unpack_from("<I", data, 14)[0]
-    if hdr_size < 40:
-        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
-    w, h = struct.unpack_from("<ii", data, 18)
-    planes, bpp = struct.unpack_from("<HH", data, 26)
-    compression = struct.unpack_from("<I", data, 30)[0]
+    if hdr_size == 12:  # BITMAPCOREHEADER (OS/2 1.x): 16-bit dims, no
+        # compression field (core BMPs are always uncompressed), bottom-up
+        w, h = struct.unpack_from("<hh", data, 18)
+        bpp = struct.unpack_from("<H", data, 24)[0]
+        compression = 0
+    elif hdr_size >= 40:  # BITMAPINFOHEADER and its extensions
+        w, h = struct.unpack_from("<ii", data, 18)
+        bpp = struct.unpack_from("<H", data, 28)[0]
+        compression = struct.unpack_from("<I", data, 30)[0]
+    else:
+        raise NotImplementedError(f"unknown BMP header size {hdr_size}")
     if bpp != 24 or compression != 0:
         raise NotImplementedError(f"only uncompressed 24-bit BMP (got bpp={bpp})")
     bottom_up = h > 0
@@ -110,13 +116,20 @@ def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE PCM bytes -> (int16 mono samples, sample_rate)."""
+    """RIFF/WAVE bytes -> (int16 mono samples, sample_rate).
+
+    Formats: PCM 16-bit (native), PCM 8-bit unsigned (rescaled to int16),
+    and IEEE float32 (fmt 3, clipped+scaled to int16).  Multi-channel input
+    keeps channel 0.
+    """
     if data[:4] != RIFF_MAGIC or data[8:12] != b"WAVE":
         raise ValueError("not a WAV")
     pos = 12
     rate = None
     pcm = None
     channels = 1
+    audio_fmt = 1
+    bits = 16
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
@@ -124,14 +137,24 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         if cid == b"fmt ":
             audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
-            if audio_fmt != 1 or bits != 16:
-                raise NotImplementedError("only 16-bit PCM WAV supported")
+            if (audio_fmt, bits) not in ((1, 16), (1, 8), (3, 32)):
+                raise NotImplementedError(
+                    f"unsupported WAV format (fmt={audio_fmt}, bits={bits}): "
+                    "PCM-16, PCM-8 and float32 are implemented"
+                )
         elif cid == b"data":
             pcm = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if rate is None or pcm is None:
         raise ValueError("WAV missing fmt/data chunk")
-    samples = np.frombuffer(pcm, dtype="<i2")
+    if audio_fmt == 3:
+        f = np.frombuffer(pcm, dtype="<f4")
+        samples = np.clip(np.rint(f * 32767.0), -32768, 32767).astype(np.int16)
+    elif bits == 8:  # 8-bit PCM is unsigned, midpoint 128
+        u = np.frombuffer(pcm, dtype=np.uint8)
+        samples = ((u.astype(np.int16) - 128) << 8).astype(np.int16)
+    else:
+        samples = np.frombuffer(pcm, dtype="<i2")
     if channels > 1:
         samples = samples.reshape(-1, channels)[:, 0].copy()
     return samples, rate

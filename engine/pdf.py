@@ -134,21 +134,219 @@ def _read_hex_string(data: bytes, i: int):
     return bytes.fromhex(digits.decode("ascii")).decode("utf-8", errors="replace"), j + 1
 
 
+# ---------------------------------------------------------------------------
+# Stream filters (ISO 32000 §7.4): Flate via stdlib zlib, the rest from
+# scratch.  Encoders exist so the writer can emit every filter it reads.
+# ---------------------------------------------------------------------------
+
+
+def encode_ascii_hex(data: bytes) -> bytes:
+    import binascii
+
+    return binascii.hexlify(data) + b">"
+
+
+def decode_ascii_hex(data: bytes) -> bytes:
+    import binascii
+
+    end = data.find(b">")
+    if end != -1:
+        data = data[:end]
+    digits = re.sub(rb"\s+", b"", data)
+    if len(digits) % 2:  # odd final digit: implied trailing 0
+        digits += b"0"
+    return binascii.unhexlify(digits)
+
+
+def encode_ascii85(data: bytes) -> bytes:
+    import base64
+
+    return base64.a85encode(data) + b"~>"
+
+
+def decode_ascii85(data: bytes) -> bytes:
+    import base64
+
+    end = data.find(b"~>")
+    if end != -1:
+        data = data[:end]
+    return base64.a85decode(re.sub(rb"\s+", b"", data))
+
+
+def encode_run_length(data: bytes) -> bytes:
+    """§7.4.5: runs of 2-128 identical bytes -> (257-run, byte); literal
+    spans of 1-128 bytes -> (len-1, bytes); 128 = EOD."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+        else:
+            j = i + 1
+            while j < n and j - i < 128 and (j + 1 >= n or data[j] != data[j + 1]):
+                j += 1
+            out.append(j - i - 1)
+            out += data[i:j]
+            i = j
+    out.append(128)
+    return bytes(out)
+
+
+def decode_run_length(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        length = data[i]
+        if length == 128:  # EOD
+            break
+        if length < 128:
+            out += data[i + 1 : i + 2 + length]
+            i += 2 + length
+        else:
+            out += bytes([data[i + 1]]) * (257 - length)
+            i += 2
+    return bytes(out)
+
+
+_LZW_CLEAR = 256
+_LZW_EOD = 257
+
+
+def encode_lzw(data: bytes, early: int = 1) -> bytes:
+    """§7.4.4 TIFF-style LZW, MSB-first variable 9-12 bit codes,
+    EarlyChange=1 (the PDF default): code width grows one code early."""
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(256)}
+
+    table = fresh()
+    next_code = 258
+    emit(_LZW_CLEAR)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        if next_code >= (1 << width) - early and width < 12:
+            width += 1
+        if next_code >= 4096 - early:  # table full: clear and restart
+            emit(_LZW_CLEAR)
+            table = fresh()
+            next_code = 258
+            width = 9
+        w = bytes([b])
+    if w:
+        emit(table[w])
+    emit(_LZW_EOD)
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def decode_lzw(data: bytes, early: int = 1) -> bytes:
+    out = bytearray()
+    table: dict = {}
+    next_code = 258
+    width = 9
+    prev: bytes | None = None
+    bitbuf = 0
+    nbits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == _LZW_CLEAR:
+                table = {}
+                next_code = 258
+                width = 9
+                prev = None
+                continue
+            if code == _LZW_EOD:
+                return bytes(out)
+            if prev is None:
+                entry = bytes([code]) if code < 256 else table[code]
+            else:
+                if code < 256:
+                    entry = bytes([code])
+                elif code in table:
+                    entry = table[code]
+                elif code == next_code:
+                    entry = prev + prev[:1]  # the KwKwK case
+                else:
+                    raise ValueError("corrupt LZW stream: code out of range")
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                # the decoder's table lags the encoder's by one entry (it
+                # can only add after seeing the NEXT code), so its width
+                # bump fires one code earlier than the encoder's counter
+                # comparison to stay bit-synchronized
+                if next_code + 1 >= (1 << width) - early and width < 12:
+                    width += 1
+            out += entry
+            prev = entry
+    return bytes(out)
+
+
+_STREAM_DECODERS = {
+    b"FlateDecode": zlib.decompress,
+    b"LZWDecode": decode_lzw,
+    b"ASCIIHexDecode": decode_ascii_hex,
+    b"ASCII85Decode": decode_ascii85,
+    b"RunLengthDecode": decode_run_length,
+}
+
+# writer-side encoders, keyed by the /Filter name the reader will see
+STREAM_ENCODERS = {
+    "FlateDecode": lambda d: zlib.compress(d, 9),
+    "LZWDecode": encode_lzw,
+    "ASCIIHexDecode": encode_ascii_hex,
+    "ASCII85Decode": encode_ascii85,
+    "RunLengthDecode": encode_run_length,
+}
+
+
 def _decode_stream(dict_part: bytes, raw: bytes) -> bytes:
-    """Apply the stream dict's /Filter chain.  FlateDecode via stdlib zlib;
-    anything else keeps the honest from-scratch boundary and raises."""
+    """Apply the stream dict's /Filter chain.  Flate/LZW/AHx/A85/RL are
+    implemented; image/crypt filters keep the honest boundary and raise.
+    LZW EarlyChange=0 (non-default, vanishingly rare) also raises."""
     fm = re.search(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)", dict_part)
     if not fm:
         return raw
+    if re.search(rb"/EarlyChange\s+0", dict_part):
+        raise NotImplementedError("LZW EarlyChange=0 is not supported")
     filters = re.findall(rb"/([A-Za-z0-9]+)", fm.group(1))
     for f in filters:
-        if f == b"FlateDecode":
-            raw = zlib.decompress(raw)
-        else:
+        dec = _STREAM_DECODERS.get(f)
+        if dec is None:
             raise NotImplementedError(
                 "PDF stream filter /%s is not supported (from-scratch reader "
-                "handles raw and /FlateDecode streams)" % f.decode("ascii")
+                "handles raw, Flate, LZW, ASCIIHex, ASCII85 and RunLength "
+                "streams)" % f.decode("ascii")
             )
+        raw = dec(raw)
     return raw
 
 
@@ -399,15 +597,25 @@ def parse_pdf_layout(data: bytes) -> tuple[list, list]:
 PAGE_WIDTH = 612.0
 
 
-def render_pdf_page_bytes(word_pages: list, hrefs: list, compress: bool = False) -> bytes:
+def render_pdf_page_bytes(
+    word_pages: list, hrefs: list, compress: bool = False,
+    stream_filter: str | None = None,
+) -> bytes:
     """[(page_no, height, [(x, y, word)])] + hrefs -> a valid PDF.
 
     One ``Tm``-positioned ``Tj`` per word (y = midline, see module note);
     link annotations for every href attached to the LAST page in order
     (matching the HTML encoding's trailing <nav> block).  ``compress=True``
     emits ``/Filter /FlateDecode`` content streams (deterministic zlib
-    level 9), matching what real-world PDF producers write.
+    level 9), matching what real-world PDF producers write;
+    ``stream_filter`` picks any other supported filter by name
+    (``"LZWDecode"``, ``"ASCIIHexDecode"``, ``"ASCII85Decode"``,
+    ``"RunLengthDecode"``) so every reader path has a writer twin.
     """
+    if compress and stream_filter is None:
+        stream_filter = "FlateDecode"
+    if stream_filter is not None and stream_filter not in STREAM_ENCODERS:
+        raise ValueError(f"unsupported stream filter {stream_filter!r}")
     n_pages = len(word_pages)
     objects: list = []  # (obj_num, body_bytes) in file order
 
@@ -439,9 +647,10 @@ def render_pdf_page_bytes(word_pages: list, hrefs: list, compress: bool = False)
             page += b" /Annots [" + refs + b"]"
         page += b" >>"
         objects.append((page_obj[i], page))
-        if compress:
-            payload = zlib.compress(content, 9)
-            cdict = b"<< /Length %d /Filter /FlateDecode >>" % len(payload)
+        if stream_filter is not None:
+            payload = STREAM_ENCODERS[stream_filter](content)
+            cdict = b"<< /Length %d /Filter /%s >>" % (
+                len(payload), stream_filter.encode("ascii"))
         else:
             payload = content
             cdict = b"<< /Length %d >>" % len(payload)

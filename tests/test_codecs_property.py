@@ -109,3 +109,58 @@ def test_resize_nearest_properties(px, out_w, out_h):
     # every output pixel exists somewhere in the source
     src_px = {tuple(p) for row in px for p in row}
     assert all(tuple(p) in src_px for row in small for p in row)
+
+
+def test_bmp_core_header_decodes():
+    """BITMAPCOREHEADER (OS/2 1.x, 12-byte header) 24-bit BMPs decode to the
+    same pixels as the BITMAPINFOHEADER encoding (round-3 boundary closure)."""
+    import struct
+
+    from engine.ops.codecs import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(5, 3, 3)).astype(np.uint8)
+    h, w = px.shape[:2]
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    body = bytearray()
+    bgr = px[:, :, ::-1]
+    for r in range(h - 1, -1, -1):  # bottom-up
+        body += bgr[r].tobytes() + b"\x00" * (stride - row_bytes)
+    core = struct.pack("<IhhHH", 12, w, h, 1, 24)
+    off = 14 + len(core)
+    hdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    data = hdr + core + bytes(body)
+    got = decode_bmp(data)
+    assert np.array_equal(got, px)
+    # and it agrees with the modern-header encoder round-trip
+    assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+
+def test_wav_float32_and_pcm8_decode():
+    """fmt=3 float32 and 8-bit PCM WAVs decode to int16 with the documented
+    scaling; channel 0 kept for multi-channel (round-3 boundary closure)."""
+    import struct
+
+    from engine.ops.codecs import decode_wav
+
+    def wav(fmt, channels, rate, bits, payload):
+        fmtc = struct.pack("<HHIIHH", fmt, channels, rate,
+                           rate * channels * bits // 8, channels * bits // 8, bits)
+        chunks = b"fmt " + struct.pack("<I", len(fmtc)) + fmtc
+        chunks += b"data" + struct.pack("<I", len(payload)) + payload
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    f = np.array([0.0, 0.5, -0.5, 1.0, -1.0, 2.0], dtype="<f4")  # 2.0 clips
+    s, rate = decode_wav(wav(3, 1, 16000, 32, f.tobytes()))
+    assert rate == 16000
+    assert s.tolist() == [0, 16384, -16384, 32767, -32767, 32767]
+
+    u8 = np.array([128, 255, 0, 200], dtype=np.uint8)
+    s, rate = decode_wav(wav(1, 1, 8000, 8, u8.tobytes()))
+    assert s.tolist() == [0, 127 << 8, -(128 << 8), 72 << 8]
+
+    # stereo float: keep channel 0
+    st = np.array([0.25, -0.75, -0.25, 0.75], dtype="<f4")  # L R L R
+    s, _ = decode_wav(wav(3, 2, 8000, 32, st.tobytes()))
+    assert s.tolist() == [8192, -8192]

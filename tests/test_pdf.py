@@ -264,3 +264,69 @@ def test_cm_ctm_composition_and_qQ():
     d = {w: (x, y) for x, y, w in words}
     assert d["IN"] == (501.0, 502.0)
     assert d["OUT"] == (3.0, 4.0)
+
+
+# --------------------------------------------------------- round-3 filters
+
+def test_filter_codecs_roundtrip_vectors():
+    """Each from-scratch filter codec round-trips arbitrary bytes, including
+    runs, binary, and empty input; RunLength against hand-computed bytes."""
+    from engine.pdf import (
+        decode_ascii85, decode_ascii_hex, decode_lzw, decode_run_length,
+        encode_ascii85, encode_ascii_hex, encode_lzw, encode_run_length,
+    )
+
+    payloads = [
+        b"",
+        b"a",
+        b"BT (Hello) Tj ET",
+        b"\x00" * 300,
+        bytes(range(256)) * 3,
+        b"abababababab" + b"\xff" * 129 + b"xyz",
+        np.random.default_rng(3).integers(0, 256, size=5000).astype("u1").tobytes(),
+    ]
+    for p in payloads:
+        assert decode_ascii_hex(encode_ascii_hex(p)) == p
+        assert decode_ascii85(encode_ascii85(p)) == p
+        assert decode_run_length(encode_run_length(p)) == p
+        assert decode_lzw(encode_lzw(p)) == p
+
+    # fixed RunLength vector: 'aaaa' run + 'bc' literal + EOD
+    assert encode_run_length(b"aaaabc") == bytes([253, ord("a"), 1, ord("b"), ord("c"), 128])
+    assert decode_run_length(bytes([253, ord("a"), 1, ord("b"), ord("c"), 128])) == b"aaaabc"
+    # ASCIIHex: whitespace ignored, odd digit implies trailing 0, > is EOD
+    assert decode_ascii_hex(b"4 8\n65 7>") == b"\x48\x65\x70"
+
+
+def test_lzw_long_stream_code_width_growth():
+    """An input long enough to push LZW through 10-, 11- and 12-bit codes
+    and a table-full CLEAR still round-trips exactly."""
+    from engine.pdf import decode_lzw, encode_lzw
+
+    rng = np.random.default_rng(7)
+    # low-entropy symbol soup grows the dictionary fast and repeatedly
+    data = bytes(rng.integers(0, 7, size=120_000).astype("u1")) + b"THE END"
+    enc = encode_lzw(data)
+    assert decode_lzw(enc) == data
+    assert len(enc) < len(data)  # it actually compresses
+
+
+@pytest.mark.parametrize(
+    "flt", ["LZWDecode", "ASCIIHexDecode", "ASCII85Decode", "RunLengthDecode"]
+)
+def test_alt_filter_writer_reader_roundtrip(flt):
+    """Every supported /Filter has a writer twin; parse results are identical
+    to the raw encoding for word boxes and hrefs."""
+    from engine.pdf import parse_pdf_layout, render_pdf_page_bytes
+
+    pages = [
+        (1, 792.0, [(72.0, 760.0, "Alpha"), (120.0, 760.0, "Beta(x)")]),
+        (2, 792.0, [(72.0, 760.0, "Delta"), (72.0, 746.0, "Eps")]),
+    ]
+    hrefs = ["https://a.test/x.html", "https://b.test/y.html"]
+    data = render_pdf_page_bytes(pages, hrefs, stream_filter=flt)
+    assert b"/" + flt.encode() in data
+    got = parse_pdf_layout(data)
+    plain = parse_pdf_layout(render_pdf_page_bytes(pages, hrefs))
+    assert got == plain
+    assert got[1] == hrefs
