@@ -258,6 +258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_md5": text.fingerprint_md5,
         "fingerprint_rolling": text.fingerprint_rolling,
         "hll_distinct_tokens": text.hll_distinct_tokens,
+        "gopher_quality_flags": text.gopher_quality_flags,
         "chunk_documents": text.chunk_documents,
         "chunk_tokens": text.chunk_tokens,
         # dedup family
@@ -296,6 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from engine import oracles as _lsh_oracles
+    from engine.ops import text
     from engine.ops.text import CATEGORY_PATTERNS, STOP_WORDS
 
     stop_list = ", ".join(f"'{w}'" for w in STOP_WORDS)
@@ -636,6 +638,47 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS vec_id, min(r) AS canonical_id
             FROM reach GROUP BY node ORDER BY vec_id
+        """,
+        # Gopher rule gate: ratios integer-cross-multiplied on both sides so
+        # the hash comparison is float-free (engine.ops.text constants)
+        "gopher_quality_flags": rf"""
+            WITH tok AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), w AS (
+              SELECT doc_id, unnest(toks) AS w FROM tok
+            ), agg AS (
+              SELECT doc_id, count(*) AS n_words,
+                     sum(length(w)) AS n_word_chars,
+                     sum(CASE WHEN regexp_matches(w, '[a-z]') THEN 1 ELSE 0 END)
+                       AS n_alpha_words,
+                     count(DISTINCT CASE WHEN w IN ({stop_list}) THEN w END)
+                       AS n_stop_distinct
+              FROM w GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+                   CAST(COALESCE(a.n_word_chars, 0) AS BIGINT) AS n_word_chars,
+                   CAST(COALESCE(a.n_alpha_words, 0) AS BIGINT) AS n_alpha_words,
+                   CAST(length(t.text) - length(replace(t.text, '#', ''))
+                        AS BIGINT) AS n_hash,
+                   CAST((length(t.text) - length(replace(t.text, '...', ''))) // 3
+                        AS BIGINT) AS n_ellipsis,
+                   CAST(COALESCE(a.n_stop_distinct, 0) AS BIGINT) AS n_stop_distinct,
+                   (COALESCE(a.n_words, 0) BETWEEN {text.GOPHER_MIN_WORDS}
+                                               AND {text.GOPHER_MAX_WORDS}
+                    AND 3 * COALESCE(a.n_words, 0) <= COALESCE(a.n_word_chars, 0)
+                    AND COALESCE(a.n_word_chars, 0) <= 10 * COALESCE(a.n_words, 0)
+                    AND 10 * ((length(t.text) - length(replace(t.text, '#', '')))
+                         + (length(t.text) - length(replace(t.text, '...', ''))) // 3)
+                        <= COALESCE(a.n_words, 0)
+                    AND 5 * COALESCE(a.n_alpha_words, 0)
+                        >= 4 * COALESCE(a.n_words, 0)
+                    AND COALESCE(a.n_stop_distinct, 0) >= {text.GOPHER_MIN_STOP_DISTINCT}) AS passes_gopher
+            FROM tok t LEFT JOIN agg a USING (doc_id)
+            ORDER BY doc_id
         """,
         # full-pipeline LSH oracles GENERATED from the engine's own constants
         # (perm params, splitmix constants, hot-bucket guards) — candidate

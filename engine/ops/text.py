@@ -517,3 +517,93 @@ def hll_distinct_tokens(sf_dir: str) -> pd.DataFrame:
     for blob in parts["regs"]:
         merged = np.maximum(merged, np.frombuffer(blob, dtype=np.uint8))
     return pd.DataFrame({"estimate": pd.Series([int(round(_hll_estimate(merged)))], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules (Rae et al. 2021, "Scaling Language Models:
+# ... Gopher", repetition/format heuristics subset) — integer-exact so the
+# DuckDB value-hash comparison is float-free.
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+# Gopher's paper uses 2; the synthetic corpus vocabulary carries at most one
+# stop word per doc, so the shared constant is 1 to keep the flag informative
+# (both the engine and the generated oracle read this).
+GOPHER_MIN_STOP_DISTINCT = 1
+
+
+def gopher_quality_flags(sf_dir: str) -> pd.DataFrame:
+    """Per-doc Gopher quality gate: the rule inputs as exact integers plus
+    the combined ``passes_gopher`` flag.
+
+    Rules (ratios cross-multiplied to stay integer):
+      * word count in [50, 100000]
+      * mean word length in [3, 10]:  3*n_words <= n_word_chars <= 10*n_words
+      * symbol-to-word ratio <= 0.1:  10*(n_hash + n_ellipsis) <= n_words
+      * >= 80% of words contain an [a-z]:  5*n_alpha_words >= 4*n_words
+      * >= GOPHER_MIN_STOP_DISTINCT DISTINCT stop words present
+
+    Tokens are ``text.lower().split()`` (the repo-wide convention); ellipsis
+    counts are non-overlapping ``...`` occurrences on the raw text.
+    """
+    stop_arr = pa.array(STOP_WORDS, pa.string())
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def flags(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), r"\s+")
+        flat = pc.list_flatten(toks)
+        nonempty = pc.not_equal(flat, "")
+        offsets = np.zeros(len(toks) + 1, dtype=np.int64)
+        np.cumsum([len(x) for x in toks.to_pylist()], out=offsets[1:])
+
+        def seg_sum(vals: np.ndarray) -> np.ndarray:
+            csum = np.concatenate([[0], np.cumsum(vals)])
+            return csum[offsets[1:]] - csum[offsets[:-1]]
+
+        ne = nonempty.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_words = seg_sum(ne)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_word_chars = seg_sum(lens * ne)
+        alpha = pc.match_substring_regex(flat, "[a-z]")
+        n_alpha = seg_sum(alpha.to_numpy(zero_copy_only=False).astype(np.int64) * ne)
+
+        # distinct stop words per row: dedupe (row, token) among stop hits
+        is_stop = pc.is_in(flat, value_set=stop_arr).to_numpy(zero_copy_only=False)
+        row_of = np.repeat(np.arange(len(toks), dtype=np.int64),
+                           np.diff(offsets))
+        hit_rows = row_of[is_stop]
+        hit_toks = np.asarray(flat.to_pylist(), dtype=object)[is_stop]
+        n_stop_distinct = np.zeros(len(toks), dtype=np.int64)
+        if len(hit_rows):
+            dd = pd.DataFrame({"r": hit_rows, "w": hit_toks}).drop_duplicates()
+            cnt = dd.groupby("r").size()
+            n_stop_distinct[cnt.index.to_numpy()] = cnt.to_numpy()
+
+        n_hash = pc.count_substring(t["text"], "#").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_ellipsis = pc.count_substring(t["text"], "...").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+
+        ok = (
+            (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+            & (3 * n_words <= n_word_chars) & (n_word_chars <= 10 * n_words)
+            & (10 * (n_hash + n_ellipsis) <= n_words)
+            & (5 * n_alpha >= 4 * n_words)
+            & (n_stop_distinct >= GOPHER_MIN_STOP_DISTINCT)
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": pa.array(n_words, pa.int64()),
+                "n_word_chars": pa.array(n_word_chars, pa.int64()),
+                "n_alpha_words": pa.array(n_alpha, pa.int64()),
+                "n_hash": pa.array(n_hash, pa.int64()),
+                "n_ellipsis": pa.array(n_ellipsis, pa.int64()),
+                "n_stop_distinct": pa.array(n_stop_distinct, pa.int64()),
+                "passes_gopher": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    out = ds.map_batches(flags, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
