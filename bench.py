@@ -60,6 +60,8 @@ BENCH_QUERY_NAMES = [
     "hll_distinct_tokens",
     "media_decode",
     "media_frames",
+    "dup_ngram_spans",
+    "gopher_quality_flags",
 ]
 
 
@@ -354,6 +356,9 @@ def run_dedup_smoke() -> dict:
         "embedding_dedup_canonical": lambda: ann.embedding_dedup_canonical(
             dest, n_planes=24
         ),
+        # token-level duplicated-substring spans (Lee et al.): gram explode
+        # -> per-gram-bucket dup filter -> per-doc-bucket island merge
+        "dup_ngram_spans": lambda: dedup.dup_ngram_spans(dest),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")
     if only:
