@@ -246,6 +246,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_revenue": relational.order_priority_revenue,
         "top_order_per_customer": relational.top_order_per_customer,
         "sample_documents": relational.sample_documents,
+        "events_lag_delta": relational.events_lag_delta,
+        "events_range_join": relational.events_range_join,
+        "doc_length_quantiles": relational.doc_length_quantiles,
         # text analysis (M11/M12/M13 + training-data ops)
         "token_count": text.token_count,
         "token_count_bpe": text.token_count_bpe,
@@ -259,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_rolling": text.fingerprint_rolling,
         "hll_distinct_tokens": text.hll_distinct_tokens,
         "gopher_quality_flags": text.gopher_quality_flags,
+        "gram_repetition_stats": text.gram_repetition_stats,
         "chunk_documents": text.chunk_documents,
         "chunk_tokens": text.chunk_tokens,
         # dedup family
@@ -414,6 +418,67 @@ def oracle_sql() -> dict[str, str]:
         "sample_documents": """
             SELECT doc_id, source, n_chars FROM documents
             WHERE (doc_id * 2654435761) % 100 < 10 ORDER BY doc_id
+        """,
+        "events_lag_delta": """
+            WITH o AS (
+              SELECT event_id, user_id, epoch_us(ts) AS t,
+                     lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS pt
+              FROM events)
+            SELECT event_id, user_id, t - pt AS delta_us
+            FROM o WHERE pt IS NOT NULL ORDER BY event_id
+        """,
+        "events_range_join": """
+            SELECT s.event_id, s.user_id,
+                   count(c.ts) AS n_clicks,
+                   round(coalesce(sum(c.value), 0), 2) AS sum_value
+            FROM (SELECT * FROM events WHERE event_type = 'signup') s
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON c.user_id = s.user_id
+             AND c.ts > s.ts - INTERVAL 60 MINUTE AND c.ts <= s.ts
+            GROUP BY s.event_id, s.user_id ORDER BY s.event_id
+        """,
+        "doc_length_quantiles": """
+            SELECT count(*) AS n_docs,
+                   quantile_disc(n_chars, 0.5) AS p50,
+                   quantile_disc(n_chars, 0.9) AS p90,
+                   quantile_disc(n_chars, 0.99) AS p99,
+                   max(n_chars) AS max_chars
+            FROM documents
+        """,
+        "gram_repetition_stats": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS l
+              FROM documents),
+            p2 AS (
+              SELECT doc_id, l[i] || ' ' || l[i+1] AS g
+              FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM t)),
+            p3 AS (
+              SELECT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS g
+              FROM (SELECT doc_id, l, unnest(range(1, len(l) - 1)) AS i FROM t)),
+            t2 AS (
+              SELECT doc_id, c AS top2_count, length(g) AS top2_len
+              FROM (SELECT doc_id, g, count(*) AS c,
+                           row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY count(*) DESC, g) AS rn
+                    FROM p2 GROUP BY doc_id, g)
+              WHERE rn = 1),
+            t3 AS (
+              SELECT doc_id, c AS top3_count, length(g) AS top3_len
+              FROM (SELECT doc_id, g, count(*) AS c,
+                           row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY count(*) DESC, g) AS rn
+                    FROM p3 GROUP BY doc_id, g)
+              WHERE rn = 1)
+            SELECT t.doc_id, len(t.l) AS n_tokens,
+                   coalesce(t2.top2_count, 0) AS top2_count,
+                   coalesce(t2.top2_len, 0) AS top2_len,
+                   coalesce(t3.top3_count, 0) AS top3_count,
+                   coalesce(t3.top3_len, 0) AS top3_len
+            FROM t LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+            ORDER BY t.doc_id
         """,
         "nation_region_join": """
             SELECT r_name, count(*) AS n_customers

@@ -62,6 +62,10 @@ BENCH_QUERY_NAMES = [
     "media_frames",
     "dup_ngram_spans",
     "gopher_quality_flags",
+    "events_lag_delta",
+    "events_range_join",
+    "doc_length_quantiles",
+    "gram_repetition_stats",
 ]
 
 
@@ -501,6 +505,8 @@ def run_events_smoke() -> dict:
         "events_asof_join": lambda: rel._events_asof_join_ds(dest).count(),
         "events_running_sum": lambda: rel._events_running_sum_ds(dest).count(),
         "events_hopping": lambda: len(rel.events_hopping(dest)),
+        "events_lag_delta": lambda: rel._events_lag_delta_ds(dest).count(),
+        "events_range_join": lambda: rel._events_range_join_ds(dest).count(),
     }
     results: dict = {"gen_sec": round(gen_sec, 1)}
     deterministic = True

@@ -559,3 +559,206 @@ def top_order_per_customer(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+def _events_lag_delta_ds(sf_dir: str):
+    """Per-event gap to the same user's previous event, in microseconds,
+    as a DATASET (scale consumers count/write it; the query wrapper collects).
+
+    The window-function ``lag()`` analog (SURVEY.md §2.9) on the coarse
+    ``user_id % 64`` bucket shuffle: sort the whole bucket by
+    (user, ts, event_id) once, shift, and mask user boundaries — every user
+    in the bucket handled by one vectorized pass.  Timestamps are cast to
+    int64 epoch-microseconds INSIDE the bucket stage (matching DuckDB's
+    ``epoch_us``), so the output is integer-exact.  Events with no
+    predecessor are dropped (the lag() NULL rows).
+    """
+    ds = read_pruned(_t(sf_dir, "events"), ["event_id", "user_id", "ts"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t["user_id"].to_numpy()
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "t_us": pc.cast(t["ts"], pa.int64()),
+                "bucket": pa.array((keys % N_KEY_BUCKETS).astype(np.int32), pa.int32()),
+            }
+        )
+
+    _LAG_SCHEMA = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()), ("delta_us", pa.int64())]
+    )
+
+    def lag(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "t_us", "event_id"], kind="mergesort")
+        same_user = g["user_id"].eq(g["user_id"].shift())
+        delta = g["t_us"] - g["t_us"].shift()
+        keep = same_user.to_numpy()
+        return pa.table(
+            {
+                "event_id": pa.array(g["event_id"].to_numpy()[keep], pa.int64()),
+                "user_id": pa.array(g["user_id"].to_numpy()[keep], pa.int64()),
+                "delta_us": pa.array(
+                    delta.to_numpy()[keep].astype(np.int64), pa.int64()
+                ),
+            },
+            schema=_LAG_SCHEMA,
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lag, batch_format="pandas")
+    )
+
+
+def events_lag_delta(sf_dir: str) -> pd.DataFrame:
+    out = _events_lag_delta_ds(sf_dir).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def _events_range_join_ds(sf_dir: str, window_min: int = 60):
+    """Trailing-window range join as a DATASET (the query wrapper collects):
+    for each signup event, the count and
+    value-sum of the SAME user's click events with ts in (signup_ts - window,
+    signup_ts].
+
+    A range join is an all-pairs predicate, but over a trailing window it
+    factors into two as-of lookups against per-user cumulative statistics:
+    F(t) = #clicks <= t, so n = F(ts) - F(ts - window) (and likewise for the
+    value cumsum).  Shuffle once on the coarse ``user_id % 64`` bucket, then
+    per bucket: cumulative count/sum over the sorted click side, TWO
+    ``pd.merge_asof(..., by="user_id")`` probes (upper bound at ts, lower at
+    ts - window, both inclusive-backward => half-open window), and a
+    vectorized difference.  Signups with zero clicks are kept (n=0) — left
+    range-join semantics.  Sums round to 2 decimals (cumsum-difference vs
+    direct-sum last-bit noise).
+    """
+    ds = read_pruned(
+        _t(sf_dir, "events"), ["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    win_us = window_min * 60 * 1_000_000
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t["user_id"].to_numpy()
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "t_us": pc.cast(t["ts"], pa.int64()),  # epoch us, integer-exact
+                "event_type": t["event_type"],
+                "value": t["value"],
+                "bucket": pa.array((keys % N_KEY_BUCKETS).astype(np.int32), pa.int32()),
+            }
+        )
+
+    _RJ_SCHEMA = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("n_clicks", pa.int64()), ("sum_value", pa.float64())]
+    )
+
+    def range_join(g: pd.DataFrame) -> pa.Table:
+        s = g.loc[g["event_type"] == "signup", ["event_id", "user_id", "t_us"]]
+        if s.empty:
+            return _RJ_SCHEMA.empty_table()
+        c = g.loc[g["event_type"] == "click", ["user_id", "t_us", "value"]].sort_values(
+            ["user_id", "t_us"], kind="mergesort"
+        )
+        if c.empty:
+            out = s.sort_values("event_id")
+            n = np.zeros(len(out), dtype=np.int64)
+            v = np.zeros(len(out), dtype=np.float64)
+        else:
+            c = c.assign(
+                cum_n=c.groupby("user_id").cumcount() + 1,
+                cum_v=c.groupby("user_id")["value"].cumsum(),
+            ).sort_values("t_us", kind="mergesort")
+            probe_cols = c[["user_id", "t_us", "cum_n", "cum_v"]]
+            hi = pd.merge_asof(
+                s.sort_values("t_us", kind="mergesort"), probe_cols,
+                on="t_us", by="user_id", direction="backward",
+            )
+            lo_keys = s.assign(t_us=s["t_us"] - win_us).sort_values(
+                "t_us", kind="mergesort"
+            )
+            lo = pd.merge_asof(
+                lo_keys, probe_cols, on="t_us", by="user_id", direction="backward",
+            )
+            hi = hi.sort_values("event_id")
+            lo = lo.sort_values("event_id")
+            n = (
+                hi["cum_n"].fillna(0).to_numpy() - lo["cum_n"].fillna(0).to_numpy()
+            ).astype(np.int64)
+            v = hi["cum_v"].fillna(0.0).to_numpy() - lo["cum_v"].fillna(0.0).to_numpy()
+            out = hi
+        return pa.table(
+            {
+                "event_id": pa.array(out["event_id"].to_numpy(), pa.int64()),
+                "user_id": pa.array(out["user_id"].to_numpy(), pa.int64()),
+                "n_clicks": pa.array(n, pa.int64()),
+                "sum_value": pa.array(np.round(v, 2), pa.float64()),
+            },
+            schema=_RJ_SCHEMA,
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(range_join, batch_format="pandas")
+    )
+
+
+def events_range_join(sf_dir: str, window_min: int = 60) -> pd.DataFrame:
+    out = _events_range_join_ds(sf_dir, window_min).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def doc_length_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed quantiles of document length (p50/p90/p99/max).
+
+    Quantiles don't decompose, but a VALUE HISTOGRAM does: each batch emits
+    (n_chars, count) partials, a tiny groupby sums them, and the exact
+    discrete quantile (0-based index ceil(q*n)-1, DuckDB's ``quantile_disc``)
+    falls out of the cumulative histogram on the driver — only
+    O(distinct lengths) rows ever leave the cluster, never the corpus.
+    """
+    ds = read_pruned(os.path.join(sf_dir, "documents.parquet"), ["n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = t["n_chars"].to_pandas().value_counts()
+        return pa.table(
+            {
+                "n_chars": pa.array(vc.index.to_numpy(), pa.int64()),
+                "n": pa.array(vc.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_chars")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("n_chars")
+    )
+    import math
+
+    cum = hist["n"].cumsum().to_numpy()
+    vals = hist["n_chars"].to_numpy()
+    total = int(cum[-1])
+
+    def q_disc(q: float) -> int:
+        idx = math.ceil(q * total) - 1  # 0-based rank, DuckDB quantile_disc
+        return int(vals[np.searchsorted(cum, idx + 1)])
+
+    return pd.DataFrame(
+        {
+            "n_docs": [total],
+            "p50": [q_disc(0.5)],
+            "p90": [q_disc(0.9)],
+            "p99": [q_disc(0.99)],
+            "max_chars": [int(vals[-1])],
+        }
+    )

@@ -607,3 +607,51 @@ def gopher_quality_flags(sf_dir: str) -> pd.DataFrame:
 
     out = ds.map_batches(flags, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def gram_repetition_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-doc most-common-n-gram repetition counts (Gopher repetition rules,
+    Rae et al. 2021 §A1.1: "fraction of characters in the most common
+    {2,3}-gram") as exact integers — the consumer forms the fraction as
+    top{n}_count * top{n}_len / n_chars.
+
+    Tokens are ``text.lower().split()`` (the repo-wide convention); the top
+    gram maximizes count with ties broken by the lexicographically smallest
+    gram string, so the (count, char-length) pair is deterministic.  Docs
+    with fewer than n tokens emit (0, 0).  Map-only: no shuffle — per-doc
+    Counter work is the honest kernel for a per-doc string statistic.
+    """
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def top_gram(toks: list, n: int) -> tuple:
+        if len(toks) < n:
+            return 0, 0
+        counts = Counter(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        return best[1], len(best[0])
+
+    def stats(t: pa.Table) -> pa.Table:
+        rows = {"doc_id": t["doc_id"], "n_tokens": [], "top2_count": [],
+                "top2_len": [], "top3_count": [], "top3_len": []}
+        for s in t["text"].to_pylist():
+            toks = s.lower().split()
+            rows["n_tokens"].append(len(toks))
+            c2, l2 = top_gram(toks, 2)
+            c3, l3 = top_gram(toks, 3)
+            rows["top2_count"].append(c2)
+            rows["top2_len"].append(l2)
+            rows["top3_count"].append(c3)
+            rows["top3_len"].append(l3)
+        return pa.table(
+            {
+                "doc_id": rows["doc_id"],
+                "n_tokens": pa.array(rows["n_tokens"], pa.int64()),
+                "top2_count": pa.array(rows["top2_count"], pa.int64()),
+                "top2_len": pa.array(rows["top2_len"], pa.int64()),
+                "top3_count": pa.array(rows["top3_count"], pa.int64()),
+                "top3_len": pa.array(rows["top3_len"], pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
