@@ -249,6 +249,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_delta": relational.events_lag_delta,
         "events_range_join": relational.events_range_join,
         "doc_length_quantiles": relational.doc_length_quantiles,
+        "brand_nation_profit": relational.brand_nation_profit,
+        "revenue_filter_agg": relational.revenue_filter_agg,
         # text analysis (M11/M12/M13 + training-data ops)
         "token_count": text.token_count,
         "token_count_bpe": text.token_count_bpe,
@@ -418,6 +420,25 @@ def oracle_sql() -> dict[str, str]:
         "sample_documents": """
             SELECT doc_id, source, n_chars FROM documents
             WHERE (doc_id * 2654435761) % 100 < 10 ORDER BY doc_id
+        """,
+        "brand_nation_profit": """
+            SELECT p_brand, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY p_brand, n_name ORDER BY p_brand, n_name
+        """,
+        "revenue_filter_agg": """
+            SELECT round(sum(l_extendedprice * l_discount), 0) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24.0
         """,
         "events_lag_delta": """
             WITH o AS (

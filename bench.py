@@ -66,6 +66,8 @@ BENCH_QUERY_NAMES = [
     "events_range_join",
     "doc_length_quantiles",
     "gram_repetition_stats",
+    "brand_nation_profit",
+    "revenue_filter_agg",
 ]
 
 
@@ -508,6 +510,9 @@ def run_events_smoke() -> dict:
         "events_lag_delta": lambda: rel._events_lag_delta_ds(dest).count(),
         "events_range_join": lambda: rel._events_range_join_ds(dest).count(),
     }
+    only = os.environ.get("GRAFT_SMOKE_ONLY")
+    if only:
+        ops = {k: v for k, v in ops.items() if k in only.split(",")}
     results: dict = {"gen_sec": round(gen_sec, 1)}
     deterministic = True
     for name, fn in ops.items():

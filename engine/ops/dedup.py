@@ -871,26 +871,42 @@ def dup_ngram_spans(sf_dir: str, k: int = 5) -> pd.DataFrame:
     N_SHUFFLE_BUCKETS = 64
 
     def gram_rows(t: pa.Table) -> pa.Table:
+        # batch-vectorized gram explode (equivalence to the per-doc
+        # _gram_hashes_positional is pytest-locked): hash only the batch's
+        # DISTINCT tokens (pd.factorize + per-worker memo), compute every
+        # flat window hash in k strided XOR passes, and mask out the windows
+        # that cross a doc boundary — no per-doc allocations.
         ids = t["doc_id"].to_numpy()
-        out_g, out_id, out_pos = [], [], []
-        for did, tx in zip(ids, t["text"].to_pylist()):
-            g = _gram_hashes_positional(tx, k)
-            if len(g) == 0:
-                continue
-            out_g.append(g.astype(np.int64))
-            out_id.append(np.full(len(g), did, dtype=np.int64))
-            out_pos.append(np.arange(1, len(g) + 1, dtype=np.int64))
-        if not out_g:
-            return pa.table(
-                {"gram": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64()),
-                 "pos": pa.array([], pa.int64()), "bucket": pa.array([], pa.int32())}
-            )
-        g = np.concatenate(out_g)
+        toks_per_doc = [s.lower().split() for s in t["text"].to_pylist()]
+        lens = np.array([len(x) for x in toks_per_doc], dtype=np.int64)
+        empty = pa.table(
+            {"gram": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64()),
+             "pos": pa.array([], pa.int64()), "bucket": pa.array([], pa.int32())}
+        )
+        if int(lens.sum()) == 0:
+            return empty
+        flat = [w for toks in toks_per_doc for w in toks]
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+        uh = np.fromiter(
+            (_token_hash(w) for w in uniques), dtype=np.uint64, count=len(uniques)
+        )
+        th = uh[codes]
+        n_starts = len(th) - k + 1
+        if n_starts <= 0:
+            return empty
+        g_full = np.zeros(n_starts, dtype=np.uint64)
+        for j in range(k):
+            g_full ^= th[j : j + n_starts] * _POS_MULT[j]
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        offs = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        s = np.arange(len(th), dtype=np.int64) - offs[doc_idx]
+        valid = (s <= np.repeat(lens, lens) - k)[:n_starts]
+        g = (_mix64(g_full[valid]) & np.uint64((1 << 61) - 1)).astype(np.int64)
         return pa.table(
             {
                 "gram": pa.array(g, pa.int64()),
-                "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
-                "pos": pa.array(np.concatenate(out_pos), pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, lens)[:n_starts][valid], pa.int64()),
+                "pos": pa.array((s + 1)[:n_starts][valid], pa.int64()),
                 "bucket": pa.array((g % N_SHUFFLE_BUCKETS).astype(np.int32), pa.int32()),
             }
         )

@@ -222,10 +222,29 @@ def _events_asof_join_ds(sf_dir: str):
     ``pd.merge_asof(..., by="user_id")`` handles every user in the bucket
     vectorized (merge_asof's ``by=`` scopes the backward search to the
     same user).  Rows with no prior error are dropped (inner as-of).
+
+    Only signup/error rows matter, so the batch stage FILTERS before the
+    shuffle (3/5 of the stream never enters the exchange at uniform type
+    mix) and ships the type as an int8 flag instead of the string.
     """
     ds = read_pruned(
         _t(sf_dir, "events"), ["event_id", "user_id", "ts", "event_type", "value"]
     )
+    _TYPES = pa.array(["signup", "error"], pa.string())
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"], value_set=_TYPES))
+        keys = t["user_id"].to_numpy()
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "is_signup": pc.cast(pc.equal(t["event_type"], "signup"), pa.int8()),
+                "value": t["value"],
+                "bucket": pa.array((keys % N_KEY_BUCKETS).astype(np.int32), pa.int32()),
+            }
+        )
 
     _ASOF_SCHEMA = pa.schema(
         [("event_id", pa.int64()), ("user_id", pa.int64()),
@@ -233,8 +252,8 @@ def _events_asof_join_ds(sf_dir: str):
     )
 
     def asof(g: pd.DataFrame):
-        s = g[g["event_type"] == "signup"].sort_values(["ts", "event_id"], kind="mergesort")
-        err = g[g["event_type"] == "error"].sort_values(["ts", "event_id"], kind="mergesort")
+        s = g[g["is_signup"] == 1].sort_values(["ts", "event_id"], kind="mergesort")
+        err = g[g["is_signup"] == 0].sort_values(["ts", "event_id"], kind="mergesort")
         if s.empty or err.empty:
             return _ASOF_SCHEMA.empty_table()
         out = pd.merge_asof(
@@ -250,7 +269,7 @@ def _events_asof_join_ds(sf_dir: str):
         ).replace_schema_metadata(None)
 
     return (
-        ds.map_batches(_bucket_by("user_id"), batch_format="pyarrow")
+        ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(asof, batch_format="pandas")
     )
@@ -639,15 +658,20 @@ def _events_range_join_ds(sf_dir: str, window_min: int = 60):
         _t(sf_dir, "events"), ["event_id", "user_id", "ts", "event_type", "value"]
     )
     win_us = window_min * 60 * 1_000_000
+    _TYPES = pa.array(["signup", "click"], pa.string())
 
     def add_bucket(t: pa.Table) -> pa.Table:
+        # only signup/click rows matter: filter BEFORE the shuffle and ship
+        # the type as an int8 flag (3/5 of the stream never enters the
+        # exchange at uniform type mix)
+        t = t.filter(pc.is_in(t["event_type"], value_set=_TYPES))
         keys = t["user_id"].to_numpy()
         return pa.table(
             {
                 "event_id": t["event_id"],
                 "user_id": t["user_id"],
                 "t_us": pc.cast(t["ts"], pa.int64()),  # epoch us, integer-exact
-                "event_type": t["event_type"],
+                "is_signup": pc.cast(pc.equal(t["event_type"], "signup"), pa.int8()),
                 "value": t["value"],
                 "bucket": pa.array((keys % N_KEY_BUCKETS).astype(np.int32), pa.int32()),
             }
@@ -659,10 +683,10 @@ def _events_range_join_ds(sf_dir: str, window_min: int = 60):
     )
 
     def range_join(g: pd.DataFrame) -> pa.Table:
-        s = g.loc[g["event_type"] == "signup", ["event_id", "user_id", "t_us"]]
+        s = g.loc[g["is_signup"] == 1, ["event_id", "user_id", "t_us"]]
         if s.empty:
             return _RJ_SCHEMA.empty_table()
-        c = g.loc[g["event_type"] == "click", ["user_id", "t_us", "value"]].sort_values(
+        c = g.loc[g["is_signup"] == 0, ["user_id", "t_us", "value"]].sort_values(
             ["user_id", "t_us"], kind="mergesort"
         )
         if c.empty:
@@ -760,5 +784,102 @@ def doc_length_quantiles(sf_dir: str) -> pd.DataFrame:
             "p90": [q_disc(0.9)],
             "p99": [q_disc(0.99)],
             "max_chars": [int(vals[-1])],
+        }
+    )
+
+
+def brand_nation_profit(sf_dir: str) -> pd.DataFrame:
+    """Multi-dimension broadcast star join (TPC-H Q9 shape): lineitem fact x
+    part-brand x supplier->nation, revenue per (brand, supplier nation).
+
+    Both dimension sides are small at any scale (parts/suppliers are
+    bounded catalogs while lineitem grows): ``ray.put`` each lookup once,
+    per-batch dict ``.map`` + groupby combine, then a tiny two-key groupby
+    over partials — the fact table never shuffles at full width.
+    """
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(_t(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+    supp = pq.read_table(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    n_name = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    brand_ref = ray.put(dict(zip(part["p_partkey"].to_pylist(), part["p_brand"].to_pylist())))
+    snation_ref = ray.put(
+        {k: n_name[v] for k, v in zip(supp["s_suppkey"].to_pylist(),
+                                      supp["s_nationkey"].to_pylist())}
+    )
+
+    ds = read_pruned(
+        _t(sf_dir, "lineitem"),
+        ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def join_partial(batch: pa.Table) -> pa.Table:
+        brand = ray.get(brand_ref)
+        snation = ray.get(snation_ref)
+        df = batch.to_pandas()
+        df["p_brand"] = df["l_partkey"].map(brand)
+        df["n_name"] = df["l_suppkey"].map(snation)
+        df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby(["p_brand", "n_name"], as_index=False).agg(
+            revenue=("rev", "sum"), n_lines=("rev", "size")
+        )
+        return _from_pandas(g)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(join_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["p_brand", "n_name"])
+        .aggregate(Sum("revenue", alias_name="revenue"),
+                   Sum("n_lines", alias_name="n_lines"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(0)
+    out["n_lines"] = out["n_lines"].astype("int64")
+    return out.sort_values(["p_brand", "n_name"]).reset_index(drop=True)
+
+
+def revenue_filter_agg(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 shape: filtered scan -> scalar aggregate, with the filter
+    pushed INTO the parquet read (row-group stats prune at the source; only
+    4 of 11 lineitem columns ever leave storage).  Per-batch partial sums,
+    one tiny final combine.
+    """
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1998, 1, 1)
+    flt = (
+        (pads.field("l_shipdate") >= lo)
+        & (pads.field("l_shipdate") < hi)
+        & (pads.field("l_discount") >= 0.05)
+        & (pads.field("l_discount") <= 0.07)
+        & (pads.field("l_quantity") < 24.0)
+    )
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+        filter=flt,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.sum(pc.multiply(batch["l_extendedprice"], batch["l_discount"]))
+        return pa.table(
+            {
+                "revenue": pa.array([rev.as_py() or 0.0], pa.float64()),
+                "n_rows": pa.array([batch.num_rows], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=262144).to_pandas()
+    return pd.DataFrame(
+        {
+            "revenue": [round(float(parts["revenue"].sum()), 0)],
+            "n_rows": [int(parts["n_rows"].sum())],
         }
     )

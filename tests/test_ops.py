@@ -881,3 +881,182 @@ def test_dup_ngram_spans_matches_oracle_sf0001(ray_session):
     )
     exp = con.sql(oracles.dup_ngram_spans_sql()).df()
     assert got.reset_index(drop=True).astype("int64").equals(exp.astype("int64"))
+
+
+# ------------------------------------------------- window/range-join new ops
+
+
+def _write_events(tmp_path, rows):
+    """rows: list of (event_id, ts_us, user_id, event_type, value)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    df["ts"] = pd.to_datetime(df["ts"], unit="us")
+    df["props"] = ""
+    t = pa.Table.from_pandas(df, preserve_index=False).cast(
+        pa.schema(
+            [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+             ("user_id", pa.int64()), ("event_type", pa.string()),
+             ("value", pa.float64()), ("props", pa.string())]
+        )
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_events_range_join_boundary_inclusivity(ray_session, tmp_path):
+    """Window is (ts - 60min, ts]: a click exactly 60min before is OUT,
+    a click exactly at the signup ts is IN."""
+    from engine.ops.relational import events_range_join
+
+    M = 60 * 1_000_000  # one minute in us
+    d = _write_events(
+        tmp_path,
+        [
+            (1, 100 * M, 7, "click", 1.0),    # exactly 60min before -> excluded
+            (2, 101 * M, 7, "click", 2.0),    # inside
+            (3, 160 * M, 7, "click", 4.0),    # exactly at signup ts -> included
+            (4, 160 * M, 7, "signup", 0.0),
+            (5, 300 * M, 8, "signup", 0.0),   # user with no clicks -> n=0 kept
+        ],
+    )
+    out = events_range_join(d).set_index("event_id")
+    assert out.loc[4, "n_clicks"] == 2
+    assert out.loc[4, "sum_value"] == 6.0
+    assert out.loc[5, "n_clicks"] == 0
+    assert out.loc[5, "sum_value"] == 0.0
+
+
+def test_events_lag_delta_ties_and_boundaries(ray_session, tmp_path):
+    """Equal timestamps order by event_id; first event per user emits no row;
+    deltas are exact microseconds."""
+    from engine.ops.relational import events_lag_delta
+
+    d = _write_events(
+        tmp_path,
+        [
+            (10, 1_000_000, 1, "click", 0.0),
+            (11, 1_000_000, 1, "click", 0.0),  # tie: follows 10 by event_id
+            (12, 2_500_000, 1, "click", 0.0),
+            (20, 5_000_000, 2, "click", 0.0),  # lone first event -> no row
+        ],
+    )
+    out = events_lag_delta(d).set_index("event_id")
+    assert list(out.index) == [11, 12]
+    assert out.loc[11, "delta_us"] == 0
+    assert out.loc[12, "delta_us"] == 1_500_000
+
+
+def test_doc_length_quantile_formula_matches_duckdb(ray_session, tmp_path):
+    """The histogram quantile must equal quantile_disc on a skewed planted
+    distribution (including the q*n-on-a-boundary cases)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from engine.ops.relational import doc_length_quantiles
+
+    lens = [1] * 50 + [7] * 30 + [100] * 19 + [5000]  # n=100: q boundaries land on steps
+    df = pd.DataFrame(
+        {"doc_id": range(len(lens)),
+         "text": ["x" * n for n in lens],
+         "lang": "en", "source": "s", "n_chars": lens}
+    )
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False), str(tmp_path / "documents.parquet")
+    )
+    got = doc_length_quantiles(str(tmp_path)).iloc[0]
+    want = duckdb.sql(
+        f"""SELECT quantile_disc(n_chars, 0.5) p50, quantile_disc(n_chars, 0.9) p90,
+                  quantile_disc(n_chars, 0.99) p99
+           FROM read_parquet('{tmp_path}/documents.parquet')"""
+    ).df().iloc[0]
+    assert (got["p50"], got["p90"], got["p99"]) == (want["p50"], want["p90"], want["p99"])
+    assert got["n_docs"] == 100 and got["max_chars"] == 5000
+
+
+def test_gram_repetition_tie_break_smallest_gram(ray_session, tmp_path):
+    """Equal-count top grams resolve to the lexicographically smallest, so
+    (count, char-length) is deterministic."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from engine.ops.text import gram_repetition_stats
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            # doc 0: bigrams "b a","a b" each appear twice -> tie, "a b" wins (len 3)
+            "text": ["b a b a b", "xx"],
+            "lang": "en", "source": "s",
+            "n_chars": [9, 2],
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False), str(tmp_path / "documents.parquet")
+    )
+    out = gram_repetition_stats(str(tmp_path)).set_index("doc_id")
+    assert out.loc[0, "top2_count"] == 2 and out.loc[0, "top2_len"] == 3
+    # single-token doc: no bigram/trigram
+    assert out.loc[1, "top2_count"] == 0 and out.loc[1, "top3_len"] == 0
+    assert out.loc[1, "n_tokens"] == 1
+
+
+def test_dup_ngram_spans_batched_gram_rows_equivalence(ray_session, tmp_path):
+    """The batch-vectorized gram explode inside dup_ngram_spans must produce
+    the exact rows of the per-doc reference (_gram_hashes_positional),
+    including empty docs, docs shorter than k, and within-doc duplicates —
+    locked end-to-end by comparing spans against a direct per-doc rebuild."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from engine.ops.dedup import _gram_hashes_positional, dup_ngram_spans
+
+    rng = np.random.default_rng(7)
+    vocab = [f"t{i}" for i in range(30)]
+    texts = ["", "one", "a b c d", "x " * 12]  # edge shapes
+    for _ in range(60):
+        n = int(rng.integers(0, 30))
+        texts.append(" ".join(rng.choice(vocab, n)))
+    df = pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts, "lang": "en",
+         "source": "s", "n_chars": [len(s) for s in texts]}
+    )
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        str(tmp_path / "documents.parquet"),
+    )
+    k = 5
+    got = dup_ngram_spans(str(tmp_path), k=k)
+
+    # per-doc reference: global gram counts -> dup positions -> islands
+    from collections import Counter
+
+    grams = {}
+    for did, tx in zip(df["doc_id"], df["text"]):
+        grams[did] = _gram_hashes_positional(tx, k)
+    counts = Counter(g for arr in grams.values() for g in arr.tolist())
+    want = []
+    for did, arr in grams.items():
+        dup_pos = [i + 1 for i, g in enumerate(arr.tolist()) if counts[g] >= 2]
+        start = prev = None
+        for p in dup_pos:
+            if start is None:
+                start = prev = p
+            elif p - prev <= k:
+                prev = p
+            else:
+                want.append((did, start, prev + k - 1))
+                start = prev = p
+        if start is not None:
+            want.append((did, start, prev + k - 1))
+    want_df = (
+        pd.DataFrame(want, columns=["doc_id", "span_start", "span_end"])
+        .sort_values(["doc_id", "span_start"])
+        .reset_index(drop=True)
+    )
+    got = got.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want_df, check_dtype=False)
