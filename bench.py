@@ -551,6 +551,82 @@ def run_events_smoke() -> dict:
     return result
 
 
+def run_crawl_smoke() -> dict:
+    """Crawl scale smoke (the rounds-1/2 ad-hoc 500k/2M runs, made a mode):
+    generate an n-page Common-Crawl-weight corpus, build the steady-state
+    frontier (urls + 20% dups + 2% dead), crawl once, record wall/urls_per_s
+    and the counters.  GRAFT_SMOKE_PAGES sizes it (default 2M);
+    GRAFT_SMOKE_RERUN=1 crawls twice and asserts counter determinism."""
+    import ray
+
+    n_pages = int(os.environ.get("GRAFT_SMOKE_PAGES", "2000000"))
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from engine.crawl import crawl
+    from engine.synth import CorpusConfig, generate_corpus
+
+    cfg = CorpusConfig(
+        n_pages=n_pages,
+        n_hosts=max(200, n_pages // 1000),
+        n_buckets=128 if n_pages >= 1_000_000 else 64,
+        with_golden=False,
+        content_scale=8,
+        n_seed_hosts=64,
+    )
+    t0 = time.time()
+    corpus = generate_corpus(
+        os.path.join("/tmp", f"graft_bench_{cfg.cache_key()}"), cfg
+    )
+    gen_sec = time.time() - t0
+    frontier = _steady_state_frontier(corpus, n_pages)
+    budget = {
+        "max_urls_total": n_pages + 10_000,
+        "max_per_host_per_round": n_pages,
+        "max_depth": 1,
+        "max_rounds": 3,
+    }
+
+    def one_run() -> tuple:
+        ckpt = os.path.join("/tmp", f"graft_crawlsmoke_{uuid.uuid4().hex[:8]}")
+        t0 = time.time()
+        res = crawl(corpus, ckpt, budget, resume=False, initial_frontier=frontier)
+        sec = time.time() - t0
+        shutil.rmtree(ckpt, ignore_errors=True)
+        return sec, res.cumulative["attempted"], res.cumulative["deduped"], res.rounds
+
+    sec1, att1, dup1, rounds1 = one_run()
+    result = {
+        "metric": "crawl_smoke",
+        "n_pages": n_pages,
+        "num_cpus": NUM_CPUS,
+        "gen_sec": round(gen_sec, 1),
+        "sec": round(sec1, 1),
+        "attempted": att1,
+        "deduped": dup1,
+        "rounds": rounds1,
+        "urls_per_sec": round((att1 + dup1) / sec1, 1),
+    }
+    if os.environ.get("GRAFT_SMOKE_RERUN") == "1":
+        sec2, att2, dup2, rounds2 = one_run()
+        result["sec_rerun"] = round(sec2, 1)
+        result["deterministic_counters"] = (att1, dup1, rounds1) == (att2, dup2, rounds2)
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+        f.write(
+            f"\n| {time.strftime('%Y-%m-%d %H:%M')} | crawl-smoke pages={n_pages} "
+            f"cpus={NUM_CPUS} | {result['sec']}s {result['urls_per_sec']} urls/s "
+            f"(attempted {att1}, deduped {dup1}, rounds {rounds1}) | "
+            f"rerun={result.get('sec_rerun', 'n/a')}s "
+            f"deterministic={result.get('deterministic_counters', 'n/a')} |"
+        )
+    ray.shutdown()
+    return result
+
+
 def run_scaling():
     import subprocess
 
@@ -623,5 +699,7 @@ if __name__ == "__main__":
         print(json.dumps(run_dedup_smoke()))
     elif "--events-smoke" in sys.argv:
         print(json.dumps(run_events_smoke()))
+    elif "--crawl-smoke" in sys.argv:
+        print(json.dumps(run_crawl_smoke()))
     else:
         print(json.dumps(run_bench()))

@@ -18,10 +18,11 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 
-def read_pruned(path: str, columns: list):
+def read_pruned(path: str, columns: list, filter=None):
     full = pq.ParquetFile(path).schema_arrow
     schema = pa.schema([full.field(c) for c in columns])
-    return rd.read_parquet(path, columns=list(columns), schema=schema)
+    kwargs = {"filter": filter} if filter is not None else {}
+    return rd.read_parquet(path, columns=list(columns), schema=schema, **kwargs)
 
 
 def bucketed_copy(path: str, id_col: str, columns: list, n_buckets: int = 32) -> str:

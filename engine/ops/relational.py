@@ -859,11 +859,9 @@ def revenue_filter_agg(sf_dir: str) -> pd.DataFrame:
         & (pads.field("l_discount") <= 0.07)
         & (pads.field("l_quantity") < 24.0)
     )
-    import ray.data as rd
-
-    ds = rd.read_parquet(
+    ds = read_pruned(
         _t(sf_dir, "lineitem"),
-        columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+        ["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
         filter=flt,
     )
 
