@@ -873,7 +873,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                             zz[k] = _extend(br.read_bits(s), s)
                             k += 1
                         coef = np.zeros(64, dtype=np.float64)
-                        coef[_ZIGZAG] = zz * qts[sc["tq"]]
+                        # zz is zigzag-order, qts natural-order: gather the
+                        # qt through _ZIGZAG so each coef meets ITS quantizer
+                        coef[_ZIGZAG] = zz * qts[sc["tq"]][_ZIGZAG]
                         blk = _DCT_A.T @ coef.reshape(8, 8) @ _DCT_A + 128.0
                         py = (my * sc["v"] + by) * 8
                         px = (mx * sc["h"] + bx) * 8

@@ -164,3 +164,18 @@ def test_wav_float32_and_pcm8_decode():
     st = np.array([0.25, -0.75, -0.25, 0.75], dtype="<f4")  # L R L R
     s, _ = decode_wav(wav(3, 2, 8000, 32, st.tobytes()))
     assert s.tolist() == [8192, -8192]
+
+
+def test_jpeg_sharp_image_error_bound():
+    """Regression for the quant-table permutation bug: on a RANDOM (all-AC)
+    image the q90 round-trip error must be quantization-sized.  The buggy
+    decoder (zigzag coefs x natural-order qt) read ~37 mean abs error here;
+    the correct pairing reads ~6.  Smooth-gradient tolerances cannot see
+    this class of bug (their AC energy is near zero)."""
+    from engine.ops.codecs import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(0)
+    px = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(px, quality=90))
+    err = float(np.abs(out.astype(int) - px.astype(int)).mean())
+    assert err <= 12.0, err
