@@ -10,10 +10,12 @@ alone, for real:
   Paeth), zlib (stdlib) IDAT streams;
 - **AVI** — RIFF video container with uncompressed DIB frames (the
   frame-sample path operates on real decoded frames);
-- **JPEG** — baseline sequential DCT (ITU-T T.81): Annex K quant/Huffman
-  tables, 4:4:4 encoder; decoder additionally handles 2x subsampling
-  (4:2:0/4:2:2), multiple DQT/DHT segments and DRI restart intervals.
-  Progressive (SOF2) and arithmetic coding raise — that is the remaining
+- **JPEG** — baseline sequential (SOF0) AND progressive (SOF2) DCT
+  (ITU-T T.81): Annex K quant/Huffman tables; encoder emits either mode
+  (progressive uses a full spectral-selection + successive-approximation
+  scan script); decoder handles 2x subsampling (4:2:0/4:2:2), multiple
+  DQT/DHT segments, DRI restart intervals, EOB runs and AC refinement.
+  Arithmetic coding and lossless (SOF3+) raise — that is the remaining
   honest boundary.
 
 Each codec has an encoder (used by the synthetic media table) and a
@@ -554,12 +556,17 @@ def _magnitude(v: int) -> tuple[int, int]:
     return cat, bits
 
 
+def _quantize_block(blk: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """FDCT + quantize one 8x8 pixel block -> zigzag-order int64 coefs."""
+    d = _DCT_A @ (blk - 128.0) @ _DCT_A.T
+    return np.round(d.reshape(-1)[_ZIGZAG] / qt[_ZIGZAG]).astype(np.int64)
+
+
 def _encode_block(writer: "_BitWriter", blk: np.ndarray, qt: np.ndarray,
                   dc_tab: dict, ac_tab: dict, pred: int) -> int:
     """FDCT + quantize + entropy-code one 8x8 block; returns the new DC
     predictor."""
-    d = _DCT_A @ (blk - 128.0) @ _DCT_A.T
-    zz = np.round(d.reshape(-1)[_ZIGZAG] / qt[_ZIGZAG]).astype(np.int64)
+    zz = _quantize_block(blk, qt)
     diff = int(zz[0]) - pred
     cat, bits = _magnitude(diff)
     code, ln = dc_tab[cat]
@@ -593,13 +600,18 @@ _JPEG_SAMPLING = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
 
 
 def encode_jpeg(pixels: np.ndarray, quality: int = 90, *,
-                subsample: str = "444", restart_interval: int = 0) -> bytes:
-    """Baseline sequential JPEG, 3-component YCbCr, Annex K quant
-    (quality-scaled) + typical Huffman tables.  ``subsample`` picks the Y
-    sampling factors ("444" = none, "422" = 2x1, "420" = 2x2 with
-    box-averaged chroma); ``restart_interval`` > 0 emits DRI + RSTn
-    markers every that many MCUs.  Both exist so the decoder's
-    subsampling/restart paths are exercised by our own bytes."""
+                subsample: str = "444", restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
+    """JPEG encoder, 3-component YCbCr, Annex K quant (quality-scaled) +
+    typical Huffman tables.  ``subsample`` picks the Y sampling factors
+    ("444" = none, "422" = 2x1, "420" = 2x2 with box-averaged chroma);
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many MCUs
+    (baseline only).  ``progressive`` emits SOF2 with a full
+    spectral-selection + successive-approximation script (interleaved DC
+    first/refine, two AC bands per component, first then refine) so every
+    progressive decoder path is exercised by our own bytes.  All modes
+    quantize identically, so progressive and baseline decode to
+    bit-identical pixels."""
     hy, vy = _JPEG_SAMPLING[subsample]
     h, w = pixels.shape[:2]
     rgb = pixels.astype(np.float64)
@@ -624,6 +636,12 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90, *,
         if hy > 1:
             p = (p[:, 0::2] + p[:, 1::2]) / 2.0
         chroma.append(p)
+
+    if progressive:
+        if restart_interval:
+            raise ValueError("restart intervals unsupported in progressive mode")
+        return _assemble_progressive(
+            h, w, hy, vy, mcux, mcuy, y, chroma, qts, dc_tabs, ac_tabs)
 
     writer = _BitWriter()
     pred = [0, 0, 0]
@@ -724,9 +742,11 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline sequential JPEG decoder (SOF0): multiple DQT/DHT, component
-    sampling factors 1-2 (4:4:4 / 4:2:2 / 4:2:0), DRI restart intervals,
-    1- or 3-component scans.  Returns uint8 RGB (H, W, 3)."""
+    """JPEG decoder: baseline sequential (SOF0) AND progressive (SOF2, full
+    spectral selection + successive approximation, EOB runs, interleaved or
+    single-component DC scans), multiple DQT/DHT, component sampling factors
+    1-2 (4:4:4 / 4:2:2 / 4:2:0), DRI restart intervals.  Returns uint8 RGB
+    (H, W, 3)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     qts: dict = {}
@@ -738,6 +758,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     i = 2
     scan_data = None
     scan_comps = None
+    progressive = False
+    scans: list = []
     while i < len(data):
         if data[i] != 0xFF:
             i += 1
@@ -773,17 +795,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(body[j + 17 : j + 17 + n])
                 (ac_tables if tc else dc_tables)[th] = _huff_decode_table(bits, vals)
                 j += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             h, w = struct.unpack(">HH", body[1:5])
             nc = body[5]
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0) is supported")
+                "only baseline (SOF0) and progressive (SOF2) JPEG are supported")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS
@@ -793,6 +816,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cs, tabs = body[1 + 2 * c : 3 + 2 * c]
                 comp = next(cc for cc in comps if cc["id"] == cs)
                 scan_comps.append({**comp, "td": tabs >> 4, "ta": tabs & 0x0F})
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
             # entropy-coded data runs to the next non-RST marker
             j = i + 2 + ln
             start = j
@@ -803,11 +828,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     break
                 j += 1
             scan_data = data[start:j]
+            scans.append(
+                {"comps": scan_comps, "ss": ss, "se": se,
+                 "ah": ahal >> 4, "al": ahal & 0x0F,
+                 "data": scan_data, "ri": restart_interval,
+                 # snapshot the tables: DHT segments may redefine them
+                 # between scans
+                 "dc": dict(dc_tables), "ac": dict(ac_tables)}
+            )
             i = j
             continue
         i += 2 + ln
     if scan_data is None or not comps:
         raise ValueError("JPEG has no scan")
+    if progressive:
+        return _decode_jpeg_progressive(qts, comps, scans, h, w)
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -900,3 +935,385 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     g = yv - 0.344136 * cb - 0.714136 * cr
     b = yv + 1.772 * cb
     return np.clip(np.dstack([r, g, b]), 0, 255).astype(np.uint8)
+
+
+def _split_rst(scan_data: bytes) -> list:
+    """Split entropy-coded data on RSTn markers, unstuffing 0xFF00."""
+    intervals, cur, k = [], bytearray(), 0
+    while k < len(scan_data):
+        if (scan_data[k] == 0xFF and k + 1 < len(scan_data)
+                and 0xD0 <= scan_data[k + 1] <= 0xD7):
+            intervals.append(bytes(cur))
+            cur = bytearray()
+            k += 2
+            continue
+        if scan_data[k] == 0xFF and k + 1 < len(scan_data) and scan_data[k + 1] == 0x00:
+            cur.append(0xFF)
+            k += 2
+            continue
+        cur.append(scan_data[k])
+        k += 1
+    intervals.append(bytes(cur))
+    return intervals
+
+
+def _ac_first_block(br: "_BitReader", blk: np.ndarray, ss: int, se: int,
+                    al: int, tab: dict, eobrun: int) -> int:
+    """Progressive AC initial scan for one block (T.81 G.1.2.2): coefficients
+    arrive point-transformed (<< al on decode); EOB runs cover whole blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _read_symbol(br, tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.read_bits(r)
+            break
+        k += r
+        if k > se:
+            break
+        blk[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(br: "_BitReader", blk: np.ndarray, ss: int, se: int,
+                     al: int, tab: dict, eobrun: int) -> int:
+    """Progressive AC refinement scan for one block (T.81 G.1.2.3 /
+    libjpeg decode_mcu_AC_refine): newly-nonzero coefficients arrive as
+    +-(1<<al); history-nonzero coefficients receive one correction bit each,
+    in band order, including during EOB runs."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _read_symbol(br, tab)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history coefs
+            else:
+                val = p1 if br.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if br.read_bit() and (int(blk[k]) & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if br.read_bit() and (int(blk[k]) & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_jpeg_progressive(qts, comps, scans, h, w) -> np.ndarray:
+    """Accumulate coefficients (zigzag order) across all progressive scans,
+    then dequantize + IDCT once."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    coefs = {
+        c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+        for c in comps
+    }
+
+    for scan in scans:
+        ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+        scs = scan["comps"]
+        interleaved = len(scs) > 1
+        if ss > 0 and interleaved:
+            raise ValueError("progressive AC scans must be single-component")
+        if interleaved:
+            n_units = mcux * mcuy
+        else:
+            c = scs[0]
+            wb = (-(-(w * c["h"]) // hmax) + 7) // 8
+            hb = (-(-(h * c["v"]) // vmax) + 7) // 8
+            n_units = wb * hb
+        per_interval = scan["ri"] or n_units
+        unit = 0
+        for interval in _split_rst(scan["data"]):
+            if unit >= n_units:
+                break
+            br = _BitReader(interval)
+            pred = {c["id"]: 0 for c in comps}
+            eobrun = 0
+            for _ in range(min(per_interval, n_units - unit)):
+                if interleaved:  # DC scan over full MCUs
+                    my, mx = divmod(unit, mcux)
+                    for sc in scs:
+                        for by in range(sc["v"]):
+                            for bx in range(sc["h"]):
+                                blk = coefs[sc["id"]][my * sc["v"] + by,
+                                                      mx * sc["h"] + bx]
+                                if ah == 0:
+                                    t = _read_symbol(br, scan["dc"][sc["td"]])
+                                    pred[sc["id"]] += _extend(br.read_bits(t), t)
+                                    blk[0] = pred[sc["id"]] << al
+                                elif br.read_bit():
+                                    blk[0] |= 1 << al
+                else:
+                    sc = scs[0]
+                    by, bx = divmod(unit, wb)
+                    blk = coefs[sc["id"]][by, bx]
+                    if ss == 0:  # single-component DC scan
+                        if ah == 0:
+                            t = _read_symbol(br, scan["dc"][sc["td"]])
+                            pred[sc["id"]] += _extend(br.read_bits(t), t)
+                            blk[0] = pred[sc["id"]] << al
+                        elif br.read_bit():
+                            blk[0] |= 1 << al
+                    elif ah == 0:
+                        eobrun = _ac_first_block(
+                            br, blk, ss, se, al, scan["ac"][sc["ta"]], eobrun)
+                    else:
+                        eobrun = _ac_refine_block(
+                            br, blk, ss, se, al, scan["ac"][sc["ta"]], eobrun)
+                unit += 1
+
+    # dequantize (zigzag coef x zigzag-gathered qt) + vectorized IDCT
+    full = []
+    for c in comps:
+        arr = coefs[c["id"]]
+        by, bx = arr.shape[0], arr.shape[1]
+        deq = arr * qts[c["tq"]][_ZIGZAG][None, None, :]
+        nat = np.zeros((by, bx, 64), dtype=np.float64)
+        nat[..., _ZIGZAG] = deq
+        blocks = nat.reshape(by * bx, 8, 8)
+        idct = np.einsum("ij,njk,kl->nil", _DCT_A.T, blocks, _DCT_A) + 128.0
+        plane = (
+            idct.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        )
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1:
+            plane = np.repeat(plane, ry, axis=0)
+        if rx > 1:
+            plane = np.repeat(plane, rx, axis=1)
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        yv = np.clip(full[0], 0, 255)
+        return np.dstack([yv, yv, yv]).astype(np.uint8)
+    yv, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = yv + 1.402 * cr
+    g = yv - 0.344136 * cb - 0.714136 * cr
+    b = yv + 1.772 * cb
+    return np.clip(np.dstack([r, g, b]), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG emission (encoder twin of _decode_jpeg_progressive)
+# ---------------------------------------------------------------------------
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform (T.81 G.1.2.2): sign-preserving magnitude shift."""
+    a = abs(int(v)) >> al
+    return a if v >= 0 else -a
+
+
+def _emit_dc_scan(grids, ah: int, al: int, mcux: int, mcuy: int) -> bytes:
+    """Interleaved DC scan over full MCUs: first pass huffman-codes diffs of
+    the arithmetic-shifted DC; refinement emits one raw bit per block."""
+    writer = _BitWriter()
+    preds = [0] * len(grids)
+    for mi in range(mcux * mcuy):
+        my, mx = divmod(mi, mcux)
+        for ci, (arr, v, hh, tab) in enumerate(grids):
+            for by in range(v):
+                for bx in range(hh):
+                    zz0 = int(arr[my * v + by, mx * hh + bx, 0])
+                    if ah == 0:
+                        val = zz0 >> al
+                        cat, bits = _magnitude(val - preds[ci])
+                        preds[ci] = val
+                        code, ln = tab[cat]
+                        writer.write(code, ln)
+                        if cat:
+                            writer.write(bits, cat)
+                    else:
+                        writer.write((zz0 >> al) & 1, 1)
+    writer.flush()
+    return writer.buf
+
+
+def _emit_ac_first_scan(arr, wb: int, hb: int, ss: int, se: int, al: int,
+                        ac_tab: dict) -> bytes:
+    """Single-component AC initial scan over non-padded blocks.  EOB runs are
+    flushed per block (EOB0 only) so the Annex K tables' symbol set suffices;
+    the decoder handles general EOBn regardless."""
+    writer = _BitWriter()
+    for u in range(wb * hb):
+        by, bx = divmod(u, wb)
+        zz = arr[by, bx]
+        band = [_pt_ac(zz[k], al) for k in range(ss, se + 1)]
+        last = -1
+        for i, v in enumerate(band):
+            if v:
+                last = i
+        r = 0
+        for i in range(last + 1):
+            v = band[i]
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                code, ln = ac_tab[0xF0]
+                writer.write(code, ln)
+                r -= 16
+            cat, bits = _magnitude(v)
+            code, ln = ac_tab[(r << 4) | cat]
+            writer.write(code, ln)
+            writer.write(bits, cat)
+            r = 0
+        if last < len(band) - 1:
+            code, ln = ac_tab[0x00]  # EOB0
+            writer.write(code, ln)
+    writer.flush()
+    return writer.buf
+
+
+def _emit_ac_refine_scan(arr, wb: int, hb: int, ss: int, se: int, al: int,
+                         ac_tab: dict) -> bytes:
+    """Single-component AC refinement scan (T.81 G.1.2.3 / libjpeg
+    encode_mcu_AC_refine): newly-nonzero coefs (|v|>>al == 1) emit (r,1) +
+    sign bit; history-nonzero coefs buffer one correction bit each, flushed
+    after the next emitted symbol; trailing runs fold into EOB0."""
+    writer = _BitWriter()
+    for u in range(wb * hb):
+        by, bx = divmod(u, wb)
+        zz = arr[by, bx]
+        vals = [int(zz[k]) for k in range(ss, se + 1)]
+        absv = [abs(v) >> al for v in vals]
+        eob = -1
+        for i, a in enumerate(absv):
+            if a == 1:
+                eob = i
+        r = 0
+        buffered = []
+        for i, a in enumerate(absv):
+            if a == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob:
+                code, ln = ac_tab[0xF0]
+                writer.write(code, ln)
+                r -= 16
+                for b in buffered:
+                    writer.write(b, 1)
+                buffered = []
+            if a > 1:
+                buffered.append((vals[i] >> al) & 1)
+                continue
+            code, ln = ac_tab[(r << 4) | 1]
+            writer.write(code, ln)
+            writer.write(1 if vals[i] > 0 else 0, 1)
+            r = 0
+            for b in buffered:
+                writer.write(b, 1)
+            buffered = []
+        if r > 0 or buffered:
+            code, ln = ac_tab[0x00]  # EOB0 covering the block's tail
+            writer.write(code, ln)
+            for b in buffered:
+                writer.write(b, 1)
+    writer.flush()
+    return writer.buf
+
+
+def _assemble_progressive(h, w, hy, vy, mcux, mcuy, y, chroma, qts,
+                          dc_tabs, ac_tabs) -> bytes:
+    """Quantize every block once, then emit the SOF2 scan script."""
+    ygrid = np.zeros((mcuy * vy, mcux * hy, 64), dtype=np.int64)
+    for by in range(mcuy * vy):
+        for bx in range(mcux * hy):
+            ygrid[by, bx] = _quantize_block(
+                y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], qts[0])
+    cgrids = []
+    for p in chroma:
+        g = np.zeros((mcuy, mcux, 64), dtype=np.int64)
+        for by in range(mcuy):
+            for bx in range(mcux):
+                g[by, bx] = _quantize_block(
+                    p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], qts[1])
+        cgrids.append(g)
+
+    # non-padded block extents per component (AC scans cover only these)
+    def blocks_of(ch, cv):
+        wb = (-(-(w * ch) // hy) + 7) // 8
+        hb = (-(-(h * cv) // vy) + 7) // 8
+        return wb, hb
+
+    comps = [
+        {"id": 1, "h": hy, "v": vy, "tq": 0, "arr": ygrid, "dc": 0, "ac": 0},
+        {"id": 2, "h": 1, "v": 1, "tq": 1, "arr": cgrids[0], "dc": 1, "ac": 1},
+        {"id": 3, "h": 1, "v": 1, "tq": 1, "arr": cgrids[1], "dc": 1, "ac": 1},
+    ]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def sos(scan_comps, ss, se, ah, al, data: bytes) -> bytes:
+        body = bytes([len(scan_comps)])
+        for c, td, ta in scan_comps:
+            body += bytes([c["id"], (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body) + data
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, qt in enumerate(qts):
+        out += seg(0xDB, bytes([tq]) + bytes(int(v) for v in qt[_ZIGZAG]))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += seg(0xC2, sof)  # SOF2: progressive DCT
+    for tc_th, (bits, vals) in (
+        ((0, 0), _HT_DC_LUM), ((1, 0), _HT_AC_LUM),
+        ((0, 1), _HT_DC_CHR), ((1, 1), _HT_AC_CHR),
+    ):
+        tc, th = tc_th
+        out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    grids = [(c["arr"], c["v"], c["h"], dc_tabs[c["dc"]]) for c in comps]
+    # scan script: DC first -> AC first (two bands/comp) -> DC refine ->
+    # AC refine (two bands/comp); the DC refine deliberately lands between
+    # AC scans so decoders must process scans strictly sequentially
+    out += sos([(c, c["dc"], 0) for c in comps], 0, 0, 0, 1,
+               _emit_dc_scan(grids, 0, 1, mcux, mcuy))
+    for c in comps:
+        wb, hb = blocks_of(c["h"], c["v"])
+        for lo, hi in ((1, 20), (21, 63)):
+            out += sos([(c, 0, c["ac"])], lo, hi, 0, 1,
+                       _emit_ac_first_scan(c["arr"], wb, hb, lo, hi, 1,
+                                           ac_tabs[c["ac"]]))
+    out += sos([(c, c["dc"], 0) for c in comps], 0, 0, 1, 0,
+               _emit_dc_scan(grids, 1, 0, mcux, mcuy))
+    for c in comps:
+        wb, hb = blocks_of(c["h"], c["v"])
+        for lo, hi in ((1, 20), (21, 63)):
+            out += sos([(c, 0, c["ac"])], lo, hi, 1, 0,
+                       _emit_ac_refine_scan(c["arr"], wb, hb, lo, hi, 0,
+                                            ac_tabs[c["ac"]]))
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -8,7 +8,7 @@ without-libraries formats from scratch — uncompressed 24-bit BMP, PCM WAV,
 containers with DIB frames — and ``DecodeStage`` REALLY decodes those
 payloads (dimensions from pixels, duration from samples/frames);
 ``FrameSampleStage`` samples real decoded video frames.  Formats that
-genuinely need an external codec (progressive JPEG, arithmetic coding)
+genuinely need an external codec (arithmetic-coded JPEG, inter-frame video)
 raise ``NotImplementedError`` — that is the honest boundary, and
 ``FakeDecodeStage`` remains the deterministic stand-in for plumbing tests
 over arbitrary payloads.
@@ -217,8 +217,9 @@ def media_table_from_documents(sf_dir: str):
 def real_media_table(sf_dir: str):
     """Deterministic REAL-codec media table derived from doc ids: BMP images
     (doc_id % 3 == 0), PCM WAV tones (== 1), PNG (% 12 == 2) or JPEG
-    (% 12 == 8) images and AVI videos (% 6 == 5).  Pure in doc_id, so
-    results are identical across runs/partitionings/retries."""
+    (% 12 == 8; every second one PROGRESSIVE) images and AVI videos
+    (% 6 == 5).  Pure in doc_id, so results are identical across
+    runs/partitionings/retries."""
     ds = read_pruned(os.path.join(sf_dir, "documents.parquet"), ["doc_id"])
 
     def build(t: pa.Table) -> pa.Table:
@@ -240,7 +241,8 @@ def real_media_table(sf_dir: str):
                 px = rng.integers(0, 256, size=(10 + i % 6, 14 + i % 10, 3),
                                   dtype=np.uint8)
                 payloads.append(
-                    encode_png(px) if i % 12 == 2 else encode_jpeg(px)
+                    encode_png(px) if i % 12 == 2
+                    else encode_jpeg(px, progressive=(i % 24 == 20))
                 )
                 types.append("image")
             else:  # i % 6 == 5: a real video container

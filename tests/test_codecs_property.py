@@ -179,3 +179,83 @@ def test_jpeg_sharp_image_error_bound():
     out = decode_jpeg(encode_jpeg(px, quality=90))
     err = float(np.abs(out.astype(int) - px.astype(int)).mean())
     assert err <= 12.0, err
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(1, 40), st.integers(1, 40),
+       st.sampled_from(["444", "422", "420"]))
+def test_jpeg_progressive_bit_identical_to_baseline(seed, h, w, subsample):
+    """Progressive and baseline share the quantizer, so decoding the
+    progressive bytes must reproduce the baseline decode EXACTLY — this
+    locks every scan type (DC first/refine, two AC bands first/refine,
+    EOB handling) against the sequential path."""
+    from engine.ops.codecs import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(px, quality=90, subsample=subsample))
+    prog = decode_jpeg(encode_jpeg(px, quality=90, subsample=subsample,
+                                   progressive=True))
+    assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_eobn_run_spans_blocks():
+    """Our encoder only ever emits EOB0, so the general EOBn path is locked
+    by a hand-assembled single-component progressive stream: an EOB1 run
+    (eobrun = 2 + 1 appended bit) covering three blocks must decode exactly
+    like the equivalent three-EOB0 stream."""
+    import struct
+
+    from engine.ops.codecs import (_BitWriter, _HT_DC_LUM, _ZIGZAG,
+                                   _huff_codes, decode_jpeg)
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    # custom AC table: three 2-bit codes for 0x00 (EOB0), 0x11 (r=1,s=1),
+    # 0x10 (EOB1: eobrun = 2 + 1 extra bit)
+    ac_bits = [0, 3] + [0] * 14
+    ac_vals = [0x00, 0x11, 0x10]
+    ac_tab = _huff_codes(ac_bits, ac_vals)
+    dc_tab = _huff_codes(*_HT_DC_LUM)
+
+    def build(jpeg_scans):
+        out = bytearray(b"\xff\xd8")
+        out += seg(0xDB, bytes([0]) + bytes([1] * 64))  # qt 0: all ones
+        out += seg(0xC2, struct.pack(">BHHB", 8, 8, 24, 1) + bytes([1, 0x11, 0]))
+        out += seg(0xC4, bytes([0x00]) + bytes(_HT_DC_LUM[0]) + bytes(_HT_DC_LUM[1]))
+        out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+        for scomp, ss, se, ahal, data in jpeg_scans:
+            out += seg(0xDA, bytes([1, scomp[0], scomp[1], ss, se, ahal])) + data
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    # DC first scan: 3 blocks, diff 0 each (cat 0)
+    wdc = _BitWriter()
+    for _ in range(3):
+        code, ln = dc_tab[0]
+        wdc.write(code, ln)
+    wdc.flush()
+
+    # AC scan A: block0 = [skip 1, coef=1 at k=2] then EOB1 run of 3 blocks
+    wa = _BitWriter()
+    code, ln = ac_tab[0x11]; wa.write(code, ln); wa.write(1, 1)  # v=+1 at k=2
+    code, ln = ac_tab[0x10]; wa.write(code, ln); wa.write(1, 1)  # eobrun=2+1
+    wa.flush()
+
+    # AC scan B: same coefficients via three EOB0-terminated blocks
+    wb = _BitWriter()
+    code, ln = ac_tab[0x11]; wb.write(code, ln); wb.write(1, 1)
+    code, ln = ac_tab[0x00]; wb.write(code, ln)
+    code, ln = ac_tab[0x00]; wb.write(code, ln)
+    code, ln = ac_tab[0x00]; wb.write(code, ln)
+    wb.flush()
+
+    dc_scan = ((1, 0x00), 0, 0, 0x00, wdc.buf)
+    a = decode_jpeg(build([dc_scan, ((1, 0x00), 1, 63, 0x00, wa.buf)]))
+    b = decode_jpeg(build([dc_scan, ((1, 0x00), 1, 63, 0x00, wb.buf)]))
+    assert np.array_equal(a, b)
+    assert a.shape == (8, 24, 3)
+    # the planted coef at zigzag index 2 is non-DC: the image is NOT flat
+    assert len(np.unique(a[:, :8, 0])) > 1
+    assert _ZIGZAG[2] == 8  # sanity: zigzag 2 -> natural (1,0)

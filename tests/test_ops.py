@@ -251,7 +251,7 @@ def test_fake_decode_deterministic(ray_session):
 
 
 def test_decode_stage_rejects_unsupported_codecs():
-    """Unknown payloads and progressive JPEG genuinely cannot be decoded
+    """Unknown payloads and lossless JPEG genuinely cannot be decoded
     here: the stage raises instead of faking (the honest boundary)."""
     import numpy as np
 
@@ -262,12 +262,13 @@ def test_decode_stage_rejects_unsupported_codecs():
     with pytest.raises(NotImplementedError):
         stage(pa.table({"media_id": pa.array([1], pa.int64()),
                         "payload": pa.array([b"x"], pa.binary())}))
-    # progressive JPEG (SOF2): flip the baseline SOF0 marker of our own bytes
+    # lossless JPEG (SOF3): flip the baseline SOF0 marker of our own bytes
+    # (SOF2 progressive is DECODED now — the boundary moved past it)
     px = np.zeros((8, 8, 3), dtype=np.uint8)
-    prog = encode_jpeg(px).replace(b"\xff\xc0", b"\xff\xc2", 1)
+    lossless = encode_jpeg(px).replace(b"\xff\xc0", b"\xff\xc3", 1)
     with pytest.raises(NotImplementedError):
         stage(pa.table({"media_id": pa.array([1], pa.int64()),
-                        "payload": pa.array([prog], pa.binary())}))
+                        "payload": pa.array([lossless], pa.binary())}))
 
 
 def test_jpeg_roundtrip_all_modes():
