@@ -4,7 +4,9 @@ The container ships no PIL/torchaudio/ffmpeg, so the multimodal decode
 stage implements the formats that are decodable with the standard library
 alone, for real:
 
-- **BMP** — uncompressed 24-bit ``BI_RGB`` (bottom-up rows, 4-byte padding);
+- **BMP** — uncompressed 24-bit ``BI_RGB`` (bottom-up rows, 4-byte padding),
+  plus 8-bit palette BMPs both uncompressed and ``BI_RLE8`` (runs, absolute
+  blocks, EOL/EOB/delta escapes);
 - **WAV** — RIFF/WAVE PCM, 16-bit mono;
 - **PNG** — 8-bit RGB, all five scanline filters (None/Sub/Up/Average/
   Paeth), zlib (stdlib) IDAT streams;
@@ -91,6 +93,8 @@ def decode_bmp(data: bytes) -> np.ndarray:
         compression = struct.unpack_from("<I", data, 30)[0]
     else:
         raise NotImplementedError(f"unknown BMP header size {hdr_size}")
+    if bpp == 8 and compression in (0, 1):
+        return _decode_bmp_8bit(data, off, hdr_size, w, h, compression)
     if bpp != 24 or compression != 0:
         raise NotImplementedError(f"only uncompressed 24-bit BMP (got bpp={bpp})")
     bottom_up = h > 0
@@ -102,6 +106,107 @@ def decode_bmp(data: bytes) -> np.ndarray:
     if bottom_up:
         rows = rows[::-1]
     return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def _decode_bmp_8bit(data: bytes, off: int, hdr_size: int, w: int, h: int,
+                     compression: int) -> np.ndarray:
+    """8-bit palette BMP: uncompressed (BI_RGB) or BI_RLE8, bottom-up.
+    RLE8 escapes handled: 0,0 = end of line; 0,1 = end of bitmap; 0,2 =
+    delta (dx, dy); 0,n>=3 = absolute run (word-aligned)."""
+    bottom_up = h > 0
+    h = abs(h)
+    pal_off = 14 + hdr_size
+    n_colors = struct.unpack_from("<I", data, 46)[0] if hdr_size >= 40 else 0
+    n_colors = n_colors or 256
+    pal = np.frombuffer(data, dtype=np.uint8, count=n_colors * 4,
+                        offset=pal_off).reshape(n_colors, 4)[:, :3][:, ::-1]  # BGRA->RGB
+    idx = np.zeros((h, w), dtype=np.uint8)
+    if compression == 0:
+        stride = w + ((-w) % 4)
+        raw = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=off)
+        idx = raw.reshape(h, stride)[:, :w].copy()
+    else:  # BI_RLE8
+        x = y = 0  # in bottom-up row coordinates
+        p = off
+        while p + 1 < len(data):
+            cnt, val = data[p], data[p + 1]
+            p += 2
+            if cnt > 0:  # encoded run
+                idx[y, x : x + cnt] = val
+                x += cnt
+            elif val == 0:  # end of line
+                x, y = 0, y + 1
+            elif val == 1:  # end of bitmap
+                break
+            elif val == 2:  # delta
+                x += data[p]
+                y += data[p + 1]
+                p += 2
+            else:  # absolute mode: val literal indices, word-aligned
+                idx[y, x : x + val] = np.frombuffer(
+                    data, dtype=np.uint8, count=val, offset=p)
+                x += val
+                p += val + (val & 1)
+    if bottom_up:
+        idx = idx[::-1]
+    return pal[idx].astype(np.uint8)
+
+
+def encode_bmp_rle8(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB with <= 256 distinct colors -> BI_RLE8 BMP bytes.
+
+    The palette is the sorted distinct-color set; each bottom-up row is
+    emitted as encoded runs (with ZRL-style splitting at 255) and literal
+    absolute blocks for non-repeating stretches, terminated by the 0,0 EOL
+    escape, with 0,1 EOB at the end — so the decoder's run, absolute and
+    escape paths are all exercised by our own bytes."""
+    h, w, c = pixels.shape
+    assert c == 3
+    flat = pixels.reshape(-1, 3)
+    colors, inv = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("RLE8 needs <= 256 distinct colors")
+    idx = inv.reshape(h, w).astype(np.uint8)
+    body = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up
+        row = idx[r]
+        x = 0
+        while x < w:
+            run = 1
+            while x + run < w and row[x + run] == row[x] and run < 255:
+                run += 1
+            if run >= 3 or x + run >= w:
+                body += bytes([run, int(row[x])])
+                x += run
+                continue
+            # literal stretch until the next >=3 run (or 255 cap)
+            start = x
+            while x < w and x - start < 255:
+                nxt = 1
+                while x + nxt < w and row[x + nxt] == row[x] and nxt < 255:
+                    nxt += 1
+                if nxt >= 3:
+                    break
+                x += nxt
+            n = x - start
+            if n < 3:  # too short for absolute mode: encoded runs of 1-2
+                for i in range(start, x):
+                    body += bytes([1, int(row[i])])
+            else:
+                body += bytes([0, n]) + row[start:x].tobytes()
+                if n & 1:
+                    body += b"\x00"
+        body += b"\x00\x00"  # EOL
+    body += b"\x00\x01"  # EOB
+    pal = bytearray()
+    for col in colors:
+        pal += bytes([int(col[2]), int(col[1]), int(col[0]), 0])  # BGRA
+    pal += b"\x00" * (4 * (256 - len(colors)))
+    off = 14 + 40 + 1024
+    header = struct.pack("<2sIHHI", BMP_MAGIC, off + len(body), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(body),
+                       2835, 2835, 256, 0)
+    return header + info + bytes(pal) + bytes(body)
 
 
 # ---------------------------------------------------------------------------

@@ -30,6 +30,7 @@ from .codecs import (
     decode_png,
     encode_avi,
     encode_bmp,
+    encode_bmp_rle8,
     encode_jpeg,
     encode_png,
     encode_wav,
@@ -228,9 +229,14 @@ def real_media_table(sf_dir: str):
         for i in ids:
             rng = np.random.default_rng(int(i))
             if i % 3 == 0:
-                px = rng.integers(0, 256, size=(12 + i % 8, 16 + i % 16, 3),
-                                  dtype=np.uint8)
-                payloads.append(encode_bmp(px))
+                if i % 24 == 12:  # BI_RLE8 palette BMP rows
+                    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+                    px = pal[rng.integers(0, 8, size=(12 + i % 8, 16 + i % 16))]
+                    payloads.append(encode_bmp_rle8(px))
+                else:
+                    px = rng.integers(0, 256, size=(12 + i % 8, 16 + i % 16, 3),
+                                      dtype=np.uint8)
+                    payloads.append(encode_bmp(px))
                 types.append("image")
             elif i % 3 == 1:
                 n = 800 + (i % 50) * 16

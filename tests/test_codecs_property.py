@@ -259,3 +259,46 @@ def test_jpeg_progressive_eobn_run_spans_blocks():
     # the planted coef at zigzag index 2 is non-DC: the image is NOT flat
     assert len(np.unique(a[:, :8, 0])) > 1
     assert _ZIGZAG[2] == 8  # sanity: zigzag 2 -> natural (1,0)
+
+
+@st.composite
+def paletted_images(draw, max_side=32, max_colors=16):
+    h = draw(st.integers(1, max_side))
+    w = draw(st.integers(1, max_side))
+    n = draw(st.integers(1, max_colors))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+    return pal[rng.integers(0, n, (h, w))]
+
+
+@settings(max_examples=25, deadline=None)
+@given(paletted_images())
+def test_bmp_rle8_roundtrip(px):
+    from engine.ops.codecs import decode_bmp, encode_bmp_rle8
+
+    assert np.array_equal(decode_bmp(encode_bmp_rle8(px)), px)
+
+
+def test_bmp_rle8_delta_escape():
+    """Our encoder never emits the 0,2 delta escape; lock the decoder's
+    delta path with a hand-assembled stream: a 4x4 image where a delta jump
+    (dx=2, dy=1) skips cells that must stay at palette index 0."""
+    import struct
+
+    from engine.ops.codecs import decode_bmp
+
+    # palette: 0 -> black, 1 -> white
+    pal = bytes([0, 0, 0, 0, 255, 255, 255, 0]) + b"\x00" * (4 * 254)
+    # bottom-up rows: run of 2 white at (0,0) leaves x=2; delta dx=0,dy=1
+    # jumps to (2,1); run of 2 white; EOL; EOB
+    body = bytes([2, 1, 0, 2, 0, 1, 2, 1, 0, 0, 0, 1])
+    off = 14 + 40 + 1024
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, 4, 4, 1, 8, 1, len(body),
+                       2835, 2835, 256, 0)
+    px = decode_bmp(hdr + info + pal + body)
+    want = np.zeros((4, 4, 3), np.uint8)
+    want[3, 0:2] = 255   # bottom row (y=0 bottom-up), x 0-1
+    want[2, 2:4] = 255   # after delta dx=2 dy=1: y=1 bottom-up, x 2-3
+    assert np.array_equal(px, want)
