@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_revenue": relational.order_priority_revenue,
         "top_order_per_customer": relational.top_order_per_customer,
         "sample_documents": relational.sample_documents,
+        "stratified_sample": relational.stratified_sample,
         "events_lag_delta": relational.events_lag_delta,
         "events_range_join": relational.events_range_join,
         "doc_length_quantiles": relational.doc_length_quantiles,
@@ -420,6 +421,12 @@ def oracle_sql() -> dict[str, str]:
         "sample_documents": """
             SELECT doc_id, source, n_chars FROM documents
             WHERE (doc_id * 2654435761) % 100 < 10 ORDER BY doc_id
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE (lang = 'en' AND (doc_id * 2654435761) % 100 < 10)
+               OR (lang = 'de' AND (doc_id * 2654435761) % 100 < 50)
+            ORDER BY doc_id
         """,
         "brand_nation_profit": """
             SELECT p_brand, n_name,

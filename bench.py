@@ -68,6 +68,7 @@ BENCH_QUERY_NAMES = [
     "gram_repetition_stats",
     "brand_nation_profit",
     "revenue_filter_agg",
+    "stratified_sample",
 ]
 
 

@@ -881,3 +881,24 @@ def revenue_filter_agg(sf_dir: str) -> pd.DataFrame:
             "n_rows": [int(parts["n_rows"].sum())],
         }
     )
+
+
+def stratified_sample(sf_dir: str, rates=(("en", 10), ("de", 50))) -> pd.DataFrame:
+    """Per-stratum deterministic sampling: different keep-rates per language
+    (the training-data mix knob — e.g. downsample the dominant language,
+    keep most of a rare one).  Same multiplicative-hash gate as
+    ``sample_documents`` so the oracle runs the identical arithmetic; strata
+    not named in ``rates`` are dropped.  Map-only, no shuffle, and the same
+    rows are kept at any parallelism."""
+    rate_map = dict(rates)
+    ds = read_pruned(_t(sf_dir, "documents"), ["doc_id", "lang", "n_chars"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        langs = t["lang"].to_pylist()
+        pcts = np.array([rate_map.get(la, 0) for la in langs], dtype=np.int64)
+        mask = (ids * SAMPLE_MULT) % 100 < pcts
+        return t.filter(pa.array(mask))
+
+    out = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
