@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_order_per_customer": relational.top_order_per_customer,
         "sample_documents": relational.sample_documents,
         "stratified_sample": relational.stratified_sample,
+        "distinct_users_per_type": relational.distinct_users_per_type,
         "events_lag_delta": relational.events_lag_delta,
         "events_range_join": relational.events_range_join,
         "doc_length_quantiles": relational.doc_length_quantiles,
@@ -421,6 +422,10 @@ def oracle_sql() -> dict[str, str]:
         "sample_documents": """
             SELECT doc_id, source, n_chars FROM documents
             WHERE (doc_id * 2654435761) % 100 < 10 ORDER BY doc_id
+        """,
+        "distinct_users_per_type": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "stratified_sample": """
             SELECT doc_id, lang, n_chars FROM documents

@@ -69,6 +69,7 @@ BENCH_QUERY_NAMES = [
     "brand_nation_profit",
     "revenue_filter_agg",
     "stratified_sample",
+    "distinct_users_per_type",
 ]
 
 
@@ -510,6 +511,8 @@ def run_events_smoke() -> dict:
         "events_hopping": lambda: len(rel.events_hopping(dest)),
         "events_lag_delta": lambda: rel._events_lag_delta_ds(dest).count(),
         "events_range_join": lambda: rel._events_range_join_ds(dest).count(),
+        "distinct_users_per_type": lambda: int(
+            rel.distinct_users_per_type(dest)["n_users"].sum()),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")
     if only:

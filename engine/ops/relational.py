@@ -902,3 +902,54 @@ def stratified_sample(sf_dir: str, rates=(("en", 10), ("de", 50))) -> pd.DataFra
 
     out = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
+    """Exact COUNT(DISTINCT user_id) per event_type — the exact-distinct
+    shape (the approximate twin is the HLL sketch in ops.text).
+
+    Three-stage, duplicate-heavy-input safe: (1) per-batch drop_duplicates
+    combiner (the stream shrinks before the exchange), (2) shuffle on the
+    coarse ``user_id % 64`` bucket so each (type, user) pair lands in ONE
+    group, dedupe + per-type partial counts vectorized inside the bucket,
+    (3) a tiny final Sum over <= 64 x |types| partials.  The full pair set
+    never co-locates anywhere.
+    """
+    ds = read_pruned(_t(sf_dir, "events"), ["event_type", "user_id"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates()
+        keys = df["user_id"].to_numpy()
+        return pa.table(
+            {
+                "event_type": pa.array(df["event_type"].tolist(), pa.string()),
+                "user_id": pa.array(keys, pa.int64()),
+                "bucket": pa.array((keys % N_KEY_BUCKETS).astype(np.int32), pa.int32()),
+            }
+        )
+
+    _PARTIAL = pa.schema([("event_type", pa.string()), ("n", pa.int64())])
+
+    def count_distinct(g: pd.DataFrame) -> pa.Table:
+        n = (
+            g.drop_duplicates(["event_type", "user_id"])
+            .groupby("event_type", sort=False)
+            .size()
+        )
+        return pa.Table.from_pandas(
+            pd.DataFrame({"event_type": n.index, "n": n.to_numpy()}),
+            schema=_PARTIAL, preserve_index=False,
+        ).replace_schema_metadata(None)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(combine, batch_format="pyarrow", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(count_distinct, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n_users"))
+        .to_pandas()
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
