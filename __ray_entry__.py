@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_documents": relational.sample_documents,
         "stratified_sample": relational.stratified_sample,
         "distinct_users_per_type": relational.distinct_users_per_type,
+        "pagerank_docs": relational.pagerank_docs,
         "events_lag_delta": relational.events_lag_delta,
         "events_range_join": relational.events_range_join,
         "doc_length_quantiles": relational.doc_length_quantiles,
@@ -338,7 +339,30 @@ def oracle_sql() -> dict[str, str]:
         f"({e}, CAST({pow(int(_ROLL_B), e, 1 << 64)} AS UBIGINT))"
         for e in range(_roll_w)
     )
+    # pagerank oracle: the 5 power iterations unrolled as generated CTEs
+    # over the same hash-derived edge set ((doc_id*31+s) % n, s in 1..3)
+    _pr_iters = 5
+    _pr = [
+        "nodes AS (SELECT doc_id FROM documents)",
+        "p AS (SELECT count(*) AS n FROM documents)",
+        "e AS (SELECT doc_id AS src, (doc_id*31 + s.s) % (SELECT n FROM p) AS dst"
+        " FROM documents, (SELECT unnest([1,2,3]) AS s) s)",
+        "r0 AS (SELECT doc_id, 1.0/(SELECT n FROM p) AS rank FROM nodes)",
+    ]
+    for _i in range(1, _pr_iters + 1):
+        _pr.append(
+            f"r{_i} AS (SELECT nodes.doc_id, (1-0.85)/(SELECT n FROM p)"
+            f" + 0.85*coalesce(sum(r{_i-1}.rank/3), 0) AS rank"
+            f" FROM nodes LEFT JOIN e ON e.dst = nodes.doc_id"
+            f" LEFT JOIN r{_i-1} ON r{_i-1}.doc_id = e.src"
+            f" GROUP BY nodes.doc_id)"
+        )
+    pagerank_sql = (
+        "WITH " + ",\n ".join(_pr)
+        + f"\nSELECT doc_id, round(rank, 9) AS rank FROM r{_pr_iters} ORDER BY doc_id"
+    )
     return {
+        "pagerank_docs": pagerank_sql,
         "q1_agg": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 0) AS sum_qty,

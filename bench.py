@@ -70,6 +70,7 @@ BENCH_QUERY_NAMES = [
     "revenue_filter_agg",
     "stratified_sample",
     "distinct_users_per_type",
+    "pagerank_docs",
 ]
 
 

@@ -953,3 +953,69 @@ def distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
     )
     out["n_users"] = out["n_users"].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def pagerank_docs(sf_dir: str, n_iter: int = 5, d: float = 0.85) -> pd.DataFrame:
+    """PageRank power iteration over a deterministic synthetic link graph —
+    the iterative-numeric pattern (link analysis) on Ray Data.
+
+    Graph: every doc links to ((doc_id*31 + s) % n) for s in 1..3 (pure in
+    doc_id, so both sides of the oracle build the identical edge set).  Each
+    iteration is ONE coarse-bucket shuffle: every rank row emits its three
+    d*r/3 contributions keyed by target (plus a zero carrier row for itself,
+    so nodes without in-edges survive), a per-batch pandas combine shrinks
+    collisions before the exchange, and the in-bucket vectorized sum +
+    (1-d)/n base forms the next rank Dataset.  Five iterations chain lazily;
+    the driver never holds ranks.  Final ranks round to 9 decimals (the
+    oracle unrolls the same 5 iterations in SQL; summation-order noise is
+    ~1e-14).
+    """
+    ds = read_pruned(_t(sf_dir, "documents"), ["doc_id"])
+    n = ds.count()
+    base = (1 - d) / n
+
+    ranks = ds.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"],
+             "rank": pa.array(np.full(t.num_rows, 1.0 / n), pa.float64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+    _RANK_SCHEMA = pa.schema([("doc_id", pa.int64()), ("rank", pa.float64())])
+
+    def contribs(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        r = t["rank"].to_numpy()
+        share = d * r / 3.0
+        node = np.concatenate([(ids * 31 + s) % n for s in (1, 2, 3)] + [ids])
+        val = np.concatenate([share, share, share, np.zeros(len(ids))])
+        g = pd.DataFrame({"node": node, "val": val}).groupby("node", as_index=False)[
+            "val"
+        ].sum()  # per-batch combine before the shuffle
+        keys = g["node"].to_numpy()
+        return pa.table(
+            {
+                "node": pa.array(keys, pa.int64()),
+                "val": pa.array(g["val"].to_numpy(), pa.float64()),
+                "bucket": pa.array((keys % N_KEY_BUCKETS).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def new_rank(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby("node", as_index=False)["val"].sum()
+        return pa.Table.from_pandas(
+            pd.DataFrame({"doc_id": s["node"], "rank": base + s["val"]}),
+            schema=_RANK_SCHEMA, preserve_index=False,
+        ).replace_schema_metadata(None)
+
+    for _ in range(n_iter):
+        ranks = (
+            ranks.map_batches(contribs, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(new_rank, batch_format="pandas")
+        )
+
+    out = ranks.to_pandas()
+    out["rank"] = out["rank"].round(9)
+    return out.sort_values("doc_id").reset_index(drop=True)
