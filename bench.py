@@ -337,6 +337,7 @@ def run_dedup_smoke() -> dict:
     gen_sec = time.time() - t0
 
     from engine.ops import ann, dedup
+    from engine.ops import relational as rel
 
     idx_dir = os.path.join(dest, "ivf_idx")
 
@@ -368,6 +369,8 @@ def run_dedup_smoke() -> dict:
         # token-level duplicated-substring spans (Lee et al.): gram explode
         # -> per-gram-bucket dup filter -> per-doc-bucket island merge
         "dup_ngram_spans": lambda: dedup.dup_ngram_spans(dest),
+        # link-analysis power iteration at corpus scale (5 chained shuffles)
+        "pagerank_docs": lambda: rel.pagerank_docs(dest),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")
     if only:
