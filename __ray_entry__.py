@@ -249,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": relational.stratified_sample,
         "distinct_users_per_type": relational.distinct_users_per_type,
         "pagerank_docs": relational.pagerank_docs,
+        "orders_without_lineitems": relational.orders_without_lineitems,
         "events_lag_delta": relational.events_lag_delta,
         "events_range_join": relational.events_range_join,
         "doc_length_quantiles": relational.doc_length_quantiles,
@@ -446,6 +447,12 @@ def oracle_sql() -> dict[str, str]:
         "sample_documents": """
             SELECT doc_id, source, n_chars FROM documents
             WHERE (doc_id * 2654435761) % 100 < 10 ORDER BY doc_id
+        """,
+        "orders_without_lineitems": """
+            SELECT o_orderkey, o_totalprice FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_orderkey = o.o_orderkey)
+            ORDER BY o_orderkey
         """,
         "distinct_users_per_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_users

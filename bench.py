@@ -71,6 +71,7 @@ BENCH_QUERY_NAMES = [
     "stratified_sample",
     "distinct_users_per_type",
     "pagerank_docs",
+    "orders_without_lineitems",
 ]
 
 

@@ -1019,3 +1019,67 @@ def pagerank_docs(sf_dir: str, n_iter: int = 5, d: float = 0.85) -> pd.DataFrame
     out = ranks.to_pandas()
     out["rank"] = out["rank"].round(9)
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def orders_without_lineitems(sf_dir: str) -> pd.DataFrame:
+    """BIG x BIG bucketed ANTI-join: orders with no lineitem rows.
+
+    The negative-membership shape (the crawl's seen-set anti-join,
+    relationally): neither side broadcasts at 100 TB, so both take ONE
+    shuffle on the shared key bucket — the lineitem side first combines to
+    per-batch DISTINCT orderkeys (duplicate line rows never enter the
+    exchange) — and the in-group vectorized ``isin`` mask keeps orders whose
+    key never appears.
+    """
+    N_BUCKETS = 32
+    orders = read_pruned(_t(sf_dir, "orders"), ["o_orderkey", "o_totalprice"])
+    lineitem = read_pruned(_t(sf_dir, "lineitem"), ["l_orderkey"])
+
+    _U_SCHEMA = pa.schema(
+        [("key", pa.int64()), ("side", pa.int8()),
+         ("o_totalprice", pa.float64()), ("bucket", pa.int32())]
+    )
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"].to_numpy()
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "side": pa.array(np.zeros(len(keys), np.int8), pa.int8()),
+                "o_totalprice": t["o_totalprice"],
+                "bucket": pa.array((keys % N_BUCKETS).astype(np.int32), pa.int32()),
+            },
+            schema=_U_SCHEMA,
+        )
+
+    def line_keys(t: pa.Table) -> pa.Table:
+        keys = np.unique(t["l_orderkey"].to_numpy())  # per-batch combiner
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "side": pa.array(np.ones(len(keys), np.int8), pa.int8()),
+                "o_totalprice": pa.array(np.zeros(len(keys)), pa.float64()),
+                "bucket": pa.array((keys % N_BUCKETS).astype(np.int32), pa.int32()),
+            },
+            schema=_U_SCHEMA,
+        )
+
+    _OUT = pa.schema([("o_orderkey", pa.int64()), ("o_totalprice", pa.float64())])
+
+    def anti(g: pd.DataFrame) -> pa.Table:
+        have = g.loc[g["side"] == 1, "key"].unique()
+        o = g[g["side"] == 0]
+        o = o[~o["key"].isin(have)]
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {"o_orderkey": o["key"].to_numpy(),
+                 "o_totalprice": o["o_totalprice"].to_numpy()}
+            ),
+            schema=_OUT, preserve_index=False,
+        ).replace_schema_metadata(None)
+
+    both = orders.map_batches(order_rows, batch_format="pyarrow").union(
+        lineitem.map_batches(line_keys, batch_format="pyarrow")
+    )
+    out = both.groupby("bucket").map_groups(anti, batch_format="pandas").to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
