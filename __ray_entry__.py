@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_type": relational.distinct_users_per_type,
         "pagerank_docs": relational.pagerank_docs,
         "orders_without_lineitems": relational.orders_without_lineitems,
+        "value_quantiles_per_type": relational.value_quantiles_per_type,
         "events_lag_delta": relational.events_lag_delta,
         "events_range_join": relational.events_range_join,
         "doc_length_quantiles": relational.doc_length_quantiles,
@@ -447,6 +448,16 @@ def oracle_sql() -> dict[str, str]:
         "sample_documents": """
             SELECT doc_id, source, n_chars FROM documents
             WHERE (doc_id * 2654435761) % 100 < 10 ORDER BY doc_id
+        """,
+        "value_quantiles_per_type": """
+            WITH c AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events)
+            SELECT event_type, count(*) AS n_events,
+                   quantile_disc(cents, 0.5) AS p50_cents,
+                   quantile_disc(cents, 0.9) AS p90_cents,
+                   quantile_disc(cents, 0.99) AS p99_cents
+            FROM c GROUP BY event_type ORDER BY event_type
         """,
         "orders_without_lineitems": """
             SELECT o_orderkey, o_totalprice FROM orders o

@@ -72,6 +72,7 @@ BENCH_QUERY_NAMES = [
     "distinct_users_per_type",
     "pagerank_docs",
     "orders_without_lineitems",
+    "value_quantiles_per_type",
 ]
 
 

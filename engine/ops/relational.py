@@ -1083,3 +1083,57 @@ def orders_without_lineitems(sf_dir: str) -> pd.DataFrame:
     )
     out = both.groupby("bucket").map_groups(anti, batch_format="pandas").to_pandas()
     return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def value_quantiles_per_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped exact quantiles at cent resolution: p50/p90/p99 of the event
+    value per event_type.
+
+    The grouped twin of ``doc_length_quantiles``: continuous doubles don't
+    histogram, so values are first fixed to integer cents (an EXACT contract,
+    not an approximation — the oracle applies the identical rounding), then
+    each batch emits (type, cents, n) partials, a tiny groupby sums them, and
+    the per-type discrete quantiles (0-based rank ceil(q*n)-1) fall out of
+    cumulative sums over O(|types| x distinct cents) rows — the event stream
+    itself never co-locates.
+    """
+    import math
+
+    ds = read_pruned(_t(sf_dir, "events"), ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pandas(),
+                "cents": np.round(t["value"].to_numpy() * 100).astype(np.int64),
+            }
+        )
+        g = df.groupby(["event_type", "cents"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+        return _from_pandas(g)
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=262144)
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["event_type", "cents"])
+    )
+    rows = []
+    for etype, g in hist.groupby("event_type", sort=True):
+        cum = g["n"].cumsum().to_numpy()
+        vals = g["cents"].to_numpy()
+        total = int(cum[-1])
+
+        def q_disc(q: float) -> int:
+            return int(vals[np.searchsorted(cum, math.ceil(q * total) - 1 + 1)])
+
+        rows.append(
+            {"event_type": etype, "n_events": total,
+             "p50_cents": q_disc(0.5), "p90_cents": q_disc(0.9),
+             "p99_cents": q_disc(0.99)}
+        )
+    return pd.DataFrame(rows)
