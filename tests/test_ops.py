@@ -1061,3 +1061,74 @@ def test_dup_ngram_spans_batched_gram_rows_equivalence(ray_session, tmp_path):
     )
     got = got.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want_df, check_dtype=False)
+
+
+def test_events_family_under_hot_key_skew(ray_session, tmp_path):
+    """A planted hot user owning 60% of all events (the web-corpus skew
+    shape) must not change any answer: the coarse-bucket idiom routes the
+    hot key to one bucket, where the vectorized per-user pass handles it —
+    results verified against a direct pandas computation."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from engine.ops.relational import (
+        distinct_users_per_type, events_lag_delta, events_running_sum,
+        sessionize_events,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    user = np.where(rng.random(n) < 0.6, 7, rng.integers(100, 160, n))
+    ts = pd.to_datetime(
+        np.sort(rng.integers(0, 10**6, n)) * 10**6 + 10**15, unit="us"
+    )
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": ts,
+            "user_id": user.astype(np.int64),
+            "event_type": np.choose(rng.integers(0, 3, n),
+                                    ["click", "signup", "error"]),
+            "value": np.round(rng.random(n) * 100, 2),
+            "props": "",
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False).cast(
+            pa.schema([("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+                       ("user_id", pa.int64()), ("event_type", pa.string()),
+                       ("value", pa.float64()), ("props", pa.string())])
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    d = str(tmp_path)
+
+    # lag: direct pandas window
+    got = events_lag_delta(d)
+    ref = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    ref["t"] = ref["ts"].astype("int64") // 1000  # ns -> us (engine is us-exact)
+    same = ref["user_id"].eq(ref["user_id"].shift())
+    ref["delta_us"] = (ref["t"] - ref["t"].shift()).where(same)
+    ref = ref.dropna(subset=["delta_us"]).sort_values("event_id")
+    assert np.array_equal(got["event_id"].to_numpy(), ref["event_id"].to_numpy())
+    assert np.array_equal(got["delta_us"].to_numpy(),
+                          ref["delta_us"].to_numpy().astype(np.int64))
+
+    # running sum: spot-check the hot user's trajectory
+    rs = events_running_sum(d)
+    hot = df[df["user_id"] == 7].sort_values(["ts", "event_id"])
+    want = hot["value"].cumsum().round(2).to_numpy()
+    got_hot = rs[rs["user_id"] == 7].sort_values("event_id")
+    hot_sorted = hot.sort_values("event_id")
+    m = dict(zip(got_hot["event_id"], got_hot["running_value"]))
+    order_map = dict(zip(hot["event_id"], want))
+    assert all(abs(m[e] - order_map[e]) < 1e-9 for e in hot["event_id"])
+
+    # distinct per type: exact
+    dist = distinct_users_per_type(d).set_index("event_type")["n_users"]
+    want_dist = df.groupby("event_type")["user_id"].nunique()
+    assert dist.to_dict() == want_dist.to_dict()
+
+    # sessionize: total session-event count conserved
+    sess = sessionize_events(d)
+    assert int(sess["n_events"].sum()) == n
