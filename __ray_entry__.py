@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_docs": relational.pagerank_docs,
         "orders_without_lineitems": relational.orders_without_lineitems,
         "value_quantiles_per_type": relational.value_quantiles_per_type,
+        "revenue_rollup": relational.revenue_rollup,
         "events_lag_delta": relational.events_lag_delta,
         "events_range_join": relational.events_range_join,
         "doc_length_quantiles": relational.doc_length_quantiles,
@@ -448,6 +449,14 @@ def oracle_sql() -> dict[str, str]:
         "sample_documents": """
             SELECT doc_id, source, n_chars FROM documents
             WHERE (doc_id * 2654435761) % 100 < 10 ORDER BY doc_id
+        """,
+        "revenue_rollup": """
+            SELECT o_orderpriority, o_orderstatus,
+                   round(sum(o_totalprice), 0) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+            ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
         """,
         "value_quantiles_per_type": """
             WITH c AS (SELECT event_type,

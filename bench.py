@@ -73,6 +73,7 @@ BENCH_QUERY_NAMES = [
     "pagerank_docs",
     "orders_without_lineitems",
     "value_quantiles_per_type",
+    "revenue_rollup",
 ]
 
 

@@ -1137,3 +1137,51 @@ def value_quantiles_per_type(sf_dir: str) -> pd.DataFrame:
              "p99_cents": q_disc(0.99)}
         )
     return pd.DataFrame(rows)
+
+
+def revenue_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(o_orderpriority, o_orderstatus): leaf totals plus the
+    per-priority and grand-total levels — the hierarchical-aggregate shape.
+
+    Only the LEAF aggregation touches the fact table (per-batch combine +
+    one tiny groupby, the q1 idiom); the coarser rollup levels re-aggregate
+    the leaf PARTIALS on the driver (a frame of |priorities| x |statuses|
+    rows), so the rollup costs one shuffle total at any scale.  NULL-label
+    convention matches SQL ROLLUP; revenue rounds to 0 decimals.
+    """
+    ds = read_pruned(
+        _t(sf_dir, "orders"), ["o_orderpriority", "o_orderstatus", "o_totalprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(["o_orderpriority", "o_orderstatus"], as_index=False).agg(
+            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+        )
+        return _from_pandas(g)
+
+    from ray.data.aggregate import Sum
+
+    leaf = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["o_orderpriority", "o_orderstatus"])
+        .aggregate(Sum("revenue", alias_name="revenue"),
+                   Sum("n_orders", alias_name="n_orders"))
+        .to_pandas()
+    )
+    lvl1 = leaf.groupby("o_orderpriority", as_index=False).agg(
+        revenue=("revenue", "sum"), n_orders=("n_orders", "sum")
+    )
+    lvl1["o_orderstatus"] = None
+    total = pd.DataFrame(
+        {"o_orderpriority": [None], "o_orderstatus": [None],
+         "revenue": [leaf["revenue"].sum()], "n_orders": [leaf["n_orders"].sum()]}
+    )
+    out = pd.concat(
+        [leaf, lvl1[leaf.columns], total[leaf.columns]], ignore_index=True
+    )
+    out["revenue"] = out["revenue"].round(0)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values(
+        ["o_orderpriority", "o_orderstatus"], na_position="first"
+    ).reset_index(drop=True)
