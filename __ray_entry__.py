@@ -252,6 +252,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_without_lineitems": relational.orders_without_lineitems,
         "value_quantiles_per_type": relational.value_quantiles_per_type,
         "revenue_rollup": relational.revenue_rollup,
+        "value_stats_per_type": relational.value_stats_per_type,
+        "events_moving_avg": relational.events_moving_avg,
         "events_lag_delta": relational.events_lag_delta,
         "events_range_join": relational.events_range_join,
         "doc_length_quantiles": relational.doc_length_quantiles,
@@ -449,6 +451,20 @@ def oracle_sql() -> dict[str, str]:
         "sample_documents": """
             SELECT doc_id, source, n_chars FROM documents
             WHERE (doc_id * 2654435761) % 100 < 10 ORDER BY doc_id
+        """,
+        "value_stats_per_type": """
+            SELECT event_type, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value,
+                   round(stddev_samp(value), 4) AS stddev_value
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "events_moving_avg": """
+            SELECT event_id, user_id,
+                   round(avg(value) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+                     AS moving_avg
+            FROM events ORDER BY event_id
         """,
         "revenue_rollup": """
             SELECT o_orderpriority, o_orderstatus,

@@ -74,6 +74,8 @@ BENCH_QUERY_NAMES = [
     "orders_without_lineitems",
     "value_quantiles_per_type",
     "revenue_rollup",
+    "value_stats_per_type",
+    "events_moving_avg",
 ]
 
 

@@ -1185,3 +1185,90 @@ def revenue_rollup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(
         ["o_orderpriority", "o_orderstatus"], na_position="first"
     ).reset_index(drop=True)
+
+
+def value_stats_per_type(sf_dir: str) -> pd.DataFrame:
+    """Algebraic moments per group: count / sum / sample-stddev of value per
+    event_type, from (n, sum, sumsq) partials — the textbook decomposable-
+    aggregate shape (everything combines with +, the driver sees |types|
+    rows).  Stddev rounds to 4 decimals: the two-pass-free formula and
+    DuckDB's streaming algorithm differ only in last-bit accumulation.
+    """
+    ds = read_pruned(_t(sf_dir, "events"), ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"event_type": t["event_type"].to_pandas(),
+             "v": t["value"].to_numpy()}
+        )
+        df["v2"] = df["v"] * df["v"]
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("v", "size"), s=("v", "sum"), s2=("v2", "sum")
+        )
+        return _from_pandas(g)
+
+    from ray.data.aggregate import Sum
+
+    m = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=262144)
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                   Sum("s2", alias_name="s2"))
+        .to_pandas()
+    )
+    n = m["n"].to_numpy().astype(np.float64)
+    s = m["s"].to_numpy()
+    s2 = m["s2"].to_numpy()
+    var = np.maximum(s2 - s * s / n, 0.0) / np.maximum(n - 1, 1.0)
+    return (
+        pd.DataFrame(
+            {
+                "event_type": m["event_type"],
+                "n_events": m["n"].astype("int64"),
+                "sum_value": np.round(s, 2),
+                "stddev_value": np.round(np.sqrt(var), 4),
+            }
+        )
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
+def events_moving_avg(sf_dir: str, frame: int = 3) -> pd.DataFrame:
+    """Per-user moving average of value over the last ``frame`` events
+    (ROWS frame-1 PRECEDING) — the window-FRAME shape, on the coarse
+    ``user_id % 64`` bucket with one vectorized pandas ``rolling`` pass per
+    bucket (user boundaries respected via groupby; min_periods=1 matches
+    SQL's shrinking leading frame).  Rounded to 4 decimals.
+    """
+    ds = read_pruned(_t(sf_dir, "events"), ["event_id", "user_id", "ts", "value"])
+
+    _MA_SCHEMA = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("moving_avg", pa.float64())]
+    )
+
+    def mavg(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ma = (
+            g.groupby("user_id", sort=False)["value"]
+            .rolling(frame, min_periods=1)
+            .mean()
+            .reset_index(level=0, drop=True)
+        )
+        return pa.table(
+            {
+                "event_id": pa.array(g["event_id"].to_numpy(), pa.int64()),
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "moving_avg": pa.array(np.round(ma.to_numpy(), 4), pa.float64()),
+            },
+            schema=_MA_SCHEMA,
+        )
+
+    out = (
+        ds.map_batches(_bucket_by("user_id"), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(mavg, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
