@@ -1,10 +1,17 @@
 """Relational operators over the TPC-H-ish testdata tables.
 
 These cover the SURVEY.md §2 relational surface the crawl pipeline itself
-doesn't exercise: grouped aggregation with partial pre-aggregation (A3),
-broadcast hash join (J1/J3), sort + top-k (O5), distinct (D-family),
-windowed aggregation over the events stream (§2.9 analog), and the
+doesn't exercise: grouped aggregation with partial pre-aggregation (A3) up
+through ROLLUP and decomposable moments, broadcast hash / star joins
+(J1/J3), big x big bucketed hash AND anti-joins (J4), sort + top-k /
+windowed rank / window frames (O5), distinct and exact distinct-per-group
+(D-family), deterministic + stratified sampling, exact histogram quantiles
+(global and grouped), the events-stream window family (§2.9 analog:
+tumbling/hopping, sessions, as-of and trailing-window range joins, lag,
+running sums, moving averages), PageRank power iteration, and the
 broadcast semi-join allow-list gate (M5, ``SharePointClient.cs:272-275``).
+All per-key window ops ride the coarse ``key % 64`` bucket shuffle with
+the per-key work vectorized inside each bucket.
 """
 
 from __future__ import annotations
