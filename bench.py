@@ -522,6 +522,9 @@ def run_events_smoke() -> dict:
         "events_range_join": lambda: rel._events_range_join_ds(dest).count(),
         "distinct_users_per_type": lambda: int(
             rel.distinct_users_per_type(dest)["n_users"].sum()),
+        "events_moving_avg": lambda: rel._events_moving_avg_ds(dest).count(),
+        "value_quantiles_per_type": lambda: len(rel.value_quantiles_per_type(dest)),
+        "value_stats_per_type": lambda: len(rel.value_stats_per_type(dest)),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")
     if only:

@@ -137,29 +137,51 @@ def top_orders(sf_dir: str, n: int = 10) -> pd.DataFrame:
 
 
 def events_hourly(sf_dir: str) -> pd.DataFrame:
-    """Tumbling one-hour event-time windows per event_type (count only: exact)."""
+    """Tumbling one-hour event-time windows per event_type (count only:
+    exact).  Partials shuffle on the coarse ``hour % 64`` int bucket and
+    combine vectorized per bucket (a direct Ray groupby on the composite
+    (type, window) key pays per-distinct-key sort-aggregate overhead —
+    measured ~5x on the cents histogram, same shape)."""
     ds = read_pruned(_t(sf_dir, "events"), ["event_type", "ts"])
 
     def partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
             {
                 "event_type": batch["event_type"].to_pandas(),
-                "hour": pc.floor_temporal(batch["ts"], unit="hour").to_pandas(),
+                "hour_us": pc.cast(
+                    pc.floor_temporal(batch["ts"], unit="hour"), pa.int64()
+                ).to_pandas(),
             }
         )
-        g = df.groupby(["event_type", "hour"], as_index=False).size().rename(columns={"size": "n"})
+        g = df.groupby(["event_type", "hour_us"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+        g["bucket"] = (g["hour_us"].to_numpy() % N_KEY_BUCKETS).astype(np.int32)
         return _from_pandas(g)
 
-    from ray.data.aggregate import Sum
+    _H_SCHEMA = pa.schema(
+        [("event_type", pa.string()), ("hour_us", pa.int64()), ("n", pa.int64())]
+    )
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby(["event_type", "hour_us"], as_index=False)["n"].sum()
+        return pa.Table.from_pandas(
+            s, schema=_H_SCHEMA, preserve_index=False
+        ).replace_schema_metadata(None)
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=262144)
-        .groupby(["event_type", "hour"])
-        .aggregate(Sum("n", alias_name="n"))
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pandas")
         .to_pandas()
     )
+    out["hour"] = pd.to_datetime(out["hour_us"], unit="us")
     out["n"] = out["n"].astype("int64")
-    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+    return (
+        out[["event_type", "hour", "n"]]
+        .sort_values(["event_type", "hour"])
+        .reset_index(drop=True)
+    )
 
 
 N_KEY_BUCKETS = 64  # coarse shuffle width for all per-user window ops
@@ -418,14 +440,24 @@ def events_hopping(sf_dir: str, window_min: int = 60, hop_min: int = 15) -> pd.D
         ]
         df = pd.concat(frames, ignore_index=True)
         g = df.groupby(["event_type", "win_us"], as_index=False)["n"].sum()
+        g["bucket"] = (g["win_us"].to_numpy() % N_KEY_BUCKETS).astype(np.int32)
         return _from_pandas(g)
 
-    from ray.data.aggregate import Sum
+    _HOP_SCHEMA = pa.schema(
+        [("event_type", pa.string()), ("win_us", pa.int64()), ("n", pa.int64())]
+    )
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        # coarse int-bucket shuffle + vectorized combine (see events_hourly)
+        s = g.groupby(["event_type", "win_us"], as_index=False)["n"].sum()
+        return pa.Table.from_pandas(
+            s, schema=_HOP_SCHEMA, preserve_index=False
+        ).replace_schema_metadata(None)
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=262144)
-        .groupby(["event_type", "win_us"])
-        .aggregate(Sum("n", alias_name="n"))
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pandas")
         .to_pandas()
     )
     out["window_start"] = pd.to_datetime(out["win_us"], unit="us")
@@ -1099,10 +1131,16 @@ def value_quantiles_per_type(sf_dir: str) -> pd.DataFrame:
     The grouped twin of ``doc_length_quantiles``: continuous doubles don't
     histogram, so values are first fixed to integer cents (an EXACT contract,
     not an approximation — the oracle applies the identical rounding), then
-    each batch emits (type, cents, n) partials, a tiny groupby sums them, and
-    the per-type discrete quantiles (0-based rank ceil(q*n)-1) fall out of
-    cumulative sums over O(|types| x distinct cents) rows — the event stream
-    itself never co-locates.
+    each batch emits (type, cents, n) partials keyed by the coarse
+    ``cents % 64`` bucket, one int-key shuffle co-locates each cent's
+    partials, a vectorized in-bucket combine collapses them, and the
+    per-type discrete quantiles (0-based rank ceil(q*n)-1) fall out of
+    cumulative sums over the O(|types| x distinct cents) combined rows —
+    the event stream itself never co-locates.  (A direct Ray groupby on
+    the composite (type, cents) key measured ~9 s at sf0.1 — the sort
+    aggregate pays per-distinct-key overhead on ~10^5 string-keyed groups;
+    the bucket shuffle + pandas combine runs the same exchange on one
+    int32 key.)
     """
     import math
 
@@ -1118,14 +1156,23 @@ def value_quantiles_per_type(sf_dir: str) -> pd.DataFrame:
         g = df.groupby(["event_type", "cents"], as_index=False).size().rename(
             columns={"size": "n"}
         )
+        g["bucket"] = (g["cents"].to_numpy() % N_KEY_BUCKETS).astype(np.int32)
         return _from_pandas(g)
 
-    from ray.data.aggregate import Sum
+    _HIST_SCHEMA = pa.schema(
+        [("event_type", pa.string()), ("cents", pa.int64()), ("n", pa.int64())]
+    )
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby(["event_type", "cents"], as_index=False)["n"].sum()
+        return pa.Table.from_pandas(
+            s, schema=_HIST_SCHEMA, preserve_index=False
+        ).replace_schema_metadata(None)
 
     hist = (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=262144)
-        .groupby(["event_type", "cents"])
-        .aggregate(Sum("n", alias_name="n"))
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pandas")
         .to_pandas()
         .sort_values(["event_type", "cents"])
     )
@@ -1241,12 +1288,12 @@ def value_stats_per_type(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def events_moving_avg(sf_dir: str, frame: int = 3) -> pd.DataFrame:
+def _events_moving_avg_ds(sf_dir: str, frame: int = 3):
     """Per-user moving average of value over the last ``frame`` events
-    (ROWS frame-1 PRECEDING) — the window-FRAME shape, on the coarse
-    ``user_id % 64`` bucket with one vectorized pandas ``rolling`` pass per
-    bucket (user boundaries respected via groupby; min_periods=1 matches
-    SQL's shrinking leading frame).  Rounded to 4 decimals.
+    (ROWS frame-1 PRECEDING) as a DATASET — the window-FRAME shape, on the
+    coarse ``user_id % 64`` bucket with one vectorized pandas ``rolling``
+    pass per bucket (user boundaries respected via groupby; min_periods=1
+    matches SQL's shrinking leading frame).  Rounded to 4 decimals.
     """
     ds = read_pruned(_t(sf_dir, "events"), ["event_id", "user_id", "ts", "value"])
 
@@ -1272,10 +1319,13 @@ def events_moving_avg(sf_dir: str, frame: int = 3) -> pd.DataFrame:
             schema=_MA_SCHEMA,
         )
 
-    out = (
+    return (
         ds.map_batches(_bucket_by("user_id"), batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(mavg, batch_format="pandas")
-        .to_pandas()
     )
+
+
+def events_moving_avg(sf_dir: str, frame: int = 3) -> pd.DataFrame:
+    out = _events_moving_avg_ds(sf_dir, frame).to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
