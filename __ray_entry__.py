@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_tokens": text.hll_distinct_tokens,
         "gopher_quality_flags": text.gopher_quality_flags,
         "gram_repetition_stats": text.gram_repetition_stats,
+        "top_docs_per_lang": text.top_docs_per_lang,
         "chunk_documents": text.chunk_documents,
         "chunk_tokens": text.chunk_tokens,
         # dedup family
@@ -465,6 +466,14 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
                      AS moving_avg
             FROM events ORDER BY event_id
+        """,
+        "top_docs_per_lang": """
+            SELECT lang, rnk, doc_id, n_chars FROM (
+              SELECT lang, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars DESC, doc_id) AS rnk
+              FROM documents)
+            WHERE rnk <= 3 ORDER BY lang, rnk
         """,
         "revenue_rollup": """
             SELECT o_orderpriority, o_orderstatus,

@@ -76,6 +76,7 @@ BENCH_QUERY_NAMES = [
     "revenue_rollup",
     "value_stats_per_type",
     "events_moving_avg",
+    "top_docs_per_lang",
 ]
 
 

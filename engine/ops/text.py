@@ -655,3 +655,35 @@ def gram_repetition_stats(sf_dir: str) -> pd.DataFrame:
 
     out = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def top_docs_per_lang(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Top-k documents per language by length (the windowed-rank shape with
+    k > 1), deterministic tiebreak on doc_id.
+
+    Per-batch top-k per language first (a batch can contribute at most k
+    candidates per group — the pre-aggregable property of top-k), then the
+    driver ranks the <= k x |langs| x n_blocks candidate frame.  No
+    full-table shuffle: the candidate stream is the only exchange.
+    """
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["lang", "n_chars", "doc_id"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return pa.Table.from_pandas(
+            df.groupby("lang", sort=False).head(k), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    cands = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = cands.sort_values(
+        ["lang", "n_chars", "doc_id"], ascending=[True, False, True],
+        kind="mergesort",
+    ).groupby("lang", sort=False).head(k)
+    out = out.copy()
+    out["rnk"] = out.groupby("lang").cumcount() + 1
+    return out.sort_values(["lang", "rnk"]).reset_index(drop=True)[
+        ["lang", "rnk", "doc_id", "n_chars"]
+    ]
