@@ -151,6 +151,12 @@ class CheckpointManager:
                 )
         return files
 
+    def frontier_next_rows(self, r: int) -> int:
+        """Row count of round r's next frontier from parquet FOOTERS only —
+        the large-round handoff decision must not read the data (the whole
+        point is that at 10^10 rows the driver never materializes it)."""
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in self.frontier_files(r))
+
     def read_frontier_next(self, r: int) -> pa.Table:
         files = self.frontier_files(r)
         if not files:
