@@ -151,7 +151,7 @@ def crawl_metrics(sf_dir: str):
     return metrics_summary(res.ckpt_dir)
 
 
-def pdf_golden_check(sf_dir: str):
+def pdf_golden_check(sf_dir: str, encoding: str = "pdf_flate"):
     """PDF-encoding twin of extract_golden_check: generate the FLATE-encoded
     pdf corpus (same content, real PDF bytes with /FlateDecode content
     streams via engine.pdf), re-extract every page through the from-scratch
@@ -166,7 +166,7 @@ def pdf_golden_check(sf_dir: str):
 
     sf = _sf_of(sf_dir)
     n_pages = max(200, int(sf * 20_000))  # pdf render+extract is heavier
-    cfg = CorpusConfig(n_pages=n_pages, n_hosts=20, n_buckets=8, encoding="pdf_flate")
+    cfg = CorpusConfig(n_pages=n_pages, n_hosts=20, n_buckets=8, encoding=encoding)
     corpus = generate_corpus(
         os.path.join("/tmp", f"graft_corpus_{cfg.cache_key()}"), cfg
     )
@@ -190,6 +190,14 @@ def pdf_golden_check(sf_dir: str):
         .sort_values("url")
         .reset_index(drop=True)
     )
+
+
+def pdf_xref_golden_check(sf_dir: str):
+    """PDF 1.5 twin of pdf_golden_check: the corpus pages are ObjStm-packed
+    xref-STREAM PDFs (the post-2010 producer layout, VERDICT r3 next-round
+    #3); every page must extract byte-identically via the xref-chain walk
+    (``engine.pdf._xref_chain_objects`` + ``_parse_objstm``)."""
+    return pdf_golden_check(sf_dir, encoding="pdf_xrefstream")
 
 
 def extract_golden_check(sf_dir: str):
@@ -307,6 +315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_metrics": crawl_metrics,
         "extract_golden_check": extract_golden_check,
         "pdf_golden_check": pdf_golden_check,
+        "pdf_xref_golden_check": pdf_xref_golden_check,
     }
 
 

@@ -46,8 +46,131 @@ _STREAM_RE = re.compile(rb"\bstream\r?\n(.*?)\r?\nendstream", re.S)
 _NUM = rb"[+-]?\d+(?:\.\d+)?|[+-]?\.\d+"
 
 
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+
+
+def _object_at(data: bytes, pos: int):
+    """Parse the object starting at byte ``pos`` -> (obj_num, body bytes).
+
+    Unlike the lazy full-file scan, this jumps binary stream payloads via the
+    direct /Length entry, so 'endobj' bytes INSIDE compressed data cannot
+    truncate the object.  Returns (None, None) when no object header sits at
+    (or within a few bytes of) ``pos``.
+    """
+    m = _OBJ_HEAD_RE.match(data, pos) or _OBJ_HEAD_RE.search(data, pos, pos + 32)
+    if not m:
+        return None, None
+    start = m.end()
+    sm = re.compile(rb"\bstream\r?\n").search(data, start, start + 4096)
+    search_from = start
+    if sm:
+        lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", data[start : sm.start()])
+        if lm:
+            search_from = sm.end() + int(lm.group(1))
+    em = data.find(b"endobj", search_from)
+    if em == -1:
+        return None, None
+    return int(m.group(1)), data[start:em]
+
+
+def _parse_objstm(body: bytes) -> dict:
+    """Inflate a /Type /ObjStm container (ISO 32000 §7.5.7): the decoded
+    stream holds N (objnum, offset) integer pairs, then the packed object
+    bodies at /First + offset.  PDF 1.5+ producers put most non-stream
+    objects here; the reference reads them via PdfPig
+    (``PdfToMarkdownConverter.cs:81-113``)."""
+    dict_part = body.split(b"stream", 1)[0]
+    raw = _extract_stream(body)
+    if raw is None:
+        return {}
+    data = _decode_stream(dict_part, raw)
+    n = int(re.search(rb"/N\s+(\d+)", dict_part).group(1))
+    first = int(re.search(rb"/First\s+(\d+)", dict_part).group(1))
+    nums = [int(x) for x in data[:first].split()]
+    pairs = list(zip(nums[0::2], nums[1::2]))[:n]
+    out = {}
+    for i, (objnum, off) in enumerate(pairs):
+        end = first + pairs[i + 1][1] if i + 1 < len(pairs) else len(data)
+        out[objnum] = data[first + off : end]
+    return out
+
+
+def _xref_chain_objects(data: bytes) -> dict:
+    """PDF 1.5+ path: walk the cross-reference STREAM chain from the trailing
+    ``startxref`` (ISO 32000 §7.5.8) and resolve every live object — type-1
+    entries parse at their byte offset, type-2 entries inflate out of their
+    /Type /ObjStm container.  Raises for classic-xref files (the caller falls
+    back to the full-file scan)."""
+    sx = data.rfind(b"startxref")
+    if sx == -1:
+        raise ValueError("no startxref")
+    pos: int | None = int(re.search(rb"startxref\s+(\d+)", data[sx:]).group(1))
+    entries: dict = {}  # objnum -> (type, f2, f3); first-seen (newest) wins
+    visited = set()
+    while pos is not None and pos not in visited:
+        visited.add(pos)
+        _num, body = _object_at(data, pos)
+        if body is None or not re.search(rb"/Type\s*/XRef\b", body):
+            raise ValueError("startxref does not point at an xref stream")
+        dict_part = body.split(b"stream", 1)[0]
+        dat = _decode_stream(dict_part, _extract_stream(body))
+        w = [int(x) for x in
+             re.findall(rb"\d+", re.search(rb"/W\s*\[([^\]]*)\]", dict_part).group(1))]
+        size = int(re.search(rb"/Size\s+(\d+)", dict_part).group(1))
+        im = re.search(rb"/Index\s*\[([^\]]*)\]", dict_part)
+        idx = ([int(x) for x in re.findall(rb"\d+", im.group(1))] if im else [0, size])
+        rw = sum(w)
+        rp = 0
+        for s_, c_ in zip(idx[0::2], idx[1::2]):
+            for objnum in range(s_, s_ + c_):
+                row = dat[rp : rp + rw]
+                rp += rw
+                fields, o = [], 0
+                for width in w:
+                    fields.append(int.from_bytes(row[o : o + width], "big"))
+                    o += width
+                t = fields[0] if w[0] else 1  # W[0]==0 => type defaults to 1
+                entries.setdefault(objnum, (t, fields[1], fields[2]))
+        pm = re.search(rb"/Prev\s+(\d+)", dict_part)
+        pos = int(pm.group(1)) if pm else None
+    objs: dict = {}
+    for objnum, (t, f2, _f3) in entries.items():
+        if t == 1:
+            _n, body = _object_at(data, f2)
+            if body is not None:
+                objs[objnum] = body
+    objstm_cache: dict = {}
+    for objnum, (t, f2, f3) in entries.items():
+        if t != 2:
+            continue
+        if f2 not in objstm_cache:
+            objstm_cache[f2] = _parse_objstm(objs[f2]) if f2 in objs else {}
+        packed = objstm_cache[f2]
+        if objnum in packed:
+            objs[objnum] = packed[objnum]
+    return objs
+
+
 def _objects(data: bytes) -> dict:
-    return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
+    """Object map for the whole file.  Primary: the xref-STREAM walk (PDF
+    1.5+, where most objects hide inside compressed /ObjStm containers and
+    the classic scan cannot see them).  Fallback/augment: the classic
+    ``N 0 obj`` full-file scan, plus inflation of any /ObjStm containers the
+    scan itself finds (covers hybrid and damaged files)."""
+    try:
+        objs = _xref_chain_objects(data)
+    except Exception:
+        objs = {}
+    for m in _OBJ_RE.finditer(data):
+        objs.setdefault(int(m.group(1)), m.group(2))
+    for body in list(objs.values()):
+        if re.search(rb"/Type\s*/ObjStm\b", body):
+            try:
+                for num, b in _parse_objstm(body).items():
+                    objs.setdefault(num, b)
+            except NotImplementedError:
+                pass  # exotic filter on a container: scanner found the rest
+    return objs
 
 
 def _dict_value_ref(body: bytes, key: bytes):
@@ -328,9 +451,15 @@ STREAM_ENCODERS = {
 }
 
 
-def _decode_stream(dict_part: bytes, raw: bytes) -> bytes:
+_IMAGE_FILTERS = frozenset((b"DCTDecode", b"CCITTFaxDecode", b"JBIG2Decode", b"JPXDecode"))
+
+
+def _decode_stream(dict_part: bytes, raw: bytes, skip_images: bool = False):
     """Apply the stream dict's /Filter chain.  Flate/LZW/AHx/A85/RL are
-    implemented; image/crypt filters keep the honest boundary and raise.
+    implemented; image/crypt filters keep the honest boundary and raise —
+    except under ``skip_images=True`` (the TEXT extractor's mode, VERDICT r3
+    next-round #7), where image-class filters (DCT/CCITT/JBIG2/JPX) return
+    None so one embedded picture can't abort a whole document's text.
     LZW EarlyChange=0 (non-default, vanishingly rare) also raises."""
     fm = re.search(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)", dict_part)
     if not fm:
@@ -341,6 +470,8 @@ def _decode_stream(dict_part: bytes, raw: bytes) -> bytes:
     for f in filters:
         dec = _STREAM_DECODERS.get(f)
         if dec is None:
+            if skip_images and f in _IMAGE_FILTERS:
+                return None
             raise NotImplementedError(
                 "PDF stream filter /%s is not supported (from-scratch reader "
                 "handles raw, Flate, LZW, ASCIIHex, ASCII85 and RunLength "
@@ -529,6 +660,16 @@ def _parse_content(stream: bytes) -> list:
     return words
 
 
+def _contents_refs(page_body: bytes) -> list:
+    """/Contents as a single ref OR an array of refs (ISO 32000 7.7.3.3 —
+    parts concatenate into one logical content stream)."""
+    m = re.search(rb"/Contents\s*\[(.*?)\]", page_body, re.S)
+    if m:
+        return [int(r.group(1)) for r in _REF_RE.finditer(m.group(1))]
+    r = _dict_value_ref(page_body, b"/Contents")
+    return [r] if r is not None else []
+
+
 def _page_annot_uris(objs: dict, page_body: bytes) -> list:
     m = re.search(rb"/Annots\s*\[(.*?)\]", page_body, re.S)
     if not m:
@@ -577,14 +718,20 @@ def parse_pdf_layout(data: bytes) -> tuple[list, list]:
             body,
         )
         height = float(mb.group(4)) if mb else 792.0
-        contents_ref = _dict_value_ref(body, b"/Contents")
         words = []
-        if contents_ref is not None:
-            cbody = objs[contents_ref]
+        for contents_ref in _contents_refs(body):
+            cbody = objs.get(contents_ref)
+            if cbody is None:
+                continue
             dict_part = cbody.split(b"stream", 1)[0]
             raw = _extract_stream(cbody)
-            if raw is not None:
-                words = _parse_content(_decode_stream(dict_part, raw))
+            if raw is None:
+                continue
+            # skip_images: an image-class part of a contents array (or an
+            # XObject mislinked as contents) is ignored, not a document abort
+            decoded = _decode_stream(dict_part, raw, skip_images=True)
+            if decoded is not None:
+                words.extend(_parse_content(decoded))
         pages.append((page_no, height, words))
         hrefs.extend(_page_annot_uris(objs, body))
     return pages, hrefs
@@ -599,7 +746,7 @@ PAGE_WIDTH = 612.0
 
 def render_pdf_page_bytes(
     word_pages: list, hrefs: list, compress: bool = False,
-    stream_filter: str | None = None,
+    stream_filter: str | None = None, xref_stream: bool = False,
 ) -> bytes:
     """[(page_no, height, [(x, y, word)])] + hrefs -> a valid PDF.
 
@@ -611,9 +758,18 @@ def render_pdf_page_bytes(
     ``stream_filter`` picks any other supported filter by name
     (``"LZWDecode"``, ``"ASCIIHexDecode"``, ``"ASCII85Decode"``,
     ``"RunLengthDecode"``) so every reader path has a writer twin.
+
+    ``xref_stream=True`` emits the post-2010 PDF 1.5 layout instead of the
+    classic table: every non-stream object (catalog, page tree, pages,
+    annots) packed into one Flate /Type /ObjStm container, content streams
+    as classic objects, and a /Type /XRef cross-reference STREAM (W [1 4 2],
+    type-2 entries for the packed objects) as the trailer — the writer twin
+    of ``_xref_chain_objects``/``_parse_objstm``.
     """
     if compress and stream_filter is None:
         stream_filter = "FlateDecode"
+    if xref_stream and stream_filter is None:
+        stream_filter = "FlateDecode"  # the realistic 1.5 producer default
     if stream_filter is not None and stream_filter not in STREAM_ENCODERS:
         raise ValueError(f"unsupported stream filter {stream_filter!r}")
     n_pages = len(word_pages)
@@ -670,6 +826,9 @@ def render_pdf_page_bytes(
             )
         )
 
+    if xref_stream:
+        return _assemble_xref_stream_pdf(objects, set(content_obj))
+
     out = bytearray(b"%PDF-1.4\n")
     offsets = {}
     for num, body in objects:
@@ -684,5 +843,63 @@ def render_pdf_page_bytes(
     out += (
         b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
         % (max_obj + 1, xref_pos)
+    )
+    return bytes(out)
+
+
+def _assemble_xref_stream_pdf(objects: list, stream_obj_nums: set) -> bytes:
+    """PDF 1.5 assembly: non-stream objects packed into one /ObjStm, stream
+    objects classic, a /Type /XRef stream as the only trailer."""
+    packable = [(n, b) for n, b in objects if n not in stream_obj_nums]
+    classic = [(n, b) for n, b in objects if n in stream_obj_nums]
+
+    pairs, bodies, off = [], [], 0
+    for num, body in packable:
+        pairs.append(b"%d %d" % (num, off))
+        bodies.append(body)
+        off += len(body) + 1  # "\n" separator between packed bodies
+    header = b" ".join(pairs) + b"\n"
+    objstm_data = header + b"\n".join(bodies)
+    payload = zlib.compress(objstm_data, 9)
+
+    objstm_num = max(n for n, _ in objects) + 1
+    xref_num = objstm_num + 1
+    objstm_body = (
+        b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >>"
+        b"\nstream\n" % (len(packable), len(header), len(payload))
+        + payload + b"\nendstream"
+    )
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    offsets[objstm_num] = len(out)
+    out += b"%d 0 obj\n" % objstm_num + objstm_body + b"\nendobj\n"
+    for num, body in classic:
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+
+    xref_pos = len(out)
+    size = xref_num + 1
+    packed_index = {num: i for i, (num, _b) in enumerate(packable)}
+    rows = bytearray()
+
+    def row(t: int, f2: int, f3: int) -> None:
+        rows.append(t)
+        rows.extend(f2.to_bytes(4, "big") + f3.to_bytes(2, "big"))
+
+    row(0, 0, 65535)  # obj 0: head of the free list
+    for num in range(1, size):
+        if num in packed_index:
+            row(2, objstm_num, packed_index[num])
+        elif num == xref_num:
+            row(1, xref_pos, 0)
+        else:
+            row(1, offsets[num], 0)
+    xpayload = zlib.compress(bytes(rows), 9)
+    out += (
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R "
+        b"/Length %d /Filter /FlateDecode >>\nstream\n"
+        % (xref_num, size, len(xpayload))
+        + xpayload + b"\nendstream\nendobj\nstartxref\n%d\n%%%%EOF\n" % xref_pos
     )
     return bytes(out)

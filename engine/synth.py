@@ -81,9 +81,11 @@ class CorpusConfig:
     #                           use >1 to get realistic per-page weight
     n_seed_hosts: int = 4     # seeds = first page of this many hosts (+1 dup)
     encoding: str = "html"    # page payload encoding: "html" | "pdf" |
-    #                           "pdf_flate" (FlateDecode content streams) —
-    #                           same content either way (build_page_content);
-    #                           extraction output is byte-identical
+    #                           "pdf_flate" (FlateDecode content streams) |
+    #                           "pdf_xrefstream" (PDF 1.5 ObjStm + xref
+    #                           stream layout) — same content either way
+    #                           (build_page_content); extraction output is
+    #                           byte-identical
 
     def cache_key(self) -> str:
         enc = "" if self.encoding == "html" else f"_e{self.encoding}"
@@ -397,15 +399,19 @@ def build_page_html(row_id: int, cfg: CorpusConfig, assign: dict) -> str:
 
 
 def build_page_pdf(row_id: int, cfg: CorpusConfig, assign: dict,
-                   compress: bool = False) -> bytes:
+                   compress: bool = False, xref_stream: bool = False) -> bytes:
     """The SAME page as build_page_html, encoded as a real PDF (content
     streams + link annotations; ``engine.pdf``); ``compress=True`` emits
-    FlateDecode streams.  Extraction output is byte-identical across all
+    FlateDecode streams, ``xref_stream=True`` the PDF 1.5 ObjStm + xref
+    stream layout.  Extraction output is byte-identical across all
     encodings."""
     from .pdf import render_pdf_page_bytes
 
     _title, doc_pages, hrefs = build_page_content(row_id, cfg, assign)
-    return render_pdf_page_bytes(layout_word_boxes(doc_pages), hrefs, compress=compress)
+    return render_pdf_page_bytes(
+        layout_word_boxes(doc_pages), hrefs, compress=compress,
+        xref_stream=xref_stream,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -425,6 +431,8 @@ def gen_rows(ids, cfg: CorpusConfig, assign: dict) -> pa.Table:
             html = build_page_pdf(rid, cfg, assign)
         elif cfg.encoding == "pdf_flate":
             html = build_page_pdf(rid, cfg, assign, compress=True)
+        elif cfg.encoding == "pdf_xrefstream":
+            html = build_page_pdf(rid, cfg, assign, xref_stream=True)
         else:
             html = build_page_html(rid, cfg, assign).encode("utf-8")
         urls.append(u)

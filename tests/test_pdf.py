@@ -99,19 +99,45 @@ def test_flate_writer_reader_roundtrip():
     assert (got_pages, got_hrefs) == (plain_pages, plain_hrefs)
 
 
-def test_unsupported_filter_raises():
-    from engine.pdf import parse_pdf_layout
-
-    data = (
+def _one_page_pdf(contents_objs: bytes, contents_ref: bytes) -> bytes:
+    return (
         b"%PDF-1.4\n"
         b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
         b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
-        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>\nendobj\n"
-        b"4 0 obj\n<< /Length 2 /Filter /DCTDecode >>\nstream\nxx\nendstream\nendobj\n"
-        b"%%EOF\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents " + contents_ref + b" >>\nendobj\n"
+        + contents_objs + b"%%EOF\n"
     )
-    with pytest.raises(NotImplementedError, match="DCTDecode"):
-        parse_pdf_layout(data)
+
+
+def test_image_stream_skipped_not_raised():
+    """A DCT (image-class) stream in the content chain is SKIPPED by the
+    text extractor, never a document abort (VERDICT r3 next-round #7) —
+    while genuinely unsupported non-image filters still raise honestly."""
+    from engine.pdf import parse_pdf_layout
+
+    # image-only contents: document extracts with zero words
+    pages, hrefs = parse_pdf_layout(_one_page_pdf(
+        b"4 0 obj\n<< /Length 2 /Filter /DCTDecode >>\nstream\nxx\nendstream\nendobj\n",
+        b"4 0 R",
+    ))
+    assert pages == [(1, 792.0, [])] and hrefs == []
+
+    # mixed contents ARRAY: the text part extracts, the image part is skipped
+    text = b"BT 1 0 0 1 72.0 700.0 Tm (Hello) Tj ET"
+    pages, _ = parse_pdf_layout(_one_page_pdf(
+        b"4 0 obj\n<< /Length %d >>\nstream\n" % len(text) + text + b"\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Length 2 /Filter /CCITTFaxDecode >>\nstream\nxx\nendstream\nendobj\n",
+        b"[4 0 R 5 0 R]",
+    ))
+    assert pages == [(1, 792.0, [(72.0, 700.0, "Hello")])]
+
+    # a non-image unsupported filter keeps the honest boundary
+    with pytest.raises(NotImplementedError, match="Crypt"):
+        parse_pdf_layout(_one_page_pdf(
+            b"4 0 obj\n<< /Length 2 /Filter /Crypt >>\nstream\nxx\nendstream\nendobj\n",
+            b"4 0 R",
+        ))
 
 
 def test_hex_strings():
@@ -150,8 +176,10 @@ def test_pdf_extraction_byte_identical_to_html():
         dh = extract_document(build_page_html(rid, cfg, assign).encode(), u)
         dp = extract_document(build_page_pdf(rid, cfg, assign), u)
         df = extract_document(build_page_pdf(rid, cfg, assign, compress=True), u)
+        dx = extract_document(build_page_pdf(rid, cfg, assign, xref_stream=True), u)
         assert dh == dp, u
         assert dh == df, u  # flate-encoded twin extracts identically too
+        assert dh == dx, u  # PDF 1.5 ObjStm/xref-stream twin as well
         sop_seen |= dh["header_doc"] is not None
         table_seen |= "| Step |" in (dh["markdown"] or "")
     assert sop_seen and table_seen  # the hard extractor paths were exercised
@@ -330,3 +358,34 @@ def test_alt_filter_writer_reader_roundtrip(flt):
     plain = parse_pdf_layout(render_pdf_page_bytes(pages, hrefs))
     assert got == plain
     assert got[1] == hrefs
+
+
+def test_xref_stream_layout_roundtrip():
+    """The PDF 1.5 writer twin packs every non-stream object into a Flate
+    /ObjStm and trails with a /Type /XRef stream; the reader's xref-chain
+    walk ALONE (no scan fallback) must resolve the whole object graph, and
+    extraction must match the classic-layout twin byte for byte."""
+    from engine.pdf import (
+        _xref_chain_objects,
+        parse_pdf_layout,
+        render_pdf_page_bytes,
+    )
+
+    pages = [
+        (1, 792.0, [(72.0, 700.0, "alpha"), (130.0, 700.0, "beta"), (72.0, 680.0, "gamma")]),
+        (2, 600.0, [(50.0, 500.0, "delta")]),
+    ]
+    hrefs = ["https://x.test/a", "https://y.test/b"]
+    xs = render_pdf_page_bytes(pages, hrefs, xref_stream=True)
+    assert xs.startswith(b"%PDF-1.5") and b"/ObjStm" in xs and b"/XRef" in xs
+    assert b"xref\n0 " not in xs  # no classic table — the stream IS the xref
+
+    # the xref walk resolves catalog + page tree without the scanner
+    objs = _xref_chain_objects(xs)
+    assert any(b"/Catalog" in b for b in objs.values())
+    assert sum(b"/Type /Page " in b or b"/Type /Page\n" in b or b"/Type /Page>" in b
+               or b"/Type /Page /" in b for b in objs.values()) >= 1
+
+    got = parse_pdf_layout(xs)
+    want = parse_pdf_layout(render_pdf_page_bytes(pages, hrefs))
+    assert got == want
