@@ -151,6 +151,48 @@ def crawl_metrics(sf_dir: str):
     return metrics_summary(res.ckpt_dir)
 
 
+def crawl_recrawl(sf_dir: str):
+    """Etag/last-modified incremental recrawl (the reference's
+    ``DocumentPayload.cs:10-25`` change-detection hook): full crawl with the
+    deletable cuckoo seen backend, deterministically modify K pages, derive
+    the invalidation set by anti-joining current etags vs the stored docs
+    table (``engine.crawl.detect_changed_urls``), recrawl — exactly those K
+    urls re-fetch.  Returns the refetched rows (url, etag changed->new)."""
+    import shutil
+
+    import pandas as pd
+
+    from engine.crawl import crawl, detect_changed_urls, recrawl
+    from engine.synth import CorpusConfig, generate_corpus, modify_pages
+
+    sf = _sf_of(sf_dir)
+    n_pages = max(200, int(sf * 4_000))
+    cfg = CorpusConfig(n_pages=n_pages, n_hosts=16, n_buckets=8)
+    corpus = generate_corpus(
+        os.path.join("/tmp", f"graft_recrawl_corpus_{cfg.cache_key()}"), cfg
+    )
+    budget = {"max_urls_total": n_pages * 10, "max_per_host_per_round": 8,
+              "max_depth": 6, "max_rounds": 60}
+    ck = corpus + "_ckpt"
+    shutil.rmtree(ck, ignore_errors=True)  # the workflow runs fresh each call
+    first = crawl(corpus, ck, budget, resume=False, seen_backend="cuckoo")
+
+    docs = first.docs_dataset().to_pandas()
+    hits = sorted(docs[docs.status == "hit"].url.unique().tolist())
+    targets = hits[: min(10, len(hits))]
+    mod = modify_pages(corpus, corpus + "_mod", targets)
+    changed = detect_changed_urls(mod, ck)
+    res = recrawl(mod, ck, budget)
+    docs2 = res.docs_dataset().to_pandas()
+    new_rows = docs2[docs2.fetch_seq >= first.cumulative["attempted"]]
+    return pd.DataFrame(
+        {
+            "url": sorted(new_rows.url.tolist()),
+            "detected": [u in set(changed) for u in sorted(new_rows.url.tolist())],
+        }
+    )
+
+
 def pdf_golden_check(sf_dir: str, encoding: str = "pdf_flate"):
     """PDF-encoding twin of extract_golden_check: generate the FLATE-encoded
     pdf corpus (same content, real PDF bytes with /FlateDecode content
@@ -313,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_chunks": crawl_chunks,
         "crawl_errors": crawl_errors,
         "crawl_metrics": crawl_metrics,
+        "crawl_recrawl": crawl_recrawl,
         "extract_golden_check": extract_golden_check,
         "pdf_golden_check": pdf_golden_check,
         "pdf_xref_golden_check": pdf_xref_golden_check,

@@ -121,8 +121,23 @@ DOCS_SCHEMA = pa.schema(
             pa.field("path", pa.string()),
             pa.field("url_hash", pa.int64()),
         ]))),
+        # Change-detection columns (the reference carries etag +
+        # last_modified on every wire payload, ``DocumentPayload.cs:10-25``,
+        # metadata map ``SharePointClient.cs:358-370``): etag = content
+        # hash of the fetched bytes, last_modified = the page's warc_ts.
+        # ``detect_changed_urls`` anti-joins these against the current
+        # corpus to derive a recrawl invalidation set.
+        pa.field("url_hash", pa.int64()),
+        pa.field("etag", pa.string()),
+        pa.field("last_modified", pa.timestamp("us")),
     ]
 )
+
+
+def _etag(html: bytes) -> str:
+    import hashlib
+
+    return hashlib.blake2b(html, digest_size=8).hexdigest()
 
 
 # Disposition schema for the distributed selection stages: FRONTIER columns
@@ -213,13 +228,17 @@ def fetch_bucket_group(group: pa.Table, pages_dir: str, limiter_shards=None) -> 
     files = sorted(glob(os.path.join(pages_dir, f"bucket={b}", "*.parquet")))
     urls = group["url"].to_pylist()
     tables = [
-        pq.read_table(f, columns=["url", "html"], filters=[("url", "in", urls)])
+        pq.read_table(
+            f, columns=["url", "html", "warc_ts"], filters=[("url", "in", urls)]
+        )
         for f in files
     ]
     pages = (
         pa.concat_tables(tables)
         if tables
-        else pa.table({"url": pa.array([], pa.string()), "html": pa.array([], pa.binary())})
+        else pa.table({"url": pa.array([], pa.string()),
+                       "html": pa.array([], pa.binary()),
+                       "warc_ts": pa.array([], pa.timestamp("us"))})
     )
     return group.join(pages, keys="url", join_type="left outer")
 
@@ -303,9 +322,21 @@ def extract_batch_fn(batch: pa.Table, max_depth: int, with_markdown: bool = True
         out["header_doc"].append(d["header_doc"])
         out["metadata"].append(meta)
         out["links"].append(links)
-    return pa.table(
-        {name: pa.array(vals, DOCS_SCHEMA.field(name).type) for name, vals in out.items()}
+    cols = {
+        name: pa.array(vals, DOCS_SCHEMA.field(name).type) for name, vals in out.items()
+    }
+    # change-detection columns ride along column-wise: url_hash from the
+    # frontier row, etag = content hash, last_modified = the page's warc_ts
+    cols["url_hash"] = batch["url_hash"].combine_chunks()
+    cols["etag"] = pa.array(
+        [None if h is None else _etag(h) for h in htmls_l], pa.string()
     )
+    cols["last_modified"] = (
+        batch["warc_ts"].combine_chunks().cast(pa.timestamp("us"))
+        if "warc_ts" in batch.column_names
+        else pa.nulls(batch.num_rows, pa.timestamp("us"))
+    )
+    return pa.table({f.name: cols[f.name] for f in DOCS_SCHEMA}, schema=DOCS_SCHEMA)
 
 
 def explode_links_batch(t: pa.Table) -> pa.Table:
@@ -436,6 +467,113 @@ def _frontier_handle(cm, r: int):
     return _LazyFrontier(cm.frontier_files(r), n)
 
 
+_CHG_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("url_hash", pa.int64()),
+        ("etag", pa.string()),
+        ("fetch_seq", pa.int64()),
+        ("side", pa.int8()),
+        ("bucket", pa.int32()),
+    ]
+)
+
+
+def detect_changed_urls(corpus_dir: str, ckpt_dir: str, n_buckets: int = 64) -> list:
+    """Etag change detection: urls whose CURRENT page bytes differ from the
+    etag stored at crawl time.
+
+    The reference carries ``etag`` + ``last_modified`` on every wire payload
+    (``DocumentPayload.cs:10-25``, metadata map ``SharePointClient.cs:358-370``)
+    precisely so a weekly re-ingest can skip unchanged documents; this is the
+    engine's distributed analog.  Both sides — the checkpoint's docs table
+    (url, etag as fetched) and the live corpus (url, etag now) — stream
+    through ONE url_hash-bucket shuffle; each bucket group compares the
+    latest stored etag per url against the current one vectorized.  Only the
+    changed set (the recrawl delta, driver-small by the workflow's nature)
+    is ever collected.
+    """
+    docs_dir = os.path.join(ckpt_dir, "docs")
+
+    def stored_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["status"], "hit"))
+        uh = t["url_hash"].to_numpy()
+        return pa.table(
+            {
+                "url": t["url"],
+                "url_hash": t["url_hash"],
+                "etag": t["etag"],
+                "fetch_seq": t["fetch_seq"],
+                "side": pa.array(np.ones(t.num_rows, np.int8), pa.int8()),
+                "bucket": pa.array((uh % n_buckets).astype(np.int32), pa.int32()),
+            },
+            schema=_CHG_SCHEMA,
+        )
+
+    def cur_rows(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        hashes = np.fromiter((url_hash64(u) for u in urls), np.int64, len(urls))
+        etags = [_etag(h) for h in t["html"].to_pylist()]
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "url_hash": pa.array(hashes, pa.int64()),
+                "etag": pa.array(etags, pa.string()),
+                "fetch_seq": pa.array(np.zeros(len(urls), np.int64), pa.int64()),
+                "side": pa.array(np.zeros(len(urls), np.int8), pa.int8()),
+                "bucket": pa.array((hashes % n_buckets).astype(np.int32), pa.int32()),
+            },
+            schema=_CHG_SCHEMA,
+        )
+
+    def changed_group(g) -> pa.Table:
+        cur = g[g["side"] == 0]
+        st = (
+            g[g["side"] == 1]
+            .sort_values("fetch_seq")
+            .groupby("url", as_index=False)
+            .last()  # a url re-fetched across rounds: the LATEST etag counts
+        )
+        m = st.merge(cur[["url", "etag"]], on="url", how="inner",
+                     suffixes=("_old", "_new"))
+        ch = m[m["etag_old"] != m["etag_new"]]
+        return pa.table({"url": pa.array(ch["url"].tolist(), pa.string())})
+
+    both = (
+        rd.read_parquet(docs_dir, columns=["url", "url_hash", "etag", "status", "fetch_seq"])
+        .map_batches(stored_rows, batch_format="pyarrow")
+        .union(
+            rd.read_parquet(os.path.join(corpus_dir, "pages"), columns=["url", "html"])
+            .map_batches(cur_rows, batch_format="pyarrow")
+        )
+    )
+    changed = (
+        both.groupby("bucket")
+        .map_groups(changed_group, batch_format="pandas")
+        .to_pandas()
+    )
+    return sorted(changed["url"].tolist()) if len(changed) else []
+
+
+def recrawl(corpus_dir: str, ckpt_dir: str, budget: dict | None = None,
+            **kw) -> CrawlResult:
+    """Incremental recrawl: detect etag-changed pages and re-ingest EXACTLY
+    those (the reference's etag/last_modified workflow; see
+    ``detect_changed_urls``).  Resumes the existing checkpoint with the
+    deletable cuckoo seen backend so the changed urls pass the gate again —
+    unchanged pages are never re-fetched."""
+    changed = detect_changed_urls(corpus_dir, ckpt_dir)
+    return crawl(
+        corpus_dir,
+        ckpt_dir,
+        budget,
+        resume=True,
+        seen_backend=kw.pop("seen_backend", "cuckoo"),
+        invalidate_urls=changed,
+        **kw,
+    )
+
+
 def precount(corpus_dir: str, budget: dict | None = None, filters: dict | None = None) -> int:
     """The pre-crawl document-count analog (``CountDocumentsAsync``,
     ``SharePointClient.cs:133-192``): the same traversal with links-only
@@ -533,7 +671,7 @@ def crawl(
         "filters": filters or {},
         "count_only": count_only,
         "collect_markdown": bool(collect_markdown),
-        "docs_schema": 2,  # bump when DOCS_SCHEMA changes: stale checkpoint
+        "docs_schema": 3,  # bump when DOCS_SCHEMA changes: stale checkpoint
         # docs must not mix schemas on resume
     }
     cm = CheckpointManager(ckpt_dir, cfg)
@@ -596,12 +734,26 @@ def crawl(
             base_seq = frontier.max_discovery_seq() + 1
         else:
             base_seq = frontier["discovery_seq"].to_numpy().max() + 1
+        # Depth-faithful re-queue: a changed page re-enters at its ORIGINAL
+        # crawl depth, so its (mostly unchanged) links stay inside the first
+        # run's exploration horizon — resetting to depth 0 would unlock
+        # previously depth-capped children and cascade-fetch the frontier
+        # beyond the changed set.  Filtered footer reads of the rounds'
+        # fetch schedules, bounded by the invalidation set.
+        canon = [c for c in (canonicalize(u) for u in invalidate_urls) if c]
+        depth_of: dict = {}
+        if canon and start_round > 0:
+            for rr in range(start_round):
+                sel = os.path.join(ckpt_dir, f"round={rr}", "selected.parquet")
+                if not os.path.exists(sel):
+                    continue
+                t = pq.read_table(
+                    sel, columns=["url", "depth"], filters=[("url", "in", canon)]
+                )
+                depth_of.update(zip(t["url"].to_pylist(), t["depth"].to_pylist()))
         inv_hashes = []
-        for i, u in enumerate(invalidate_urls):
-            cu = canonicalize(u)
-            if cu is None:
-                continue
-            row = frontier_row(cu, 0, 0, int(base_seq) + i)
+        for i, cu in enumerate(canon):
+            row = frontier_row(cu, int(depth_of.get(cu, 0)), 0, int(base_seq) + i)
             inv_rows.append(row)
             inv_hashes.append(row["url_hash"])
         if inv_rows:

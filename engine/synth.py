@@ -601,3 +601,39 @@ def default_budget() -> dict:
         "max_depth": 6,
         "max_rounds": 16,
     }
+
+
+def modify_pages(corpus_dir: str, dest_dir: str, urls: list,
+                 marker: bytes = b"\n<!-- rev2 -->") -> str:
+    """Copy a corpus and append ``marker`` to the html bytes of the given
+    urls — the 'site changed since last crawl' fixture for the etag
+    change-detection recrawl path (``engine.crawl.detect_changed_urls``).
+    Only the bucket files containing a target url are rewritten; everything
+    else (seeds, robots, _corpus.json lineage key) is copied verbatim so a
+    checkpoint resumed against the modified copy passes the config-hash
+    lineage check."""
+    import shutil
+
+    if os.path.exists(dest_dir):
+        shutil.rmtree(dest_dir)
+    shutil.copytree(corpus_dir, dest_dir)
+    targets = set(urls)
+    for f in sorted(
+        os.path.join(dp, fn)
+        for dp, _dns, fns in os.walk(os.path.join(dest_dir, "pages"))
+        for fn in fns
+        if fn.endswith(".parquet")
+    ):
+        t = pq.read_table(f)
+        u = t["url"].to_pylist()
+        if not targets.intersection(u):
+            continue
+        html = t["html"].to_pylist()
+        changed = [
+            (h + marker if url in targets else h) for url, h in zip(u, html)
+        ]
+        t = t.set_column(
+            t.schema.get_field_index("html"), "html", pa.array(changed, pa.binary())
+        )
+        pq.write_table(t, f)
+    return dest_dir
