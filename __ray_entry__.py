@@ -334,6 +334,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_pairs": dedup.simhash_near_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "dup_ngram_spans": dedup.dup_ngram_spans,
+        "decontaminate_ngrams": dedup.decontaminate_ngrams,
+        "near_dedup_cluster_stats": dedup.near_dedup_cluster_stats,
+        "dedup_keep_best": dedup.dedup_keep_best,
         # similarity search
         "ann_topk": ann.ann_topk_bruteforce,
         "ann_topk_lsh": ann.ann_topk_lsh,
@@ -914,6 +917,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_pairs": _lsh_oracles.simhash_near_pairs_sql(),
         "near_dedup_canonical": _lsh_oracles.near_dedup_canonical_sql(),
         "dup_ngram_spans": _lsh_oracles.dup_ngram_spans_sql(),
+        "decontaminate_ngrams": _lsh_oracles.decontaminate_ngrams_sql(),
+        "near_dedup_cluster_stats": _lsh_oracles.near_dedup_cluster_stats_sql(),
+        "dedup_keep_best": _lsh_oracles.dedup_keep_best_sql(),
         "media_sizes": """
             SELECT doc_id AS media_id,
                    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

@@ -612,10 +612,15 @@ def run_crawl_smoke() -> dict:
         t0 = time.time()
         res = crawl(corpus, ckpt, budget, resume=False, initial_frontier=frontier)
         sec = time.time() - t0
-        shutil.rmtree(ckpt, ignore_errors=True)
-        return sec, res.cumulative["attempted"], res.cumulative["deduped"], res.rounds
+        from engine.checkpoint import metrics_summary
 
-    sec1, att1, dup1, rounds1 = one_run()
+        # per-round driver RSS: the flat-vs-round-count witness that the
+        # lazy frontier handoff keeps the frontier off the driver
+        rss = metrics_summary(ckpt)["driver_rss_mb"].tolist()
+        shutil.rmtree(ckpt, ignore_errors=True)
+        return sec, res.cumulative["attempted"], res.cumulative["deduped"], res.rounds, rss
+
+    sec1, att1, dup1, rounds1, rss1 = one_run()
     result = {
         "metric": "crawl_smoke",
         "n_pages": n_pages,
@@ -626,9 +631,10 @@ def run_crawl_smoke() -> dict:
         "deduped": dup1,
         "rounds": rounds1,
         "urls_per_sec": round((att1 + dup1) / sec1, 1),
+        "driver_rss_mb_per_round": rss1,
     }
     if os.environ.get("GRAFT_SMOKE_RERUN") == "1":
-        sec2, att2, dup2, rounds2 = one_run()
+        sec2, att2, dup2, rounds2, _rss2 = one_run()
         result["sec_rerun"] = round(sec2, 1)
         result["deterministic_counters"] = (att1, dup1, rounds1) == (att2, dup2, rounds2)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -636,7 +642,8 @@ def run_crawl_smoke() -> dict:
         f.write(
             f"\n| {time.strftime('%Y-%m-%d %H:%M')} | crawl-smoke pages={n_pages} "
             f"cpus={NUM_CPUS} | {result['sec']}s {result['urls_per_sec']} urls/s "
-            f"(attempted {att1}, deduped {dup1}, rounds {rounds1}) | "
+            f"(attempted {att1}, deduped {dup1}, rounds {rounds1}, "
+            f"rss/round {rss1} MB) | "
             f"rerun={result.get('sec_rerun', 'n/a')}s "
             f"deterministic={result.get('deterministic_counters', 'n/a')} |"
         )

@@ -94,6 +94,7 @@ class CheckpointManager:
         cumulative: dict,
         phases: dict | None = None,
         errors: pa.Table | None = None,
+        rss_mb: float | None = None,
     ):
         rd = self._round_dir(r)
         os.makedirs(rd, exist_ok=True)
@@ -119,6 +120,7 @@ class CheckpointManager:
                     "counters": counters,
                     "cumulative": cumulative,
                     "phase_sec": phases or {},
+                    "driver_rss_mb": rss_mb,
                 },
                 f,
             )
@@ -283,5 +285,6 @@ def metrics_summary(ckpt_dir: str):
         row["urls_per_sec"] = (
             round((row["attempted"] + row["deduped"]) / total_sec, 1) if total_sec else None
         )
+        row["driver_rss_mb"] = meta.get("driver_rss_mb")
         rows.append(row)
     return pd.DataFrame(sorted(rows, key=lambda r: r["round"]))

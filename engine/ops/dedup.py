@@ -15,7 +15,9 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 
 from .io import read_pruned
@@ -96,7 +98,8 @@ _TOKEN_HASH_MEMO: dict = {}
 # finalizer constants (public-domain splitmix64)
 _POS_MULT = np.array(
     [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
-     0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63, 0xFF51AFD7ED558CCD],
+     0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63, 0xFF51AFD7ED558CCD,
+     0xC4CEB9FE1A85EC53, 0x9E3779B185EBCA87],  # murmur3 fmix / xxh64 primes
     dtype=np.uint64,
 )
 
@@ -992,3 +995,162 @@ def dup_ngram_spans(sf_dir: str, k: int = 5) -> pd.DataFrame:
              for c in ("doc_id", "span_start", "span_end")}
         )
     return out.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination + dedup-policy compositions
+# ---------------------------------------------------------------------------
+
+N_EVAL_DOCS = 20  # the deterministic "benchmark" slice: doc_id < N_EVAL_DOCS
+
+
+def decontaminate_ngrams(sf_dir: str, k: int = 8,
+                         n_eval: int = N_EVAL_DOCS) -> pd.DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / Gopher-style n-gram
+    overlap filter): flag every training document sharing ANY distinct
+    k-token-gram with the eval set (here: the docs with doc_id < n_eval).
+
+    Scale shape: the eval side is tiny by definition, so its distinct gram
+    hashes collect once and broadcast (``ray.put`` of a SORTED uint64
+    array); the corpus side is one map_batches with a vectorized
+    searchsorted membership test per doc — NO shuffle at all.  This is the
+    canonical broadcast-small-side pattern: at 100 TB the train side streams
+    and only the benchmark grams (a few MB) ever move twice.
+    """
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def eval_grams(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.less(t["doc_id"], pa.scalar(n_eval, pa.int64())))
+        gs = [_shingles(x, k) for x in sub["text"].to_pylist()]
+        u = (np.unique(np.concatenate(gs)) if gs else np.empty(0, np.uint64))
+        return pa.table({"s": pa.array(u, pa.uint64())})
+
+    ev = ds.map_batches(eval_grams, batch_format="pyarrow").to_pandas()
+    eval_arr = np.unique(ev["s"].to_numpy().astype(np.uint64)) if len(ev) else np.empty(0, np.uint64)
+    ref = ray.put(eval_arr)  # sorted by construction (np.unique)
+
+    def flag(t: pa.Table) -> pa.Table:
+        grams = ray.get(ref)
+        sub = t.filter(pc.greater_equal(t["doc_id"], pa.scalar(n_eval, pa.int64())))
+        ids = sub["doc_id"].to_numpy()
+        hit = np.zeros(len(ids), bool)
+        if len(grams):
+            for i, x in enumerate(sub["text"].to_pylist()):
+                g = _shingles(x, k)
+                if len(g):
+                    pos = np.searchsorted(grams, g).clip(max=len(grams) - 1)
+                    hit[i] = bool((grams[pos] == g).any())
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "contaminated": pa.array(hit, pa.bool_())})
+
+    out = ds.map_batches(flag, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def near_dedup_cluster_stats(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
+    """Cluster-size histogram of the transitive near-dup components:
+    (cluster_size, n_clusters, n_docs) — the dedup-rate report every corpus
+    curation run ends with.  Fully distributed: canonical assign is the
+    bucketed label join, per-canonical sizes one groupby, and the histogram
+    itself a value-counts partial + tiny groupby (the driver sees only
+    |distinct sizes| rows)."""
+    labels = connected_components_ds(_minhash_pairs_ds(sf_dir, threshold))
+    assigned = assign_labels_ds(_docs(sf_dir, ["doc_id"]), labels, "doc_id")
+    sizes = assigned.groupby("canonical_id").count()
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t["count()"])
+        return pa.table(
+            {"cluster_size": vc.field("values").cast(pa.int64()),
+             "n_clusters": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        sizes.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("cluster_size")
+        .aggregate(Sum("n_clusters", alias_name="n_clusters"))
+        .to_pandas()
+    )
+    out["n_docs"] = out["cluster_size"] * out["n_clusters"]
+    return out.sort_values("cluster_size").reset_index(drop=True)
+
+
+_KEEP_SCHEMA = pa.schema(
+    [("k", pa.int64()), ("v", pa.int64()), ("side", pa.int8()),
+     ("bucket", pa.int32())]
+)
+
+
+def dedup_keep_best(sf_dir: str, threshold: float = 0.5,
+                    n_buckets: int = 64) -> pd.DataFrame:
+    """Per near-dup cluster keep the BEST document — max whitespace-token
+    count, ties to the smaller doc_id (the keep-longest policy of web-corpus
+    curation, cf. RefinedWeb/C4): (canonical_id, keep_doc_id, cluster_size).
+
+    Two coarse-bucket shuffles after CC: token counts join canonical labels
+    on doc_id, then per-canonical argmax inside a canonical-keyed bucket —
+    text never shuffles (counts do)."""
+    labels = connected_components_ds(_minhash_pairs_ds(sf_dir, threshold))
+    assigned = assign_labels_ds(_docs(sf_dir, ["doc_id"]), labels, "doc_id")
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        n = np.fromiter(
+            (len(x.split()) for x in t["text"].to_pylist()), np.int64, len(ids)
+        )
+        return pa.table(
+            {"k": pa.array(ids, pa.int64()), "v": pa.array(n, pa.int64()),
+             "side": pa.array(np.zeros(len(ids), np.int8), pa.int8()),
+             "bucket": pa.array((ids % n_buckets).astype(np.int32), pa.int32())},
+            schema=_KEEP_SCHEMA,
+        )
+
+    def asg_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        return pa.table(
+            {"k": pa.array(ids, pa.int64()),
+             "v": pa.array(t["canonical_id"].to_numpy(), pa.int64()),
+             "side": pa.array(np.ones(len(ids), np.int8), pa.int8()),
+             "bucket": pa.array((ids % n_buckets).astype(np.int32), pa.int32())},
+            schema=_KEEP_SCHEMA,
+        )
+
+    def join_group(g: pd.DataFrame) -> pa.Table:
+        tok = g[g["side"] == 0]
+        asg = g[g["side"] == 1]
+        m = asg[["k", "v"]].merge(tok[["k", "v"]], on="k", suffixes=("_c", "_n"))
+        canon = m["v_c"].to_numpy()
+        return pa.table(
+            {"canonical_id": pa.array(canon, pa.int64()),
+             "doc_id": pa.array(m["k"].to_numpy(), pa.int64()),
+             "n_tokens": pa.array(m["v_n"].to_numpy(), pa.int64()),
+             "bucket": pa.array((canon % n_buckets).astype(np.int32), pa.int32())},
+        )
+
+    def best_group(g: pd.DataFrame) -> pa.Table:
+        s = g.sort_values(["canonical_id", "n_tokens", "doc_id"],
+                          ascending=[True, False, True])
+        first = s.groupby("canonical_id", as_index=False).first()
+        sz = g.groupby("canonical_id", as_index=False).size()
+        m = first.merge(sz, on="canonical_id")
+        return pa.table(
+            {"canonical_id": pa.array(m["canonical_id"].to_numpy(), pa.int64()),
+             "keep_doc_id": pa.array(m["doc_id"].to_numpy(), pa.int64()),
+             "cluster_size": pa.array(m["size"].to_numpy(), pa.int64())}
+        )
+
+    joined = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(tok_rows, batch_format="pyarrow")
+        .union(assigned.map_batches(asg_rows, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(join_group, batch_format="pandas")
+    )
+    out = (
+        joined.groupby("bucket")
+        .map_groups(best_group, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("canonical_id").reset_index(drop=True)

@@ -58,16 +58,10 @@ def _pos_mult_case(var: str, k: int, base: int = 0) -> str:
     return (f"CASE ({var}) {whens} ELSE {int(dd._POS_MULT[k - 1])}::UBIGINT END")
 
 
-def _minhash_verified_pairs_ctes(threshold_num: int, threshold_den: int,
-                                 k: int = 3) -> str:
-    """CTE chain ending in `verified(doc_a, doc_b)` — the exact MinHash+LSH
-    near-dup pair set of dedup.minhash_lsh_pairs (candidates AND verify)."""
-    a_par, b_par = dd._perm_params()
-    perm_values = ", ".join(
-        f"({i}, {int(a_par[i])}::UBIGINT, {int(b_par[i])}::UBIGINT)"
-        for i in range(dd.N_PERM)
-    )
-    rpb = dd.ROWS_PER_BAND
+def _shingle_ctes(k: int) -> str:
+    """CTE chain ending in `sh(doc_id, s)` — the exact DISTINCT k-token-gram
+    61-bit shingle-hash set of ``dedup._shingles`` (token md5 -> positional
+    splitmix combine), shared by the minhash and decontamination oracles."""
     win_joins = "\n".join(
         f"              JOIN th t{j} ON t{j}.doc_id = t0.doc_id"
         f" AND t{j}.i = t0.i + {j}" for j in range(1, k)
@@ -101,7 +95,20 @@ def _minhash_verified_pairs_ctes(threshold_num: int, threshold_den: int,
             ), sh AS (          -- DISTINCT 61-bit shingle hashes per doc
               SELECT DISTINCT doc_id, ({_mix64('g')} & {_MASK61}::UBIGINT) AS s
               FROM g_all
-            ), perms AS (
+            )"""
+
+
+def _minhash_verified_pairs_ctes(threshold_num: int, threshold_den: int,
+                                 k: int = 3) -> str:
+    """CTE chain ending in `verified(doc_a, doc_b)` — the exact MinHash+LSH
+    near-dup pair set of dedup.minhash_lsh_pairs (candidates AND verify)."""
+    a_par, b_par = dd._perm_params()
+    perm_values = ", ".join(
+        f"({i}, {int(a_par[i])}::UBIGINT, {int(b_par[i])}::UBIGINT)"
+        for i in range(dd.N_PERM)
+    )
+    rpb = dd.ROWS_PER_BAND
+    return rf"""{_shingle_ctes(k)}, perms AS (
               SELECT * FROM (VALUES {perm_values}) p(i, a, b)
             ), sigs AS (        -- minhash: min((a*s + b) mod 2^64 mod p)
               SELECT sh.doc_id, p.i,
@@ -279,3 +286,67 @@ def simhash_near_pairs_sql(max_hamming: int = 3) -> str:
             WHERE bit_count(xor(CAST(ha AS UBIGINT), CAST(hb AS UBIGINT)))
                   <= {max_hamming}
             ORDER BY doc_a, doc_b"""
+
+
+_CANON_CTES = """
+            sym AS (
+              SELECT doc_a AS s, doc_b AS d FROM verified
+              UNION ALL SELECT doc_b, doc_a FROM verified
+            ), reach(node, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.node
+            ), canon AS (
+              SELECT node AS doc_id, min(r) AS canonical_id
+              FROM reach GROUP BY node
+            )"""
+
+
+def decontaminate_ngrams_sql(k: int = 8, n_eval: int = 20) -> str:
+    """Oracle for dedup.decontaminate_ngrams: shared-shingle membership of
+    every train doc (doc_id >= n_eval) against the eval slice's distinct
+    k-gram set, on the exact engine shingle hashes."""
+    return (f"WITH {_shingle_ctes(k)},\n"
+            f"""            ev AS (
+              SELECT DISTINCT s FROM sh WHERE doc_id < {n_eval}
+            ), hits AS (
+              SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (s)
+              WHERE sh.doc_id >= {n_eval}
+            )
+            SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+            FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+            WHERE d.doc_id >= {n_eval} ORDER BY d.doc_id""")
+
+
+def near_dedup_cluster_stats_sql(threshold_num: int = 1, threshold_den: int = 2,
+                                 k: int = 3) -> str:
+    """Oracle for dedup.near_dedup_cluster_stats: component sizes via the
+    recursive transitive closure, then the size histogram."""
+    return (f"WITH RECURSIVE {_minhash_verified_pairs_ctes(threshold_num, threshold_den, k)},"
+            f"{_CANON_CTES},\n"
+            """            sizes AS (
+              SELECT canonical_id, count(*) AS sz FROM canon GROUP BY canonical_id
+            )
+            SELECT sz AS cluster_size, count(*) AS n_clusters,
+                   CAST(sum(sz) AS BIGINT) AS n_docs
+            FROM sizes GROUP BY sz ORDER BY cluster_size""")
+
+
+def dedup_keep_best_sql(threshold_num: int = 1, threshold_den: int = 2,
+                        k: int = 3) -> str:
+    """Oracle for dedup.dedup_keep_best: per component, the max-token doc
+    (ties to the smaller doc_id) plus the component size."""
+    return (f"WITH RECURSIVE {_minhash_verified_pairs_ctes(threshold_num, threshold_den, k)},"
+            f"{_CANON_CTES},\n"
+            """            ntok AS (
+              SELECT doc_id, len(toks) AS n_tokens FROM tok_arr
+            ), ranked AS (
+              SELECT c.canonical_id, c.doc_id, nt.n_tokens,
+                     row_number() OVER (PARTITION BY c.canonical_id
+                                        ORDER BY nt.n_tokens DESC, c.doc_id) AS rn,
+                     count(*) OVER (PARTITION BY c.canonical_id) AS cs
+              FROM canon c JOIN ntok nt ON nt.doc_id = c.doc_id
+            )
+            SELECT canonical_id, doc_id AS keep_doc_id,
+                   CAST(cs AS BIGINT) AS cluster_size
+            FROM ranked WHERE rn = 1 ORDER BY canonical_id""")
