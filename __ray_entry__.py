@@ -335,6 +335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "dup_ngram_spans": dedup.dup_ngram_spans,
         "decontaminate_ngrams": dedup.decontaminate_ngrams,
+        "eval_affinity_counts": dedup.eval_affinity_counts,
         "near_dedup_cluster_stats": dedup.near_dedup_cluster_stats,
         "dedup_keep_best": dedup.dedup_keep_best,
         # similarity search
@@ -918,6 +919,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dedup_canonical": _lsh_oracles.near_dedup_canonical_sql(),
         "dup_ngram_spans": _lsh_oracles.dup_ngram_spans_sql(),
         "decontaminate_ngrams": _lsh_oracles.decontaminate_ngrams_sql(),
+        "eval_affinity_counts": _lsh_oracles.eval_affinity_counts_sql(),
         "near_dedup_cluster_stats": _lsh_oracles.near_dedup_cluster_stats_sql(),
         "dedup_keep_best": _lsh_oracles.dedup_keep_best_sql(),
         "media_sizes": """

@@ -1154,3 +1154,44 @@ def dedup_keep_best(sf_dir: str, threshold: float = 0.5,
         .to_pandas()
     )
     return out.sort_values("canonical_id").reset_index(drop=True)
+
+
+def eval_affinity_counts(sf_dir: str, k: int = 8,
+                         n_eval: int = N_EVAL_DOCS) -> pd.DataFrame:
+    """DSIR-flavored data-selection signal: per train doc, how many of its
+    DISTINCT k-token-grams appear in the eval slice's gram set —
+    (doc_id, n_grams, n_eval_hits); n_eval_hits/n_grams is the importance
+    score (integers keep the oracle value-hash float-free, the
+    quality_score convention).  Same broadcast-small-side, shuffle-free
+    shape as ``decontaminate_ngrams``."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def eval_grams(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.less(t["doc_id"], pa.scalar(n_eval, pa.int64())))
+        gs = [_shingles(x, k) for x in sub["text"].to_pylist()]
+        u = (np.unique(np.concatenate(gs)) if gs else np.empty(0, np.uint64))
+        return pa.table({"s": pa.array(u, pa.uint64())})
+
+    ev = ds.map_batches(eval_grams, batch_format="pyarrow").to_pandas()
+    eval_arr = (np.unique(ev["s"].to_numpy().astype(np.uint64))
+                if len(ev) else np.empty(0, np.uint64))
+    ref = ray.put(eval_arr)
+
+    def count_hits(t: pa.Table) -> pa.Table:
+        grams = ray.get(ref)
+        sub = t.filter(pc.greater_equal(t["doc_id"], pa.scalar(n_eval, pa.int64())))
+        ids = sub["doc_id"].to_numpy()
+        n_g = np.zeros(len(ids), np.int64)
+        n_h = np.zeros(len(ids), np.int64)
+        for i, x in enumerate(sub["text"].to_pylist()):
+            g = _shingles(x, k)
+            n_g[i] = len(g)
+            if len(g) and len(grams):
+                pos = np.searchsorted(grams, g).clip(max=len(grams) - 1)
+                n_h[i] = int((grams[pos] == g).sum())
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_grams": pa.array(n_g, pa.int64()),
+                         "n_eval_hits": pa.array(n_h, pa.int64())})
+
+    out = ds.map_batches(count_hits, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -350,3 +350,26 @@ def dedup_keep_best_sql(threshold_num: int = 1, threshold_den: int = 2,
             SELECT canonical_id, doc_id AS keep_doc_id,
                    CAST(cs AS BIGINT) AS cluster_size
             FROM ranked WHERE rn = 1 ORDER BY canonical_id""")
+
+
+def eval_affinity_counts_sql(k: int = 8, n_eval: int = 20) -> str:
+    """Oracle for dedup.eval_affinity_counts: distinct-gram and eval-hit
+    counts per train doc on the exact engine shingle hashes."""
+    return (f"WITH {_shingle_ctes(k)},\n"
+            f"""            ev AS (
+              SELECT DISTINCT s FROM sh WHERE doc_id < {n_eval}
+            ), tg AS (
+              SELECT doc_id, count(*) AS n_grams FROM sh
+              WHERE doc_id >= {n_eval} GROUP BY doc_id
+            ), hit AS (
+              SELECT sh.doc_id, count(*) AS n_eval_hits
+              FROM sh JOIN ev USING (s)
+              WHERE sh.doc_id >= {n_eval} GROUP BY sh.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(tg.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(hit.n_eval_hits, 0) AS BIGINT) AS n_eval_hits
+            FROM documents d
+            LEFT JOIN tg ON tg.doc_id = d.doc_id
+            LEFT JOIN hit ON hit.doc_id = d.doc_id
+            WHERE d.doc_id >= {n_eval} ORDER BY d.doc_id""")
