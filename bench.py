@@ -77,6 +77,10 @@ BENCH_QUERY_NAMES = [
     "value_stats_per_type",
     "events_moving_avg",
     "top_docs_per_lang",
+    "decontaminate_ngrams",
+    "eval_affinity_counts",
+    "near_dedup_cluster_stats",
+    "dedup_keep_best",
 ]
 
 
