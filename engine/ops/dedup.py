@@ -700,6 +700,26 @@ def assign_labels_ds(ids_ds, labels_ds, id_col: str,
     return rows.groupby("bucket").map_groups(merge_group, batch_format="pandas")
 
 
+_LABELS_CACHE: dict = {}
+
+
+def _minhash_labels_ds(sf_dir: str, threshold: float = 0.5):
+    """Session-scoped cache of the CC label Dataset (materialized, so the
+    blocks pin in the object store): the canonical / cluster-stats /
+    keep-best queries all consume the same labels, and re-running LSH+CC
+    three times per session is pure waste.  Keyed on the documents file's
+    identity (path, mtime, size) + threshold so a rewritten corpus
+    invalidates."""
+    p = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(p)
+    key = (os.path.abspath(p), st.st_mtime_ns, st.st_size, threshold)
+    if key not in _LABELS_CACHE:
+        _LABELS_CACHE[key] = connected_components_ds(
+            _minhash_pairs_ds(sf_dir, threshold)
+        ).materialize()
+    return _LABELS_CACHE[key]
+
+
 def near_dedup_canonical(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     """doc_id -> canonical_id under TRANSITIVE near-duplication.
 
@@ -713,7 +733,7 @@ def near_dedup_canonical(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     object store; the final assign is a bucketed label join
     (``assign_labels_ds``) — labels are never collected driver-side.
     """
-    labels = connected_components_ds(_minhash_pairs_ds(sf_dir, threshold))
+    labels = _minhash_labels_ds(sf_dir, threshold)
     out = assign_labels_ds(_docs(sf_dir, ["doc_id"]), labels, "doc_id").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -1054,7 +1074,7 @@ def near_dedup_cluster_stats(sf_dir: str, threshold: float = 0.5) -> pd.DataFram
     bucketed label join, per-canonical sizes one groupby, and the histogram
     itself a value-counts partial + tiny groupby (the driver sees only
     |distinct sizes| rows)."""
-    labels = connected_components_ds(_minhash_pairs_ds(sf_dir, threshold))
+    labels = _minhash_labels_ds(sf_dir, threshold)
     assigned = assign_labels_ds(_docs(sf_dir, ["doc_id"]), labels, "doc_id")
     sizes = assigned.groupby("canonical_id").count()
 
@@ -1092,7 +1112,7 @@ def dedup_keep_best(sf_dir: str, threshold: float = 0.5,
     Two coarse-bucket shuffles after CC: token counts join canonical labels
     on doc_id, then per-canonical argmax inside a canonical-keyed bucket —
     text never shuffles (counts do)."""
-    labels = connected_components_ds(_minhash_pairs_ds(sf_dir, threshold))
+    labels = _minhash_labels_ds(sf_dir, threshold)
     assigned = assign_labels_ds(_docs(sf_dir, ["doc_id"]), labels, "doc_id")
 
     def tok_rows(t: pa.Table) -> pa.Table:
