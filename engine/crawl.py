@@ -483,9 +483,12 @@ _CHG_SCHEMA = pa.schema(
 )
 
 
-def detect_changed_urls(corpus_dir: str, ckpt_dir: str, n_buckets: int = 64) -> list:
-    """Etag change detection: urls whose CURRENT page bytes differ from the
-    etag stored at crawl time.
+def detect_corpus_delta(corpus_dir: str, ckpt_dir: str,
+                        n_buckets: int = 64) -> tuple:
+    """Etag corpus delta -> (changed_urls, deleted_urls): urls whose CURRENT
+    page bytes differ from the etag stored at crawl time, and urls crawled
+    before that no longer exist in the corpus (the removed-document half of
+    incremental re-ingest).
 
     The reference carries ``etag`` + ``last_modified`` on every wire payload
     (``DocumentPayload.cs:10-25``, metadata map ``SharePointClient.cs:358-370``)
@@ -530,7 +533,7 @@ def detect_changed_urls(corpus_dir: str, ckpt_dir: str, n_buckets: int = 64) -> 
             schema=_CHG_SCHEMA,
         )
 
-    def changed_group(g) -> pa.Table:
+    def delta_group(g) -> pa.Table:
         cur = g[g["side"] == 0]
         st = (
             g[g["side"] == 1]
@@ -538,10 +541,16 @@ def detect_changed_urls(corpus_dir: str, ckpt_dir: str, n_buckets: int = 64) -> 
             .groupby("url", as_index=False)
             .last()  # a url re-fetched across rounds: the LATEST etag counts
         )
-        m = st.merge(cur[["url", "etag"]], on="url", how="inner",
+        m = st.merge(cur[["url", "etag"]], on="url", how="left",
                      suffixes=("_old", "_new"))
-        ch = m[m["etag_old"] != m["etag_new"]]
-        return pa.table({"url": pa.array(ch["url"].tolist(), pa.string())})
+        gone = m["etag_new"].isna()
+        ch = m[~gone & (m["etag_old"] != m["etag_new"])]["url"].tolist()
+        dl = m[gone]["url"].tolist()
+        return pa.table(
+            {"url": pa.array(ch + dl, pa.string()),
+             "kind": pa.array(["changed"] * len(ch) + ["deleted"] * len(dl),
+                              pa.string())}
+        )
 
     both = (
         rd.read_parquet(docs_dir, columns=["url", "url_hash", "etag", "status", "fetch_seq"])
@@ -551,22 +560,40 @@ def detect_changed_urls(corpus_dir: str, ckpt_dir: str, n_buckets: int = 64) -> 
             .map_batches(cur_rows, batch_format="pyarrow")
         )
     )
-    changed = (
+    delta = (
         both.groupby("bucket")
-        .map_groups(changed_group, batch_format="pandas")
+        .map_groups(delta_group, batch_format="pandas")
         .to_pandas()
     )
-    return sorted(changed["url"].tolist()) if len(changed) else []
+    if not len(delta):
+        return [], []
+    return (sorted(delta[delta["kind"] == "changed"]["url"].tolist()),
+            sorted(delta[delta["kind"] == "deleted"]["url"].tolist()))
+
+
+def detect_changed_urls(corpus_dir: str, ckpt_dir: str,
+                        n_buckets: int = 64) -> list:
+    """The changed-urls half of ``detect_corpus_delta``."""
+    return detect_corpus_delta(corpus_dir, ckpt_dir, n_buckets)[0]
 
 
 def recrawl(corpus_dir: str, ckpt_dir: str, budget: dict | None = None,
             **kw) -> CrawlResult:
     """Incremental recrawl: detect etag-changed pages and re-ingest EXACTLY
     those (the reference's etag/last_modified workflow; see
-    ``detect_changed_urls``).  Resumes the existing checkpoint with the
+    ``detect_corpus_delta``).  Resumes the existing checkpoint with the
     deletable cuckoo seen backend so the changed urls pass the gate again —
-    unchanged pages are never re-fetched."""
-    changed = detect_changed_urls(corpus_dir, ckpt_dir)
+    unchanged pages are never re-fetched.  Removed documents are not
+    fetchable, so they are recorded as rows instead (the error-sink
+    convention): ``ckpt_dir/deletions.parquet`` holds the full current
+    deleted-url set after every recrawl — the downstream index's
+    tombstone feed.  Their hashes stay in the seen set deliberately, so
+    dangling links to them never trigger futile fetches."""
+    changed, deleted = detect_corpus_delta(corpus_dir, ckpt_dir)
+    pq.write_table(
+        pa.table({"url": pa.array(deleted, pa.string())}),
+        os.path.join(ckpt_dir, "deletions.parquet"),
+    )
     return crawl(
         corpus_dir,
         ckpt_dir,

@@ -604,7 +604,8 @@ def default_budget() -> dict:
 
 
 def modify_pages(corpus_dir: str, dest_dir: str, urls: list,
-                 marker: bytes = b"\n<!-- rev2 -->") -> str:
+                 marker: bytes = b"\n<!-- rev2 -->",
+                 delete_urls: list | None = None) -> str:
     """Copy a corpus and append ``marker`` to the html bytes of the given
     urls — the 'site changed since last crawl' fixture for the etag
     change-detection recrawl path (``engine.crawl.detect_changed_urls``).
@@ -618,6 +619,7 @@ def modify_pages(corpus_dir: str, dest_dir: str, urls: list,
         shutil.rmtree(dest_dir)
     shutil.copytree(corpus_dir, dest_dir)
     targets = set(urls)
+    deletions = set(delete_urls or ())
     for f in sorted(
         os.path.join(dp, fn)
         for dp, _dns, fns in os.walk(os.path.join(dest_dir, "pages"))
@@ -626,8 +628,12 @@ def modify_pages(corpus_dir: str, dest_dir: str, urls: list,
     ):
         t = pq.read_table(f)
         u = t["url"].to_pylist()
-        if not targets.intersection(u):
+        if not targets.intersection(u) and not deletions.intersection(u):
             continue
+        if deletions:
+            keep = [url not in deletions for url in u]
+            t = t.filter(pa.array(keep, pa.bool_()))
+            u = t["url"].to_pylist()
         html = t["html"].to_pylist()
         changed = [
             (h + marker if url in targets else h) for url, h in zip(u, html)
