@@ -342,6 +342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann.ann_topk_bruteforce,
         "ann_topk_lsh": ann.ann_topk_lsh,
         "ann_topk_ivf": ann.ann_topk_ivf,
+        "ann_topk_ivfpq": ann.ann_topk_ivfpq,
         "ann_topk_ivf_partitioned": ann.ann_topk_ivf_partitioned,
         "embedding_near_pairs": ann.embedding_near_pairs,
         "embedding_dedup_canonical": ann.embedding_dedup_canonical,

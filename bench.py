@@ -48,6 +48,7 @@ BENCH_QUERY_NAMES = [
     "ann_topk",
     "ann_topk_lsh",
     "ann_topk_ivf",
+    "ann_topk_ivfpq",
     "fingerprint_rolling",
     "embedding_near_pairs",
     "chunk_documents",

@@ -615,3 +615,238 @@ def ann_topk_ivf_partitioned(sf_dir: str, n_queries: int = 5, k: int = 10,
                               ascending=[True, False, True], kind="mergesort")
     out = cands.groupby("query_id", sort=True).head(k)
     return out[["query_id", "vec_id"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product quantization of cell residuals (Jégou et al. 2011) — the
+# memory-scale path for 10^9+ vectors: the index stores m BYTES per vector
+# instead of dim float32s, probes scan codes via ADC lookup tables, and only
+# the top ADC candidates' full vectors are read back for an exact re-rank.
+# ---------------------------------------------------------------------------
+
+_PQ_K = 256  # centroids per subspace (one uint8 code each)
+
+
+def _pq_subspaces(dim: int, m: int) -> int:
+    """Largest m' <= m dividing dim (PQ needs equal-width subspaces)."""
+    while dim % m:
+        m -= 1
+    return max(1, m)
+
+
+def _train_pq_codebooks(residuals: np.ndarray, m: int, seed: int,
+                        iters: int = 8) -> np.ndarray:
+    """(m, 256, dsub) per-subspace k-means over sampled residuals —
+    deterministic seeded Lloyd, vectorized per subspace."""
+    n, dim = residuals.shape
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, _PQ_K, dsub), np.float64)
+    for j in range(m):
+        sub = residuals[:, j * dsub:(j + 1) * dsub]
+        kk = min(_PQ_K, len(sub))
+        cents = sub[rng.choice(len(sub), size=kk, replace=False)]
+        for _ in range(iters):
+            d2 = (
+                (sub * sub).sum(1)[:, None]
+                - 2.0 * (sub @ cents.T)
+                + (cents * cents).sum(1)[None, :]
+            )
+            assign = d2.argmin(axis=1)
+            for c in range(kk):
+                mem = sub[assign == c]
+                if len(mem):
+                    cents[c] = mem.mean(axis=0)
+        full = np.zeros((_PQ_K, dsub), np.float64)
+        full[:kk] = cents
+        if kk < _PQ_K:
+            full[kk:] = cents[0]  # degenerate tiny samples: repeat a centroid
+        books[j] = full
+    return books
+
+
+def _pq_encode(res: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, dim) residuals -> (n, m) uint8 codes, argmin-L2 per subspace."""
+    n = len(res)
+    m, _kk, dsub = books.shape
+    codes = np.empty((n, m), np.uint8)
+    for j in range(m):
+        sub = res[:, j * dsub:(j + 1) * dsub]
+        cents = books[j]
+        scores = -2.0 * (sub @ cents.T) + (cents * cents).sum(1)[None, :]
+        codes[:, j] = scores.argmin(axis=1).astype(np.uint8)
+    return codes
+
+
+def build_ivfpq_index(sf_dir: str, index_dir: str, n_cells: int = 16,
+                      m: int = 8, seed: int = 42, kmeans_iters: int = 5) -> str:
+    """Write the IVF-PQ layout: ``cell=K/`` parquet partitions of
+    (vec_id, code list<uint8>[m']) — m' bytes per vector — plus the coarse
+    codebook (``_codebook.npy``) and PQ codebooks (``_pq.npy``).
+
+    Training reuses the distributed hash-sample idiom (`_train_codebook`
+    for the coarse cells; the PQ books train on the SAME sample's
+    residuals), so no stage reads the full table onto one process; the
+    encode pass is one streaming map_batches + partitioned write."""
+    centroids = _train_codebook(sf_dir, n_cells, seed, kmeans_iters)
+
+    path = _emb_path(sf_dir)
+    dim = centroids.shape[1]
+    m = _pq_subspaces(dim, m)
+    # PQ training sample: the deterministic head rows are fine for the
+    # codebooks (the coarse sample already came from a distributed hash
+    # sample; books only need representative residual geometry)
+    _sids, smat = _to_matrix(_first_rows(path, 4096))
+    sn = _normalize(smat)
+    cell = (sn @ centroids.T).argmax(axis=1)
+    books = _train_pq_codebooks(sn - centroids[cell], m, seed)
+
+    refs = ray.put((centroids, books))
+
+    def encode(t: pa.Table) -> pa.Table:
+        cents, bks = ray.get(refs)
+        ids, mat = _to_matrix(t)
+        v = _normalize(mat)
+        cells = (v @ cents.T).argmax(axis=1)
+        codes = _pq_encode(v - cents[cells], bks)
+        return pa.table(
+            {"vec_id": pa.array(ids, pa.int64()),
+             "code": pa.array(list(codes), pa.list_(pa.uint8())),
+             "cell": pa.array(cells.astype(np.int32), pa.int32())}
+        )
+
+    import shutil as _sh
+
+    if os.path.isdir(index_dir):
+        _sh.rmtree(index_dir)
+    _emb(sf_dir).map_batches(encode, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["cell"]
+    )
+    np.save(os.path.join(index_dir, "_codebook.npy"), centroids)
+    np.save(os.path.join(index_dir, "_pq.npy"), books)
+    return index_dir
+
+
+def ann_topk_ivfpq(sf_dir: str, n_queries: int = 5, k: int = 10,
+                   n_cells: int = 16, m: int = 8, n_probe: int = 4,
+                   rerank: int = 8, seed: int = 42,
+                   index_dir: str | None = None) -> pd.DataFrame:
+    """IVF-PQ probe: ADC inner-product scan of the probed cells' CODES
+    (score = q·centroid_cell + Σ_j LUT[j, code_j], one (m×256) lookup table
+    per query×cell), keep the top ``rerank*k`` ADC candidates per query,
+    then ONE bucketed read of exactly those candidates' full vectors for an
+    exact cosine re-rank.  The scan touches m bytes per vector; the full
+    vectors are read only for ~rerank*k rows per query — the shape that
+    holds at 10^9 vectors."""
+    import hashlib as _hl
+
+    path = _emb_path(sf_dir)
+    if index_dir is None:
+        key = _hl.blake2b(
+            f"{os.path.abspath(path)}:{n_cells}:{m}:{seed}:pq".encode(),
+            digest_size=8,
+        ).hexdigest()
+        index_dir = os.path.join("/tmp", f"ivfpq_index_{key}")
+    if not os.path.exists(os.path.join(index_dir, "_pq.npy")):
+        build_ivfpq_index(sf_dir, index_dir, n_cells, m, seed)
+    centroids = np.load(os.path.join(index_dir, "_codebook.npy"))
+    books = np.load(os.path.join(index_dir, "_pq.npy"))
+    m_eff, _kk, dsub = books.shape
+
+    q_ids, q_mat = _to_matrix(_first_rows(path, n_queries))
+    qn = _normalize(q_mat)
+    q_cells = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe]
+    needed = sorted({int(c) for row in q_cells for c in row})
+    files = []
+    for c in needed:
+        d = os.path.join(index_dir, f"cell={c}")
+        if os.path.isdir(d):
+            files.extend(sorted(
+                os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+            ))
+    empty = pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                          "vec_id": pd.Series([], dtype="int64")})
+    if not files:
+        return empty
+
+    # per (query, probed cell): base = q·centroid, LUT[j, c] = q_subj · pq[j,c]
+    luts = {}
+    for qi in range(len(q_ids)):
+        for c in q_cells[qi]:
+            lut = np.empty((m_eff, _PQ_K), np.float64)
+            for j in range(m_eff):
+                lut[j] = books[j] @ qn[qi, j * dsub:(j + 1) * dsub]
+            luts[(qi, int(c))] = (float(qn[qi] @ centroids[int(c)]), lut)
+    qref = ray.put((q_ids, q_cells, luts))
+    keep = rerank * k
+
+    def adc_scan(t: pa.Table) -> pa.Table:
+        qids, qcells_, luts_ = ray.get(qref)
+        ids = t["vec_id"].to_numpy()
+        col = t["code"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        codes = pc.list_flatten(col).to_numpy(zero_copy_only=False).reshape(
+            len(ids), m_eff
+        )
+        cells = np.asarray(t["cell"].to_pylist(), dtype=np.int64)
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(qids):
+            for c in qcells_[qi]:
+                key = (qi, int(c))
+                if key not in luts_:
+                    continue
+                base, lut = luts_[key]
+                mask = (cells == int(c)) & (ids != qid)
+                if not mask.any():
+                    continue
+                sub = codes[mask]
+                # gather-sum: score = base + sum_j lut[j, code_j]
+                s = base + lut[np.arange(m_eff)[None, :], sub].sum(axis=1)
+                cid = ids[mask]
+                if len(cid) > keep:
+                    part = np.argpartition(-s, keep)[:keep]
+                    cid, s = cid[part], s[part]
+                out_q.extend([qid] * len(cid))
+                out_v.extend(cid.tolist())
+                out_s.extend(s.tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "adc": pa.array(out_s, pa.float64())})
+
+    import pyarrow.compute as pc
+
+    cands = (
+        rd.read_parquet(files)
+        .map_batches(adc_scan, batch_format="pyarrow", batch_size=8192)
+        .to_pandas()
+    )
+    if not len(cands):
+        return empty
+    cands = (
+        cands.sort_values(["query_id", "adc", "vec_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        .groupby("query_id", sort=True)
+        .head(keep)
+    )
+
+    # exact re-rank: ONE bucketed read of just the candidate vectors
+    from .io import bucketed_copy, read_bucket_ids
+
+    dest = bucketed_copy(path, "vec_id", ["vec_id", "embedding"], 32)
+    need = sorted(set(cands["vec_id"].tolist()))
+    full = read_bucket_ids(dest, "vec_id", ["vec_id", "embedding"], need, 32)
+    f_ids, f_mat = _to_matrix(full)
+    fn = _normalize(f_mat)
+    pos = {int(v): i for i, v in enumerate(f_ids)}
+    rows = []
+    for qi, qid in enumerate(q_ids):
+        sub = cands[cands["query_id"] == qid]
+        if not len(sub):
+            continue
+        vids = sub["vec_id"].to_numpy()
+        sims = fn[[pos[int(v)] for v in vids]] @ qn[qi]
+        order = np.lexsort((vids, -sims))[:k]
+        for i in order:
+            rows.append((int(qid), int(vids[i])))
+    return pd.DataFrame(rows, columns=["query_id", "vec_id"]).astype("int64")

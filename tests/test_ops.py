@@ -610,6 +610,48 @@ def test_ann_ivf_partitioned_layout_and_recall(ray_session, tmp_path):
     assert np.mean(recalls) > 0.4
 
 
+def test_ann_ivfpq_codes_and_recall(ray_session, tmp_path):
+    """IVF-PQ: the index stores m BYTES per vector (uint8 codes, cell=K
+    hive layout); a probe-ALL ADC scan + exact re-rank recovers the exact
+    brute-force top-k (the re-rank makes truncation the only error source),
+    and a partial probe tracks plain IVF recall."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from engine.ops.ann import (
+        ann_topk_bruteforce,
+        ann_topk_ivfpq,
+        build_ivfpq_index,
+    )
+
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(SF, idx, n_cells=16, m=8)
+    cells = [d for d in os.listdir(idx) if d.startswith("cell=")]
+    assert len(cells) >= 8
+    f = next(
+        os.path.join(idx, cells[0], x)
+        for x in os.listdir(os.path.join(idx, cells[0])) if x.endswith(".parquet")
+    )
+    t = pq.read_table(f)
+    assert t.schema.field("code").type == __import__("pyarrow").list_(
+        __import__("pyarrow").uint8()
+    )
+    assert all(len(c) <= 8 for c in t["code"].to_pylist()[:16])  # m' bytes/vector
+
+    exact = ann_topk_bruteforce(SF, n_queries=5, k=10)
+    full = ann_topk_ivfpq(SF, n_queries=5, k=10, n_probe=16, index_dir=idx)
+    es = exact.groupby("query_id")["vec_id"].apply(set)
+    fs = full.groupby("query_id")["vec_id"].apply(set)
+    full_rec = np.mean([len(es[q] & fs.get(q, set())) / len(es[q]) for q in es.index])
+    assert full_rec >= 0.9  # probe-all + re-rank: ADC truncation only
+
+    part = ann_topk_ivfpq(SF, n_queries=5, k=10, n_probe=4, index_dir=idx)
+    ps = part.groupby("query_id")["vec_id"].apply(set)
+    part_rec = np.mean([len(es[q] & ps.get(q, set())) / len(es[q]) for q in es.index])
+    assert part_rec >= 0.3
+
+
 def test_hll_distinct_error_bound(ray_session, tmp_path):
     """HLL estimate within ~3 standard errors (1.04/sqrt(4096) ~ 1.6%) of the
     exact distinct count on a 50k-token vocabulary."""
