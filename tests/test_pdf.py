@@ -389,3 +389,45 @@ def test_xref_stream_layout_roundtrip():
     got = parse_pdf_layout(xs)
     want = parse_pdf_layout(render_pdf_page_bytes(pages, hrefs))
     assert got == want
+
+
+def test_xref_stream_incremental_update():
+    """Incremental-update PDFs: an appended section REPLACES an object via a
+    new xref stream whose /Prev chains to the original — the reader must walk
+    the chain newest-first and resolve the UPDATED object (how real editors
+    save; ISO 32000 7.5.6)."""
+    import re
+    import zlib
+
+    from engine.pdf import parse_pdf_layout, render_pdf_page_bytes
+
+    pages = [(1, 792.0, [(72.0, 700.0, "original")])]
+    base = render_pdf_page_bytes(pages, [], xref_stream=True)
+    old_xref_pos = int(re.search(rb"startxref\s+(\d+)", base).group(1))
+
+    # find the content object's number (the classic object holding a stream)
+    content_num = None
+    for m in re.finditer(rb"(\d+) 0 obj\n<< /Length", base):
+        body_start = m.end()
+        if b"/ObjStm" not in base[m.start():body_start + 40] and b"/XRef" not in base[m.start():body_start + 40]:
+            content_num = int(m.group(1))
+    assert content_num is not None
+    size = int(re.search(rb"/Size (\d+)", base).group(1))
+
+    new_stream = b"BT /F1 12 Tf 1 0 0 1 72.0 700.0 Tm (updated) Tj ET"
+    payload = zlib.compress(new_stream, 9)
+    out = bytearray(base)
+    upd_pos = len(out)
+    out += (b"%d 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n"
+            % (content_num, len(payload)) + payload + b"\nendstream\nendobj\n")
+    xref_pos = len(out)
+    row = bytes([1]) + upd_pos.to_bytes(4, "big") + (0).to_bytes(2, "big")
+    xp = zlib.compress(row, 9)
+    out += (b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Index [%d 1] "
+            b"/Root 1 0 R /Prev %d /Length %d /Filter /FlateDecode >>\nstream\n"
+            % (size, size + 1, content_num, old_xref_pos, len(xp))
+            + xp + b"\nendstream\nendobj\nstartxref\n%d\n%%%%EOF\n" % xref_pos)
+
+    got_pages, _ = parse_pdf_layout(bytes(out))
+    words = [w for _x, _y, w in got_pages[0][2]]
+    assert words == ["updated"], words
