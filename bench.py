@@ -351,10 +351,16 @@ def run_dedup_smoke() -> dict:
     from engine.ops import relational as rel
 
     idx_dir = os.path.join(dest, "ivf_idx")
+    pq_dir = os.path.join(dest, "ivfpq_idx")
 
     def op_ivf_build():
         shutil.rmtree(idx_dir, ignore_errors=True)
         ann.build_ivf_index(dest, idx_dir, n_cells=128)
+        return None
+
+    def op_ivfpq_build():
+        shutil.rmtree(pq_dir, ignore_errors=True)
+        ann.build_ivfpq_index(dest, pq_dir, n_cells=128, m=8)
         return None
 
     ops = {
@@ -370,6 +376,13 @@ def run_dedup_smoke() -> dict:
         "ivf_build": op_ivf_build,
         "ivf_probe": lambda: ann.ann_topk_ivf_partitioned(
             dest, n_queries=16, k=10, index_dir=idx_dir
+        ),
+        # IVF-PQ: m bytes/vector codes + ADC scan + exact re-rank — the
+        # memory-scale path; build writes 2M uint8-code rows, probe reads
+        # n_probe/128 of the code files and ~rerank*k full vectors
+        "ivfpq_build": op_ivfpq_build,
+        "ivfpq_probe": lambda: ann.ann_topk_ivfpq(
+            dest, n_queries=16, k=10, n_cells=128, n_probe=16, index_dir=pq_dir
         ),
         # the distributed-CC canonicalization compositions (pairs stream
         # into min-label propagation; only the non-identity labels return)

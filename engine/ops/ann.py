@@ -510,6 +510,21 @@ def _train_codebook(sf_dir: str, n_cells: int, seed: int = 42,
     return centroids
 
 
+def _write_cell_partitioned(ds, index_dir: str) -> None:
+    """Cell-keyed shuffle THEN the hive write: a plain
+    ``write_parquet(partition_cols=["cell"])`` writes one fragment per
+    (input block × cell) — measured 38,399 files at 2M vectors / 128 cells,
+    and the probe's footer opens dominated its wall time (~30 s).  Grouping
+    by cell first lands ONE file per cell (~n_cells files total); probes
+    drop to seconds.  (At 10^9 vectors a cell is a handful of GB — still a
+    sane file; shard the group output if cells ever exceed that.)"""
+    (
+        ds.groupby("cell")
+        .map_groups(lambda t: t, batch_format="pyarrow")
+        .write_parquet(index_dir, partition_cols=["cell"])
+    )
+
+
 def build_ivf_index(sf_dir: str, index_dir: str, n_cells: int = 16, seed: int = 42,
                     kmeans_iters: int = 5) -> str:
     """Write the IVF CELL-PARTITIONED layout the coarse quantizer promises:
@@ -530,8 +545,8 @@ def build_ivf_index(sf_dir: str, index_dir: str, n_cells: int = 16, seed: int = 
 
     if os.path.isdir(index_dir):
         _sh.rmtree(index_dir)
-    _emb(sf_dir).map_batches(assign, batch_format="pyarrow").write_parquet(
-        index_dir, partition_cols=["cell"]
+    _write_cell_partitioned(
+        _emb(sf_dir).map_batches(assign, batch_format="pyarrow"), index_dir
     )
     np.save(os.path.join(index_dir, "_codebook.npy"), centroids)
     return index_dir
@@ -719,8 +734,8 @@ def build_ivfpq_index(sf_dir: str, index_dir: str, n_cells: int = 16,
 
     if os.path.isdir(index_dir):
         _sh.rmtree(index_dir)
-    _emb(sf_dir).map_batches(encode, batch_format="pyarrow").write_parquet(
-        index_dir, partition_cols=["cell"]
+    _write_cell_partitioned(
+        _emb(sf_dir).map_batches(encode, batch_format="pyarrow"), index_dir
     )
     np.save(os.path.join(index_dir, "_codebook.npy"), centroids)
     np.save(os.path.join(index_dir, "_pq.npy"), books)
@@ -791,19 +806,23 @@ def ann_topk_ivfpq(sf_dir: str, n_queries: int = 5, k: int = 10,
         )
         cells = np.asarray(t["cell"].to_pylist(), dtype=np.int64)
         out_q, out_v, out_s = [], [], []
-        for qi, qid in enumerate(qids):
-            for c in qcells_[qi]:
+        jj = np.arange(m_eff)[None, :]
+        # one pass per cell present in the batch (files are cell-partitioned,
+        # so usually ONE) — not one mask per (query, cell) pair
+        for c in np.unique(cells):
+            sel = cells == c
+            cell_ids = ids[sel]
+            cell_codes = codes[sel]
+            for qi, qid in enumerate(qids):
                 key = (qi, int(c))
                 if key not in luts_:
                     continue
                 base, lut = luts_[key]
-                mask = (cells == int(c)) & (ids != qid)
-                if not mask.any():
-                    continue
-                sub = codes[mask]
                 # gather-sum: score = base + sum_j lut[j, code_j]
-                s = base + lut[np.arange(m_eff)[None, :], sub].sum(axis=1)
-                cid = ids[mask]
+                s = base + lut[jj, cell_codes].sum(axis=1)
+                cid = cell_ids
+                notq = cid != qid
+                cid, s = cid[notq], s[notq]
                 if len(cid) > keep:
                     part = np.argpartition(-s, keep)[:keep]
                     cid, s = cid[part], s[part]
