@@ -60,9 +60,19 @@ def bucketed_copy(path: str, id_col: str, columns: list, n_buckets: int = 32) ->
         )
 
     os.makedirs(dest, exist_ok=True)
-    read_pruned(path, columns).map_batches(
-        add_bucket, batch_format="pyarrow"
-    ).write_parquet(dest, partition_cols=["bucket"])
+    # bucket-keyed shuffle BEFORE the hive write: plain partition_cols
+    # writes one fragment per (input block x bucket) — hundreds of tiny
+    # files per bucket whose footer opens dominate every verify chunk
+    # (same pathology measured on the IVF index: 38k files, probe 12.9s
+    # -> 1.1s once consolidated).  One extra build-time all-to-all, paid
+    # once per cached copy.
+    (
+        read_pruned(path, columns)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda t: t, batch_format="pyarrow")
+        .write_parquet(dest, partition_cols=["bucket"])
+    )
     with open(marker, "w") as f:
         json.dump({"source": path, "id_col": id_col, "n_buckets": n_buckets}, f)
     return dest
