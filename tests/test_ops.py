@@ -1212,3 +1212,31 @@ def test_events_family_under_hot_key_skew(ray_session, tmp_path):
     # sessionize: total session-event count conserved
     sess = sessionize_events(d)
     assert int(sess["n_events"].sum()) == n
+
+
+def test_partitioned_writes_are_consolidated(ray_session, tmp_path):
+    """One parquet file per partition dir for the IVF/IVF-PQ indexes and the
+    bucketed verify copies — regression lock on the round-4 perf find (a
+    plain partition_cols write fragments one file per input-block×partition;
+    38k files made the 2M-vector probe footer-bound)."""
+    import os
+
+    from engine.ops.ann import build_ivf_index, build_ivfpq_index
+    from engine.ops.io import bucketed_copy
+
+    for builder, name in ((build_ivf_index, "ivf"), (build_ivfpq_index, "ivfpq")):
+        idx = str(tmp_path / name)
+        builder(SF, idx, n_cells=8)
+        for d in os.listdir(idx):
+            if d.startswith("cell="):
+                files = [f for f in os.listdir(os.path.join(idx, d))
+                         if f.endswith(".parquet")]
+                assert len(files) == 1, (name, d, files)
+
+    dest = bucketed_copy(os.path.join(SF, "documents.parquet"), "doc_id",
+                         ["doc_id", "text"], 8)
+    for d in os.listdir(dest):
+        if d.startswith("bucket="):
+            files = [f for f in os.listdir(os.path.join(dest, d))
+                     if f.endswith(".parquet")]
+            assert len(files) == 1, (d, files)
