@@ -869,3 +869,71 @@ def ann_topk_ivfpq(sf_dir: str, n_queries: int = 5, k: int = 10,
         for i in order:
             rows.append((int(qid), int(vids[i])))
     return pd.DataFrame(rows, columns=["query_id", "vec_id"]).astype("int64")
+
+
+def semdedup_pairs(sf_dir: str, threshold: float = 0.95, n_cells: int = 16,
+                   seed: int = 42, index_dir: str | None = None,
+                   chunk: int = 1024) -> pd.DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings, then
+    emit within-cluster pairs with cosine >= threshold — the semantic-dedup
+    method used on web-scale corpora.  Cross-cluster pairs are missed BY
+    DESIGN (the paper's trade: pairwise cost drops from O(n²) to
+    O(Σ n_c²)).
+
+    Shape: reuses the cell-partitioned IVF index and re-groups by cell (the
+    reader may split a cell file into several blocks, so cell closure needs
+    the groupby); each group computes its pairwise sims in row CHUNKS of
+    ``chunk`` × n_c — the full n_c × n_c similarity matrix never
+    materializes (at 10^9/128 cells it would be TBs).  One shuffle; no
+    driver state beyond the pair output."""
+    import hashlib as _hl
+
+    path = _emb_path(sf_dir)
+    if index_dir is None:
+        key = _hl.blake2b(
+            f"{os.path.abspath(path)}:{n_cells}:{seed}".encode(), digest_size=8
+        ).hexdigest()
+        index_dir = os.path.join("/tmp", f"ivf_index_{key}")
+    if not os.path.exists(os.path.join(index_dir, "_codebook.npy")):
+        build_ivf_index(sf_dir, index_dir, n_cells, seed)
+
+    def pairs_in_cell(t: pa.Table) -> pa.Table:
+        ids, mat = _to_matrix(t)
+        if len(ids) < 2:
+            return pa.table({"vec_a": pa.array([], pa.int64()),
+                             "vec_b": pa.array([], pa.int64())})
+        mn = _normalize(mat)
+        out_a, out_b = [], []
+        for lo in range(0, len(ids), chunk):
+            hi = min(lo + chunk, len(ids))
+            sims = mn[lo:hi] @ mn.T  # (chunk, n_c)
+            ii, jj = np.nonzero(sims >= threshold)
+            gi = ii + lo
+            keep = jj > gi  # upper triangle in GLOBAL indices: each pair once
+            a = ids[gi[keep]]
+            b = ids[jj[keep]]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+        a = np.concatenate(out_a) if out_a else np.zeros(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.zeros(0, np.int64)
+        return pa.table({"vec_a": pa.array(a, pa.int64()),
+                         "vec_b": pa.array(b, pa.int64())})
+
+    files = []
+    for d in sorted(os.listdir(index_dir)):
+        if d.startswith("cell="):
+            files.extend(sorted(
+                os.path.join(index_dir, d, f)
+                for f in os.listdir(os.path.join(index_dir, d))
+                if f.endswith(".parquet")
+            ))
+    out = (
+        rd.read_parquet(files)
+        .groupby("cell")
+        .map_groups(pairs_in_cell, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if not len(out):
+        return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                             "vec_b": pd.Series([], dtype="int64")})
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

