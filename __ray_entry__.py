@@ -344,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": ann.ann_topk_ivf,
         "ann_topk_ivfpq": ann.ann_topk_ivfpq,
         "semdedup_pairs": ann.semdedup_pairs,
+        "semdedup_canonical": ann.semdedup_canonical,
         "ann_topk_ivf_partitioned": ann.ann_topk_ivf_partitioned,
         "embedding_near_pairs": ann.embedding_near_pairs,
         "embedding_dedup_canonical": ann.embedding_dedup_canonical,

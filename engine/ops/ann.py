@@ -871,9 +871,9 @@ def ann_topk_ivfpq(sf_dir: str, n_queries: int = 5, k: int = 10,
     return pd.DataFrame(rows, columns=["query_id", "vec_id"]).astype("int64")
 
 
-def semdedup_pairs(sf_dir: str, threshold: float = 0.95, n_cells: int = 16,
-                   seed: int = 42, index_dir: str | None = None,
-                   chunk: int = 1024) -> pd.DataFrame:
+def _semdedup_pairs_ds(sf_dir: str, threshold: float = 0.95, n_cells: int = 16,
+                       seed: int = 42, index_dir: str | None = None,
+                       chunk: int = 1024):
     """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings, then
     emit within-cluster pairs with cosine >= threshold — the semantic-dedup
     method used on web-scale corpora.  Cross-cluster pairs are missed BY
@@ -927,13 +927,40 @@ def semdedup_pairs(sf_dir: str, threshold: float = 0.95, n_cells: int = 16,
                 for f in os.listdir(os.path.join(index_dir, d))
                 if f.endswith(".parquet")
             ))
-    out = (
+    return (
         rd.read_parquet(files)
         .groupby("cell")
         .map_groups(pairs_in_cell, batch_format="pyarrow")
-        .to_pandas()
     )
+
+
+def semdedup_pairs(sf_dir: str, threshold: float = 0.95, n_cells: int = 16,
+                   seed: int = 42, index_dir: str | None = None,
+                   chunk: int = 1024) -> pd.DataFrame:
+    """Query wrapper for ``_semdedup_pairs_ds`` (see its docstring)."""
+    out = _semdedup_pairs_ds(sf_dir, threshold, n_cells, seed, index_dir,
+                             chunk).to_pandas()
     if not len(out):
         return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
                              "vec_b": pd.Series([], dtype="int64")})
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def semdedup_canonical(sf_dir: str, threshold: float = 0.95,
+                       n_cells: int = 16, seed: int = 42) -> pd.DataFrame:
+    """vec_id -> canonical_id under SemDeDup: within-cluster cosine pairs
+    stream into the distributed min-label connected components, canonical =
+    min vec_id per component, unpaired vectors map to themselves — the same
+    composition shape as ``embedding_dedup_canonical`` but with the
+    k-means-cluster candidate structure instead of hyperplane LSH."""
+    from .dedup import assign_labels_ds, connected_components_ds
+
+    def to_doc_cols(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_a": t["vec_a"], "doc_b": t["vec_b"]})
+
+    pairs = _semdedup_pairs_ds(sf_dir, threshold, n_cells, seed).map_batches(
+        to_doc_cols, batch_format="pyarrow"
+    )
+    labels = connected_components_ds(pairs)
+    out = assign_labels_ds(_emb_ids(sf_dir), labels, "vec_id").to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)

@@ -705,9 +705,29 @@ def parse_pdf_layout(data: bytes) -> tuple[list, list]:
     if catalog is None:
         raise ValueError("no /Catalog object")
     pages_ref = _dict_value_ref(catalog, b"/Pages")
-    pages_body = objs[pages_ref]
-    kids_m = re.search(rb"/Kids\s*\[(.*?)\]", pages_body, re.S)
-    kid_refs = [int(m.group(1)) for m in _REF_RE.finditer(kids_m.group(1))]
+
+    # Walk the page TREE (ISO 32000 7.7.3.2): real producers balance pages
+    # across intermediate /Pages nodes, so /Kids entries may be further
+    # /Pages nodes, not leaves — recurse depth-first in Kids order (the
+    # document's page order).  A flat Kids list (our writer) is the
+    # single-level special case.
+    def leaf_pages(ref: int, seen=None) -> list:
+        seen = seen if seen is not None else set()
+        if ref in seen:  # cycle guard: corrupt files must not hang
+            return []
+        seen.add(ref)
+        body = objs.get(ref)
+        if body is None:
+            return []
+        km = re.search(rb"/Kids\s*\[(.*?)\]", body, re.S)
+        if km is None or re.search(rb"/Type\s*/Page\b(?!s)", body):
+            return [ref]
+        out = []
+        for m in _REF_RE.finditer(km.group(1)):
+            out.extend(leaf_pages(int(m.group(1)), seen))
+        return out
+
+    kid_refs = leaf_pages(pages_ref)
 
     pages, hrefs = [], []
     for page_no, kr in enumerate(kid_refs, 1):

@@ -1267,3 +1267,28 @@ def test_semdedup_pairs_finds_planted(ray_session, tmp_path):
     got = set(zip(pairs["vec_a"], pairs["vec_b"]))
     assert (0, 100) in got and (1, 101) in got
     assert all(a in (0, 1) for a, _b in got)  # no random collisions at 0.95
+
+
+def test_semdedup_canonical_transitive(ray_session, tmp_path):
+    """SemDeDup canonicalization: within-cluster near-dups collapse to the
+    component min id (transitively); everything else maps to itself."""
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    rows = np.vstack([base, base[0],
+                      base[1] + 0.01 * rng.standard_normal(16).astype(np.float32)])
+    ids = list(range(40)) + [100, 101]
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([r.tolist() for r in rows], pa.list_(pa.float32())),
+    })
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(t, d / "embeddings.parquet")
+    from engine.ops.ann import semdedup_canonical
+
+    out = semdedup_canonical(str(d), threshold=0.95, n_cells=4)
+    m = dict(zip(out["vec_id"], out["canonical_id"]))
+    assert m[100] == 0 and m[101] == 1
+    assert all(m[i] == i for i in range(2, 40))

@@ -431,3 +431,31 @@ def test_xref_stream_incremental_update():
     got_pages, _ = parse_pdf_layout(bytes(out))
     words = [w for _x, _y, w in got_pages[0][2]]
     assert words == ["updated"], words
+
+
+def test_nested_page_tree():
+    """Real producers balance pages across intermediate /Pages nodes
+    (ISO 32000 7.7.3.2); the reader must walk the tree depth-first in Kids
+    order, not assume a flat list."""
+    from engine.pdf import parse_pdf_layout
+
+    def content(num, word):
+        s = b"BT 1 0 0 1 72.0 700.0 Tm (%s) Tj ET" % word
+        return b"%d 0 obj\n<< /Length %d >>\nstream\n" % (num, len(s)) + s + b"\nendstream\nendobj\n"
+
+    data = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        # root -> [node A, page3] ; node A -> [page1, page2]
+        b"2 0 obj\n<< /Type /Pages /Kids [10 0 R 5 0 R] /Count 3 >>\nendobj\n"
+        b"10 0 obj\n<< /Type /Pages /Parent 2 0 R /Kids [3 0 R 4 0 R] /Count 2 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 10 0 R /MediaBox [0 0 612 792] /Contents 6 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Type /Page /Parent 10 0 R /MediaBox [0 0 612 600] /Contents 7 0 R >>\nendobj\n"
+        b"5 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 500] /Contents 8 0 R >>\nendobj\n"
+        + content(6, b"one") + content(7, b"two") + content(8, b"three")
+        + b"%%EOF\n"
+    )
+    pages, _ = parse_pdf_layout(data)
+    assert [(n, h, [w for _x, _y, w in ws]) for n, h, ws in pages] == [
+        (1, 792.0, ["one"]), (2, 600.0, ["two"]), (3, 500.0, ["three"])
+    ]
