@@ -711,7 +711,15 @@ def parse_pdf_layout(data: bytes) -> tuple[list, list]:
     # /Pages nodes, not leaves — recurse depth-first in Kids order (the
     # document's page order).  A flat Kids list (our writer) is the
     # single-level special case.
-    def leaf_pages(ref: int, seen=None) -> list:
+    mb_re = re.compile(
+        rb"/MediaBox\s*\[\s*(" + _NUM + rb")\s+(" + _NUM + rb")\s+("
+        + _NUM + rb")\s+(" + _NUM + rb")\s*\]"
+    )
+
+    def leaf_pages(ref: int, inherited_h: float | None, seen=None) -> list:
+        """[(leaf_ref, effective_page_height)]: /MediaBox is INHERITABLE
+        (ISO 32000 7.7.3.4) — real producers put one box on the root
+        /Pages node and none on the leaves."""
         seen = seen if seen is not None else set()
         if ref in seen:  # cycle guard: corrupt files must not hang
             return []
@@ -719,25 +727,21 @@ def parse_pdf_layout(data: bytes) -> tuple[list, list]:
         body = objs.get(ref)
         if body is None:
             return []
+        mb = mb_re.search(body)
+        h = float(mb.group(4)) if mb else inherited_h
         km = re.search(rb"/Kids\s*\[(.*?)\]", body, re.S)
         if km is None or re.search(rb"/Type\s*/Page\b(?!s)", body):
-            return [ref]
+            return [(ref, h if h is not None else 792.0)]
         out = []
         for m in _REF_RE.finditer(km.group(1)):
-            out.extend(leaf_pages(int(m.group(1)), seen))
+            out.extend(leaf_pages(int(m.group(1)), h, seen))
         return out
 
-    kid_refs = leaf_pages(pages_ref)
+    kid_refs = leaf_pages(pages_ref, None)
 
     pages, hrefs = [], []
-    for page_no, kr in enumerate(kid_refs, 1):
+    for page_no, (kr, height) in enumerate(kid_refs, 1):
         body = objs[kr]
-        mb = re.search(
-            rb"/MediaBox\s*\[\s*(" + _NUM + rb")\s+(" + _NUM + rb")\s+("
-            + _NUM + rb")\s+(" + _NUM + rb")\s*\]",
-            body,
-        )
-        height = float(mb.group(4)) if mb else 792.0
         words = []
         for contents_ref in _contents_refs(body):
             cbody = objs.get(contents_ref)

@@ -459,3 +459,23 @@ def test_nested_page_tree():
     assert [(n, h, [w for _x, _y, w in ws]) for n, h, ws in pages] == [
         (1, 792.0, ["one"]), (2, 600.0, ["two"]), (3, 500.0, ["three"])
     ]
+
+
+def test_mediabox_inheritance():
+    """/MediaBox on the ROOT /Pages node applies to leaves without one
+    (ISO 32000 7.7.3.4) and a leaf's own box overrides the inherited one."""
+    from engine.pdf import parse_pdf_layout
+
+    c = b"BT 1 0 0 1 72.0 700.0 Tm (w) Tj ET"
+    content_obj = (b"5 0 obj\n<< /Length %d >>\nstream\n" % len(c)
+                   + c + b"\nendstream\nendobj\n")
+    data = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /MediaBox [0 0 612 650] /Kids [3 0 R 4 0 R] /Count 2 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>\nendobj\n"   # inherits 650
+        b"4 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 500] /Contents 5 0 R >>\nendobj\n"
+        + content_obj + b"%%EOF\n"
+    )
+    pages, _ = parse_pdf_layout(data)
+    assert [(n, h) for n, h, _w in pages] == [(1, 650.0), (2, 500.0)]
