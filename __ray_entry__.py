@@ -328,6 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_tokens": text.chunk_tokens,
         # dedup family
         "exact_dedup": dedup.exact_dedup,
+        "incremental_exact_dedup": dedup.incremental_exact_dedup,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "near_dedup_canonical": dedup.near_dedup_canonical,
         "simhash_signatures": dedup.simhash_signatures,
@@ -371,7 +372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from engine import oracles as _lsh_oracles
-    from engine.ops import text
+    from engine.ops import dedup, text
     from engine.ops.text import CATEGORY_PATTERNS, STOP_WORDS
 
     stop_list = ", ".join(f"'{w}'" for w in STOP_WORDS)
@@ -780,6 +781,10 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical_id
             FROM documents ORDER BY doc_id
+        """,
+        "incremental_exact_dedup": f"""
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical_id
+            FROM documents QUALIFY doc_id >= {dedup.N_BASE_DOCS} ORDER BY doc_id
         """,
         "simhash_signatures": r"""
             WITH toks AS (

@@ -1215,3 +1215,58 @@ def eval_affinity_counts(sf_dir: str, k: int = 8,
 
     out = ds.map_batches(count_hits, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+N_BASE_DOCS = 400  # incremental dedup: doc_id < N_BASE_DOCS is the "corpus",
+# the rest is the incoming batch (deterministic split for the driver check)
+
+
+def incremental_exact_dedup(sf_dir: str, n_base: int = N_BASE_DOCS,
+                            n_buckets: int = 64) -> pd.DataFrame:
+    """Incremental-ingest dedup: canonicalize a NEW batch of documents
+    against an EXISTING corpus (the production shape: the base is 100 TB
+    and immutable, only the day's batch needs assignments).
+
+    For each new doc (doc_id >= n_base): canonical_id = the min doc_id of
+    any byte-identical text in base ∪ batch, else itself.  One content-hash
+    bucket shuffle carrying only (doc_id, text_hash, side) — the text never
+    moves, the base is never collected, and the output is |batch| rows.
+    """
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    _INC_SCHEMA = pa.schema(
+        [("doc_id", pa.int64()), ("text_hash", pa.int64()),
+         ("side", pa.int8()), ("bucket", pa.int32())]
+    )
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        hashes = np.fromiter(
+            (_text_hash64(s) for s in t["text"].to_pylist()), np.int64, len(ids)
+        )
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "text_hash": pa.array(hashes, pa.int64()),
+             "side": pa.array((ids >= n_base).astype(np.int8), pa.int8()),
+             "bucket": pa.array((hashes % n_buckets).astype(np.int32), pa.int32())},
+            schema=_INC_SCHEMA,
+        )
+
+    def assign_group(g: pd.DataFrame) -> pa.Table:
+        # min doc_id per hash over base ∪ batch; emit only batch rows
+        canon = g.groupby("text_hash")["doc_id"].transform("min")
+        new = g["side"] == 1
+        return pa.table(
+            {"doc_id": pa.array(g.loc[new, "doc_id"].to_numpy(), pa.int64()),
+             "canonical_id": pa.array(
+                 np.minimum(canon[new].to_numpy(), g.loc[new, "doc_id"].to_numpy()),
+                 pa.int64())}
+        )
+
+    out = (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(assign_group, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
