@@ -52,6 +52,23 @@ def config_hash(cfg: dict) -> str:
     ).hexdigest()
 
 
+def selected_files(ckpt_dir: str, r: int) -> list:
+    """Parquet files holding round r's fetch schedule, whichever layout the
+    round used: a single driver-written ``selected.parquet`` (budget-small
+    rounds) or the ``selected/`` part directory written by the distributed
+    schedule finalize (the driver never held those rows)."""
+    rd_ = os.path.join(ckpt_dir, f"round={r}")
+    p = os.path.join(rd_, "selected.parquet")
+    if os.path.exists(p):
+        return [p]
+    d = os.path.join(rd_, "selected")
+    if os.path.isdir(d):
+        return sorted(
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        )
+    return []
+
+
 class CheckpointManager:
     def __init__(self, ckpt_dir: str, cfg: dict):
         self.dir = ckpt_dir
@@ -87,26 +104,51 @@ class CheckpointManager:
     def write_round(
         self,
         r: int,
-        selected: pa.Table,
+        selected: pa.Table | None,
         frontier_next: pa.Table,
-        seen_delta: np.ndarray,
+        seen_delta: np.ndarray | None,
         counters: dict,
         cumulative: dict,
         phases: dict | None = None,
         errors: pa.Table | None = None,
         rss_mb: float | None = None,
     ):
+        """``selected=None`` means the round used the DISTRIBUTED schedule
+        finalize: the schedule parts are already on disk in
+        ``round=R/selected/`` and the seen delta IS their url_hash column —
+        the driver never held either, so nothing is (re)written here."""
         rd = self._round_dir(r)
         os.makedirs(rd, exist_ok=True)
         success = os.path.join(rd, "_SUCCESS")
         if os.path.exists(success):  # idempotent rewrite of a complete round
             os.remove(success)
-        pq.write_table(selected, os.path.join(rd, "selected.parquet"))
+        sel_dir = os.path.join(rd, "selected")
+        if selected is not None:
+            if os.path.isdir(sel_dir):  # stale distributed layout from a rerun
+                import shutil
+
+                shutil.rmtree(sel_dir)
+            pq.write_table(selected, os.path.join(rd, "selected.parquet"))
+            pq.write_table(
+                pa.table(
+                    {
+                        "url_hash": pa.array(
+                            np.asarray(seen_delta, dtype=np.int64), pa.int64()
+                        )
+                    }
+                ),
+                os.path.join(rd, "seen_delta.parquet"),
+            )
+        else:
+            if not os.path.isdir(sel_dir):
+                raise ValueError(
+                    f"write_round(selected=None) but no schedule parts at {sel_dir}"
+                )
+            for stale in ("selected.parquet", "seen_delta.parquet"):
+                p = os.path.join(rd, stale)
+                if os.path.exists(p):
+                    os.remove(p)
         pq.write_table(frontier_next, os.path.join(rd, "frontier_next.parquet"))
-        pq.write_table(
-            pa.table({"url_hash": pa.array(np.asarray(seen_delta, dtype=np.int64), pa.int64())}),
-            os.path.join(rd, "seen_delta.parquet"),
-        )
         if errors is not None and errors.num_rows:
             # Errors are rows, never side effects (SURVEY.md §2.1 S5 — the
             # engine analog of ErrorLogger.cs's TSV, queryable per round).
@@ -174,13 +216,22 @@ class CheckpointManager:
         )
 
     def read_selected(self, r: int) -> pa.Table:
-        return pq.read_table(os.path.join(self._round_dir(r), "selected.parquet"))
+        files = selected_files(self.dir, r)
+        if not files:
+            raise FileNotFoundError(f"no schedule for round {r} in {self.dir}")
+        return pa.concat_tables([pq.read_table(f) for f in files])
 
     def seen_hashes_through(self, r: int) -> np.ndarray:
         parts = []
         for i in range(r + 1):
             p = os.path.join(self._round_dir(i), "seen_delta.parquet")
-            parts.append(pq.read_table(p)["url_hash"].to_numpy())
+            if os.path.exists(p):
+                parts.append(pq.read_table(p)["url_hash"].to_numpy())
+            else:  # distributed round: the schedule's url_hash IS the delta
+                for f in selected_files(self.dir, i):
+                    parts.append(
+                        pq.read_table(f, columns=["url_hash"])["url_hash"].to_numpy()
+                    )
         return np.concatenate(parts) if parts else np.zeros(0, dtype=np.int64)
 
     def order_table_through(self, r: int) -> pa.Table:

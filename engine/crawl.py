@@ -81,6 +81,7 @@ from .checkpoint import COUNTER_KEYS, CheckpointManager
 from .extract import extract_document
 from .frontier import (
     FRONTIER_SCHEMA,
+    ORDER_COLS,
     frontier_row,
     N_SALT,
     SEQ_STRIDE,
@@ -98,6 +99,13 @@ from .synth import default_budget
 # Below this many frontier rows a round uses one exact groupby(host) for
 # dedup+politeness; above it, the salted two-stage tree (skew-bounded).
 SMALL_FRONTIER_ROWS = 200_000
+
+# Below this many politeness-surviving candidates the round's ordering +
+# budget cut + fetch_seq assignment runs on the driver (one Arrow sort of a
+# budget-bounded table); above it, the schedule finalize is DISTRIBUTED — a
+# range-partitioned sort plus per-block rank offsets (zip-with-index), so the
+# driver holds one row count per block instead of the schedule itself.
+SMALL_SELECT_ROWS = 200_000
 
 DOCS_SCHEMA = pa.schema(
     [
@@ -421,6 +429,72 @@ def _cast_frontier_batch(t: pa.Table) -> pa.Table:
     )
 
 
+@ray.remote
+def _block_nrows(tbl: pa.Table) -> int:
+    return tbl.num_rows
+
+
+@ray.remote(num_returns="dynamic")
+def _finalize_sorted_block(
+    tbl: pa.Table,
+    rank0: int,
+    sel_n: int,
+    seq_offset: int,
+    rnd: int,
+    n_buckets: int,
+    deferred_dir: str,
+    selected_dir: str,
+    part_id: int,
+    shard_handles: list,
+):
+    """Distributed schedule finalize for ONE globally-sorted candidate block.
+
+    The zip-with-index idiom: the driver computed this block's global rank
+    offset (``rank0``) from per-block row counts only, so ``fetch_seq`` =
+    ``seq_offset + rank0 + arange`` is bit-identical to the driver path's
+    contiguous numbering without the schedule ever materializing there.
+    This task also owns the block's side effects, keeping them off the
+    driver: budget-overflow rows spill to the round's deferred parts, the
+    schedule part lands in ``round=R/selected/``, the block's url hashes are
+    added to the seen shards (awaited — the next round's stage-0 check must
+    observe them), and the fetch feed is yielded as bucket-pure tables so
+    each fetch task still reads exactly one pages bucket file.
+    """
+    sel = tbl.slice(0, sel_n)
+    over = tbl.slice(sel_n)
+    if over.num_rows:
+        pq.write_table(
+            over.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA),
+            os.path.join(deferred_dir, f"overflow_{part_id}.parquet"),
+        )
+    if sel.num_rows == 0:
+        return
+    n = sel.num_rows
+    sel = (
+        sel.select(FRONTIER_SCHEMA.names)
+        .cast(FRONTIER_SCHEMA)
+        .append_column(
+            "fetch_seq", pa.array(seq_offset + rank0 + np.arange(n), pa.int64())
+        )
+        .append_column("round", pa.array(np.full(n, rnd, np.int32), pa.int32()))
+    )
+    pq.write_table(sel, os.path.join(selected_dir, f"part_{part_id:05d}.parquet"))
+    hashes = sel["url_hash"].to_numpy()
+    n_sh = len(shard_handles)
+    sid = hashes % n_sh
+    ray.get(
+        [
+            shard_handles[s].add_many.remote(hashes[sid == s])
+            for s in range(n_sh)
+            if (sid == s).any()
+        ]
+    )
+    buckets_np = (hashes % n_buckets).astype(np.int32)
+    with_bucket = sel.append_column("bucket", pa.array(buckets_np, pa.int32()))
+    for b in np.unique(buckets_np):
+        yield with_bucket.filter(pc.equal(with_bucket["bucket"], int(b)))
+
+
 class _LazyFrontier:
     """Large-round frontier handle: paths + footer row count, never rows.
 
@@ -636,10 +710,11 @@ class CrawlResult:
     seen_stats: list = field(default_factory=list)
 
     def order_table(self) -> pa.Table:
+        from .checkpoint import selected_files
+
         tables = []
         for r in range(self.rounds):
-            p = os.path.join(self.ckpt_dir, f"round={r}", "selected.parquet")
-            if os.path.exists(p):
+            for p in selected_files(self.ckpt_dir, r):
                 tables.append(pq.read_table(p))
         if not tables:
             return (
@@ -651,11 +726,18 @@ class CrawlResult:
         return t.sort_by("fetch_seq")
 
     def seen_hashes(self) -> np.ndarray:
+        from .checkpoint import selected_files
+
         parts = []
         for r in range(self.rounds):
             p = os.path.join(self.ckpt_dir, f"round={r}", "seen_delta.parquet")
             if os.path.exists(p):
                 parts.append(pq.read_table(p)["url_hash"].to_numpy())
+            else:  # distributed round: delta == schedule url_hash column
+                for f in selected_files(self.ckpt_dir, r):
+                    parts.append(
+                        pq.read_table(f, columns=["url_hash"])["url_hash"].to_numpy()
+                    )
         return np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
 
     def docs_dataset(self):
@@ -774,14 +856,14 @@ def crawl(
         canon = [c for c in (canonicalize(u) for u in invalidate_urls) if c]
         depth_of: dict = {}
         if canon and start_round > 0:
+            from .checkpoint import selected_files
+
             for rr in range(start_round):
-                sel = os.path.join(ckpt_dir, f"round={rr}", "selected.parquet")
-                if not os.path.exists(sel):
-                    continue
-                t = pq.read_table(
-                    sel, columns=["url", "depth"], filters=[("url", "in", canon)]
-                )
-                depth_of.update(zip(t["url"].to_pylist(), t["depth"].to_pylist()))
+                for sel in selected_files(ckpt_dir, rr):
+                    t = pq.read_table(
+                        sel, columns=["url", "depth"], filters=[("url", "in", canon)]
+                    )
+                    depth_of.update(zip(t["url"].to_pylist(), t["depth"].to_pylist()))
         inv_hashes = []
         for i, cu in enumerate(canon):
             row = frontier_row(cu, int(depth_of.get(cu, 0)), 0, int(base_seq) + i)
@@ -934,13 +1016,29 @@ def crawl(
                             batch_format="pyarrow",
                         ).write_parquet(deferred_dir)
                 deferred_t = _empty_frontier()
-                cand_t = _collect(
-                    stage2.map_batches(_only("cand"), batch_format="pyarrow")
-                )
-                if cand_t is None:
-                    cand_t = _empty_frontier().append_column(
-                        "status", pa.array([], pa.string())
+                n_cand_dist = int(vc2.get("cand", 0))
+                if n_cand_dist > SMALL_SELECT_ROWS:
+                    # The politeness survivors themselves are too many to
+                    # order on the driver — the schedule finalize runs
+                    # distributed below (cand_t=None is the branch marker).
+                    cand_t = None
+                    cand_sorted = (
+                        stage2.map_batches(_only("cand"), batch_format="pyarrow")
+                        .map_batches(
+                            _cast_frontier_batch,
+                            batch_format="pyarrow",
+                            zero_copy_batch=True,
+                        )
+                        .sort(ORDER_COLS)
+                    ).materialize()
+                else:
+                    cand_t = _collect(
+                        stage2.map_batches(_only("cand"), batch_format="pyarrow")
                     )
+                    if cand_t is None:
+                        cand_t = _empty_frontier().append_column(
+                            "status", pa.array([], pa.string())
+                        )
 
             _phases["select"] = round(_time.time() - _phase_t0, 3)
             _phase_t0 = _time.time()
@@ -948,50 +1046,95 @@ def crawl(
             counters["robots_blocked"] += int(vc.get("robots", 0))
             counters["filtered"] += int(vc.get("filtered", 0))
             counters["deduped"] += int(vc.get("dup", 0)) + int(vc.get("seen", 0))
-            if cand_t.num_rows == 0:
-                selected_t = _empty_frontier()
-            else:
-                order = global_order_indices(cand_t)
-                cand_t = cand_t.take(order)
-                remaining = max_total - cumulative["attempted"]
-                if cand_t.num_rows > remaining:
-                    overflow = cand_t.slice(remaining)
-                    deferred_t = pa.concat_tables(
-                        [deferred_t,
-                         overflow.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA)]
-                    )
-                    cand_t = cand_t.slice(0, remaining)
-                selected_t = cand_t.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA)
+            remaining = max_total - cumulative["attempted"]
+            sel_ds = None
+            selected_dir = os.path.join(ckpt_dir, f"round={r}", "selected")
+            if cand_t is None:
+                # DISTRIBUTED schedule finalize (zip-with-index): the driver
+                # sees one row count per sorted block, computes rank offsets
+                # by prefix sum, and each block attaches its own contiguous
+                # fetch_seq range, spills its budget overflow to the deferred
+                # parts, writes its schedule part, feeds the seen shards, and
+                # yields bucket-pure fetch batches.  Bit-identical to the
+                # driver path: the sort is the same total order (ORDER_COLS
+                # is unique per row) and the budget cut is the same prefix.
+                import shutil as _sh2
 
-            n_sel = selected_t.num_rows
+                if os.path.isdir(selected_dir):
+                    _sh2.rmtree(selected_dir)  # crash-rerun safety
+                os.makedirs(selected_dir, exist_ok=True)
+                os.makedirs(deferred_dir, exist_ok=True)
+                refs = cand_sorted.to_arrow_refs()
+                blk_counts = np.asarray(
+                    ray.get([_block_nrows.remote(x) for x in refs]), np.int64
+                )
+                starts = np.concatenate([np.zeros(1, np.int64), np.cumsum(blk_counts)])
+                n_cand_total = int(starts[-1])
+                n_sel = int(min(n_cand_total, remaining))
+                n_deferred_dist += n_cand_total - n_sel
+                selected_t = None
+                gen_refs = [
+                    _finalize_sorted_block.remote(
+                        ref,
+                        int(starts[i]),
+                        int(np.clip(n_sel - starts[i], 0, blk_counts[i])),
+                        cumulative["attempted"],
+                        r,
+                        n_buckets,
+                        deferred_dir,
+                        selected_dir,
+                        i,
+                        shards,
+                    )
+                    for i, ref in enumerate(refs)
+                ]
+                bucket_refs = [br for g in ray.get(gen_refs) for br in g]
+                if bucket_refs:
+                    sel_ds = rd.from_arrow_refs(bucket_refs)
+            else:
+                if cand_t.num_rows == 0:
+                    selected_t = _empty_frontier()
+                else:
+                    order = global_order_indices(cand_t)
+                    cand_t = cand_t.take(order)
+                    if cand_t.num_rows > remaining:
+                        overflow = cand_t.slice(remaining)
+                        deferred_t = pa.concat_tables(
+                            [deferred_t,
+                             overflow.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA)]
+                        )
+                        cand_t = cand_t.slice(0, remaining)
+                    selected_t = cand_t.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA)
+                n_sel = selected_t.num_rows
             counters["attempted"] = n_sel
             counters["deferred"] = deferred_t.num_rows + n_deferred_dist
 
             retry_rows = _empty_frontier()
             errors_t = None
             if n_sel:
-                offset = cumulative["attempted"]
-                selected_t = (
-                    selected_t.select(FRONTIER_SCHEMA.names)
-                    .cast(FRONTIER_SCHEMA)
-                    .append_column("fetch_seq", pa.array(offset + np.arange(n_sel), pa.int64()))
-                    .append_column("round", pa.array(np.full(n_sel, r, np.int32), pa.int32()))
-                )
-                # Partition the fetch schedule by pages bucket WITHOUT a
-                # shuffle: the selected set is driver-resident, so split it
-                # into one Arrow table per bucket and feed from_arrow one
-                # block per bucket — each fetch task then reads exactly one
-                # bucket file.  (The groupby(bucket) all-to-all this replaces
-                # cost ~1s of fixed exchange per round.)
-                buckets_np = selected_t["url_hash"].to_numpy() % n_buckets
-                with_bucket = selected_t.append_column(
-                    "bucket", pa.array(buckets_np, pa.int32())
-                )
-                parts = [
-                    with_bucket.filter(pc.equal(with_bucket["bucket"], int(b)))
-                    for b in np.unique(buckets_np)
-                ]
-                sel_ds = rd.from_arrow(parts)
+                if sel_ds is None:
+                    offset = cumulative["attempted"]
+                    selected_t = (
+                        selected_t.select(FRONTIER_SCHEMA.names)
+                        .cast(FRONTIER_SCHEMA)
+                        .append_column("fetch_seq", pa.array(offset + np.arange(n_sel), pa.int64()))
+                        .append_column("round", pa.array(np.full(n_sel, r, np.int32), pa.int32()))
+                    )
+                    # Partition the fetch schedule by pages bucket WITHOUT a
+                    # shuffle: the selected set is driver-resident, so split it
+                    # into one Arrow table per bucket and feed from_arrow one
+                    # block per bucket — each fetch task then reads exactly one
+                    # bucket file.  (The groupby(bucket) all-to-all this replaces
+                    # cost ~1s of fixed exchange per round.)
+                    buckets_np = selected_t["url_hash"].to_numpy() % n_buckets
+                    with_bucket = selected_t.append_column(
+                        "bucket", pa.array(buckets_np, pa.int32())
+                    )
+                    parts = [
+                        with_bucket.filter(pc.equal(with_bucket["bucket"], int(b)))
+                        for b in np.unique(buckets_np)
+                    ]
+                    sel_ds = rd.from_arrow(parts)
                 # num_cpus=2: extraction is allocation-heavy Python; measured
                 # on this class of machine it scales near-linearly to ~12-16
                 # concurrent processes and then collapses (memory/page-fault
@@ -1077,9 +1220,27 @@ def crawl(
                 counters["failed"] = n_miss - n_retry
                 if n_retry:
                     retry_urls = miss_t.filter(pc.equal(miss_t["retry"], 0))["url"]
-                    rt = selected_t.filter(
-                        pc.is_in(selected_t["url"], value_set=retry_urls.combine_chunks())
-                    ).select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA)
+                    if selected_t is not None:
+                        rt = selected_t.filter(
+                            pc.is_in(selected_t["url"], value_set=retry_urls.combine_chunks())
+                        ).select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA)
+                    else:
+                        # distributed round: recover the retries' frontier
+                        # rows by filtered footer reads of the schedule parts
+                        # (misses are driver-small by construction)
+                        from .checkpoint import selected_files as _sel_files
+
+                        rl = retry_urls.combine_chunks().to_pylist()
+                        rt = pa.concat_tables(
+                            [
+                                pq.read_table(
+                                    f,
+                                    columns=FRONTIER_SCHEMA.names,
+                                    filters=[("url", "in", rl)],
+                                )
+                                for f in _sel_files(ckpt_dir, r)
+                            ]
+                        ).cast(FRONTIER_SCHEMA)
                     retry_rows = rt.set_column(
                         rt.schema.get_field_index("retry"),
                         "retry",
@@ -1089,7 +1250,9 @@ def crawl(
             # distributed parquet parts inside the round dir already.
             frontier_next = pa.concat_tables([deferred_t, retry_rows])
 
-            if n_sel:
+            if n_sel and selected_t is not None:
+                # (distributed rounds already fed the shards block-by-block
+                # inside _finalize_sorted_block, awaited per task)
                 seen.add_many(selected_t["url_hash"].to_numpy())
             for key in COUNTER_KEYS:
                 if key != "deferred":
@@ -1108,13 +1271,23 @@ def crawl(
             except OSError:
                 rss_mb = None
 
+            if selected_t is None:  # distributed: parts already on disk
+                sched_arg, delta_arg = None, None
+            elif n_sel:
+                sched_arg = selected_t
+                delta_arg = selected_t["url_hash"].to_numpy()
+            else:
+                sched_arg = (
+                    FRONTIER_SCHEMA.empty_table()
+                    .append_column("fetch_seq", pa.array([], pa.int64()))
+                    .append_column("round", pa.array([], pa.int32()))
+                )
+                delta_arg = np.zeros(0, np.int64)
             cm.write_round(
                 r,
-                selected_t if n_sel else FRONTIER_SCHEMA.empty_table()
-                .append_column("fetch_seq", pa.array([], pa.int64()))
-                .append_column("round", pa.array([], pa.int32())),
+                sched_arg,
                 frontier_next,
-                selected_t["url_hash"].to_numpy() if n_sel else np.zeros(0, np.int64),
+                delta_arg,
                 counters,
                 cumulative,
                 phases=_phases,

@@ -305,3 +305,60 @@ def test_lazy_frontier_handoff_engages_and_matches(small_corpus, tmp_path, monke
     assert resumed.cumulative == full.cumulative
     assert resumed.order_table().to_pylist() == full.order_table().to_pylist()
     assert set(resumed.seen_hashes().tolist()) == set(full.seen_hashes().tolist())
+
+
+def test_distributed_schedule_finalize_matches_oracle(small_corpus, tmp_path, monkeypatch):
+    """Force the DISTRIBUTED schedule finalize (sorted blocks + prefix-sum
+    rank offsets) on every round and re-check full conformance: the driver
+    never holds the candidate set, yet fetch_seq numbering, the seen set,
+    per-round counters and the extracted text are bit-identical to the
+    sequential oracle.  Also proves the layout actually switched (schedule
+    parts in round=R/selected/, no driver-written selected.parquet) and that
+    a kill+resume THROUGH a distributed round reproduces the full run."""
+    import engine.crawl as crawl_mod
+    from engine.oracle import crawl_oracle
+
+    monkeypatch.setattr(crawl_mod, "SMALL_FRONTIER_ROWS", 0)
+    monkeypatch.setattr(crawl_mod, "SMALL_SELECT_ROWS", 0)
+    corpus_dir, _cfg = small_corpus
+    budget = {"max_urls_total": 150, "max_per_host_per_round": 5, "max_depth": 5, "max_rounds": 6}
+    oracle = crawl_oracle(corpus_dir, budget)
+    a = str(tmp_path / "ckpt_dsf")
+    engine = crawl_mod.crawl(corpus_dir, a, budget)
+    assert engine.cumulative == oracle["cumulative"]
+    got = engine.order_table().to_pylist()
+    assert [(x["fetch_seq"], x["url"]) for x in got] == [
+        (x["fetch_seq"], x["url"]) for x in oracle["order"]
+    ]
+    assert set(engine.seen_hashes().tolist()) == oracle["seen_hashes"]
+    # the distributed layout engaged: schedule parts, not a driver table
+    dist_rounds = [
+        r for r in range(engine.rounds)
+        if os.path.isdir(os.path.join(a, f"round={r}", "selected"))
+    ]
+    assert dist_rounds, "distributed finalize never engaged"
+    for r in dist_rounds:
+        assert not os.path.exists(os.path.join(a, f"round={r}", "selected.parquet"))
+        assert not os.path.exists(os.path.join(a, f"round={r}", "seen_delta.parquet"))
+    # tight budget: truncation fires mid-round, overflow rows spill into the
+    # round's deferred parquet parts (never a driver table) and the oracle
+    # still matches exactly
+    tight = dict(budget, max_urls_total=25)
+    t_oracle = crawl_oracle(corpus_dir, tight)
+    t_dir = str(tmp_path / "ckpt_dsf_tight")
+    t_engine = crawl_mod.crawl(corpus_dir, t_dir, tight)
+    assert t_engine.cumulative == t_oracle["cumulative"]
+    assert t_engine.cumulative["attempted"] == 25
+    assert [(x["fetch_seq"], x["url"]) for x in t_engine.order_table().to_pylist()] == [
+        (x["fetch_seq"], x["url"]) for x in t_oracle["order"]
+    ]
+    overflow_parts = glob(os.path.join(t_dir, "round=*", "frontier_deferred", "overflow_*.parquet"))
+    assert overflow_parts, "budget overflow never spilled distributed"
+
+    # kill after round 1, resume through distributed rounds: bit-identical
+    b = str(tmp_path / "ckpt_dsf_resume")
+    crawl_mod.crawl(corpus_dir, b, budget, stop_after_round=1)
+    resumed = crawl_mod.crawl(corpus_dir, b, budget)
+    assert resumed.cumulative == engine.cumulative
+    assert resumed.order_table().to_pylist() == engine.order_table().to_pylist()
+    assert set(resumed.seen_hashes().tolist()) == set(engine.seen_hashes().tolist())
