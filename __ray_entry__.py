@@ -326,6 +326,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": text.top_docs_per_lang,
         "chunk_documents": text.chunk_documents,
         "chunk_tokens": text.chunk_tokens,
+        "lm_perplexity_bucket": text.lm_perplexity_bucket,
+        "dsir_importance_weights": text.dsir_importance_weights,
         # dedup family
         "exact_dedup": dedup.exact_dedup,
         "incremental_exact_dedup": dedup.incremental_exact_dedup,
@@ -335,6 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_pairs": dedup.simhash_near_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "dup_ngram_spans": dedup.dup_ngram_spans,
+        "strip_dup_spans": dedup.strip_dup_spans,
         "decontaminate_ngrams": dedup.decontaminate_ngrams,
         "eval_affinity_counts": dedup.eval_affinity_counts,
         "near_dedup_cluster_stats": dedup.near_dedup_cluster_stats,
@@ -926,6 +929,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_pairs": _lsh_oracles.simhash_near_pairs_sql(),
         "near_dedup_canonical": _lsh_oracles.near_dedup_canonical_sql(),
         "dup_ngram_spans": _lsh_oracles.dup_ngram_spans_sql(),
+        "strip_dup_spans": _lsh_oracles.strip_dup_spans_sql(),
+        "lm_perplexity_bucket": _lsh_oracles.lm_perplexity_bucket_sql(),
+        "dsir_importance_weights": _lsh_oracles.dsir_importance_weights_sql(),
         "decontaminate_ngrams": _lsh_oracles.decontaminate_ngrams_sql(),
         "eval_affinity_counts": _lsh_oracles.eval_affinity_counts_sql(),
         "near_dedup_cluster_stats": _lsh_oracles.near_dedup_cluster_stats_sql(),

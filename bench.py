@@ -82,6 +82,9 @@ BENCH_QUERY_NAMES = [
     "eval_affinity_counts",
     "near_dedup_cluster_stats",
     "dedup_keep_best",
+    "strip_dup_spans",
+    "lm_perplexity_bucket",
+    "dsir_importance_weights",
 ]
 
 

@@ -917,6 +917,18 @@ def dup_ngram_spans(sf_dir: str, k: int = 5) -> pd.DataFrame:
     the gram hash is the same md5/splitmix ring as MinHash, and the output
     is integer-only.  doc_id is int64; pos is the 1-based token index.
     """
+    out = _dup_spans_ds(sf_dir, k).to_pandas()
+    if "doc_id" not in out.columns:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("doc_id", "span_start", "span_end")}
+        )
+    return out.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+
+
+def _dup_spans_ds(sf_dir: str, k: int = 5):
+    """The ``dup_ngram_spans`` pipeline as a Dataset of span rows (shared by
+    the span-report query and the ``strip_dup_spans`` rewrite)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
     N_SHUFFLE_BUCKETS = 64
 
@@ -1001,20 +1013,138 @@ def dup_ngram_spans(sf_dir: str, k: int = 5) -> pd.DataFrame:
     # those emit schema-less bundles, which logs Ray's one-per-operator
     # bundle-schema-divergence warning.  Cosmetic and data-dependent —
     # results are unaffected (verified vs the DuckDB oracle either way).
-    out = (
+    return (
         ds.map_batches(gram_rows, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(dup_positions, batch_format="pandas")
         .groupby("dbucket")
         .map_groups(merge_spans, batch_format="pandas")
+    )
+
+
+_STRIP_UNION_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("pos", pa.int64()), ("end", pa.int64()),
+     ("tok", pa.string()), ("dbucket", pa.int32())]
+)
+
+_STRIP_OUT_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("text_clean", pa.string()),
+     ("n_removed", pa.int64())]
+)
+
+
+def strip_dup_spans(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """(doc_id, text_clean, n_removed) — each document rewritten with every
+    token covered by a duplicated-k-gram span REMOVED: the deletion step of
+    Lee et al. 2022 §4 ("we remove one span from each cluster of duplicate
+    text"), applied corpus-wide at token granularity on top of
+    ``dup_ngram_spans``'s maximal spans.
+
+    Scale shape: the span pipeline's three narrow all-to-alls plus ONE
+    all-to-all of the token rows — a Dataset ``union`` of (doc_id, pos, tok)
+    rows with the span rows, co-located by doc bucket so a single group fn
+    marks covered positions (vectorized ``merge_asof`` against the disjoint,
+    maximal spans) and reassembles the kept tokens in position order.  Text
+    tokens shuffle exactly once; a per-doc marker row keeps token-less and
+    fully-stripped documents in the output.  DuckDB-oracle-checked
+    (engine.oracles.strip_dup_spans_sql); n_removed is the count of removed
+    token positions.
+    """
+    N_SHUFFLE_BUCKETS = 64
+
+    def span_to_union(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "pos": t["span_start"],
+             "end": t["span_end"],
+             "tok": pa.nulls(t.num_rows, pa.string()),
+             "dbucket": pa.array(
+                 (ids % N_SHUFFLE_BUCKETS).astype(np.int32), pa.int32())},
+            schema=_STRIP_UNION_SCHEMA,
+        )
+
+    def token_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        toks_per_doc = [s.split() for s in t["text"].to_pylist()]
+        lens = np.array([len(x) for x in toks_per_doc], dtype=np.int64)
+        total = int(lens.sum())
+        flat = [w for ts in toks_per_doc for w in ts]
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        offs = np.concatenate([np.zeros(1, np.int64), np.cumsum(lens)])[:-1]
+        pos = np.arange(total, dtype=np.int64) - offs[doc_idx] + 1
+        doc_rep = np.repeat(ids, lens)
+        tok_t = pa.table(
+            {"doc_id": pa.array(doc_rep, pa.int64()),
+             "pos": pa.array(pos, pa.int64()),
+             "end": pa.array(np.full(total, -1, np.int64), pa.int64()),
+             "tok": pa.array(flat, pa.string()),
+             "dbucket": pa.array(
+                 (doc_rep % N_SHUFFLE_BUCKETS).astype(np.int32), pa.int32())},
+            schema=_STRIP_UNION_SCHEMA,
+        )
+        # marker row per doc: keeps token-less / fully-stripped docs present
+        mark_t = pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "pos": pa.array(np.zeros(len(ids), np.int64), pa.int64()),
+             "end": pa.array(np.full(len(ids), -2, np.int64), pa.int64()),
+             "tok": pa.nulls(len(ids), pa.string()),
+             "dbucket": pa.array(
+                 (ids % N_SHUFFLE_BUCKETS).astype(np.int32), pa.int32())},
+            schema=_STRIP_UNION_SCHEMA,
+        )
+        return pa.concat_tables([tok_t, mark_t])
+
+    def rebuild(g: pd.DataFrame) -> pa.Table:
+        end = g["end"].to_numpy()
+        toks = g[end == -1].sort_values("pos", kind="mergesort")
+        spans = g[end >= 0]
+        all_ids = np.unique(g.loc[end == -2, "doc_id"].to_numpy())
+        if len(spans) and len(toks):
+            sp = spans[["doc_id", "pos", "end"]].rename(
+                columns={"pos": "sstart"}).sort_values("sstart", kind="mergesort")
+            m = pd.merge_asof(
+                toks[["doc_id", "pos"]], sp,
+                left_on="pos", right_on="sstart", by="doc_id",
+                direction="backward",
+            )
+            covered = (m["end"].notna() & (m["pos"] <= m["end"])).to_numpy()
+        else:
+            covered = np.zeros(len(toks), dtype=bool)
+        kept = toks[~covered].sort_values(["doc_id", "pos"], kind="mergesort")
+        txt = kept.groupby("doc_id", sort=False)["tok"].agg(" ".join)
+        rem = (
+            toks.assign(c=covered.astype(np.int64))
+            .groupby("doc_id", sort=False)["c"].sum()
+        )
+        out = pd.DataFrame({"doc_id": all_ids})
+        out["text_clean"] = out["doc_id"].map(txt).fillna("")
+        out["n_removed"] = out["doc_id"].map(rem).fillna(0).astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+             "text_clean": pa.array(out["text_clean"], pa.string()),
+             "n_removed": pa.array(out["n_removed"].to_numpy(), pa.int64())},
+            schema=_STRIP_OUT_SCHEMA,
+        )
+
+    spans_union = _dup_spans_ds(sf_dir, k).map_batches(
+        span_to_union, batch_format="pyarrow"
+    )
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(token_rows, batch_format="pyarrow")
+        .union(spans_union)
+        .groupby("dbucket")
+        .map_groups(rebuild, batch_format="pandas")
         .to_pandas()
     )
     if "doc_id" not in out.columns:
-        return pd.DataFrame(
-            {c: pd.Series([], dtype="int64")
-             for c in ("doc_id", "span_start", "span_end")}
-        )
-    return out.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "text_clean": pd.Series([], dtype="object"),
+            "n_removed": pd.Series([], dtype="int64"),
+        })
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------

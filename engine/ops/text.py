@@ -687,3 +687,341 @@ def top_docs_per_lang(sf_dir: str, k: int = 3) -> pd.DataFrame:
     return out.sort_values(["lang", "rnk"]).reset_index(drop=True)[
         ["lang", "rnk", "doc_id", "n_chars"]
     ]
+
+
+# ---------------------------------------------------------------------------
+# n-gram LM perplexity scoring + DSIR importance weights (CCNet / DSIR style)
+# ---------------------------------------------------------------------------
+
+import ray as _ray
+
+
+@_ray.remote
+def _tbl_nrows(t: pa.Table) -> int:
+    return t.num_rows
+
+
+def _values_at_ranks(ds, col: str, ranks) -> list:
+    """Exact value at each ascending global rank of ``ds[col]`` — distributed
+    rank selection: sort, fetch only per-block ROW COUNTS, and pull the one
+    block containing each rank (the zip-with-index idiom; the driver never
+    holds more than a block).  Ranks are 0-based; ties share a value so any
+    sort tiebreak yields the same answer."""
+    refs = ds.sort(col).materialize().to_arrow_refs()
+    counts = np.asarray(_ray.get([_tbl_nrows.remote(r) for r in refs]), np.int64)
+    starts = np.concatenate([np.zeros(1, np.int64), np.cumsum(counts)])
+    out = []
+    cache: dict = {}
+    for rk in ranks:
+        b = int(np.searchsorted(starts, rk, side="right") - 1)
+        if b not in cache:
+            cache[b] = _ray.get(refs[b])
+        out.append(cache[b][col][rk - int(starts[b])].as_py())
+    return out
+
+
+def _md5_token_hashes(uniques) -> np.ndarray:
+    from .dedup import _token_hash
+
+    return np.fromiter(
+        (_token_hash(w) for w in uniques), dtype=np.uint64, count=len(uniques)
+    )
+
+
+def lm_perplexity_bucket(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, n_bigrams, ln_ppl_nano, bucket) — CCNet-style LM quality
+    scoring (Wenzek et al. 2020 §3.3): a bigram language model with add-one
+    smoothing is trained ON the corpus itself, every document is scored by
+    its per-bigram cross-entropy, and documents are cut into head / middle /
+    tail perplexity terciles.
+
+    Integer-exact end to end (hash-safe vs the DuckDB oracle): each bigram
+    TYPE's contribution ``round(m12 * ln((c12+1)/(c1+V)) * 1e6)`` is rounded
+    to int64 micro-nats BEFORE the per-doc sum, so summation order cannot
+    move the result; the per-doc score is ``ln_ppl_nano = (a*1000) // m``
+    (floor division of exact integers, a = -sum of contributions, m =
+    bigram count).  Tercile thresholds are the exact values at global ranks
+    floor((n-1)/3) and floor(2(n-1)/3) via distributed rank selection.
+
+    Scale shape: three narrow all-to-alls over bigram-TYPE rows (doc, key12,
+    m12) — global bigram counts c12 resolve inside a key12-bucket shuffle
+    (transform-sum, no separate counts table), context counts c1 inside an
+    h1-bucket shuffle, per-doc sums inside a doc-bucket shuffle; V is one
+    distinct-count pass.  Text never shuffles; per-doc marker rows keep
+    bigram-less documents in the output.
+    """
+    import pyarrow.parquet as _pqm
+
+    from .dedup import _POS_MULT, _mix64
+
+    N_BUCKETS = 64
+    n_total = _pqm.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _batch_token_hashes(t: pa.Table):
+        ids = t["doc_id"].to_numpy()
+        toks_per_doc = [s.lower().split() for s in t["text"].to_pylist()]
+        lens = np.array([len(x) for x in toks_per_doc], dtype=np.int64)
+        flat = [w for ts in toks_per_doc for w in ts]
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+        th = _md5_token_hashes(uniques)[codes] if len(flat) else np.empty(0, np.uint64)
+        return ids, lens, th
+
+    # --- pass 1: vocabulary size (distinct token hashes, exact) -----------
+    def vocab_partial(t: pa.Table) -> pa.Table:
+        _ids, _lens, th = _batch_token_hashes(t)
+        u = np.unique(th)
+        return pa.table(
+            {"h": pa.array(u.astype(np.int64), pa.int64()),
+             "bucket": pa.array((u % N_BUCKETS).astype(np.int32), pa.int32())}
+        )
+
+    def vocab_count(g: pd.DataFrame) -> pa.Table:
+        return pa.table({"n": pa.array([g["h"].nunique()], pa.int64())})
+
+    vparts = (
+        ds.map_batches(vocab_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(vocab_count, batch_format="pandas")
+        .to_pandas()
+    )
+    V = int(vparts["n"].sum())
+
+    _BT_SCHEMA = pa.schema(
+        [("doc_id", pa.int64()), ("key12", pa.int64()), ("h1", pa.int64()),
+         ("m12", pa.int64()), ("kbucket", pa.int32())]
+    )
+
+    # --- pass 2: bigram-type rows -> c12 -> c1 -> per-doc score -----------
+    def bigram_types(t: pa.Table) -> pa.Table:
+        ids, lens, th = _batch_token_hashes(t)
+        n_starts = len(th) - 1
+        doc_rep_all = np.repeat(ids, lens)
+        if n_starts > 0:
+            doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+            offs = np.concatenate([np.zeros(1, np.int64), np.cumsum(lens)])[:-1]
+            s = np.arange(len(th), dtype=np.int64) - offs[doc_idx]
+            valid = (s <= np.repeat(lens, lens) - 2)[:n_starts]
+            key12 = _mix64(
+                th[:-1] * _POS_MULT[0] ^ th[1:] * _POS_MULT[1]
+            ).astype(np.int64)[valid]
+            h1 = th[:-1].astype(np.int64)[valid]
+            d = pd.DataFrame(
+                {"doc_id": doc_rep_all[:n_starts][valid],
+                 "key12": key12, "h1": h1}
+            )
+            g = d.groupby(["doc_id", "key12", "h1"], sort=False).size()
+            g = g.reset_index(name="m12")
+        else:
+            g = pd.DataFrame(
+                {"doc_id": [], "key12": [], "h1": [], "m12": []}, dtype=np.int64
+            )
+        # marker row per doc (m12=0): zero-weight everywhere, guarantees the
+        # doc reaches the final stage even with < 2 tokens
+        mark = pd.DataFrame(
+            {"doc_id": ids, "key12": ids, "h1": ids,
+             "m12": np.zeros(len(ids), np.int64)}
+        )
+        g = pd.concat([g, mark], ignore_index=True)
+        return pa.table(
+            {"doc_id": pa.array(g["doc_id"].to_numpy(np.int64), pa.int64()),
+             "key12": pa.array(g["key12"].to_numpy(np.int64), pa.int64()),
+             "h1": pa.array(g["h1"].to_numpy(np.int64), pa.int64()),
+             "m12": pa.array(g["m12"].to_numpy(np.int64), pa.int64()),
+             "kbucket": pa.array(
+                 (g["key12"].to_numpy(np.int64).view(np.uint64)
+                  % N_BUCKETS).astype(np.int32), pa.int32())},
+            schema=_BT_SCHEMA,
+        )
+
+    _C12_SCHEMA = pa.schema(
+        [("doc_id", pa.int64()), ("h1", pa.int64()), ("m12", pa.int64()),
+         ("c12", pa.int64()), ("ubucket", pa.int32())]
+    )
+
+    def attach_c12(g: pd.DataFrame) -> pa.Table:
+        c12 = g.groupby("key12", sort=False)["m12"].transform("sum").to_numpy()
+        h1 = g["h1"].to_numpy()
+        return pa.table(
+            {"doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+             "h1": pa.array(h1, pa.int64()),
+             "m12": pa.array(g["m12"].to_numpy(), pa.int64()),
+             "c12": pa.array(c12, pa.int64()),
+             "ubucket": pa.array(
+                 (h1.view(np.uint64) % N_BUCKETS).astype(np.int32), pa.int32())},
+            schema=_C12_SCHEMA,
+        )
+
+    _CONTRIB_SCHEMA = pa.schema(
+        [("doc_id", pa.int64()), ("m12", pa.int64()), ("contrib", pa.int64()),
+         ("dbucket", pa.int32())]
+    )
+
+    def attach_c1_score(g: pd.DataFrame) -> pa.Table:
+        c1 = g.groupby("h1", sort=False)["m12"].transform("sum").to_numpy()
+        m12 = g["m12"].to_numpy().astype(np.float64)
+        c12 = g["c12"].to_numpy().astype(np.float64)
+        contrib = np.round(
+            m12 * np.log((c12 + 1.0) / (c1.astype(np.float64) + float(V))) * 1e6
+        ).astype(np.int64)
+        ids = g["doc_id"].to_numpy()
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "m12": pa.array(g["m12"].to_numpy(), pa.int64()),
+             "contrib": pa.array(contrib, pa.int64()),
+             "dbucket": pa.array((ids % N_BUCKETS).astype(np.int32), pa.int32())},
+            schema=_CONTRIB_SCHEMA,
+        )
+
+    _SCORE_SCHEMA = pa.schema(
+        [("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
+         ("ln_ppl_nano", pa.int64())]
+    )
+
+    def per_doc(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby("doc_id", sort=False).agg(
+            m=("m12", "sum"), a=("contrib", "sum"))
+        m = s["m"].to_numpy()
+        a = -s["a"].to_numpy()
+        nano = np.where(m > 0, (a * 1000) // np.maximum(m, 1), 0)
+        return pa.table(
+            {"doc_id": pa.array(s.index.to_numpy(), pa.int64()),
+             "n_bigrams": pa.array(m, pa.int64()),
+             "ln_ppl_nano": pa.array(nano, pa.int64())},
+            schema=_SCORE_SCHEMA,
+        )
+
+    scored = (
+        ds.map_batches(bigram_types, batch_format="pyarrow")
+        .groupby("kbucket")
+        .map_groups(attach_c12, batch_format="pandas")
+        .groupby("ubucket")
+        .map_groups(attach_c1_score, batch_format="pandas")
+        .groupby("dbucket")
+        .map_groups(per_doc, batch_format="pandas")
+        .materialize()
+    )
+    r1, r2 = (n_total - 1) // 3, (2 * (n_total - 1)) // 3
+    q1, q2 = _values_at_ranks(scored, "ln_ppl_nano", [r1, r2])
+
+    def label(t: pa.Table) -> pa.Table:
+        v = t["ln_ppl_nano"].to_numpy()
+        b = np.where(v <= q1, "head", np.where(v <= q2, "middle", "tail"))
+        return t.append_column("bucket", pa.array(b, pa.string()))
+
+    out = scored.map_batches(label, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def dsir_importance_weights(sf_dir: str, n_feat: int = 4096,
+                            target_lang: str = "en") -> pd.DataFrame:
+    """(doc_id, n_grams, logw_micro, selected) — DSIR data selection (Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): hashed unigram+bigram features (``n_feat`` buckets),
+    add-one-smoothed target-vs-raw bucket distributions (target = the
+    ``lang == target_lang`` slice, raw = the whole corpus), per-doc log
+    importance weight, and a deterministic top-quartile selection flag.
+
+    Integer-exact (hash-safe vs the DuckDB oracle): the per-BUCKET log ratio
+    is rounded to int64 micro-nats once, so each doc's weight is an
+    order-independent integer sum over its gram occurrences.
+
+    Scale shape: bucket counts are one map_batches partial (two int64
+    vectors of length n_feat per batch) + one tiny ``groupby(bucket)`` over
+    n_feat rows; the resulting weight vector (n_feat ints) broadcasts into
+    a single scoring pass — no shuffle ever touches the text or the gram
+    stream.  ``selected`` compares against the exact value at global rank
+    floor(3(n-1)/4) (distributed rank selection), so ties at the threshold
+    are all selected — documented, deterministic.
+    """
+    from .dedup import _POS_MULT, _mix64
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def _feat_buckets(t: pa.Table):
+        toks_per_doc = [s.lower().split() for s in t["text"].to_pylist()]
+        lens = np.array([len(x) for x in toks_per_doc], dtype=np.int64)
+        flat = [w for ts in toks_per_doc for w in ts]
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+        th = _md5_token_hashes(uniques)[codes] if len(flat) else np.empty(0, np.uint64)
+        ub = (_mix64(th * _POS_MULT[0]) % np.uint64(n_feat)).astype(np.int64)
+        n_starts = len(th) - 1
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        if n_starts > 0:
+            offs = np.concatenate([np.zeros(1, np.int64), np.cumsum(lens)])[:-1]
+            s = np.arange(len(th), dtype=np.int64) - offs[doc_idx]
+            valid = (s <= np.repeat(lens, lens) - 2)[:n_starts]
+            bb = (_mix64(th[:-1] * _POS_MULT[0] ^ th[1:] * _POS_MULT[1])
+                  % np.uint64(n_feat)).astype(np.int64)[valid]
+            bdoc = doc_idx[:n_starts][valid]
+        else:
+            bb = np.empty(0, np.int64)
+            bdoc = np.empty(0, np.int64)
+        return lens, doc_idx, ub, bb, bdoc
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        lens, doc_idx, ub, bb, bdoc = _feat_buckets(t)
+        tgt_doc = pc.equal(t["lang"], target_lang).to_numpy(zero_copy_only=False)
+        occ = np.concatenate([ub, bb])
+        occ_tgt = occ[np.concatenate([tgt_doc[doc_idx], tgt_doc[bdoc]])]
+        cr = np.bincount(occ, minlength=n_feat).astype(np.int64)
+        ct = np.bincount(occ_tgt, minlength=n_feat).astype(np.int64)
+        return pa.table(
+            {"b": pa.array(np.arange(n_feat, dtype=np.int64), pa.int64()),
+             "ct": pa.array(ct, pa.int64()),
+             "cr": pa.array(cr, pa.int64())}
+        )
+
+    cnts = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("b")
+        .sum(["ct", "cr"])
+        .to_pandas()
+        .sort_values("b")
+    )
+    ct = np.zeros(n_feat, np.int64)
+    cr = np.zeros(n_feat, np.int64)
+    ct[cnts["b"].to_numpy()] = cnts["sum(ct)"].to_numpy()
+    cr[cnts["b"].to_numpy()] = cnts["sum(cr)"].to_numpy()
+    tt, tr = int(ct.sum()), int(cr.sum())
+    w_micro = np.round(
+        (np.log((ct + 1.0) / float(tt + n_feat))
+         - np.log((cr + 1.0) / float(tr + n_feat))) * 1e6
+    ).astype(np.int64)
+
+    _SCORE_SCHEMA = pa.schema(
+        [("doc_id", pa.int64()), ("n_grams", pa.int64()),
+         ("logw_micro", pa.int64())]
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        lens, doc_idx, ub, bb, bdoc = _feat_buckets(t)
+        n_docs = t.num_rows
+        n_grams = lens + np.maximum(lens - 1, 0)
+        logw = (
+            np.bincount(doc_idx, weights=w_micro[ub].astype(np.float64),
+                        minlength=n_docs)
+            + np.bincount(bdoc, weights=w_micro[bb].astype(np.float64),
+                          minlength=n_docs)
+        ).astype(np.int64)
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "n_grams": pa.array(n_grams, pa.int64()),
+             "logw_micro": pa.array(logw, pa.int64())},
+            schema=_SCORE_SCHEMA,
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow").materialize()
+    import pyarrow.parquet as _pqm
+
+    n_total = _pqm.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    (q3,) = _values_at_ranks(scored, "logw_micro", [(3 * (n_total - 1)) // 4])
+
+    def label(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "selected", pc.greater_equal(t["logw_micro"], q3))
+
+    out = scored.map_batches(label, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

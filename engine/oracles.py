@@ -237,6 +237,78 @@ def dup_ngram_spans_sql(k: int = 5) -> str:
             ORDER BY doc_id, span_start"""
 
 
+def strip_dup_spans_sql(k: int = 5) -> str:
+    """Oracle for dedup.strip_dup_spans: the dup_ngram_spans_sql span CTEs
+    (original-case tokens, md5(lower(w)) hashes — byte-identical gram ring),
+    then covered-position expansion, anti-join, and an ordered string_agg
+    rebuild; COALESCE keeps fully-stripped documents as empty strings."""
+    win_joins = "\n".join(
+        f"              JOIN th t{j} ON t{j}.doc_id = t0.doc_id"
+        f" AND t{j}.i = t0.i + {j}" for j in range(1, k)
+    )
+    g = f"{_mul64('t0.h', int(dd._POS_MULT[0]))}"
+    for j in range(1, k):
+        g = f"xor({g}, {_mul64(f't{j}.h', int(dd._POS_MULT[j]))})"
+    return rf"""
+            WITH tok_arr AS (
+              SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                                         x -> x <> '') AS toks
+              FROM documents
+            ), tl AS (
+              SELECT doc_id, generate_subscripts(toks, 1) AS i, unnest(toks) AS w
+              FROM tok_arr
+            ), th AS (
+              SELECT doc_id, i,
+                     ('0x' || substr(md5(lower(w)), 1, 16))::UBIGINT AS h
+              FROM tl
+            ), g_pos AS (
+              SELECT t0.doc_id, t0.i, {g} AS g
+              FROM th t0
+{win_joins}
+            ), s_pos AS (
+              SELECT doc_id, i, ({_mix64('g')} & {_MASK61}::UBIGINT) AS s
+              FROM g_pos
+            ), cnt AS (
+              SELECT s, count(*) AS n FROM s_pos GROUP BY s
+            ), dup AS (
+              SELECT p.doc_id, p.i
+              FROM s_pos p JOIN cnt ON cnt.s = p.s AND cnt.n >= 2
+            ), isl AS (
+              SELECT doc_id, i,
+                     CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                               <= {k} THEN 0 ELSE 1 END AS brk
+              FROM dup
+            ), grp AS (
+              SELECT doc_id, i,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS isl_id
+              FROM isl
+            ), spans AS (
+              SELECT doc_id, min(i) AS s0, max(i) + {k - 1} AS s1
+              FROM grp GROUP BY doc_id, isl_id
+            ), covered AS (
+              SELECT DISTINCT t.doc_id, t.i
+              FROM spans s
+              JOIN tl t ON t.doc_id = s.doc_id AND t.i BETWEEN s.s0 AND s.s1
+            ), kept AS (
+              SELECT tl.doc_id, tl.i, tl.w
+              FROM tl LEFT JOIN covered c ON c.doc_id = tl.doc_id AND c.i = tl.i
+              WHERE c.i IS NULL
+            ), agg AS (
+              SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS text_clean
+              FROM kept GROUP BY doc_id
+            ), rem AS (
+              SELECT doc_id, count(*)::BIGINT AS n_removed
+              FROM covered GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.text_clean, '') AS text_clean,
+                   COALESCE(r.n_removed, 0)::BIGINT AS n_removed
+            FROM documents d
+            LEFT JOIN agg a ON a.doc_id = d.doc_id
+            LEFT JOIN rem r ON r.doc_id = d.doc_id
+            ORDER BY d.doc_id"""
+
+
 def simhash_near_pairs_sql(max_hamming: int = 3) -> str:
     """Full-pipeline oracle for dedup.simhash_near_pairs: the md5-prefix
     SimHash signature (identical CTEs to the simhash_signatures oracle),
@@ -373,3 +445,128 @@ def eval_affinity_counts_sql(k: int = 8, n_eval: int = 20) -> str:
             LEFT JOIN tg ON tg.doc_id = d.doc_id
             LEFT JOIN hit ON hit.doc_id = d.doc_id
             WHERE d.doc_id >= {n_eval} ORDER BY d.doc_id""")
+
+
+def lm_perplexity_bucket_sql() -> str:
+    """Oracle for text.lm_perplexity_bucket: identical md5 token hashes,
+    add-one-smoothed bigram LM trained on the corpus, integer micro-nat
+    contributions rounded BEFORE the per-doc sum (order-independent), floor
+    ln_ppl_nano, and tercile thresholds by explicit global rank."""
+    return r"""
+            WITH tok_arr AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                         x -> x <> '') AS toks
+              FROM documents
+            ), th AS (
+              SELECT doc_id, generate_subscripts(toks, 1) AS i,
+                     ('0x' || substr(md5(unnest(toks)), 1, 16))::UBIGINT AS h
+              FROM tok_arr
+            ), vocab AS (
+              SELECT count(DISTINCT h) AS v FROM th
+            ), bt AS (
+              SELECT t0.doc_id, t0.h AS h1, t1.h AS h2, count(*) AS m12
+              FROM th t0 JOIN th t1 ON t1.doc_id = t0.doc_id AND t1.i = t0.i + 1
+              GROUP BY t0.doc_id, t0.h, t1.h
+            ), c12 AS (
+              SELECT h1, h2, sum(m12) AS c FROM bt GROUP BY h1, h2
+            ), c1 AS (
+              SELECT h1, sum(m12) AS c FROM bt GROUP BY h1
+            ), contrib AS (
+              SELECT bt.doc_id, bt.m12,
+                     ROUND(bt.m12 * ln((c12.c + 1)::DOUBLE /
+                                       (c1.c + (SELECT v FROM vocab))::DOUBLE)
+                           * 1000000)::BIGINT AS cm
+              FROM bt
+              JOIN c12 ON c12.h1 = bt.h1 AND c12.h2 = bt.h2
+              JOIN c1 ON c1.h1 = bt.h1
+            ), scored0 AS (
+              SELECT doc_id, sum(m12)::BIGINT AS m, (-sum(cm))::BIGINT AS a
+              FROM contrib GROUP BY doc_id
+            ), scored AS (
+              SELECT d.doc_id,
+                     COALESCE(s.m, 0)::BIGINT AS n_bigrams,
+                     (CASE WHEN COALESCE(s.m, 0) = 0 THEN 0
+                           ELSE (s.a * 1000) // s.m END)::BIGINT AS ln_ppl_nano
+              FROM documents d LEFT JOIN scored0 s ON s.doc_id = d.doc_id
+            ), ranked AS (
+              SELECT ln_ppl_nano AS val,
+                     row_number() OVER (ORDER BY ln_ppl_nano) - 1 AS rk
+              FROM scored
+            ), nn AS (SELECT count(*) AS n FROM scored),
+            thr AS (
+              SELECT
+                (SELECT val FROM ranked
+                 WHERE rk = (SELECT (n - 1) // 3 FROM nn)) AS q1,
+                (SELECT val FROM ranked
+                 WHERE rk = (SELECT (2 * (n - 1)) // 3 FROM nn)) AS q2
+            )
+            SELECT s.doc_id, s.n_bigrams, s.ln_ppl_nano,
+                   CASE WHEN s.ln_ppl_nano <= thr.q1 THEN 'head'
+                        WHEN s.ln_ppl_nano <= thr.q2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM scored s, thr ORDER BY s.doc_id"""
+
+
+def dsir_importance_weights_sql(n_feat: int = 4096,
+                                target_lang: str = "en") -> str:
+    """Oracle for text.dsir_importance_weights: hashed unigram+bigram
+    features (the engine's splitmix ring mod n_feat), add-one-smoothed
+    target-vs-raw log ratios rounded to int64 micro-nats per BUCKET (so the
+    per-doc sum is order-independent), and a value-threshold selection flag
+    at the top-quartile rank."""
+    u_b = (f"({_mix64(_mul64('h', int(dd._POS_MULT[0])))}"
+           f" % {n_feat}::UBIGINT)::BIGINT")
+    g2 = (f"xor({_mul64('t0.h', int(dd._POS_MULT[0]))}, "
+          f"{_mul64('t1.h', int(dd._POS_MULT[1]))})")
+    b_b = f"({_mix64(g2)} % {n_feat}::UBIGINT)::BIGINT"
+    return rf"""
+            WITH tok_arr AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                         x -> x <> '') AS toks
+              FROM documents
+            ), th AS (
+              SELECT doc_id, generate_subscripts(toks, 1) AS i,
+                     ('0x' || substr(md5(unnest(toks)), 1, 16))::UBIGINT AS h
+              FROM tok_arr
+            ), uni AS (
+              SELECT doc_id, {u_b} AS b FROM th
+            ), bi AS (
+              SELECT t0.doc_id, {b_b} AS b
+              FROM th t0 JOIN th t1 ON t1.doc_id = t0.doc_id AND t1.i = t0.i + 1
+            ), feats AS (
+              SELECT * FROM uni UNION ALL SELECT * FROM bi
+            ), fl AS (
+              SELECT f.doc_id, f.b, (d.lang = '{target_lang}') AS tgt
+              FROM feats f JOIN documents d ON d.doc_id = f.doc_id
+            ), cnts AS (
+              SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS ct,
+                     count(*)::BIGINT AS cr
+              FROM fl GROUP BY b
+            ), tots AS (
+              SELECT sum(ct)::BIGINT AS tt, sum(cr)::BIGINT AS tr FROM cnts
+            ), w AS (
+              SELECT b,
+                     ROUND((ln((ct + 1)::DOUBLE / (tt + {n_feat})::DOUBLE)
+                            - ln((cr + 1)::DOUBLE / (tr + {n_feat})::DOUBLE))
+                           * 1000000)::BIGINT AS wm
+              FROM cnts, tots
+            ), doc0 AS (
+              SELECT fl.doc_id, count(*)::BIGINT AS n_grams,
+                     sum(w.wm)::BIGINT AS logw
+              FROM fl JOIN w ON w.b = fl.b GROUP BY fl.doc_id
+            ), scored AS (
+              SELECT d.doc_id, COALESCE(doc0.n_grams, 0)::BIGINT AS n_grams,
+                     COALESCE(doc0.logw, 0)::BIGINT AS logw_micro
+              FROM documents d LEFT JOIN doc0 ON doc0.doc_id = d.doc_id
+            ), ranked AS (
+              SELECT logw_micro AS val,
+                     row_number() OVER (ORDER BY logw_micro) - 1 AS rk
+              FROM scored
+            ), nn AS (SELECT count(*) AS n FROM scored),
+            thr AS (
+              SELECT (SELECT val FROM ranked
+                      WHERE rk = (SELECT (3 * (n - 1)) // 4 FROM nn)) AS q3
+            )
+            SELECT s.doc_id, s.n_grams, s.logw_micro,
+                   s.logw_micro >= thr.q3 AS selected
+            FROM scored s, thr ORDER BY s.doc_id"""

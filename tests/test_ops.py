@@ -1292,3 +1292,136 @@ def test_semdedup_canonical_transitive(ray_session, tmp_path):
     m = dict(zip(out["vec_id"], out["canonical_id"]))
     assert m[100] == 0 and m[101] == 1
     assert all(m[i] == i for i in range(2, 40))
+
+
+def test_strip_dup_spans_planted(ray_session, tmp_path):
+    """The planted-span corpus, rewritten: covered tokens removed, unique
+    docs untouched, counts exact (doc 102's self-repeat strips both copies)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(11)
+    vocab = [f"u{i}x{j}" for i in range(40) for j in range(40)]
+    rows = []
+    perm = rng.permutation(len(vocab))
+    off = 0
+    for i in range(20):
+        toks = [vocab[p] for p in perm[off : off + 40]]
+        off += 40
+        rows.append((i, toks))
+    sent = [f"planted{j}" for j in range(12)]
+    a = [vocab[p] for p in perm[off : off + 40]]; off += 40
+    b = [vocab[p] for p in perm[off : off + 40]]; off += 40
+    a[5:17] = sent
+    b[20:32] = sent
+    rows.append((100, a))
+    rows.append((101, b))
+    c = [vocab[p] for p in perm[off : off + 30]]
+    c = c + c[:8]
+    rows.append((102, c))
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": [" ".join(r[1]) for r in rows]}),
+        str(d / "documents.parquet"),
+    )
+
+    from engine.ops.dedup import strip_dup_spans
+
+    got = strip_dup_spans(str(d), k=5).set_index("doc_id")
+    assert len(got) == 23
+    for i in range(20):  # unique docs: byte-identical, nothing removed
+        assert got.loc[i, "text_clean"] == " ".join(rows[i][1])
+        assert got.loc[i, "n_removed"] == 0
+    # doc 100: 1-based positions 6..17 removed
+    assert got.loc[100, "text_clean"] == " ".join(a[:5] + a[17:])
+    assert got.loc[100, "n_removed"] == 12
+    assert got.loc[101, "text_clean"] == " ".join(b[:20] + b[32:])
+    assert got.loc[101, "n_removed"] == 12
+    # doc 102: spans (1,8) and (31,38) -> both copies of the repeat removed
+    assert got.loc[102, "text_clean"] == " ".join(c[8:30])
+    assert got.loc[102, "n_removed"] == 16
+
+
+def test_lm_perplexity_planted(ray_session, tmp_path):
+    """A self-repetitive doc scores lower cross-entropy than an all-unique
+    doc; a 1-token doc has no bigrams and scores 0; tercile labels follow
+    the explicit rank convention."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        (0, " ".join(["rep"] * 50)),                 # one bigram type, seen 49x
+        (1, " ".join(f"uniq{i}" for i in range(50))),  # 49 singleton bigrams
+        (2, "solo"),                                  # no bigrams at all
+    ]
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": [r[1] for r in rows]}),
+        str(d / "documents.parquet"),
+    )
+
+    from engine.ops.text import lm_perplexity_bucket
+
+    got = lm_perplexity_bucket(str(d)).set_index("doc_id")
+    assert got.loc[2, "n_bigrams"] == 0 and got.loc[2, "ln_ppl_nano"] == 0
+    assert got.loc[0, "n_bigrams"] == 49 and got.loc[1, "n_bigrams"] == 49
+    assert got.loc[0, "ln_ppl_nano"] < got.loc[1, "ln_ppl_nano"]
+    # ranks (n-1)//3 = 0 and 2(n-1)//3 = 1 over sorted scores [doc2, doc0, doc1]
+    assert got.loc[2, "bucket"] == "head"
+    assert got.loc[0, "bucket"] == "middle"
+    assert got.loc[1, "bucket"] == "tail"
+    # exact hand value for doc 0: V = 52 distinct tokens; bigram (rep,rep)
+    # c12 = c1 = 49 -> contrib = round(49*ln(50/(49+52))*1e6), a = -contrib
+    import math
+    contrib = round(49 * math.log(50 / 101) * 1e6)
+    assert got.loc[0, "ln_ppl_nano"] == (-contrib * 1000) // 49
+
+
+def test_dsir_importance_weights_planted(ray_session, tmp_path):
+    """Docs made of target-language-only tokens weigh higher than docs of
+    raw-only tokens; gram counts are n + (n-1); the top-quartile flag
+    selects the target-like docs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = []
+    for i in range(8):  # 8 'en' docs sharing an exclusive vocabulary
+        rows.append((i, " ".join(f"tgt{j}" for j in range(10)), "en"))
+    for i in range(8, 24):  # 16 raw-only docs with a disjoint vocabulary
+        rows.append((i, " ".join(f"raw{i}_{j}" for j in range(10)), "de"))
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": [r[1] for r in rows],
+                  "lang": [r[2] for r in rows]}),
+        str(d / "documents.parquet"),
+    )
+
+    from engine.ops.text import dsir_importance_weights
+
+    got = dsir_importance_weights(str(d)).set_index("doc_id")
+    assert (got["n_grams"] == 19).all()
+    tgt_w = got.loc[range(8), "logw_micro"]
+    raw_w = got.loc[range(8, 24), "logw_micro"]
+    assert tgt_w.min() > raw_w.max()
+    assert bool(got.loc[0, "selected"]) is True
+    assert not got.loc[range(8, 24), "selected"].any()
+
+
+def test_values_at_ranks(ray_session):
+    """Distributed rank selection returns the exact order statistics."""
+    import ray.data as rd
+
+    from engine.ops.text import _values_at_ranks
+
+    vals = np.array([5, 1, 9, 3, 3, 7, 0, 11, 2, 6], dtype=np.int64)
+    ds = rd.from_items([{"v": int(x)} for x in vals], override_num_blocks=4)
+    s = np.sort(vals)
+    got = _values_at_ranks(ds, "v", [0, 3, 4, 9])
+    assert got == [int(s[0]), int(s[3]), int(s[4]), int(s[9])]
