@@ -278,7 +278,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from engine.ops import ann, dedup, multimodal, relational, text
+    from engine.ops import ann, curate, dedup, multimodal, relational, text
 
     return {
         # relational / aggregation / join / sort / window (SURVEY §2.4-2.6, §2.9)
@@ -342,6 +342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eval_affinity_counts": dedup.eval_affinity_counts,
         "near_dedup_cluster_stats": dedup.near_dedup_cluster_stats,
         "dedup_keep_best": dedup.dedup_keep_best,
+        "curate_training_data": curate.curate_training_data,
         # similarity search
         "ann_topk": ann.ann_topk_bruteforce,
         "ann_topk_lsh": ann.ann_topk_lsh,
@@ -430,7 +431,7 @@ def oracle_sql() -> dict[str, str]:
         "WITH " + ",\n ".join(_pr)
         + f"\nSELECT doc_id, round(rank, 9) AS rank FROM r{_pr_iters} ORDER BY doc_id"
     )
-    return {
+    d = {
         "pagerank_docs": pagerank_sql,
         "q1_agg": """
             SELECT l_returnflag, l_linestatus,
@@ -944,3 +945,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY media_id
         """,
     }
+    # Flagship composed pipeline: the oracle is ASSEMBLED from the already-
+    # checked component oracles (each as a subquery), so the composition
+    # cannot drift from its parts.  Stage order matches engine.ops.curate.
+    d["curate_training_data"] = f"""
+        SELECT d.doc_id,
+               CASE WHEN NOT g.passes_gopher THEN 'quality'
+                    WHEN e.canonical_id <> d.doc_id THEN 'exact_dup'
+                    WHEN n.canonical_id <> d.doc_id THEN 'near_dup'
+                    WHEN p.bucket = 'tail' THEN 'perplexity'
+                    ELSE 'kept' END AS status,
+               p.ln_ppl_nano
+        FROM documents d
+        JOIN ({d["gopher_quality_flags"]}) g ON g.doc_id = d.doc_id
+        JOIN ({d["exact_dedup"]}) e ON e.doc_id = d.doc_id
+        JOIN ({d["near_dedup_canonical"]}) n ON n.doc_id = d.doc_id
+        JOIN ({d["lm_perplexity_bucket"]}) p ON p.doc_id = d.doc_id
+        ORDER BY d.doc_id"""
+    return d

@@ -85,6 +85,7 @@ BENCH_QUERY_NAMES = [
     "strip_dup_spans",
     "lm_perplexity_bucket",
     "dsir_importance_weights",
+    "curate_training_data",
 ]
 
 

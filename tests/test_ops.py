@@ -1425,3 +1425,43 @@ def test_values_at_ranks(ray_session):
     s = np.sort(vals)
     got = _values_at_ranks(ds, "v", [0, 3, 4, 9])
     assert got == [int(s[0]), int(s[3]), int(s[4]), int(s[9])]
+
+
+def test_curate_training_data_attribution(ray_session, tmp_path):
+    """Stage attribution picks the FIRST failing stage in fixed order: an
+    exact duplicate of a quality-failing doc is 'quality', a passing exact
+    dup is 'exact_dup', and the canonical member of a near-dup pair stays
+    kept while its twin drops as 'near_dup'."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # quality-passing base text: long, alpha words, stopwords present
+    base = ("the quick brown fox and the lazy dog were walking with some "
+            "friends that have been very happy about their most recent trip "
+            "over the hills and between two rivers near one small town "
+            * 4).split()
+    good = " ".join(base)
+    near = " ".join(base[:-3] + ["slightly", "different", "ending"])
+    rows = [
+        (0, good),              # canonical of the exact group AND near pair
+        (1, good),              # exact duplicate -> 'exact_dup'
+        (2, near),              # near duplicate of 0 -> 'near_dup'
+        (3, "short"),           # fails gopher -> 'quality'
+        (4, "short"),           # exact dup of 3 but quality fires FIRST
+    ]
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": [r[1] for r in rows]}),
+        str(d / "documents.parquet"),
+    )
+
+    from engine.ops.curate import curate_training_data
+
+    got = curate_training_data(str(d)).set_index("doc_id")
+    assert got.loc[1, "status"] == "exact_dup"
+    assert got.loc[2, "status"] == "near_dup"
+    assert got.loc[3, "status"] == "quality"
+    assert got.loc[4, "status"] == "quality"  # first failing stage wins
+    assert got.loc[0, "status"] in ("kept", "perplexity")  # never a dup
