@@ -331,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "exact_dedup": dedup.exact_dedup,
         "incremental_exact_dedup": dedup.incremental_exact_dedup,
+        "incremental_minhash_dedup": dedup.incremental_minhash_dedup,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "near_dedup_canonical": dedup.near_dedup_canonical,
         "simhash_signatures": dedup.simhash_signatures,
@@ -929,6 +930,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _lsh_oracles.minhash_lsh_pairs_sql(),
         "simhash_near_pairs": _lsh_oracles.simhash_near_pairs_sql(),
         "near_dedup_canonical": _lsh_oracles.near_dedup_canonical_sql(),
+        "incremental_minhash_dedup": _lsh_oracles.incremental_minhash_dedup_sql(),
         "dup_ngram_spans": _lsh_oracles.dup_ngram_spans_sql(),
         "strip_dup_spans": _lsh_oracles.strip_dup_spans_sql(),
         "lm_perplexity_bucket": _lsh_oracles.lm_perplexity_bucket_sql(),

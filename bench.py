@@ -86,6 +86,7 @@ BENCH_QUERY_NAMES = [
     "lm_perplexity_bucket",
     "dsir_importance_weights",
     "curate_training_data",
+    "incremental_minhash_dedup",
 ]
 
 

@@ -1400,3 +1400,34 @@ def incremental_exact_dedup(sf_dir: str, n_base: int = N_BASE_DOCS,
         .to_pandas()
     )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def incremental_minhash_dedup(sf_dir: str, threshold: float = 0.5,
+                              n_base: int = N_BASE_DOCS) -> pd.DataFrame:
+    """Incremental-ingest NEAR-dedup: canonicalize a NEW batch of documents
+    (doc_id >= n_base) against an immutable base corpus under transitive
+    MinHash near-duplication, considering only edges that TOUCH the batch —
+    base×base pairs are skipped (the base is already deduped; at production
+    scale its band keys would be a stored index, and the only shuffle is the
+    batch's band rows against it).
+
+    canonical_id = min node id reachable from the new doc through
+    batch-touching verified pairs (so a new doc matching an existing base
+    doc inherits the BASE id; a cluster of mutually-near new docs collapses
+    to its min new id).  Output is |batch| rows.  DuckDB-oracle-checked
+    (engine.oracles.incremental_minhash_dedup_sql: the same verified-pair
+    CTEs + an edge-filtered recursive closure).
+    """
+    pairs = _minhash_pairs_ds(sf_dir, threshold).map_batches(
+        # pair orientation is doc_a < doc_b, so "touches the batch" is
+        # exactly doc_b >= n_base
+        lambda t: t.filter(pc.greater_equal(t["doc_b"], n_base)),
+        batch_format="pyarrow",
+    )
+    labels = connected_components_ds(pairs)
+    new_ids = _docs(sf_dir, ["doc_id"]).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["doc_id"], n_base)),
+        batch_format="pyarrow",
+    )
+    out = assign_labels_ds(new_ids, labels, "doc_id").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -570,3 +570,27 @@ def dsir_importance_weights_sql(n_feat: int = 4096,
             SELECT s.doc_id, s.n_grams, s.logw_micro,
                    s.logw_micro >= thr.q3 AS selected
             FROM scored s, thr ORDER BY s.doc_id"""
+
+
+def incremental_minhash_dedup_sql(threshold_num: int = 1,
+                                  threshold_den: int = 2, k: int = 3,
+                                  n_base: int = dd.N_BASE_DOCS) -> str:
+    """Oracle for dedup.incremental_minhash_dedup: the verified-pair CTEs
+    restricted to batch-touching edges (doc_b >= n_base under a < b
+    orientation), recursive reachability seeded from ALL docs (so base ids
+    propagate into the batch), output filtered to the batch."""
+    return (f"WITH RECURSIVE "
+            f"{_minhash_verified_pairs_ctes(threshold_num, threshold_den, k)},\n"
+            f"""            vnew AS (
+              SELECT doc_a, doc_b FROM verified WHERE doc_b >= {n_base}
+            ), sym AS (
+              SELECT doc_a AS s, doc_b AS d FROM vnew
+              UNION ALL SELECT doc_b, doc_a FROM vnew
+            ), reach(node, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.node
+            )
+            SELECT node AS doc_id, min(r) AS canonical_id
+            FROM reach WHERE node >= {n_base}
+            GROUP BY node ORDER BY doc_id""")

@@ -1465,3 +1465,51 @@ def test_curate_training_data_attribution(ray_session, tmp_path):
     assert got.loc[3, "status"] == "quality"
     assert got.loc[4, "status"] == "quality"  # first failing stage wins
     assert got.loc[0, "status"] in ("kept", "perplexity")  # never a dup
+
+
+def test_incremental_minhash_dedup_planted(ray_session, tmp_path):
+    """New docs inherit a BASE canonical when they near-dup a base doc,
+    collapse among themselves otherwise, and base×base near-dups are
+    ignored (the base is already deduped)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}q{j}" for i in range(50) for j in range(50)]
+    perm = rng.permutation(len(vocab))
+    off = 0
+
+    def fresh(n):
+        nonlocal off
+        out = [vocab[p] for p in perm[off : off + n]]
+        off += n
+        return out
+
+    base3 = fresh(40)
+    base4 = fresh(40)
+    rows = [(i, " ".join(fresh(40))) for i in range(3)]
+    rows.append((3, " ".join(base3)))
+    rows.append((4, " ".join(base4)))
+    rows.append((5, " ".join(base4[:-1] + ["changed"])))  # base x base near-dup
+    newshared = fresh(40)
+    rows.append((400, " ".join(base3[:-1] + ["tail"])))    # near-dups base 3
+    rows.append((401, " ".join(newshared)))                # 401~402 pair
+    rows.append((402, " ".join(newshared[:-1] + ["other"])))
+    rows.append((403, " ".join(fresh(40))))                # unique new doc
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": [r[1] for r in rows]}),
+        str(d / "documents.parquet"),
+    )
+
+    from engine.ops.dedup import incremental_minhash_dedup
+
+    got = incremental_minhash_dedup(str(d)).set_index("doc_id")
+    assert list(got.index) == [400, 401, 402, 403]
+    assert got.loc[400, "canonical_id"] == 3
+    assert got.loc[401, "canonical_id"] == 401
+    assert got.loc[402, "canonical_id"] == 401
+    assert got.loc[403, "canonical_id"] == 403
