@@ -354,6 +354,7 @@ def run_dedup_smoke() -> dict:
 
     from engine.ops import ann, dedup
     from engine.ops import relational as rel
+    from engine.ops import text as _text_ops
 
     idx_dir = os.path.join(dest, "ivf_idx")
     pq_dir = os.path.join(dest, "ivfpq_idx")
@@ -400,6 +401,18 @@ def run_dedup_smoke() -> dict:
         "dup_ngram_spans": lambda: dedup.dup_ngram_spans(dest),
         # link-analysis power iteration at corpus scale (5 chained shuffles)
         "pagerank_docs": lambda: rel.pagerank_docs(dest),
+        # the Lee et al. deletion rewrite: span pipeline + ONE token-row
+        # all-to-all (the heaviest text shuffle in the engine — by design,
+        # rewriting every document moves every token once)
+        "strip_dup_spans": lambda: dedup.strip_dup_spans(dest),
+        # CCNet bigram-LM scoring: three narrow bigram-TYPE shuffles +
+        # distributed tercile rank selection
+        "lm_perplexity_bucket": lambda: _text_ops.lm_perplexity_bucket(dest),
+        # incremental ingest: canonicalize the LAST 100k docs against the
+        # preceding ~n_docs base (the production daily-batch shape)
+        "incremental_minhash_dedup": lambda: dedup.incremental_minhash_dedup(
+            dest, n_base=n_docs - 100_000
+        ),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")
     if only:
