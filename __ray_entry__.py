@@ -339,6 +339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "dup_ngram_spans": dedup.dup_ngram_spans,
         "strip_dup_spans": dedup.strip_dup_spans,
+        "c4_line_dedup": dedup.c4_line_dedup,
         "decontaminate_ngrams": dedup.decontaminate_ngrams,
         "eval_affinity_counts": dedup.eval_affinity_counts,
         "near_dedup_cluster_stats": dedup.near_dedup_cluster_stats,
@@ -933,6 +934,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_minhash_dedup": _lsh_oracles.incremental_minhash_dedup_sql(),
         "dup_ngram_spans": _lsh_oracles.dup_ngram_spans_sql(),
         "strip_dup_spans": _lsh_oracles.strip_dup_spans_sql(),
+        "c4_line_dedup": _lsh_oracles.c4_line_dedup_sql(),
         "lm_perplexity_bucket": _lsh_oracles.lm_perplexity_bucket_sql(),
         "dsir_importance_weights": _lsh_oracles.dsir_importance_weights_sql(),
         "decontaminate_ngrams": _lsh_oracles.decontaminate_ngrams_sql(),

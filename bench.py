@@ -83,6 +83,7 @@ BENCH_QUERY_NAMES = [
     "near_dedup_cluster_stats",
     "dedup_keep_best",
     "strip_dup_spans",
+    "c4_line_dedup",
     "lm_perplexity_bucket",
     "dsir_importance_weights",
     "curate_training_data",

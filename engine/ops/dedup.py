@@ -1431,3 +1431,158 @@ def incremental_minhash_dedup(sf_dir: str, threshold: float = 0.5,
     )
     out = assign_labels_ds(new_ids, labels, "doc_id").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# C4-style corpus-wide duplicate-line removal (Raffel et al. 2020 §2.2)
+# ---------------------------------------------------------------------------
+
+_C4_UNION_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("seg_no", pa.int64()),
+     ("text", pa.string()), ("dbucket", pa.int32())]
+)
+
+_C4_OUT_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("text_clean", pa.string()),
+     ("n_lines_removed", pa.int64())]
+)
+
+# odd positional multipliers for in-segment token positions (segments are
+# longer than the 8-slot _POS_MULT gram ring, so derive a 64-slot ring from
+# the same splitmix finalizer; odd => invertible mod 2^64)
+_SEG_MULTS = _mix64(
+    np.arange(64, dtype=np.uint64) + np.uint64(0xC4C4C4C4C4C4C4C4)
+) | np.uint64(1)
+
+
+def c4_line_dedup(sf_dir: str, seg_len: int = 10) -> pd.DataFrame:
+    """(doc_id, text_clean, n_lines_removed) — corpus-wide duplicate-LINE
+    removal in the C4 style (Raffel et al. 2020 §2.2 deduplicate repeated
+    spans, keeping one occurrence).  The synthetic corpus is an unpunctuated
+    single-line token stream, so a "line" here is a fixed NON-overlapping run
+    of ``seg_len`` tokens; every line whose exact text occurred EARLIER in
+    corpus order (doc_id, then line position) is dropped, and each document
+    is rebuilt from its surviving lines.
+
+    Semantics differ from ``strip_dup_spans`` (Lee et al.): the FIRST
+    occurrence is kept (first-wins like ``exact_dedup``, at line rather than
+    document granularity), and the unit is disjoint segments, not
+    overlapping-k-gram coverage.
+
+    Scale shape: one narrow all-to-all of (line_hash, doc_id, seg_no) rows
+    bucketed by line hash picks each hash's global first occurrence and
+    emits only the LOSERS; a second doc-bucket all-to-all co-locates those
+    drop rows with the document text (which shuffles exactly once) for the
+    rebuild.  Line identity is the in-segment positional-multiplier XOR of
+    per-token md5 hashes (the ``gram_rows`` idiom), batch-vectorized via
+    ``pd.factorize`` — no per-row hashing in the hot stage.
+    """
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    NB = 64
+
+    _SEG_SCHEMA = pa.schema(
+        [("h", pa.int64()), ("doc_id", pa.int64()),
+         ("seg_no", pa.int64()), ("bucket", pa.int32())]
+    )
+
+    def seg_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        toks_per_doc = [s.split() for s in t["text"].to_pylist()]
+        lens = np.array([len(x) for x in toks_per_doc], dtype=np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return pa.table(
+                {"h": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64()),
+                 "seg_no": pa.array([], pa.int64()), "bucket": pa.array([], pa.int32())},
+                schema=_SEG_SCHEMA,
+            )
+        flat = [w for ts in toks_per_doc for w in ts]
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+        uh = np.fromiter(
+            (_token_hash(w) for w in uniques), dtype=np.uint64, count=len(uniques)
+        )
+        th = uh[codes]
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        offs = np.concatenate([np.zeros(1, np.int64), np.cumsum(lens)])[:-1]
+        pos_in_doc = np.arange(total, dtype=np.int64) - offs[doc_idx]
+        pos_in_seg = pos_in_doc % seg_len
+        contrib = th * _SEG_MULTS[pos_in_seg]
+        starts = np.flatnonzero(pos_in_seg == 0)
+        h = np.bitwise_xor.reduceat(contrib, starts)
+        h = (_mix64(h) & np.uint64((1 << 61) - 1)).astype(np.int64)
+        return pa.table(
+            {"h": pa.array(h, pa.int64()),
+             "doc_id": pa.array(np.repeat(ids, lens)[starts], pa.int64()),
+             "seg_no": pa.array((pos_in_doc // seg_len)[starts], pa.int64()),
+             "bucket": pa.array((h % NB).astype(np.int32), pa.int32())},
+            schema=_SEG_SCHEMA,
+        )
+
+    def drops(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["h", "doc_id", "seg_no"], kind="mergesort")
+        h = g["h"].to_numpy()
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = h[1:] != h[:-1]
+        lose = g[~first]
+        ids = lose["doc_id"].to_numpy()
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "seg_no": pa.array(lose["seg_no"].to_numpy(), pa.int64()),
+             "text": pa.nulls(len(lose), pa.string()),
+             "dbucket": pa.array((ids % NB).astype(np.int32), pa.int32())},
+            schema=_C4_UNION_SCHEMA,
+        )
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "seg_no": pa.array(np.full(len(ids), -1, np.int64), pa.int64()),
+             "text": t["text"],
+             "dbucket": pa.array((ids % NB).astype(np.int32), pa.int32())},
+            schema=_C4_UNION_SCHEMA,
+        )
+
+    def rebuild(g: pd.DataFrame) -> pa.Table:
+        seg_no = g["seg_no"].to_numpy()
+        dr = g[seg_no >= 0]
+        drop_map: dict = {}
+        for did, sn in zip(dr["doc_id"].to_numpy(), dr["seg_no"].to_numpy()):
+            drop_map.setdefault(int(did), set()).add(int(sn))
+        docs_g = g[seg_no == -1]
+        out_id, out_txt, out_n = [], [], []
+        for did, txt in zip(docs_g["doc_id"].to_numpy(), docs_g["text"]):
+            toks = txt.split()
+            segs = [" ".join(toks[i:i + seg_len])
+                    for i in range(0, len(toks), seg_len)]
+            dset = drop_map.get(int(did), ())
+            kept = [s for j, s in enumerate(segs) if j not in dset]
+            out_id.append(int(did))
+            out_txt.append(" ".join(kept))
+            out_n.append(len(segs) - len(kept))
+        return pa.table(
+            {"doc_id": pa.array(out_id, pa.int64()),
+             "text_clean": pa.array(out_txt, pa.string()),
+             "n_lines_removed": pa.array(out_n, pa.int64())},
+            schema=_C4_OUT_SCHEMA,
+        )
+
+    drops_ds = (
+        ds.map_batches(seg_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(drops, batch_format="pandas")
+    )
+    out = (
+        ds.map_batches(doc_rows, batch_format="pyarrow")
+        .union(drops_ds)
+        .groupby("dbucket")
+        .map_groups(rebuild, batch_format="pandas")
+        .to_pandas()
+    )
+    if "doc_id" not in out.columns:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "text_clean": pd.Series([], dtype="object"),
+             "n_lines_removed": pd.Series([], dtype="int64")}
+        )
+    return out.sort_values("doc_id").reset_index(drop=True)

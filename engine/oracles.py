@@ -594,3 +594,45 @@ def incremental_minhash_dedup_sql(threshold_num: int = 1,
             SELECT node AS doc_id, min(r) AS canonical_id
             FROM reach WHERE node >= {n_base}
             GROUP BY node ORDER BY doc_id""")
+
+
+def c4_line_dedup_sql(seg_len: int = 10) -> str:
+    """Oracle for dedup.c4_line_dedup: disjoint seg_len-token segments via
+    integer-divided token subscripts, global first-occurrence ranking by
+    (doc_id, seg_no) over the segment STRING (the engine compares 61-bit
+    segment hashes; identical up to negligible collisions), and an ordered
+    string_agg rebuild keeping empty/fully-deduped docs via COALESCE."""
+    return rf"""
+            WITH tok_arr AS (
+              SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                                         x -> x <> '') AS toks
+              FROM documents
+            ), tl AS (
+              SELECT doc_id, generate_subscripts(toks, 1) AS i, unnest(toks) AS w
+              FROM tok_arr
+            ), segs AS (
+              SELECT doc_id, (i - 1) // {seg_len} AS seg_no,
+                     string_agg(w, ' ' ORDER BY i) AS seg
+              FROM tl GROUP BY doc_id, (i - 1) // {seg_len}
+            ), ranked AS (
+              SELECT doc_id, seg_no, seg,
+                     row_number() OVER (PARTITION BY seg
+                                        ORDER BY doc_id, seg_no) AS rn
+              FROM segs
+            ), kept AS (
+              SELECT doc_id, seg_no, seg FROM ranked WHERE rn = 1
+            ), agg AS (
+              SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_no) AS text_clean,
+                     count(*) AS nk
+              FROM kept GROUP BY doc_id
+            ), ns AS (
+              SELECT doc_id, count(*) AS n FROM segs GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.text_clean, '') AS text_clean,
+                   (COALESCE(ns.n, 0) - COALESCE(a.nk, 0))::BIGINT
+                     AS n_lines_removed
+            FROM documents d
+            LEFT JOIN agg a ON a.doc_id = d.doc_id
+            LEFT JOIN ns ON ns.doc_id = d.doc_id
+            ORDER BY d.doc_id"""

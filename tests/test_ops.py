@@ -1513,3 +1513,40 @@ def test_incremental_minhash_dedup_planted(ray_session, tmp_path):
     assert got.loc[401, "canonical_id"] == 401
     assert got.loc[402, "canonical_id"] == 401
     assert got.loc[403, "canonical_id"] == 403
+
+
+def test_c4_line_dedup_planted(ray_session, tmp_path):
+    """First occurrence kept corpus-wide, later aligned copies dropped,
+    in-doc repeats dropped, non-boundary-aligned repeats NOT dropped
+    (the contrast with strip_dup_spans), empty docs preserved."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = [f"w{i}" for i in range(25)]          # segs: 0-9, 10-19, 20-24
+    d1 = base[:10] + [f"a{i}" for i in range(7)]  # seg 0 copies doc0 seg 0
+    d2 = [f"b{i}" for i in range(10)] * 2         # seg 1 repeats seg 0 in-doc
+    d4 = ["pad"] + base[:10]                      # doc0 seg 0, shifted by 1
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                  "text": [" ".join(base), " ".join(d1), " ".join(d2),
+                           "", " ".join(d4)]}),
+        str(d / "documents.parquet"),
+    )
+
+    from engine.ops.dedup import c4_line_dedup
+
+    got = c4_line_dedup(str(d), seg_len=10).set_index("doc_id")
+    assert len(got) == 5
+    assert got.loc[0, "text_clean"] == " ".join(base)
+    assert got.loc[0, "n_lines_removed"] == 0
+    assert got.loc[1, "text_clean"] == " ".join(d1[10:])
+    assert got.loc[1, "n_lines_removed"] == 1
+    assert got.loc[2, "text_clean"] == " ".join(d2[:10])
+    assert got.loc[2, "n_lines_removed"] == 1
+    assert got.loc[3, "text_clean"] == ""
+    assert got.loc[3, "n_lines_removed"] == 0
+    assert got.loc[4, "text_clean"] == " ".join(d4)  # misaligned: untouched
+    assert got.loc[4, "n_lines_removed"] == 0
