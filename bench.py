@@ -41,6 +41,7 @@ BENCH_QUERY_NAMES = [
     "classify",
     "keywords_topk",
     "tfidf_topk",
+    "bm25_topk",
     "exact_dedup",
     "minhash_lsh_pairs",
     "simhash_near_pairs",

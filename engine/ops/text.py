@@ -1025,3 +1025,142 @@ def dsir_importance_weights(sf_dir: str, n_feat: int = 4096,
 
     out = scored.map_batches(label, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword search (Robertson & Zaragoza 2009) — the retrieval scoring a
+# crawl-for-RAG ingestion pipeline feeds (the reference crawls SharePoint
+# into a search index; this is the query side over the crawled corpus).
+# ---------------------------------------------------------------------------
+
+_BM25_QUERIES = ("hash join", "window sort stream", "spark batch")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def bm25_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """(query_id, rnk, doc_id, score_micro) — per-query BM25 top-k over the
+    corpus for the fixed ``_BM25_QUERIES`` set (Okapi BM25, k1=1.2 b=0.75).
+
+    Scale shape: the corpus is tokenized ONCE into a narrow per-doc
+    (doc_id, dl, tf per query-term slot) table — a vectorized ``map_batches``
+    (Arrow split + factorize; text never leaves the batch) materialized
+    because both the stats reduce and the scoring pass consume it
+    (~(2+T)×8 bytes/doc, negligible vs the corpus).  Corpus stats (N, total
+    tokens, per-term document frequency) reduce via one-row-per-block
+    partials; scoring is a pure broadcast map over the tf table; the final
+    top-k flows through per-batch top-k partials into a per-query group —
+    no all-to-all ever touches more than T×k rows per block.
+
+    Each term's contribution ``round(idf * tf_norm * 1e6)`` is rounded to
+    int64 micros BEFORE the per-doc sum (the lm_perplexity_bucket idiom), so
+    neither summation order nor cross-library libm ulp noise can flip the
+    value hash.  ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))`` is the standard
+    non-negative BM25+ idf.  DuckDB-oracle-checked
+    (engine.oracles.bm25_topk_sql); ties rank by doc_id ascending.
+    """
+    terms = [(qid, w) for qid, q in enumerate(_BM25_QUERIES)
+             for w in q.split()]
+    T = len(terms)
+    n_q = len(_BM25_QUERIES)
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), r"\s+")
+        flat_a = pc.list_flatten(toks)
+        keep = pc.not_equal(flat_a, "")
+        parent = pc.list_parent_indices(toks).filter(keep).to_numpy()
+        flat = flat_a.filter(keep).to_pandas().to_numpy(dtype=object)
+        n_docs = t.num_rows
+        dl = np.bincount(parent, minlength=n_docs).astype(np.int64)
+        cols = {"doc_id": t["doc_id"],
+                "dl": pa.array(dl, pa.int64())}
+        codes, uniques = pd.factorize(flat)
+        u_idx = {w: i for i, w in enumerate(uniques)}
+        for j, (_, w) in enumerate(terms):
+            ci = u_idx.get(w, -1)
+            if ci < 0:
+                tf = np.zeros(n_docs, np.int64)
+            else:
+                tf = np.bincount(parent[codes == ci],
+                                 minlength=n_docs).astype(np.int64)
+            cols[f"tf{j}"] = pa.array(tf, pa.int64())
+        return pa.table(cols)
+
+    tf_ds = ds.map_batches(tf_rows, batch_format="pyarrow").materialize()
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        cols = {"n": pa.array([t.num_rows], pa.int64()),
+                "sumdl": pa.array([int(pc.sum(t["dl"]).as_py() or 0)],
+                                  pa.int64())}
+        for j in range(T):
+            nz = pc.sum(pc.cast(pc.greater(t[f"tf{j}"], 0), pa.int64()))
+            cols[f"df{j}"] = pa.array([int(nz.as_py() or 0)], pa.int64())
+        return pa.table(cols)
+
+    st = tf_ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    n_total = int(st["n"].sum())
+    if n_total == 0:
+        return pd.DataFrame(
+            {"query_id": pd.Series([], dtype="int64"),
+             "rnk": pd.Series([], dtype="int64"),
+             "doc_id": pd.Series([], dtype="int64"),
+             "score_micro": pd.Series([], dtype="int64")}
+        )
+    avgdl = float(st["sumdl"].sum()) / float(n_total)
+    idf = np.array(
+        [np.log(1.0 + (float(n_total) - float(st[f"df{j}"].sum()) + 0.5)
+                / (float(st[f"df{j}"].sum()) + 0.5)) for j in range(T)],
+        dtype=np.float64,
+    )
+
+    _SCORE_SCHEMA = pa.schema(
+        [("query_id", pa.int64()), ("doc_id", pa.int64()),
+         ("score_micro", pa.int64())]
+    )
+
+    def score_rows(t: pa.Table) -> pa.Table:
+        dl = t["dl"].to_numpy().astype(np.float64)
+        norm = 1.0 - _BM25_B + _BM25_B * dl / avgdl if avgdl > 0 else dl
+        scores = np.zeros((n_q, t.num_rows), dtype=np.int64)
+        for j, (qid, _) in enumerate(terms):
+            tf = t[f"tf{j}"].to_numpy().astype(np.float64)
+            tfn = tf * (_BM25_K1 + 1.0) / (tf + _BM25_K1 * norm)
+            scores[qid] += np.round(idf[j] * tfn * 1e6).astype(np.int64)
+        # per-batch top-k partial per query (score desc, doc_id asc)
+        out_q, out_d, out_s = [], [], []
+        ids = t["doc_id"].to_numpy()
+        for qid in range(n_q):
+            s = scores[qid]
+            pos = np.flatnonzero(s > 0)
+            if len(pos) > k:
+                order = np.lexsort((ids[pos], -s[pos]))[:k]
+                pos = pos[order]
+            out_q.append(np.full(len(pos), qid, np.int64))
+            out_d.append(ids[pos])
+            out_s.append(s[pos])
+        return pa.table(
+            {"query_id": pa.array(np.concatenate(out_q), pa.int64()),
+             "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+             "score_micro": pa.array(np.concatenate(out_s), pa.int64())},
+            schema=_SCORE_SCHEMA,
+        )
+
+    def final_topk(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["score_micro", "doc_id"],
+                          ascending=[False, True], kind="mergesort").head(k)
+        return pa.table(
+            {"query_id": pa.array(g["query_id"].to_numpy(), pa.int64()),
+             "rnk": pa.array(np.arange(1, len(g) + 1, dtype=np.int64),
+                             pa.int64()),
+             "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+             "score_micro": pa.array(g["score_micro"].to_numpy(), pa.int64())}
+        )
+
+    out = (
+        tf_ds.map_batches(score_rows, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["query_id", "rnk"]).reset_index(drop=True)

@@ -636,3 +636,69 @@ def c4_line_dedup_sql(seg_len: int = 10) -> str:
             LEFT JOIN agg a ON a.doc_id = d.doc_id
             LEFT JOIN ns ON ns.doc_id = d.doc_id
             ORDER BY d.doc_id"""
+
+
+def bm25_topk_sql(k: int = 10) -> str:
+    """Oracle for text.bm25_topk, generated from the engine's own query set
+    and constants: per-term contributions ROUND(idf * tfn * 1e6) to BIGINT
+    micros BEFORE the per-doc sum (order-independent), (1.2 + 1.0) written as
+    a SUM so DuckDB computes the same double the engine's k1+1.0 does (the
+    literal 2.2 is one ulp away), idf/tf/dl all from exact integers."""
+    from .ops import text as _tx
+
+    qvals = ", ".join(
+        f"({qid}, '{w}')"
+        for qid, q in enumerate(_tx._BM25_QUERIES) for w in q.split()
+    )
+    k1, b = _tx._BM25_K1, _tx._BM25_B
+    return rf"""
+            WITH tok_arr AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                         x -> x <> '') AS toks
+              FROM documents
+            ), tl AS (
+              SELECT doc_id, unnest(toks) AS w FROM tok_arr
+            ), dl AS (
+              SELECT d.doc_id, COALESCE(c.n, 0)::BIGINT AS dl
+              FROM documents d
+              LEFT JOIN (SELECT doc_id, count(*) AS n FROM tl GROUP BY doc_id) c
+                ON c.doc_id = d.doc_id
+            ), st AS (
+              SELECT count(*)::DOUBLE AS n,
+                     (sum(dl)::DOUBLE / count(*)::DOUBLE) AS avgdl
+              FROM dl
+            ), qt AS (
+              SELECT * FROM (VALUES {qvals}) q(query_id, term)
+            ), tf AS (
+              SELECT q.query_id, q.term, t.doc_id, count(*)::DOUBLE AS tf
+              FROM tl t JOIN qt q ON t.w = q.term
+              GROUP BY q.query_id, q.term, t.doc_id
+            ), dfr AS (
+              SELECT query_id, term, count(*)::DOUBLE AS df
+              FROM tf GROUP BY query_id, term
+            ), contrib AS (
+              SELECT tf.query_id, tf.doc_id,
+                     ROUND(ln(1.0 + ((SELECT n FROM st) - dfr.df + 0.5)
+                                    / (dfr.df + 0.5))
+                           * (tf.tf * ({k1!r} + 1.0)
+                              / (tf.tf + {k1!r} * ((1.0 - {b!r})
+                                 + {b!r} * dl.dl / (SELECT avgdl FROM st))))
+                           * 1000000)::BIGINT AS cm
+              FROM tf
+              JOIN dfr ON dfr.query_id = tf.query_id AND dfr.term = tf.term
+              JOIN dl ON dl.doc_id = tf.doc_id
+            ), score AS (
+              SELECT query_id, doc_id, sum(cm)::BIGINT AS score_micro
+              FROM contrib GROUP BY query_id, doc_id
+              HAVING sum(cm) > 0
+            ), ranked AS (
+              SELECT query_id, doc_id, score_micro,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score_micro DESC, doc_id)
+                       AS rnk
+              FROM score
+            )
+            SELECT query_id::BIGINT AS query_id, rnk::BIGINT AS rnk,
+                   doc_id, score_micro
+            FROM ranked WHERE rnk <= {k}
+            ORDER BY query_id, rnk"""

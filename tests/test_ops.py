@@ -1550,3 +1550,33 @@ def test_c4_line_dedup_planted(ray_session, tmp_path):
     assert got.loc[3, "n_lines_removed"] == 0
     assert got.loc[4, "text_clean"] == " ".join(d4)  # misaligned: untouched
     assert got.loc[4, "n_lines_removed"] == 0
+
+
+def test_bm25_topk_planted(ray_session, tmp_path):
+    """tf monotonicity, length normalization, and absence of non-matching
+    docs, on a corpus where query 0 ('hash join') has controlled tf/dl."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    filler = [f"f{i}" for i in range(100)]
+    d0 = ["hash", "join"] + filler[:8]               # tf=1,1  dl=10
+    d1 = ["hash", "hash", "join", "join"] + filler[8:14]   # tf=2,2  dl=10
+    d2 = ["hash", "join"] + filler[14:52]            # tf=1,1  dl=40
+    d3 = filler[52:62]                               # no match
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                  "text": [" ".join(x) for x in (d0, d1, d2, d3)]}),
+        str(d / "documents.parquet"),
+    )
+
+    from engine.ops.text import bm25_topk
+
+    got = bm25_topk(str(d))
+    q0 = got[got["query_id"] == 0]
+    assert list(q0["doc_id"]) == [1, 0, 2]           # tf wins, then short doc
+    assert list(q0["rnk"]) == [1, 2, 3]
+    assert 3 not in set(got["doc_id"])               # non-matching doc absent
+    s = dict(zip(q0["doc_id"], q0["score_micro"]))
+    assert s[1] > s[0] > s[2] > 0
