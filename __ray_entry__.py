@@ -317,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keywords_topk": text.keywords_topk,
         "tfidf_topk": text.tfidf_topk,
         "bm25_topk": text.bm25_topk,
+        "kmv_distinct_tokens": text.kmv_distinct_tokens,
         "lang_counts": text.lang_counts,
         "langid_predict": text.langid_predict,
         "fingerprint_md5": text.fingerprint_md5,
@@ -937,6 +938,7 @@ def oracle_sql() -> dict[str, str]:
         "strip_dup_spans": _lsh_oracles.strip_dup_spans_sql(),
         "c4_line_dedup": _lsh_oracles.c4_line_dedup_sql(),
         "bm25_topk": _lsh_oracles.bm25_topk_sql(),
+        "kmv_distinct_tokens": _lsh_oracles.kmv_distinct_tokens_sql(),
         "lm_perplexity_bucket": _lsh_oracles.lm_perplexity_bucket_sql(),
         "dsir_importance_weights": _lsh_oracles.dsir_importance_weights_sql(),
         "decontaminate_ngrams": _lsh_oracles.decontaminate_ngrams_sql(),

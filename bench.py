@@ -42,6 +42,7 @@ BENCH_QUERY_NAMES = [
     "keywords_topk",
     "tfidf_topk",
     "bm25_topk",
+    "kmv_distinct_tokens",
     "exact_dedup",
     "minhash_lsh_pairs",
     "simhash_near_pairs",
@@ -414,6 +415,15 @@ def run_dedup_smoke() -> dict:
         # preceding ~n_docs base (the production daily-batch shape)
         "incremental_minhash_dedup": lambda: dedup.incremental_minhash_dedup(
             dest, n_base=n_docs - 100_000
+        ),
+        # C4 duplicate-line removal: one segment-hash all-to-all (narrow) +
+        # one doc-bucket rebuild (text moves once)
+        "c4_line_dedup": lambda: dedup.c4_line_dedup(dest),
+        # BM25 retrieval: one tokenize pass into a narrow tf table, then
+        # block-partial stats + broadcast scoring (no corpus all-to-all);
+        # query terms drawn from the smoke vocab so tf/df are non-trivial
+        "bm25_topk": lambda: _text_ops.bm25_topk(
+            dest, queries=("w00001 w00042", "w00100 w00200 w00300")
         ),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")

@@ -1038,7 +1038,7 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
-def bm25_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+def bm25_topk(sf_dir: str, k: int = 10, queries=None) -> pd.DataFrame:
     """(query_id, rnk, doc_id, score_micro) — per-query BM25 top-k over the
     corpus for the fixed ``_BM25_QUERIES`` set (Okapi BM25, k1=1.2 b=0.75).
 
@@ -1059,10 +1059,10 @@ def bm25_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     non-negative BM25+ idf.  DuckDB-oracle-checked
     (engine.oracles.bm25_topk_sql); ties rank by doc_id ascending.
     """
-    terms = [(qid, w) for qid, q in enumerate(_BM25_QUERIES)
-             for w in q.split()]
+    qs = _BM25_QUERIES if queries is None else tuple(queries)
+    terms = [(qid, w) for qid, q in enumerate(qs) for w in q.split()]
     T = len(terms)
-    n_q = len(_BM25_QUERIES)
+    n_q = len(qs)
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def tf_rows(t: pa.Table) -> pa.Table:
@@ -1164,3 +1164,52 @@ def bm25_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values(["query_id", "rnk"]).reset_index(drop=True)
+
+
+def kmv_distinct_tokens(sf_dir: str, k: int = 16) -> pd.DataFrame:
+    """(k, n_seen, kth_hash, estimate) — distinct-token count via a KMV
+    (k-minimum-values) sketch (Bar-Yossef et al. 2002).  The HLL sister op is
+    `no_oracle` by design; KMV is a DETERMINISTIC function of the data — the
+    k smallest distinct 63-bit token hashes — so DuckDB can check it exactly
+    (ORDER BY hash LIMIT k), closing the one approximate-op correctness gap.
+
+    Estimate: with fewer than k distinct hashes seen, the sketch IS the
+    exact count; otherwise ``(k-1) * 2^63 // kth_smallest_hash`` — pure
+    integer arithmetic, no float in the output.  Hashes are the md5-prefix-64
+    of each lowercased token, right-shifted one bit (order-preserving, fits
+    int64/DuckDB BIGINT comparisons without sign wrap).
+
+    Scale shape: each batch emits at most k hashes (its k smallest distinct —
+    constant size regardless of rows, like the HLL registers); the driver
+    merges n_blocks × k narrow rows.  No shuffle; no token leaves its batch.
+    k=16 keeps the sketch path live on the 31-token sf vocabulary —
+    production would use k≈1024 with the identical merge law.
+    """
+    ds = _docs(sf_dir, ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), r"\s+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        uniq = pc.unique(flat).to_pylist()
+        hashes = _md5_token_hashes(uniq) >> np.uint64(1)
+        hashes = np.unique(hashes)
+        if len(hashes) > k:
+            hashes = np.partition(hashes, k - 1)[:k]
+        return pa.table({"h": pa.array(hashes.astype(np.int64), pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096).to_pandas()
+    hs = np.unique(parts["h"].to_numpy())
+    n_seen = min(len(hs), k)
+    if len(hs) >= k:
+        kth = int(hs[k - 1])
+        est = (k - 1) * (1 << 63) // kth
+    else:
+        kth = int(hs[-1]) if len(hs) else 0
+        est = len(hs)
+    return pd.DataFrame(
+        {"k": pd.Series([k], dtype="int64"),
+         "n_seen": pd.Series([n_seen], dtype="int64"),
+         "kth_hash": pd.Series([kth], dtype="int64"),
+         "estimate": pd.Series([int(est)], dtype="int64")}
+    )

@@ -702,3 +702,33 @@ def bm25_topk_sql(k: int = 10) -> str:
                    doc_id, score_micro
             FROM ranked WHERE rnk <= {k}
             ORDER BY query_id, rnk"""
+
+
+def kmv_distinct_tokens_sql(k: int = 16) -> str:
+    """Oracle for text.kmv_distinct_tokens: the k smallest DISTINCT 63-bit
+    token hashes (md5-prefix-64 >> 1) via ORDER BY/LIMIT; pure-integer
+    estimate (UHUGEINT division = the engine's Python // )."""
+    return rf"""
+            WITH tok_arr AS (
+              SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), hs AS (
+              SELECT DISTINCT
+                (('0x' || substr(md5(unnest(toks)), 1, 16))::UBIGINT
+                 >> 1)::BIGINT AS h
+              FROM tok_arr
+            ), topk AS (
+              SELECT h FROM hs ORDER BY h LIMIT {k}
+            ), agg AS (
+              SELECT count(*)::BIGINT AS n_seen,
+                     COALESCE(max(h), 0)::BIGINT AS kth
+              FROM topk
+            ), tot AS (SELECT count(*)::BIGINT AS n FROM hs)
+            SELECT {k}::BIGINT AS k, agg.n_seen,
+                   agg.kth AS kth_hash,
+                   (CASE WHEN tot.n >= {k} THEN
+                      (({k - 1}::UHUGEINT * 9223372036854775808::UHUGEINT)
+                       / agg.kth::UHUGEINT)::BIGINT
+                    ELSE tot.n END)::BIGINT AS estimate
+            FROM agg, tot"""

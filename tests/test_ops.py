@@ -1580,3 +1580,38 @@ def test_bm25_topk_planted(ray_session, tmp_path):
     assert 3 not in set(got["doc_id"])               # non-matching doc absent
     s = dict(zip(q0["doc_id"], q0["score_micro"]))
     assert s[1] > s[0] > s[2] > 0
+
+
+def test_kmv_distinct_tokens_accuracy(ray_session, tmp_path):
+    """Exact-count path below k; sketch path within the KMV error envelope
+    (k=16 -> stderr ~27%, assert within a factor of 2) on a 5000-token
+    vocabulary."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    vocab = [f"v{i}" for i in range(5000)]
+    texts = [" ".join(vocab[i * 50:(i + 1) * 50]) for i in range(100)]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(100), pa.int64()), "text": texts}),
+        str(d / "documents.parquet"),
+    )
+
+    from engine.ops.text import kmv_distinct_tokens
+
+    got = kmv_distinct_tokens(str(d))
+    est = int(got["estimate"][0])
+    assert got["n_seen"][0] == 16
+    assert 2500 <= est <= 10000
+
+    d2 = tmp_path / "sf2"
+    d2.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": ["a b c a b"]}),
+        str(d2 / "documents.parquet"),
+    )
+    got2 = kmv_distinct_tokens(str(d2))
+    assert int(got2["estimate"][0]) == 3       # below k: exact
+    assert int(got2["n_seen"][0]) == 3
