@@ -300,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_type": relational.distinct_users_per_type,
         "pagerank_docs": relational.pagerank_docs,
         "orders_without_lineitems": relational.orders_without_lineitems,
+        "orders_with_lineitems_bloom": relational.orders_with_lineitems_bloom,
         "value_quantiles_per_type": relational.value_quantiles_per_type,
         "revenue_rollup": relational.revenue_rollup,
         "value_stats_per_type": relational.value_stats_per_type,
@@ -565,6 +566,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_totalprice FROM orders o
             WHERE NOT EXISTS (SELECT 1 FROM lineitem l
                               WHERE l.l_orderkey = o.o_orderkey)
+            ORDER BY o_orderkey
+        """,
+        "orders_with_lineitems_bloom": """
+            SELECT o_orderkey, o_totalprice FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey)
             ORDER BY o_orderkey
         """,
         "distinct_users_per_type": """

@@ -75,6 +75,7 @@ BENCH_QUERY_NAMES = [
     "distinct_users_per_type",
     "pagerank_docs",
     "orders_without_lineitems",
+    "orders_with_lineitems_bloom",
     "value_quantiles_per_type",
     "revenue_rollup",
     "value_stats_per_type",

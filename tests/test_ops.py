@@ -1615,3 +1615,46 @@ def test_kmv_distinct_tokens_accuracy(ray_session, tmp_path):
     got2 = kmv_distinct_tokens(str(d2))
     assert int(got2["estimate"][0]) == 3       # below k: exact
     assert int(got2["n_seen"][0]) == 3
+
+
+def test_bloom_semi_join_planted(ray_session, tmp_path):
+    """Crawl-shaped probe (mostly NON-matching): exact output, and the bloom
+    primitive has no false negatives and a small FP rate."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array(range(1000), pa.int64()),
+                  "o_totalprice": pa.array([float(i) for i in range(1000)],
+                                           pa.float64())}),
+        str(d / "orders.parquet"),
+    )
+    lk = [k for k in range(50) for _ in range(3)]     # dup line rows
+    pq.write_table(
+        pa.table({"l_orderkey": pa.array(lk, pa.int64())}),
+        str(d / "lineitem.parquet"),
+    )
+
+    from engine.ops.relational import (_bloom_positions,
+                                       orders_with_lineitems_bloom)
+
+    got = orders_with_lineitems_bloom(str(d))
+    assert list(got["o_orderkey"]) == list(range(50))
+    assert list(got["o_totalprice"]) == [float(i) for i in range(50)]
+
+    # primitive: inserted keys always hit; disjoint keys rarely do
+    m_bits = 1 << 14
+    ins = np.arange(1000, dtype=np.int64)
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    pos = _bloom_positions(ins, m_bits).ravel()
+    np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+
+    def member(keys):
+        p = _bloom_positions(keys, m_bits)
+        return ((bits[p >> 3] >> (p & 7).astype(np.uint8)) & 1).all(axis=1)
+
+    assert member(ins).all()                          # no false negatives
+    fp = member(np.arange(10_000, 60_000, dtype=np.int64)).mean()
+    assert fp < 0.05
