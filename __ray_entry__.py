@@ -301,6 +301,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_docs": relational.pagerank_docs,
         "orders_without_lineitems": relational.orders_without_lineitems,
         "orders_with_lineitems_bloom": relational.orders_with_lineitems_bloom,
+        "events_funnel": relational.events_funnel,
+        "source_mix_weighted": curate.source_mix_weighted,
         "value_quantiles_per_type": relational.value_quantiles_per_type,
         "revenue_rollup": relational.revenue_rollup,
         "value_stats_per_type": relational.value_stats_per_type,
@@ -573,6 +575,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM lineitem l
                           WHERE l.l_orderkey = o.o_orderkey)
             ORDER BY o_orderkey
+        """,
+        "events_funnel": """
+            WITH e AS (SELECT user_id, event_type, ts FROM events
+                       WHERE event_type IN ('signup', 'purchase', 'click')),
+            s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+                   WHERE event_type = 'signup' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(ts) AS t2 FROM e
+                   JOIN s1 USING (user_id)
+                   WHERE event_type = 'purchase' AND ts > s1.t1
+                     AND ts <= s1.t1 + INTERVAL 24 HOUR GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(ts) AS t3 FROM e
+                   JOIN s2 USING (user_id)
+                   WHERE event_type = 'click' AND ts > s2.t2
+                     AND ts <= s2.t2 + INTERVAL 24 HOUR GROUP BY e.user_id),
+            c AS (
+              SELECT 1 AS stage, 'signup' AS event_type,
+                     (SELECT count(*) FROM s1) AS n_users
+              UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+              UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3))
+            SELECT stage::BIGINT AS stage, event_type,
+                   n_users::BIGINT AS n_users
+            FROM c ORDER BY stage
         """,
         "distinct_users_per_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
@@ -946,6 +970,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_line_dedup": _lsh_oracles.c4_line_dedup_sql(),
         "bm25_topk": _lsh_oracles.bm25_topk_sql(),
         "kmv_distinct_tokens": _lsh_oracles.kmv_distinct_tokens_sql(),
+        "source_mix_weighted": _lsh_oracles.source_mix_weighted_sql(),
         "lm_perplexity_bucket": _lsh_oracles.lm_perplexity_bucket_sql(),
         "dsir_importance_weights": _lsh_oracles.dsir_importance_weights_sql(),
         "decontaminate_ngrams": _lsh_oracles.decontaminate_ngrams_sql(),

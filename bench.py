@@ -76,6 +76,8 @@ BENCH_QUERY_NAMES = [
     "pagerank_docs",
     "orders_without_lineitems",
     "orders_with_lineitems_bloom",
+    "events_funnel",
+    "source_mix_weighted",
     "value_quantiles_per_type",
     "revenue_rollup",
     "value_stats_per_type",

@@ -50,3 +50,50 @@ def curate_training_data(sf_dir: str) -> pd.DataFrame:
          "ln_ppl_nano": df["ln_ppl_nano"].to_numpy()}
     )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def source_mix_weighted(sf_dir: str) -> pd.DataFrame:
+    """(source, n_total, n_sampled) — deterministic weighted source mixing
+    (the execution step of a DoReMi/DSIR-style mixture: each source gets a
+    sampling weight; membership is a pure hash test, so any worker, any
+    rerun, and the oracle all pick the IDENTICAL subset — no RNG state).
+
+    weight(srcI) = (2*(I%4)+1)/8 (i.e. 1/8, 3/8, 5/8, 7/8 cycling); a doc
+    is sampled iff splitmix64(doc_id) < weight * 2^64, computed in exact
+    uint64 arithmetic (threshold q * 2^61).  Scale shape: shuffle-free —
+    one vectorized map emits per-batch (source, n_total, n_sampled)
+    partials; the driver sums |sources| x |blocks| tiny rows.  DuckDB
+    oracle reuses the engine's own splitmix64 SQL builder.
+    """
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .dedup import _mix64
+    from .io import read_pruned
+
+    ds = read_pruned(_os.path.join(sf_dir, "documents.parquet"),
+                     ["doc_id", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.uint64)
+        h = _mix64(ids)
+        idx = pc.cast(pc.utf8_slice_codeunits(t["source"], 3),
+                      pa.int64()).to_numpy()
+        q = (2 * (idx % 4) + 1).astype(np.uint64)
+        sampled = h < q * np.uint64(1 << 61)
+        d = pd.DataFrame({"source": t["source"].to_pandas(),
+                          "sampled": sampled.astype(np.int64)})
+        c = d.groupby("source", sort=True).agg(
+            n_total=("sampled", "size"), n_sampled=("sampled", "sum")
+        ).reset_index()
+        return pa.table(
+            {"source": pa.array(c["source"], pa.string()),
+             "n_total": pa.array(c["n_total"].to_numpy(), pa.int64()),
+             "n_sampled": pa.array(c["n_sampled"].to_numpy(), pa.int64())}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("source", as_index=False)[["n_total", "n_sampled"]].sum()
+    return out.sort_values("source").reset_index(drop=True)

@@ -1467,3 +1467,64 @@ def orders_with_lineitems_bloom(sf_dir: str) -> pd.DataFrame:
     )
     out = both.groupby("bucket").map_groups(semi, batch_format="pandas").to_pandas()
     return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def events_funnel(sf_dir: str, window_hours: int = 24) -> pd.DataFrame:
+    """(stage, event_type, n_users) — windowed conversion funnel
+    signup -> purchase -> click: a user converts stage s+1 only with an
+    event STRICTLY after their stage-s time and within ``window_hours`` of
+    it; each stage time is the user's EARLIEST qualifying event.  The
+    sequential-pattern shape the window family (lag/sessions/as-of) lacks.
+
+    Scale shape: rows are pre-filtered to the three funnel types and
+    narrowed to (user_id, event_type, ts) BEFORE the one user-bucket
+    all-to-all (per-user logic is bucket-local); each group resolves its
+    users' cascade with three vectorized merge+min passes and emits ONE
+    3-row count partial; the driver sums |buckets| x 3 rows.
+    """
+    N_BUCKETS = 64
+    STAGES = ("signup", "purchase", "click")
+    ev = read_pruned(_t(sf_dir, "events"), ["user_id", "event_type", "ts"])
+    stage_arr = pa.array(STAGES, pa.string())
+
+    def rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"], value_set=stage_arr))
+        u = t["user_id"].to_numpy()
+        return pa.table(
+            {"user_id": t["user_id"], "event_type": t["event_type"],
+             "ts": t["ts"],
+             "bucket": pa.array((u % N_BUCKETS).astype(np.int32), pa.int32())}
+        )
+
+    _OUT = pa.schema(
+        [("stage", pa.int64()), ("event_type", pa.string()),
+         ("n_users", pa.int64())]
+    )
+
+    def funnel_group(g: pd.DataFrame) -> pa.Table:
+        w = np.timedelta64(window_hours * 3600 * 1_000_000, "us")
+        prev = (g[g["event_type"] == STAGES[0]]
+                .groupby("user_id", as_index=False)["ts"].min()
+                .rename(columns={"ts": "tprev"}))
+        counts = [len(prev)]
+        for st in STAGES[1:]:
+            s = g[g["event_type"] == st].merge(prev, on="user_id")
+            s = s[(s["ts"] > s["tprev"]) & (s["ts"] <= s["tprev"] + w)]
+            prev = (s.groupby("user_id", as_index=False)["ts"].min()
+                    .rename(columns={"ts": "tprev"}))
+            counts.append(len(prev))
+        return pa.table(
+            {"stage": pa.array([1, 2, 3], pa.int64()),
+             "event_type": pa.array(list(STAGES), pa.string()),
+             "n_users": pa.array(counts, pa.int64())},
+            schema=_OUT,
+        )
+
+    parts = (
+        ev.map_batches(rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(funnel_group, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby(["stage", "event_type"], as_index=False)["n_users"].sum()
+    return out.sort_values("stage").reset_index(drop=True)

@@ -732,3 +732,26 @@ def kmv_distinct_tokens_sql(k: int = 16) -> str:
                        / agg.kth::UHUGEINT)::BIGINT
                     ELSE tot.n END)::BIGINT AS estimate
             FROM agg, tot"""
+
+
+def source_mix_weighted_sql() -> str:
+    """Oracle for curate.source_mix_weighted: the engine's splitmix64 SQL
+    builder over doc_id, exact-integer thresholds q * 2^61 with
+    q = 2*(source_index % 4) + 1."""
+    return rf"""
+            WITH s AS (
+              SELECT source, doc_id::UBIGINT AS x,
+                     CAST(substr(source, 4) AS BIGINT) AS idx
+              FROM documents
+            ), h AS (
+              SELECT source, idx, {_mix64('x')} AS hv FROM s
+            ), c AS (
+              SELECT source, count(*) AS n_total,
+                     sum(CASE WHEN hv < ((2 * (idx % 4) + 1)::UBIGINT
+                                         * 2305843009213693952::UBIGINT)
+                              THEN 1 ELSE 0 END) AS n_sampled
+              FROM h GROUP BY source
+            )
+            SELECT source, n_total::BIGINT AS n_total,
+                   n_sampled::BIGINT AS n_sampled
+            FROM c ORDER BY source"""

@@ -1658,3 +1658,43 @@ def test_bloom_semi_join_planted(ray_session, tmp_path):
     assert member(ins).all()                          # no false negatives
     fp = member(np.arange(10_000, 60_000, dtype=np.int64)).mean()
     assert fp < 0.05
+
+
+def test_events_funnel_planted(ray_session, tmp_path):
+    """Window semantics: strictly-after, within-window, earliest-qualifying;
+    a purchase BEFORE signup or outside 24h does not convert."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = dt.datetime(2024, 1, 1)
+    H = dt.timedelta(hours=1)
+    rows = [
+        # user 1: full cascade inside windows
+        (1, "signup", t0), (1, "purchase", t0 + 2 * H), (1, "click", t0 + 3 * H),
+        # user 2: purchase 30h after signup -> stalls at stage 1
+        (2, "signup", t0), (2, "purchase", t0 + 30 * H), (2, "click", t0 + 31 * H),
+        # user 3: purchase BEFORE signup -> stalls at stage 1
+        (3, "purchase", t0), (3, "signup", t0 + 1 * H),
+        # user 4: signup+purchase, click 25h after purchase -> stage 2
+        (4, "signup", t0), (4, "purchase", t0 + 1 * H), (4, "click", t0 + 26 * H),
+        # user 5: never signs up -> not in funnel
+        (5, "purchase", t0), (5, "click", t0 + 1 * H),
+    ]
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"event_id": pa.array(range(len(rows)), pa.int64()),
+                  "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "event_type": pa.array([r[1] for r in rows], pa.string()),
+                  "ts": pa.array([r[2] for r in rows],
+                                 pa.timestamp("us")),
+                  "value": pa.array([0.0] * len(rows), pa.float64())}),
+        str(d / "events.parquet"),
+    )
+
+    from engine.ops.relational import events_funnel
+
+    got = events_funnel(str(d))
+    assert list(got["n_users"]) == [4, 2, 1]
