@@ -350,6 +350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup_cluster_stats": dedup.near_dedup_cluster_stats,
         "dedup_keep_best": dedup.dedup_keep_best,
         "curate_training_data": curate.curate_training_data,
+        "export_training_shards": curate.export_training_shards,
         # similarity search
         "ann_topk": ann.ann_topk_bruteforce,
         "ann_topk_lsh": ann.ann_topk_lsh,
@@ -1002,4 +1003,13 @@ def oracle_sql() -> dict[str, str]:
         JOIN ({d["near_dedup_canonical"]}) n ON n.doc_id = d.doc_id
         JOIN ({d["lm_perplexity_bucket"]}) p ON p.doc_id = d.doc_id
         ORDER BY d.doc_id"""
+    # The export sink's manifest: recomputed from the composed curate oracle
+    # (row count AND total chars per shard, so payload is checked too).
+    d["export_training_shards"] = f"""
+        WITH cur AS ({d["curate_training_data"]}),
+        kept AS (SELECT doc_id FROM cur WHERE status = 'kept')
+        SELECT (d.doc_id % 16)::BIGINT AS shard, count(*)::BIGINT AS n_docs,
+               sum(length(d.text))::BIGINT AS n_chars
+        FROM documents d JOIN kept k ON k.doc_id = d.doc_id
+        GROUP BY 1 ORDER BY 1"""
     return d

@@ -92,6 +92,7 @@ BENCH_QUERY_NAMES = [
     "lm_perplexity_bucket",
     "dsir_importance_weights",
     "curate_training_data",
+    "export_training_shards",
     "incremental_minhash_dedup",
 ]
 

@@ -1698,3 +1698,44 @@ def test_events_funnel_planted(ray_session, tmp_path):
 
     got = events_funnel(str(d))
     assert list(got["n_users"]) == [4, 2, 1]
+
+
+def test_export_training_shards_resume(ray_session, tmp_path):
+    """Resumable sink: finished shards are skipped on re-run (footer-only
+    resume — mtimes untouched); deleted shards are rebuilt; the manifest is
+    identical; read-back equals the curated kept set."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from engine.ops.curate import curate_training_data, export_training_shards
+
+    SF = "/root/testdata/sf0.001"
+    out = str(tmp_path / "shards")
+    m1 = export_training_shards(SF, out_dir=out)
+    files = sorted(glob.glob(os.path.join(out, "shard=*", "part.parquet")))
+    assert len(files) == len(m1)
+    mt1 = {f: os.path.getmtime(f) for f in files}
+
+    # read-back == the curated kept set
+    cur = curate_training_data(SF)
+    kept = set(cur.loc[cur["status"] == "kept", "doc_id"])
+    got_ids = set()
+    for f in files:
+        got_ids.update(pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist())
+    assert got_ids == kept
+    assert int(m1["n_docs"].sum()) == len(kept)
+
+    # kill two shards, re-run: only those rebuilt, manifest identical
+    victims = files[:2]
+    for f in victims:
+        os.remove(f)
+        os.remove(os.path.join(os.path.dirname(f), "manifest.json"))
+    m2 = export_training_shards(SF, out_dir=out)
+    assert m2.equals(m1)
+    for f in files:
+        if f in victims:
+            assert os.path.getmtime(f) > mt1[f]
+        else:
+            assert os.path.getmtime(f) == mt1[f]
