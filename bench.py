@@ -578,6 +578,9 @@ def run_events_smoke() -> dict:
         "events_moving_avg": lambda: rel._events_moving_avg_ds(dest).count(),
         "value_quantiles_per_type": lambda: len(rel.value_quantiles_per_type(dest)),
         "value_stats_per_type": lambda: len(rel.value_stats_per_type(dest)),
+        # sequential-pattern funnel over the smoke's own type vocabulary
+        "events_funnel": lambda: int(rel.events_funnel(
+            dest, stages=("signup", "click", "view"))["n_users"].sum()),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")
     if only:

@@ -1469,7 +1469,8 @@ def orders_with_lineitems_bloom(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
-def events_funnel(sf_dir: str, window_hours: int = 24) -> pd.DataFrame:
+def events_funnel(sf_dir: str, window_hours: int = 24,
+                  stages: tuple = ("signup", "purchase", "click")) -> pd.DataFrame:
     """(stage, event_type, n_users) — windowed conversion funnel
     signup -> purchase -> click: a user converts stage s+1 only with an
     event STRICTLY after their stage-s time and within ``window_hours`` of
@@ -1483,7 +1484,7 @@ def events_funnel(sf_dir: str, window_hours: int = 24) -> pd.DataFrame:
     3-row count partial; the driver sums |buckets| x 3 rows.
     """
     N_BUCKETS = 64
-    STAGES = ("signup", "purchase", "click")
+    STAGES = tuple(stages)
     ev = read_pruned(_t(sf_dir, "events"), ["user_id", "event_type", "ts"])
     stage_arr = pa.array(STAGES, pa.string())
 
@@ -1514,7 +1515,7 @@ def events_funnel(sf_dir: str, window_hours: int = 24) -> pd.DataFrame:
                     .rename(columns={"ts": "tprev"}))
             counts.append(len(prev))
         return pa.table(
-            {"stage": pa.array([1, 2, 3], pa.int64()),
+            {"stage": pa.array(range(1, len(STAGES) + 1), pa.int64()),
              "event_type": pa.array(list(STAGES), pa.string()),
              "n_users": pa.array(counts, pa.int64())},
             schema=_OUT,
