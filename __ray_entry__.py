@@ -123,6 +123,33 @@ def crawl_chunks(sf_dir: str):
     return out.sort_values(["url", "chunk_index"]).reset_index(drop=True)
 
 
+def crawl_search_topk(sf_dir: str, k: int = 5):
+    """The reference's end-to-end PURPOSE as one composed pipeline: crawl ->
+    extract -> 350/80-token chunks -> BM25 retrieval over the CHUNKS for a
+    fixed query set (the query side of the RAG index the reference feeds via
+    its upload sink, ``SharePointClient.cs:405-493``).  Returns
+    (query_id, rnk, url, chunk_index, score_micro) top-k per query.
+
+    Rows-only (the crawl stage is not SQL-expressible); determinism and
+    relevance are pytest-locked (two runs identical; every top-1 chunk
+    contains a query term).  The BM25 core is the same Dataset-generic
+    ``_bm25_topk_ds`` the oracled ``bm25_topk`` runs, so its scoring
+    arithmetic IS oracle-checked — only the crawl/chunk front end differs.
+    """
+    from engine.ingest import chunks_dataset
+    from engine.ops import text as _text
+
+    res = _crawl_cached(sf_dir)
+    ds = chunks_dataset(res.docs_dir).map_batches(
+        lambda t: t.select(["url", "chunk_index", "chunk"]),
+        batch_format="pyarrow",
+    )
+    qs = ("calibrate gauge", "pressure safety", "operator panel control")
+    out = _text._bm25_topk_ds(ds, ["url", "chunk_index"], qs, k,
+                              text_col="chunk")
+    return out
+
+
 def crawl_errors(sf_dir: str):
     """The error-rows sink (S5): all fetch failures across rounds."""
     import pandas as pd
@@ -373,6 +400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_seen": crawl_seen,
         "crawl_counters": crawl_counters,
         "crawl_chunks": crawl_chunks,
+        "crawl_search_topk": crawl_search_topk,
         "crawl_errors": crawl_errors,
         "crawl_metrics": crawl_metrics,
         "crawl_recrawl": crawl_recrawl,

@@ -93,6 +93,7 @@ BENCH_QUERY_NAMES = [
     "dsir_importance_weights",
     "curate_training_data",
     "export_training_shards",
+    "crawl_search_topk",
     "incremental_minhash_dedup",
 ]
 

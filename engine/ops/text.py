@@ -1038,43 +1038,25 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
-def bm25_topk(sf_dir: str, k: int = 10, queries=None) -> pd.DataFrame:
-    """(query_id, rnk, doc_id, score_micro) — per-query BM25 top-k over the
-    corpus for the fixed ``_BM25_QUERIES`` set (Okapi BM25, k1=1.2 b=0.75).
-
-    Scale shape: the corpus is tokenized ONCE into a narrow per-doc
-    (doc_id, dl, tf per query-term slot) table — a vectorized ``map_batches``
-    (Arrow split + factorize; text never leaves the batch) materialized
-    because both the stats reduce and the scoring pass consume it
-    (~(2+T)×8 bytes/doc, negligible vs the corpus).  Corpus stats (N, total
-    tokens, per-term document frequency) reduce via one-row-per-block
-    partials; scoring is a pure broadcast map over the tf table; the final
-    top-k flows through per-batch top-k partials into a per-query group —
-    no all-to-all ever touches more than T×k rows per block.
-
-    Each term's contribution ``round(idf * tf_norm * 1e6)`` is rounded to
-    int64 micros BEFORE the per-doc sum (the lm_perplexity_bucket idiom), so
-    neither summation order nor cross-library libm ulp noise can flip the
-    value hash.  ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))`` is the standard
-    non-negative BM25+ idf.  DuckDB-oracle-checked
-    (engine.oracles.bm25_topk_sql); ties rank by doc_id ascending.
-    """
-    qs = _BM25_QUERIES if queries is None else tuple(queries)
+def _bm25_topk_ds(ds, id_cols: list, qs: tuple, k: int,
+                  text_col: str = "text") -> pd.DataFrame:
+    """Dataset-generic BM25 core (see ``bm25_topk`` for the full scale-shape
+    docstring): rows identified by ``id_cols`` with text in ``text_col``;
+    returns (query_id, rnk, *id_cols, score_micro) top-k per query."""
     terms = [(qid, w) for qid, q in enumerate(qs) for w in q.split()]
     T = len(terms)
     n_q = len(qs)
-    ds = _docs(sf_dir, ["doc_id", "text"])
 
     def tf_rows(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), r"\s+")
+        toks = pc.split_pattern_regex(pc.utf8_lower(t[text_col]), r"\s+")
         flat_a = pc.list_flatten(toks)
         keep = pc.not_equal(flat_a, "")
         parent = pc.list_parent_indices(toks).filter(keep).to_numpy()
         flat = flat_a.filter(keep).to_pandas().to_numpy(dtype=object)
         n_docs = t.num_rows
         dl = np.bincount(parent, minlength=n_docs).astype(np.int64)
-        cols = {"doc_id": t["doc_id"],
-                "dl": pa.array(dl, pa.int64())}
+        cols = {c: t[c] for c in id_cols}
+        cols["dl"] = pa.array(dl, pa.int64())
         codes, uniques = pd.factorize(flat)
         u_idx = {w: i for i, w in enumerate(uniques)}
         for j, (_, w) in enumerate(terms):
@@ -1100,23 +1082,18 @@ def bm25_topk(sf_dir: str, k: int = 10, queries=None) -> pd.DataFrame:
 
     st = tf_ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
     n_total = int(st["n"].sum())
+    empty_cols = {"query_id": pd.Series([], dtype="int64"),
+                  "rnk": pd.Series([], dtype="int64")}
+    for c in id_cols:
+        empty_cols[c] = pd.Series([], dtype="object")
+    empty_cols["score_micro"] = pd.Series([], dtype="int64")
     if n_total == 0:
-        return pd.DataFrame(
-            {"query_id": pd.Series([], dtype="int64"),
-             "rnk": pd.Series([], dtype="int64"),
-             "doc_id": pd.Series([], dtype="int64"),
-             "score_micro": pd.Series([], dtype="int64")}
-        )
+        return pd.DataFrame(empty_cols)
     avgdl = float(st["sumdl"].sum()) / float(n_total)
     idf = np.array(
         [np.log(1.0 + (float(n_total) - float(st[f"df{j}"].sum()) + 0.5)
                 / (float(st[f"df{j}"].sum()) + 0.5)) for j in range(T)],
         dtype=np.float64,
-    )
-
-    _SCORE_SCHEMA = pa.schema(
-        [("query_id", pa.int64()), ("doc_id", pa.int64()),
-         ("score_micro", pa.int64())]
     )
 
     def score_rows(t: pa.Table) -> pa.Table:
@@ -1127,35 +1104,34 @@ def bm25_topk(sf_dir: str, k: int = 10, queries=None) -> pd.DataFrame:
             tf = t[f"tf{j}"].to_numpy().astype(np.float64)
             tfn = tf * (_BM25_K1 + 1.0) / (tf + _BM25_K1 * norm)
             scores[qid] += np.round(idf[j] * tfn * 1e6).astype(np.int64)
-        # per-batch top-k partial per query (score desc, doc_id asc)
-        out_q, out_d, out_s = [], [], []
-        ids = t["doc_id"].to_numpy()
+        # per-batch top-k partial per query (score desc, id_cols asc)
+        id_vals = {c: t[c].to_pandas().to_numpy() for c in id_cols}
+        parts = []
         for qid in range(n_q):
             s = scores[qid]
             pos = np.flatnonzero(s > 0)
             if len(pos) > k:
-                order = np.lexsort((ids[pos], -s[pos]))[:k]
+                keys = tuple(id_vals[c][pos] for c in reversed(id_cols))
+                order = np.lexsort(keys + (-s[pos],))[:k]
                 pos = pos[order]
-            out_q.append(np.full(len(pos), qid, np.int64))
-            out_d.append(ids[pos])
-            out_s.append(s[pos])
-        return pa.table(
-            {"query_id": pa.array(np.concatenate(out_q), pa.int64()),
-             "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
-             "score_micro": pa.array(np.concatenate(out_s), pa.int64())},
-            schema=_SCORE_SCHEMA,
-        )
+            sel = {c: pa.array(id_vals[c][pos]) for c in id_cols}
+            sel["query_id"] = pa.array(np.full(len(pos), qid, np.int64),
+                                       pa.int64())
+            sel["score_micro"] = pa.array(s[pos], pa.int64())
+            parts.append(pa.table(sel))
+        return pa.concat_tables(parts)
 
     def final_topk(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(["score_micro", "doc_id"],
-                          ascending=[False, True], kind="mergesort").head(k)
-        return pa.table(
-            {"query_id": pa.array(g["query_id"].to_numpy(), pa.int64()),
-             "rnk": pa.array(np.arange(1, len(g) + 1, dtype=np.int64),
-                             pa.int64()),
-             "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
-             "score_micro": pa.array(g["score_micro"].to_numpy(), pa.int64())}
-        )
+        g = g.sort_values(["score_micro"] + id_cols,
+                          ascending=[False] + [True] * len(id_cols),
+                          kind="mergesort").head(k)
+        cols = {"query_id": pa.array(g["query_id"].to_numpy(), pa.int64()),
+                "rnk": pa.array(np.arange(1, len(g) + 1, dtype=np.int64),
+                                pa.int64())}
+        for c in id_cols:
+            cols[c] = pa.array(g[c])
+        cols["score_micro"] = pa.array(g["score_micro"].to_numpy(), pa.int64())
+        return pa.table(cols)
 
     out = (
         tf_ds.map_batches(score_rows, batch_format="pyarrow")
@@ -1163,7 +1139,45 @@ def bm25_topk(sf_dir: str, k: int = 10, queries=None) -> pd.DataFrame:
         .map_groups(final_topk, batch_format="pandas")
         .to_pandas()
     )
+    if "query_id" not in out.columns:
+        return pd.DataFrame(empty_cols)
     return out.sort_values(["query_id", "rnk"]).reset_index(drop=True)
+
+
+def bm25_topk(sf_dir: str, k: int = 10, queries=None) -> pd.DataFrame:
+    """(query_id, rnk, doc_id, score_micro) — per-query BM25 top-k over the
+    corpus for the fixed ``_BM25_QUERIES`` set (Okapi BM25, k1=1.2 b=0.75).
+
+    Scale shape: the corpus is tokenized ONCE into a narrow per-doc
+    (ids, dl, tf per query-term slot) table — a vectorized ``map_batches``
+    (Arrow split + factorize; text never leaves the batch) materialized
+    because both the stats reduce and the scoring pass consume it
+    (~(2+T)x8 bytes/doc, negligible vs the corpus).  Corpus stats (N, total
+    tokens, per-term document frequency) reduce via one-row-per-block
+    partials; scoring is a pure broadcast map over the tf table; the final
+    top-k flows through per-batch top-k partials into a per-query group —
+    no all-to-all ever touches more than T x k rows per block.
+
+    Each term's contribution ``round(idf * tf_norm * 1e6)`` is rounded to
+    int64 micros BEFORE the per-doc sum (the lm_perplexity_bucket idiom), so
+    neither summation order nor cross-library libm ulp noise can flip the
+    value hash.  ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))`` is the standard
+    non-negative BM25+ idf.  DuckDB-oracle-checked
+    (engine.oracles.bm25_topk_sql); ties rank by doc_id ascending.
+    The Dataset-generic core (``_bm25_topk_ds``) also powers the composed
+    crawl -> chunk -> search pipeline (``crawl_search_topk``).
+    """
+    qs = _BM25_QUERIES if queries is None else tuple(queries)
+    out = _bm25_topk_ds(_docs(sf_dir, ["doc_id", "text"]), ["doc_id"], qs, k)
+    if len(out) == 0:
+        return pd.DataFrame(
+            {"query_id": pd.Series([], dtype="int64"),
+             "rnk": pd.Series([], dtype="int64"),
+             "doc_id": pd.Series([], dtype="int64"),
+             "score_micro": pd.Series([], dtype="int64")}
+        )
+    return out[["query_id", "rnk", "doc_id", "score_micro"]]
+
 
 
 def kmv_distinct_tokens(sf_dir: str, k: int = 16) -> pd.DataFrame:

@@ -1739,3 +1739,25 @@ def test_export_training_shards_resume(ray_session, tmp_path):
             assert os.path.getmtime(f) > mt1[f]
         else:
             assert os.path.getmtime(f) == mt1[f]
+
+
+def test_crawl_search_topk(ray_session):
+    """The composed crawl -> chunk -> BM25 pipeline: deterministic across
+    runs, correct shape, and every query's top-1 chunk actually contains at
+    least one of its terms (relevance sanity on the real crawled text)."""
+    import __ray_entry__ as e
+
+    SF = "/root/testdata/sf0.001"
+    g1 = e.queries()["crawl_search_topk"](SF)
+    g2 = e.queries()["crawl_search_topk"](SF)
+    assert g1.equals(g2)
+    assert list(g1.columns) == ["query_id", "rnk", "url", "chunk_index",
+                                "score_micro"]
+    assert (g1["score_micro"] > 0).all()
+    chunks = e.queries()["crawl_chunks"](SF)
+    key = dict(zip(zip(chunks["url"], chunks["chunk_index"]), chunks["chunk"]))
+    queries = ("calibrate gauge", "pressure safety", "operator panel control")
+    for qid, q in enumerate(queries):
+        top = g1[(g1["query_id"] == qid) & (g1["rnk"] == 1)].iloc[0]
+        text = key[(top["url"], top["chunk_index"])].lower()
+        assert any(w in text.split() for w in q.split())
