@@ -51,6 +51,8 @@ def sniff(data: bytes) -> str | None:
         return "avi"
     if data[:3] == JPEG_MAGIC:
         return "jpeg"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -421,6 +423,10 @@ def media_info(data: bytes) -> dict:
     if kind == "jpeg":
         px = decode_jpeg(data)
         return {"kind": "jpeg", "width": px.shape[1], "height": px.shape[0],
+                "sample_rate": None, "duration_ms": None}
+    if kind == "gif":
+        px = decode_gif(data)
+        return {"kind": "gif", "width": px.shape[1], "height": px.shape[0],
                 "sample_rate": None, "duration_ms": None}
     raise NotImplementedError(f"no decoder for payload kind: {kind!r}")
 
@@ -1422,3 +1428,191 @@ def _assemble_progressive(h, w, hy, vy, mcux, mcuy, y, chroma, qts,
                                             ac_tabs[c["ac"]]))
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# GIF (GIF89a, single image, global color table) — from scratch.
+#
+# The LZW here is the GIF variant (variable code width starting at
+# min_code_size+1, LSB-first bit packing, in-band CLEAR/EOI codes, 4096-entry
+# dictionary ceiling), distinct from the PDF /LZWDecode variant already in
+# engine.pdf (TIFF-style, MSB-first, early-change).  Reference parity note:
+# the reference delegates all raster decoding to PdfPig/.NET; these codecs
+# exist so the multimodal pipeline runs on REAL bytes in this container.
+# ---------------------------------------------------------------------------
+
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits          # GIF packs codes LSB-first
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code_size + 1
+    table: dict = {}
+    next_code = eoi + 1
+    emit(clear, width)
+    seq = indices.tolist()
+    cur = seq[0]
+    for k in seq[1:]:
+        key = (cur, k)
+        code = table.get(key)
+        if code is not None:
+            cur = code
+            continue
+        emit(cur, width)
+        table[key] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            # the just-added entry forced the next emitted code wider
+            width += 1
+        if next_code >= 4096:
+            emit(clear, width)
+            table.clear()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        cur = k
+    emit(cur, width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> np.ndarray:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = min_code_size + 1
+    table: list = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("gif: truncated LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]   # the KwKwK case
+        else:
+            raise ValueError("gif: bad LZW code")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+        if len(out) >= n_expected:
+            break
+    return np.frombuffer(bytes(out[:n_expected]), dtype=np.uint8)
+
+
+def encode_gif(index_px: np.ndarray, palette: np.ndarray) -> bytes:
+    """GIF89a bytes from a palette image: (h, w) uint8 indices + (n, 3)
+    uint8 palette (n <= 256)."""
+    h, w = index_px.shape
+    n = len(palette)
+    s = 0
+    while (2 << s) < max(2, n):
+        s += 1
+    gct_n = 2 << s                     # 2^(s+1) entries
+    pal = np.zeros((gct_n, 3), dtype=np.uint8)
+    pal[:n] = palette
+    min_code_size = max(2, s + 1)
+    head = bytearray(b"GIF89a")
+    head += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    head.append(0x80 | (7 << 4) | s)   # GCT present, 8-bit color resolution
+    head += b"\x00\x00"                # bg color, aspect
+    head += pal.tobytes()
+    head += b"\x2c" + b"\x00\x00\x00\x00"          # image at (0, 0)
+    head += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    head.append(0)                     # no LCT, not interlaced
+    head.append(min_code_size)
+    lzw = _gif_lzw_encode(index_px.ravel(), min_code_size)
+    for i in range(0, len(lzw), 255):
+        blk = lzw[i:i + 255]
+        head.append(len(blk))
+        head += blk
+    head += b"\x00\x3b"                # block terminator + trailer
+    return bytes(head)
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 pixels from a single-image GIF (first image of the
+    stream; interlaced images raise honestly)."""
+    if data[:6] not in GIF_MAGICS:
+        raise ValueError("not a gif")
+    w = int.from_bytes(data[6:8], "little")
+    h = int.from_bytes(data[8:10], "little")
+    packed = data[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        gct_n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data[pos:pos + gct_n * 3],
+                            dtype=np.uint8).reshape(gct_n, 3)
+        pos += gct_n * 3
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:                  # extension: skip sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:                # image descriptor
+            iw = int.from_bytes(data[pos + 5:pos + 7], "little")
+            ih = int.from_bytes(data[pos + 7:pos + 9], "little")
+            ipacked = data[pos + 9]
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:         # local color table overrides
+                lct_n = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(data[pos:pos + lct_n * 3],
+                                    dtype=np.uint8).reshape(lct_n, 3)
+                pos += lct_n * 3
+            if ipacked & 0x40:
+                raise NotImplementedError("gif: interlaced image")
+            if pal is None:
+                raise ValueError("gif: no color table")
+            min_code_size = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                lzw += data[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            idx = _gif_lzw_decode(bytes(lzw), min_code_size, iw * ih)
+            return pal[idx.reshape(ih, iw)]
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"gif: unexpected block 0x{b:02x}")
+    raise ValueError("gif: no image data")

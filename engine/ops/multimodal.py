@@ -26,11 +26,13 @@ import pyarrow as pa
 from .codecs import (
     decode_avi,
     decode_bmp,
+    decode_gif,
     decode_jpeg,
     decode_png,
     encode_avi,
     encode_bmp,
     encode_bmp_rle8,
+    encode_gif,
     encode_jpeg,
     encode_png,
     encode_wav,
@@ -121,6 +123,8 @@ class ThumbnailStage:
                 px = decode_png(payload)
             elif kind == "jpeg":
                 px = decode_jpeg(payload)
+            elif kind == "gif":
+                px = decode_gif(payload)
             else:
                 continue  # audio/video rows carry no pixels
             small = resize_nearest(px, self.out_w, self.out_h)
@@ -217,7 +221,8 @@ def media_table_from_documents(sf_dir: str):
 
 def real_media_table(sf_dir: str):
     """Deterministic REAL-codec media table derived from doc ids: BMP images
-    (doc_id % 3 == 0), PCM WAV tones (== 1), PNG (% 12 == 2) or JPEG
+    (doc_id % 3 == 0), PCM WAV tones (== 1), PNG (% 12 == 2; the % 24 == 14
+    slot is a GIF89a palette image) or JPEG
     (% 12 == 8; every second one PROGRESSIVE) images and AVI videos
     (% 6 == 5).  Pure in doc_id, so results are identical across
     runs/partitionings/retries."""
@@ -244,12 +249,19 @@ def real_media_table(sf_dir: str):
                 payloads.append(encode_wav(tone.astype(np.int16), 8000))
                 types.append("audio")
             elif i % 6 == 2:
-                px = rng.integers(0, 256, size=(10 + i % 6, 14 + i % 10, 3),
-                                  dtype=np.uint8)
-                payloads.append(
-                    encode_png(px) if i % 12 == 2
-                    else encode_jpeg(px, progressive=(i % 24 == 20))
-                )
+                if i % 24 == 14:       # GIF palette rows
+                    pal = rng.integers(0, 256, size=(32, 3), dtype=np.uint8)
+                    idxpx = rng.integers(0, 32, size=(10 + i % 6, 14 + i % 10),
+                                         dtype=np.uint8)
+                    payloads.append(encode_gif(idxpx, pal))
+                else:
+                    px = rng.integers(0, 256,
+                                      size=(10 + i % 6, 14 + i % 10, 3),
+                                      dtype=np.uint8)
+                    payloads.append(
+                        encode_png(px) if i % 12 == 2
+                        else encode_jpeg(px, progressive=(i % 24 == 20))
+                    )
                 types.append("image")
             else:  # i % 6 == 5: a real video container
                 frames = rng.integers(0, 256, size=(4 + i % 5, 10, 12, 3),

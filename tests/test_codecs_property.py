@@ -302,3 +302,28 @@ def test_bmp_rle8_delta_escape():
     want[3, 0:2] = 255   # bottom row (y=0 bottom-up), x 0-1
     want[2, 2:4] = 255   # after delta dx=2 dy=1: y=1 bottom-up, x 2-3
     assert np.array_equal(px, want)
+
+
+def test_gif_roundtrip_property():
+    """decode(encode(idx, pal)) == pal[idx] across palette sizes (forces
+    every LZW code width 3..9), the 1x1 edge, and a >4096-code stream that
+    crosses the dictionary-reset path; sniff + media_info dispatch."""
+    import numpy as np
+
+    from engine.ops.codecs import decode_gif, encode_gif, media_info, sniff
+
+    rng = np.random.default_rng(7)
+    for n_colors, shape in ((3, (5, 7)), (64, (40, 50)), (256, (80, 90)),
+                            (2, (1, 1)), (5, (200, 300))):
+        pal = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+        idx = rng.integers(0, n_colors, size=shape, dtype=np.uint8)
+        data = encode_gif(idx, pal)
+        assert sniff(data) == "gif"
+        assert (decode_gif(data) == pal[idx]).all()
+        info = media_info(data)
+        assert (info["kind"], info["width"], info["height"]) == (
+            "gif", shape[1], shape[0])
+    # dictionary reset: repetitive stream growing past 4096 codes
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = np.tile(rng.integers(0, 16, size=(10, 1000), dtype=np.uint8), (20, 1))
+    assert (decode_gif(encode_gif(idx, pal)) == pal[idx]).all()
