@@ -393,6 +393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_metadata": multimodal.media_metadata,
         "media_features": multimodal.media_features,
         "media_decode": multimodal.media_decode,
+        "media_signal_stats": multimodal.media_signal_stats,
         "media_thumbnails": multimodal.media_thumbnails,
         "media_frames": multimodal.media_frames,
         # the crawl engine itself (no SQL view of the synthetic pages corpus)

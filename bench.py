@@ -63,6 +63,7 @@ BENCH_QUERY_NAMES = [
     "hll_distinct_tokens",
     "media_decode",
     "media_frames",
+    "media_signal_stats",
     "dup_ngram_spans",
     "gopher_quality_flags",
     "events_lag_delta",

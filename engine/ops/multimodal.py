@@ -29,6 +29,7 @@ from .codecs import (
     decode_gif,
     decode_jpeg,
     decode_png,
+    decode_wav,
     encode_avi,
     encode_bmp,
     encode_bmp_rle8,
@@ -401,6 +402,63 @@ def media_features(sf_dir: str) -> pd.DataFrame:
             batch_size=64,
             concurrency=2,
         )
+        .to_pandas()
+    )
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+class SignalStatsStage:
+    """REAL decoded-signal statistics (actor pool): images -> per-channel
+    integer mean (x1000) + distinct-color count; audio -> RMS (x1000) and
+    zero-crossing count on the PCM samples.  All stats are exact integer
+    functions of the decoded signal, so results are identical across runs,
+    partitionings and retries (and float-free for value hashing).  Video
+    rows report frame-count stats from the real AVI decode."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {"media_id": [], "kind": [], "stat_a": [], "stat_b": []}
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            kind = sniff(payload)
+            if kind in ("bmp", "png", "jpeg", "gif"):
+                px = {"bmp": decode_bmp, "png": decode_png,
+                      "jpeg": decode_jpeg, "gif": decode_gif}[kind](payload)
+                mean_milli = int(round(float(px.mean()) * 1000))
+                ncolors = len(np.unique(px.reshape(-1, px.shape[2]), axis=0))
+                a, b = mean_milli, ncolors
+            elif kind == "wav":
+                samples, _rate = decode_wav(payload)
+                s = samples.astype(np.float64)
+                rms_milli = int(round(float(np.sqrt(np.mean(s * s))) * 1000))
+                zc = int(np.count_nonzero(np.signbit(s[1:]) != np.signbit(s[:-1])))
+                a, b = rms_milli, zc
+            elif kind == "avi":
+                frames, fps = decode_avi(payload)
+                a, b = int(frames.shape[0]), int(fps)
+            else:
+                raise NotImplementedError(f"no stats for kind {kind!r}")
+            rows["media_id"].append(mid)
+            rows["kind"].append(kind)
+            rows["stat_a"].append(a)
+            rows["stat_b"].append(b)
+        return pa.table(
+            {"media_id": pa.array(rows["media_id"], pa.int64()),
+             "kind": pa.array(rows["kind"], pa.string()),
+             "stat_a": pa.array(rows["stat_a"], pa.int64()),
+             "stat_b": pa.array(rows["stat_b"], pa.int64())}
+        )
+
+
+def media_signal_stats(sf_dir: str) -> pd.DataFrame:
+    """media_id, kind, stat_a, stat_b — exact integer statistics of the REAL
+    decoded signals (image mean x1000 / distinct colors; audio RMS x1000 /
+    zero crossings; video frames / fps), via the actor-pool
+    SignalStatsStage over the real-codec media table."""
+    out = (
+        real_media_table(sf_dir)
+        .map_batches(SignalStatsStage, batch_format="pyarrow", batch_size=64,
+                     concurrency=2)
         .to_pandas()
     )
     return out.sort_values("media_id").reset_index(drop=True)

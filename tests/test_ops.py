@@ -1761,3 +1761,34 @@ def test_crawl_search_topk(ray_session):
         top = g1[(g1["query_id"] == qid) & (g1["rnk"] == 1)].iloc[0]
         text = key[(top["url"], top["chunk_index"])].lower()
         assert any(w in text.split() for w in q.split())
+
+
+def test_media_signal_stats_planted(ray_session, tmp_path):
+    """Stats are exact functions of the decoded signal: a solid-color image
+    has 1 distinct color and mean = that color; a pure tone's zero-crossing
+    count matches its frequency; deterministic across runs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.ops.codecs import encode_bmp, encode_wav
+    from engine.ops.multimodal import SignalStatsStage
+
+    px = np.full((10, 10, 3), 17, dtype=np.uint8)
+    n = 8000
+    tone = (np.sin(np.arange(n) * 2 * np.pi * 440 / 8000) * 20000).astype(np.int16)
+    batch = pa.table(
+        {"media_id": pa.array([0, 1], pa.int64()),
+         "payload": pa.array([encode_bmp(px), encode_wav(tone, 8000)],
+                             pa.binary())}
+    )
+    out = SignalStatsStage()(batch).to_pydict()
+    assert out["stat_a"][0] == 17000 and out["stat_b"][0] == 1
+    # 440 Hz over 1 s -> ~880 sign changes
+    assert abs(out["stat_b"][1] - 880) <= 2
+
+    import __ray_entry__ as e
+
+    g1 = e.queries()["media_signal_stats"]("/root/testdata/sf0.001")
+    g2 = e.queries()["media_signal_stats"]("/root/testdata/sf0.001")
+    assert g1.equals(g2) and len(g1) == 500
+    assert set(g1["kind"]) == {"bmp", "png", "jpeg", "gif", "wav", "avi"}
