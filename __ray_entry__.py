@@ -382,6 +382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann.ann_topk_bruteforce,
         "ann_topk_lsh": ann.ann_topk_lsh,
         "ann_topk_ivf": ann.ann_topk_ivf,
+        "ann_recall_report": ann.ann_recall_report,
         "ann_topk_ivfpq": ann.ann_topk_ivfpq,
         "semdedup_pairs": ann.semdedup_pairs,
         "semdedup_canonical": ann.semdedup_canonical,

@@ -51,6 +51,7 @@ BENCH_QUERY_NAMES = [
     "ann_topk_lsh",
     "ann_topk_ivf",
     "ann_topk_ivfpq",
+    "ann_recall_report",
     "fingerprint_rolling",
     "embedding_near_pairs",
     "chunk_documents",

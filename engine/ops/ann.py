@@ -964,3 +964,48 @@ def semdedup_canonical(sf_dir: str, threshold: float = 0.95,
     labels = connected_components_ds(pairs)
     out = assign_labels_ds(_emb_ids(sf_dir), labels, "vec_id").to_pandas()
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def ann_recall_report(sf_dir: str, n_queries: int = 5, k: int = 10) -> pd.DataFrame:
+    """(variant, recall_milli) — recall@k of every approximate ANN variant
+    against the exact brute-force top-k on the same queries, as integer
+    milli-recall (float-free, deterministic: every variant is seeded and the
+    brute result is exact).  The self-validating quality scoreboard a
+    100-TB similarity-search deployment watches: probe-all plain IVF must
+    sit at 1000 (it scans every cell exactly); probe-all IVF-PQ lands just
+    under it at this rerank breadth, and partial-probe/LSH variants trade
+    recall for the bounded reads their docstrings promise.
+    """
+    import os as _os
+    import tempfile
+
+    truth = ann_topk_bruteforce(sf_dir, n_queries, k)
+    tset = set(zip(truth["query_id"], truth["vec_id"]))
+
+    base = _os.path.join(tempfile.gettempdir(), "engine_recall_idx")
+    ivf_dir = _os.path.join(base, "ivf")
+    pq_dir = _os.path.join(base, "ivfpq")
+    import shutil as _sh
+
+    _sh.rmtree(base, ignore_errors=True)
+    build_ivf_index(sf_dir, ivf_dir, n_cells=8)
+    build_ivfpq_index(sf_dir, pq_dir, n_cells=8, m=8)
+
+    variants = {
+        "lsh": lambda: ann_topk_lsh(sf_dir, n_queries, k),
+        "ivf_probe2": lambda: ann_topk_ivf_partitioned(
+            sf_dir, n_queries, k, n_probe=2, index_dir=ivf_dir),
+        "ivf_probe_all": lambda: ann_topk_ivf_partitioned(
+            sf_dir, n_queries, k, n_probe=8, index_dir=ivf_dir),
+        "ivfpq_probe_all": lambda: ann_topk_ivfpq(
+            sf_dir, n_queries, k, n_cells=8, n_probe=8, index_dir=pq_dir),
+    }
+    names, recalls = [], []
+    for name, fn in sorted(variants.items()):
+        got = fn()
+        hits = sum((q, v) in tset
+                   for q, v in zip(got["query_id"], got["vec_id"]))
+        names.append(name)
+        recalls.append(int(round(1000 * hits / len(tset))))
+    return pd.DataFrame({"variant": names,
+                         "recall_milli": pd.Series(recalls, dtype="int64")})

@@ -1792,3 +1792,19 @@ def test_media_signal_stats_planted(ray_session, tmp_path):
     g2 = e.queries()["media_signal_stats"]("/root/testdata/sf0.001")
     assert g1.equals(g2) and len(g1) == 500
     assert set(g1["kind"]) == {"bmp", "png", "jpeg", "gif", "wav", "avi"}
+
+
+def test_ann_recall_report(ray_session):
+    """The recall scoreboard is deterministic and ordered as designed:
+    probe-all plain IVF is exact; the PQ/LSH/partial variants sit below with
+    sane floors."""
+    import __ray_entry__ as e
+
+    g1 = e.queries()["ann_recall_report"]("/root/testdata/sf0.001")
+    g2 = e.queries()["ann_recall_report"]("/root/testdata/sf0.001")
+    assert g1.equals(g2)
+    r = dict(zip(g1["variant"], g1["recall_milli"]))
+    assert r["ivf_probe_all"] == 1000
+    assert r["ivfpq_probe_all"] >= 900
+    assert r["lsh"] >= 500
+    assert r["ivf_probe2"] <= r["ivf_probe_all"]
