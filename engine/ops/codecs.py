@@ -1535,9 +1535,16 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> np.ndar
     return np.frombuffer(bytes(out[:n_expected]), dtype=np.uint8)
 
 
-def encode_gif(index_px: np.ndarray, palette: np.ndarray) -> bytes:
+def _gif_interlace_order(h: int) -> np.ndarray:
+    """GIF 4-pass interlace row order (GIF89a spec appendix E)."""
+    return np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                           np.arange(2, h, 4), np.arange(1, h, 2)])
+
+
+def encode_gif(index_px: np.ndarray, palette: np.ndarray,
+               interlace: bool = False) -> bytes:
     """GIF89a bytes from a palette image: (h, w) uint8 indices + (n, 3)
-    uint8 palette (n <= 256)."""
+    uint8 palette (n <= 256); optional 4-pass interlaced row order."""
     h, w = index_px.shape
     n = len(palette)
     s = 0
@@ -1554,9 +1561,10 @@ def encode_gif(index_px: np.ndarray, palette: np.ndarray) -> bytes:
     head += pal.tobytes()
     head += b"\x2c" + b"\x00\x00\x00\x00"          # image at (0, 0)
     head += w.to_bytes(2, "little") + h.to_bytes(2, "little")
-    head.append(0)                     # no LCT, not interlaced
+    head.append(0x40 if interlace else 0)   # no LCT; interlace flag
     head.append(min_code_size)
-    lzw = _gif_lzw_encode(index_px.ravel(), min_code_size)
+    rows = index_px[_gif_interlace_order(h)] if interlace else index_px
+    lzw = _gif_lzw_encode(rows.ravel(), min_code_size)
     for i in range(0, len(lzw), 255):
         blk = lzw[i:i + 255]
         head.append(len(blk))
@@ -1598,8 +1606,6 @@ def decode_gif(data: bytes) -> np.ndarray:
                 pal = np.frombuffer(data[pos:pos + lct_n * 3],
                                     dtype=np.uint8).reshape(lct_n, 3)
                 pos += lct_n * 3
-            if ipacked & 0x40:
-                raise NotImplementedError("gif: interlaced image")
             if pal is None:
                 raise ValueError("gif: no color table")
             min_code_size = data[pos]
@@ -1610,7 +1616,12 @@ def decode_gif(data: bytes) -> np.ndarray:
                 lzw += data[pos + 1:pos + 1 + ln]
                 pos += 1 + ln
             idx = _gif_lzw_decode(bytes(lzw), min_code_size, iw * ih)
-            return pal[idx.reshape(ih, iw)]
+            grid = idx.reshape(ih, iw)
+            if ipacked & 0x40:         # undo the 4-pass interlace row order
+                out_grid = np.empty_like(grid)
+                out_grid[_gif_interlace_order(ih)] = grid
+                grid = out_grid
+            return pal[grid]
         elif b == 0x3B:
             break
         else:

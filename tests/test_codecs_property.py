@@ -327,3 +327,9 @@ def test_gif_roundtrip_property():
     pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
     idx = np.tile(rng.integers(0, 16, size=(10, 1000), dtype=np.uint8), (20, 1))
     assert (decode_gif(encode_gif(idx, pal)) == pal[idx]).all()
+    # 4-pass interlace roundtrip across heights hitting every pass pattern
+    for shape in ((1, 1), (2, 3), (7, 5), (8, 8), (9, 4), (33, 17)):
+        pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+        idx = rng.integers(0, 16, size=shape, dtype=np.uint8)
+        assert (decode_gif(encode_gif(idx, pal, interlace=True))
+                == pal[idx]).all()
