@@ -5,17 +5,130 @@ Gopher quality gate -> exact dedup -> transitive near-dup canonicalization
 -> CCNet perplexity cut, with per-document attribution of the FIRST stage
 that drops it.  Each signal is computed corpus-wide by its own distributed
 component pipeline (the per-stage shuffle shapes are documented on the
-components); the composition itself is a per-doc column merge at the driver
-protocol's own output granularity (one row per document — the same scale as
-every per-doc query's return value).  The DuckDB oracle is assembled from
+components); the composition itself is fully Dataset-side — the four signal
+streams union into ONE doc_id-bucket all-to-all whose groups pivot and
+attribute vectorized, so no per-doc signal ever collects on the driver
+(the pandas query wrapper collects only the FINAL per-doc verdict, the
+driver protocol's own granularity).  The DuckDB oracle is assembled from
 the component oracles as subqueries (see __ray_entry__.oracle_sql), so the
 composition cannot drift from its already-checked parts.
 """
 
 from __future__ import annotations
 
+import os as _os
+
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+
+_SIG_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("side", pa.int8()), ("v", pa.int64()),
+     ("bucket", pa.int32())]
+)
+# side ids in the signal union (one row per doc per side, ppl emits two)
+_S_GOPHER, _S_EXACT, _S_NEAR, _S_PPL, _S_TAIL = 0, 1, 2, 3, 4
+_N_SIG_BUCKETS = 64
+
+_CURATE_CACHE: dict = {}
+
+
+def _sig_rows(side: int, col: str):
+    """Tag a component Dataset's (doc_id, <col>) as union rows."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "side": pa.array(np.full(len(ids), side, np.int8), pa.int8()),
+             "v": pa.array(v, pa.int64()),
+             "bucket": pa.array((ids % _N_SIG_BUCKETS).astype(np.int32),
+                                pa.int32())},
+            schema=_SIG_SCHEMA,
+        )
+
+    return tag
+
+
+def curate_training_data_ds(sf_dir: str):
+    """Dataset variant of :func:`curate_training_data`: the four signal
+    pipelines stream their narrow per-doc outputs into one doc_id-bucket
+    shuffle; each group pivots (doc x side) and attributes the first
+    failing stage vectorized.  Cached (materialized) per documents-file
+    identity — the driver query and the shard export share one run of the
+    expensive LSH+CC / bigram-LM components."""
+    from .dedup import exact_dedup_ds, near_dedup_canonical_ds
+    from .text import gopher_quality_flags_ds, lm_perplexity_bucket_ds
+
+    p = _os.path.join(sf_dir, "documents.parquet")
+    st = _os.stat(p)
+    key = (_os.path.abspath(p), st.st_mtime_ns, st.st_size)
+    if key in _CURATE_CACHE:
+        return _CURATE_CACHE[key]
+
+    g = gopher_quality_flags_ds(sf_dir).map_batches(
+        _sig_rows(_S_GOPHER, "passes_gopher"), batch_format="pyarrow")
+    e = exact_dedup_ds(sf_dir).map_batches(
+        _sig_rows(_S_EXACT, "canonical_id"), batch_format="pyarrow")
+    n = near_dedup_canonical_ds(sf_dir).map_batches(
+        _sig_rows(_S_NEAR, "canonical_id"), batch_format="pyarrow")
+
+    def ppl_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        nano = t["ln_ppl_nano"].to_numpy()
+        tail = (t["bucket"].to_numpy(zero_copy_only=False) == "tail")
+        two = np.concatenate([ids, ids])
+        return pa.table(
+            {"doc_id": pa.array(two, pa.int64()),
+             "side": pa.array(
+                 np.concatenate([np.full(len(ids), _S_PPL, np.int8),
+                                 np.full(len(ids), _S_TAIL, np.int8)]),
+                 pa.int8()),
+             "v": pa.array(
+                 np.concatenate([nano, tail.astype(np.int64)]), pa.int64()),
+             "bucket": pa.array((two % _N_SIG_BUCKETS).astype(np.int32),
+                                pa.int32())},
+            schema=_SIG_SCHEMA,
+        )
+
+    ppl = lm_perplexity_bucket_ds(sf_dir).map_batches(
+        ppl_rows, batch_format="pyarrow")
+
+    _OUT_SCHEMA = pa.schema(
+        [("doc_id", pa.int64()), ("status", pa.string()),
+         ("ln_ppl_nano", pa.int64())]
+    )
+
+    def attribute(grp: pd.DataFrame) -> pa.Table:
+        piv = grp.pivot(index="doc_id", columns="side", values="v")
+        ids = piv.index.to_numpy()
+        status = np.select(
+            [
+                piv[_S_GOPHER].to_numpy() == 0,
+                piv[_S_EXACT].to_numpy() != ids,
+                piv[_S_NEAR].to_numpy() != ids,
+                piv[_S_TAIL].to_numpy() == 1,
+            ],
+            ["quality", "exact_dup", "near_dup", "perplexity"],
+            default="kept",
+        )
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "status": pa.array(status, pa.string()),
+             "ln_ppl_nano": pa.array(
+                 piv[_S_PPL].to_numpy().astype(np.int64), pa.int64())},
+            schema=_OUT_SCHEMA,
+        )
+
+    out = (
+        g.union(e).union(n).union(ppl)
+        .groupby("bucket")
+        .map_groups(attribute, batch_format="pandas")
+        .materialize()
+    )
+    _CURATE_CACHE[key] = out
+    return out
 
 
 def curate_training_data(sf_dir: str) -> pd.DataFrame:
@@ -25,30 +138,9 @@ def curate_training_data(sf_dir: str) -> pd.DataFrame:
     transitive MinHash cluster's canonical), 'perplexity' (tail tercile of
     the corpus-trained bigram LM).  Signals are computed over the FULL
     corpus (CCNet-style corpus-wide statistics), then attributed in order —
-    so counts per stage are deterministic and order-documented."""
-    from .dedup import exact_dedup, near_dedup_canonical
-    from .text import gopher_quality_flags, lm_perplexity_bucket
-
-    g = gopher_quality_flags(sf_dir)[["doc_id", "passes_gopher"]]
-    e = exact_dedup(sf_dir).rename(columns={"canonical_id": "exact_canon"})
-    n = near_dedup_canonical(sf_dir).rename(columns={"canonical_id": "near_canon"})
-    p = lm_perplexity_bucket(sf_dir)[["doc_id", "ln_ppl_nano", "bucket"]]
-    df = g.merge(e, on="doc_id").merge(n, on="doc_id").merge(p, on="doc_id")
-    ids = df["doc_id"].to_numpy()
-    status = np.select(
-        [
-            ~df["passes_gopher"].to_numpy(),
-            df["exact_canon"].to_numpy() != ids,
-            df["near_canon"].to_numpy() != ids,
-            (df["bucket"] == "tail").to_numpy(),
-        ],
-        ["quality", "exact_dup", "near_dup", "perplexity"],
-        default="kept",
-    )
-    out = pd.DataFrame(
-        {"doc_id": ids, "status": status,
-         "ln_ppl_nano": df["ln_ppl_nano"].to_numpy()}
-    )
+    so counts per stage are deterministic and order-documented.  Driver
+    wrapper of :func:`curate_training_data_ds`."""
+    out = curate_training_data_ds(sf_dir).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -108,8 +200,10 @@ def export_training_shards(sf_dir: str, out_dir: str | None = None,
     failed or re-run export SKIPS every finished shard — the brief's
     resumable-output contract, applied to the curation sink.
 
-    Scale shape: kept-id rows (narrow) union the document rows and meet in
-    ONE shard-keyed all-to-all (the c4 rebuild idiom — text moves once);
+    Scale shape: kept-id rows stream straight off the curate composition's
+    Dataset (``curate_training_data_ds`` — never collected on the driver),
+    union the document rows and meet in ONE shard-keyed all-to-all (the c4
+    rebuild idiom — text moves once);
     each shard group sorts by doc_id (byte-stable files), writes its own
     file, and emits its manifest row.  On resume a finished shard's group
     reads only its existing parquet FOOTER metadata (row count + stored
@@ -120,12 +214,9 @@ def export_training_shards(sf_dir: str, out_dir: str | None = None,
     """
     import hashlib
     import json
-    import os as _os
 
-    import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as _pq
-    import ray.data as rd
 
     from .io import read_pruned
 
@@ -138,9 +229,6 @@ def export_training_shards(sf_dir: str, out_dir: str | None = None,
         ).hexdigest()[:16]
         out_dir = _os.path.join("/tmp", "engine_training_shards", key)
     _os.makedirs(out_dir, exist_ok=True)
-
-    cur = curate_training_data(sf_dir)
-    kept = cur.loc[cur["status"] == "kept", "doc_id"].to_numpy()
 
     _U_SCHEMA = pa.schema(
         [("doc_id", pa.int64()), ("text", pa.string()),
@@ -156,13 +244,18 @@ def export_training_shards(sf_dir: str, out_dir: str | None = None,
             schema=_U_SCHEMA,
         )
 
-    kept_t = pa.table(
-        {"doc_id": pa.array(kept, pa.int64()),
-         "text": pa.nulls(len(kept), pa.string()),
-         "is_kept": pa.array(np.ones(len(kept), np.int8), pa.int8()),
-         "shard": pa.array(kept % n_shards, pa.int64())},
-        schema=_U_SCHEMA,
-    )
+    def kept_rows(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.equal(t["status"], "kept"))["doc_id"].to_numpy()
+        return pa.table(
+            {"doc_id": pa.array(kept, pa.int64()),
+             "text": pa.nulls(len(kept), pa.string()),
+             "is_kept": pa.array(np.ones(len(kept), np.int8), pa.int8()),
+             "shard": pa.array(kept % n_shards, pa.int64())},
+            schema=_U_SCHEMA,
+        )
+
+    kept_ds = curate_training_data_ds(sf_dir).map_batches(
+        kept_rows, batch_format="pyarrow")
 
     _M_SCHEMA = pa.schema(
         [("shard", pa.int64()), ("n_docs", pa.int64()), ("n_chars", pa.int64())]
@@ -203,7 +296,7 @@ def export_training_shards(sf_dir: str, out_dir: str | None = None,
     docs = read_pruned(src, ["doc_id", "text"]).map_batches(
         doc_rows, batch_format="pyarrow")
     out = (
-        docs.union(rd.from_arrow(kept_t))
+        docs.union(kept_ds)
         .groupby("shard")
         .map_groups(write_shard, batch_format="pandas")
         .to_pandas()

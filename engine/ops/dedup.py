@@ -33,8 +33,10 @@ def _text_hash64(s: str) -> int:
     )
 
 
-def exact_dedup(sf_dir: str) -> pd.DataFrame:
+def exact_dedup_ds(sf_dir: str):
     """doc_id -> canonical_id (min doc_id among byte-identical texts).
+    Dataset in, Dataset out — the curate composition consumes this without
+    a driver collect.
 
     Hash-partition + per-group-first: a content-hash column added vectorized,
     then ``groupby(hash).map_groups`` assigns each group its min doc_id — the
@@ -66,12 +68,17 @@ def exact_dedup(sf_dir: str) -> pd.DataFrame:
             g[["doc_id", "canonical_id"]], schema=_CANON_SCHEMA, preserve_index=False
         ).replace_schema_metadata(None)
 
-    out = (
+    return (
         ds.map_batches(add_hash, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(canonical, batch_format="pandas")
-        .to_pandas()
     )
+
+
+def exact_dedup(sf_dir: str) -> pd.DataFrame:
+    """Driver-protocol wrapper of :func:`exact_dedup_ds` — same columns,
+    collected and doc_id-sorted."""
+    out = exact_dedup_ds(sf_dir).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -733,9 +740,16 @@ def near_dedup_canonical(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     object store; the final assign is a bucketed label join
     (``assign_labels_ds``) — labels are never collected driver-side.
     """
-    labels = _minhash_labels_ds(sf_dir, threshold)
-    out = assign_labels_ds(_docs(sf_dir, ["doc_id"]), labels, "doc_id").to_pandas()
+    out = near_dedup_canonical_ds(sf_dir, threshold).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def near_dedup_canonical_ds(sf_dir: str, threshold: float = 0.5):
+    """Dataset variant of :func:`near_dedup_canonical` — the bucketed label
+    assign's output stream, never collected; the curate composition and the
+    pandas wrapper both consume this."""
+    labels = _minhash_labels_ds(sf_dir, threshold)
+    return assign_labels_ds(_docs(sf_dir, ["doc_id"]), labels, "doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -533,9 +533,10 @@ GOPHER_MAX_WORDS = 100_000
 GOPHER_MIN_STOP_DISTINCT = 1
 
 
-def gopher_quality_flags(sf_dir: str) -> pd.DataFrame:
+def gopher_quality_flags_ds(sf_dir: str):
     """Per-doc Gopher quality gate: the rule inputs as exact integers plus
-    the combined ``passes_gopher`` flag.
+    the combined ``passes_gopher`` flag.  Dataset in, Dataset out (map-only)
+    — the curate composition consumes this without a driver collect.
 
     Rules (ratios cross-multiplied to stay integer):
       * word count in [50, 100000]
@@ -605,7 +606,13 @@ def gopher_quality_flags(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    out = ds.map_batches(flags, batch_format="pyarrow").to_pandas()
+    return ds.map_batches(flags, batch_format="pyarrow")
+
+
+def gopher_quality_flags(sf_dir: str) -> pd.DataFrame:
+    """Driver-protocol wrapper of :func:`gopher_quality_flags_ds` — same
+    columns, collected and doc_id-sorted."""
+    out = gopher_quality_flags_ds(sf_dir).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -728,7 +735,7 @@ def _md5_token_hashes(uniques) -> np.ndarray:
     )
 
 
-def lm_perplexity_bucket(sf_dir: str) -> pd.DataFrame:
+def lm_perplexity_bucket_ds(sf_dir: str):
     """(doc_id, n_bigrams, ln_ppl_nano, bucket) — CCNet-style LM quality
     scoring (Wenzek et al. 2020 §3.3): a bigram language model with add-one
     smoothing is trained ON the corpus itself, every document is scored by
@@ -910,7 +917,13 @@ def lm_perplexity_bucket(sf_dir: str) -> pd.DataFrame:
         b = np.where(v <= q1, "head", np.where(v <= q2, "middle", "tail"))
         return t.append_column("bucket", pa.array(b, pa.string()))
 
-    out = scored.map_batches(label, batch_format="pyarrow").to_pandas()
+    return scored.map_batches(label, batch_format="pyarrow")
+
+
+def lm_perplexity_bucket(sf_dir: str) -> pd.DataFrame:
+    """Driver-protocol wrapper of :func:`lm_perplexity_bucket_ds` — same
+    columns, collected and doc_id-sorted."""
+    out = lm_perplexity_bucket_ds(sf_dir).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
