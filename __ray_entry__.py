@@ -360,6 +360,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_tokens": text.chunk_tokens,
         "lm_perplexity_bucket": text.lm_perplexity_bucket,
         "dsir_importance_weights": text.dsir_importance_weights,
+        "pii_redact": text.pii_redact,
+        "pack_sequences": text.pack_sequences,
         # dedup family
         "exact_dedup": dedup.exact_dedup,
         "incremental_exact_dedup": dedup.incremental_exact_dedup,
@@ -1008,6 +1010,53 @@ def oracle_sql() -> dict[str, str]:
         "eval_affinity_counts": _lsh_oracles.eval_affinity_counts_sql(),
         "near_dedup_cluster_stats": _lsh_oracles.near_dedup_cluster_stats_sql(),
         "dedup_keep_best": _lsh_oracles.dedup_keep_best_sql(),
+        # PII redaction: same RE2 patterns on both sides (Arrow kernels in the
+        # engine, regexp_replace here); replacement is sequential (email, IP,
+        # phone) and each count is taken on the string state at its own
+        # replacement time — see engine.ops.text.pii_redact.  The corpus has
+        # no PII, so both sides plant the identical per-doc suffix.
+        "pii_redact": rf"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text || ' contact u' || doc_id || '@example.com'
+                          || CASE WHEN doc_id % 2 = 0
+                                  THEN ' ip 10.' || (doc_id % 256) || '.0.' || (doc_id % 200)
+                                  ELSE '' END
+                          || CASE WHEN doc_id % 3 = 0
+                                  THEN ' tel (555) ' || (100 + doc_id % 900) || ' ' || (1000 + doc_id % 9000)
+                                  ELSE '' END AS s0
+              FROM documents),
+            s1 AS (SELECT doc_id, s0,
+                          regexp_replace(s0, '{text.PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+                   FROM planted),
+            s2 AS (SELECT doc_id, s0, t1,
+                          regexp_replace(t1, '{text.PII_IP_RE}', '<IP>', 'g') AS t2
+                   FROM s1)
+            SELECT doc_id,
+                   len(regexp_extract_all(s0, '{text.PII_EMAIL_RE}')) AS n_emails,
+                   len(regexp_extract_all(t1, '{text.PII_IP_RE}')) AS n_ips,
+                   len(regexp_extract_all(t2, '{text.PII_PHONE_RE}')) AS n_phones,
+                   regexp_replace(t2, '{text.PII_PHONE_RE}', '<PHONE>', 'g') AS text
+            FROM s2 ORDER BY doc_id
+        """,
+        # Sequence packing: concatenate docs in doc_id order into one token
+        # stream, cut every PACK_CAPACITY tokens; a straddling doc rows into
+        # each sequence it intersects (engine.ops.text.pack_sequences).
+        "pack_sequences": rf"""
+            WITH tok AS (
+              SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n FROM documents
+            ), cum AS (
+              SELECT doc_id, n,
+                     CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+              FROM tok)
+            SELECT w AS seq_id, doc_id,
+                   GREATEST(s, w*{text.PACK_CAPACITY}) - w*{text.PACK_CAPACITY} AS off_in_seq,
+                   LEAST(s+n, (w+1)*{text.PACK_CAPACITY}) - GREATEST(s, w*{text.PACK_CAPACITY}) AS n_tokens
+            FROM cum, UNNEST(generate_series(s//{text.PACK_CAPACITY}, (s+n-1)//{text.PACK_CAPACITY})) AS t(w)
+            WHERE n > 0
+            ORDER BY seq_id, off_in_seq
+        """,
         "media_sizes": """
             SELECT doc_id AS media_id,
                    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

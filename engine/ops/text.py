@@ -1240,3 +1240,157 @@ def kmv_distinct_tokens(sf_dir: str, k: int = 16) -> pd.DataFrame:
          "kth_hash": pd.Series([kth], dtype="int64"),
          "estimate": pd.Series([int(est)], dtype="int64")}
     )
+
+# ---------------------------------------------------------------------------
+# PII redaction (the standard pre-training privacy pass: emails, IPs, phones)
+# ---------------------------------------------------------------------------
+
+# RE2-compatible patterns (no lookaround/backrefs) so the SAME regex runs in
+# Arrow (pc.replace_substring_regex, RE2) and in the DuckDB oracle
+# (regexp_replace, also RE2) — byte-identical redaction on both sides.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\(?\d{3}\)?[ .\-]\d{3}[ .\-]\d{4}"
+
+
+def _plant_pii(t: pa.Table) -> pa.ChunkedArray:
+    """The synthetic corpus carries no PII, so the harness plants a
+    deterministic per-doc suffix (every doc an email; doc_id%2==0 an IPv4;
+    doc_id%3==0 a phone) — the oracle plants the IDENTICAL suffix in SQL, so
+    the redaction pass is exercised on every row with varying counts.  Pure
+    Arrow kernels; the int->string casts match SQL ``||`` formatting."""
+    ids = t["doc_id"].to_numpy()
+    sid = pc.cast(t["doc_id"], pa.string())
+    empty = pa.array(np.full(len(ids), "", dtype=object), pa.string())
+    email = pc.binary_join_element_wise(" contact u", sid, "@example.com", "")
+    ip = pc.if_else(
+        pa.array(ids % 2 == 0),
+        pc.binary_join_element_wise(
+            " ip 10.", pa.array((ids % 256).astype(str), pa.string()),
+            ".0.", pa.array((ids % 200).astype(str), pa.string()), ""),
+        empty,
+    )
+    phone = pc.if_else(
+        pa.array(ids % 3 == 0),
+        pc.binary_join_element_wise(
+            " tel (555) ", pa.array((100 + ids % 900).astype(str), pa.string()),
+            " ", pa.array((1000 + ids % 9000).astype(str), pa.string()), ""),
+        empty,
+    )
+    return pc.binary_join_element_wise(t["text"], email, ip, phone, "")
+
+
+def pii_redact(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, n_emails, n_ips, n_phones, text) — regex PII redaction, the
+    privacy pass every published web-corpus pipeline runs before training
+    (emails / IPv4s / phone numbers replaced by typed tokens).
+
+    Replacement is SEQUENTIAL (email, then IP, then phone) and each
+    category's count is taken on the string state at its own replacement
+    time, so categories can never double-count bytes an earlier pass
+    already redacted; the oracle nests its ``regexp_replace`` calls in the
+    same order.
+
+    Scale shape: map-only — one ``map_batches`` pass, zero shuffles; the
+    regexes are Arrow RE2 kernels (vectorized across the batch, no Python
+    loop, nothing compiled per batch).
+    """
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def redact(t: pa.Table) -> pa.Table:
+        s0 = _plant_pii(t)
+        n_email = pc.cast(pc.count_substring_regex(s0, PII_EMAIL_RE), pa.int64())
+        s1 = pc.replace_substring_regex(
+            s0, pattern=PII_EMAIL_RE, replacement="<EMAIL>")
+        n_ip = pc.cast(pc.count_substring_regex(s1, PII_IP_RE), pa.int64())
+        s2 = pc.replace_substring_regex(
+            s1, pattern=PII_IP_RE, replacement="<IP>")
+        n_phone = pc.cast(pc.count_substring_regex(s2, PII_PHONE_RE), pa.int64())
+        s3 = pc.replace_substring_regex(
+            s2, pattern=PII_PHONE_RE, replacement="<PHONE>")
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_emails": n_email, "n_ips": n_ip,
+             "n_phones": n_phone, "text": s3}
+        )
+
+    out = ds.map_batches(redact, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (GPT-style concatenate-and-chunk into training windows)
+# ---------------------------------------------------------------------------
+
+PACK_CAPACITY = 256       # tokens per training sequence
+PACK_BUCKET_DOCS = 64     # doc_ids per cumsum bucket (production: ~4096)
+
+
+def pack_sequences(sf_dir: str, capacity: int = PACK_CAPACITY) -> pd.DataFrame:
+    """(seq_id, doc_id, off_in_seq, n_tokens) — pack the corpus, in doc_id
+    order, into fixed-capacity training sequences: documents are concatenated
+    into one global token stream and cut every ``capacity`` tokens (the
+    GPT-series data layout); a document straddling a boundary contributes a
+    row to each sequence it intersects.
+
+    Scale shape: the global running offset is a distributed prefix sum over
+    COARSE doc_id buckets — one narrow (doc_id, n_tokens, bucket) table is
+    materialized once (16 B/doc; both passes consume it), the per-bucket
+    token sums reduce to n_buckets driver rows whose exclusive prefix is
+    broadcast back (``ray.put``, n_buckets ints), and each bucket group then
+    computes its exact in-group cumsum + window explode vectorized
+    (``np.repeat`` over per-doc window counts).  No document text enters the
+    exchange at all; the only all-to-all carries the 16-byte token rows.
+    """
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "n": pc.cast(pc.count_substring_regex(t["text"], r"\S+"), pa.int64()),
+             "bucket": pa.array(ids // PACK_BUCKET_DOCS, pa.int64())}
+        )
+
+    narrow = ds.map_batches(tok, batch_format="pyarrow").materialize()
+
+    sums = narrow.groupby("bucket").sum("n").to_pandas().sort_values("bucket")
+    b = sums["bucket"].to_numpy()
+    csum = np.concatenate([[0], np.cumsum(sums["sum(n)"].to_numpy())[:-1]])
+    off_ref = _ray.put(dict(zip(b.tolist(), csum.tolist())))
+
+    _P_SCHEMA = pa.schema(
+        [("seq_id", pa.int64()), ("doc_id", pa.int64()),
+         ("off_in_seq", pa.int64()), ("n_tokens", pa.int64())]
+    )
+
+    def pack_group(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("doc_id")
+        n = g["n"].to_numpy()
+        keep = n > 0
+        base = _ray.get(off_ref)[int(g["bucket"].iloc[0])]
+        start = base + np.concatenate([[0], np.cumsum(n)[:-1]])
+        ids, n, start = g["doc_id"].to_numpy()[keep], n[keep], start[keep]
+        end = start + n
+        first_w = start // capacity
+        n_win = (end - 1) // capacity - first_w + 1
+        rep = np.repeat(np.arange(len(ids)), n_win)
+        # window index within each doc's span: 0..n_win-1, vectorized
+        w_local = np.arange(len(rep)) - np.repeat(
+            np.concatenate([[0], np.cumsum(n_win)[:-1]]), n_win)
+        w = first_w[rep] + w_local
+        lo = np.maximum(start[rep], w * capacity)
+        hi = np.minimum(end[rep], (w + 1) * capacity)
+        return pa.table(
+            {"seq_id": pa.array(w, pa.int64()),
+             "doc_id": pa.array(ids[rep], pa.int64()),
+             "off_in_seq": pa.array(lo - w * capacity, pa.int64()),
+             "n_tokens": pa.array(hi - lo, pa.int64())},
+            schema=_P_SCHEMA,
+        )
+
+    out = (
+        narrow.groupby("bucket")
+        .map_groups(pack_group, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["seq_id", "off_in_seq"]).reset_index(drop=True)

@@ -1808,3 +1808,60 @@ def test_ann_recall_report(ray_session):
     assert r["ivfpq_probe_all"] >= 900
     assert r["lsh"] >= 500
     assert r["ivf_probe2"] <= r["ivf_probe_all"]
+
+
+def test_pii_redact_invariants(ray_session):
+    """Every planted PII token is redacted (a second pass finds nothing),
+    category counts follow the planting schedule, and non-planted text is
+    untouched."""
+    import pyarrow.compute as pc
+
+    from engine.ops.text import (PII_EMAIL_RE, PII_IP_RE, PII_PHONE_RE,
+                                 pii_redact)
+
+    out = pii_redact(SF)
+    ids = out["doc_id"].to_numpy()
+    assert (out["n_emails"].to_numpy() >= 1).all()          # planted on every doc
+    assert ((out["n_ips"].to_numpy() >= 1) == (ids % 2 == 0)).all()
+    assert ((out["n_phones"].to_numpy() >= 1) == (ids % 3 == 0)).all()
+    # idempotence: redacted text contains no residual matches of any category
+    arr = pa.array(out["text"].tolist(), pa.string())
+    for rx in (PII_EMAIL_RE, PII_IP_RE, PII_PHONE_RE):
+        assert pc.sum(pc.count_substring_regex(arr, rx)).as_py() == 0
+    assert all("<EMAIL>" in t for t in out["text"])
+    # the original corpus text survives as a prefix (only the suffix changed)
+    import pyarrow.parquet as pq
+    orig = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    orig = orig.sort_values("doc_id").reset_index(drop=True)
+    assert all(t.startswith(o) for t, o in zip(out["text"], orig["text"]))
+
+
+def test_pack_sequences_invariants(ray_session):
+    """Packing is a partition of the global token stream: every sequence but
+    the last holds exactly `capacity` tokens laid out contiguously from
+    offset 0, straddling docs split exactly, and total tokens are conserved."""
+    from engine.ops.text import PACK_CAPACITY, pack_sequences, token_count
+
+    out = pack_sequences(SF)
+    toks = token_count(SF)
+    total = int(toks["n_tokens"].sum())
+    assert int(out["n_tokens"].sum()) == total
+    last_seq = int(out["seq_id"].max())
+    assert last_seq == (total - 1) // PACK_CAPACITY
+    for seq, g in out.groupby("seq_id"):
+        s = int(g["n_tokens"].sum())
+        assert s == (PACK_CAPACITY if seq < last_seq
+                     else total - last_seq * PACK_CAPACITY)
+        offs = g["off_in_seq"].to_numpy()
+        assert offs[0] == 0
+        assert (offs[1:] == offs[:-1] + g["n_tokens"].to_numpy()[:-1]).all()
+    # every doc's slices sum to its token count, in consecutive sequences
+    per_doc = out.groupby("doc_id").agg(
+        n=("n_tokens", "sum"), lo=("seq_id", "min"), hi=("seq_id", "max"),
+        k=("seq_id", "count"))
+    merged = per_doc.join(toks.set_index("doc_id"))
+    assert (merged["n"].to_numpy() == merged["n_tokens"].to_numpy()).all()
+    assert (merged["hi"].to_numpy() - merged["lo"].to_numpy()
+            == merged["k"].to_numpy() - 1).all()
+    straddlers = per_doc[per_doc["k"] > 1]
+    assert len(straddlers) > 0  # the corpus genuinely exercises the split path
