@@ -362,6 +362,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_importance_weights": text.dsir_importance_weights,
         "pii_redact": text.pii_redact,
         "pack_sequences": text.pack_sequences,
+        # rows-only: iterative (vocab-level BPE rounds), not SQL-expressible;
+        # exactness locked by test_bpe_train_merges_matches_sequential
+        "bpe_train_merges": text.bpe_train_merges,
+        "cms_sketch_tokens": text.cms_sketch_tokens,
         # dedup family
         "exact_dedup": dedup.exact_dedup,
         "incremental_exact_dedup": dedup.incremental_exact_dedup,
@@ -1003,6 +1007,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_line_dedup": _lsh_oracles.c4_line_dedup_sql(),
         "bm25_topk": _lsh_oracles.bm25_topk_sql(),
         "kmv_distinct_tokens": _lsh_oracles.kmv_distinct_tokens_sql(),
+        "cms_sketch_tokens": _lsh_oracles.cms_sketch_tokens_sql(),
         "source_mix_weighted": _lsh_oracles.source_mix_weighted_sql(),
         "lm_perplexity_bucket": _lsh_oracles.lm_perplexity_bucket_sql(),
         "dsir_importance_weights": _lsh_oracles.dsir_importance_weights_sql(),

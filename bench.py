@@ -97,6 +97,8 @@ BENCH_QUERY_NAMES = [
     "export_training_shards",
     "crawl_search_topk",
     "incremental_minhash_dedup",
+    "pii_redact",
+    "pack_sequences",
 ]
 
 

@@ -1394,3 +1394,202 @@ def pack_sequences(sf_dir: str, capacity: int = PACK_CAPACITY) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values(["seq_id", "off_in_seq"]).reset_index(drop=True)
+
+# ---------------------------------------------------------------------------
+# BPE merge training (Sennrich et al. 2016) — distributed over the word vocab
+# ---------------------------------------------------------------------------
+
+BPE_N_MERGES = 20
+
+
+def bpe_train_merges(sf_dir: str, n_merges: int = BPE_N_MERGES) -> pd.DataFrame:
+    """(rank, left, right, pair_count) — learn the first ``n_merges`` BPE
+    merges on the corpus (Sennrich et al. 2016): start from characters,
+    repeatedly merge the most frequent adjacent symbol pair (ties: higher
+    count first, then lexicographic "left right" ascending — fully
+    deterministic).
+
+    Scale shape: the corpus-sized pass happens ONCE — per-batch vectorized
+    word counts (``value_counts``) reduce through one ``groupby(word)`` into
+    the distinct-word vocabulary, the sufficient statistic for BPE.  Every
+    iteration then runs over the VOCAB Dataset (sublinear in corpus size):
+    pair counting is vectorized (list-flatten + boundary masks + one Arrow
+    join kernel, per-batch ``group_by`` partials, per-block top-1 so the
+    driver sees n_blocks candidate rows per round), and the merge is applied
+    only to words a vectorized adjacency test marked as containing the pair
+    (the per-word rescan is the textbook sequential merge, bounded by
+    affected vocab entries, never corpus rows).  Rows-only for the driver
+    (iterative, not SQL-expressible); ``test_bpe_train_merges_matches_
+    sequential`` locks it against a pure-Python reference.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["text"])
+
+    def wc(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), r"\s+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        v = flat.value_counts()
+        return pa.table(
+            {"word": v.field("values"), "n": pc.cast(v.field("counts"), pa.int64())}
+        )
+
+    def to_syms(t: pa.Table) -> pa.Table:
+        words = t["word"].to_pylist()  # vocab rows, not corpus rows
+        return pa.table(
+            {"word": t["word"], "n": t["n"],
+             "syms": pa.array([list(w) for w in words], pa.list_(pa.string()))}
+        )
+
+    vocab = (
+        ds.map_batches(wc, batch_format="pyarrow", batch_size=4096)
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(to_syms, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def _flat_masks(t: pa.Table):
+        lens = pc.list_value_length(t["syms"]).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(t["syms"]).combine_chunks()
+        ends = np.cumsum(lens)
+        total = int(ends[-1]) if len(ends) else 0
+        not_last = np.ones(total, bool)
+        not_first = np.ones(total, bool)
+        if total:
+            not_last[ends - 1] = False
+            not_first[ends - lens] = False
+        return flat, lens, not_last, not_first
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        flat, lens, not_last, not_first = _flat_masks(t)
+        if len(flat) == 0 or not (lens > 1).any():
+            return pa.table({"pair": pa.array([], pa.string()),
+                             "w": pa.array([], pa.int64())})
+        left = flat.filter(pa.array(not_last))
+        right = flat.filter(pa.array(not_first))
+        pair = pc.binary_join_element_wise(left, right, " ")
+        w = np.repeat(t["n"].to_numpy(), lens - 1)
+        part = pa.table({"pair": pair, "w": pa.array(w, pa.int64())})
+        agg = part.group_by("pair").aggregate([("w", "sum")])
+        return agg.rename_columns(["pair", "w"])
+
+    def block_top1(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        df = t.to_pandas().sort_values(["w", "pair"], ascending=[False, True],
+                                       kind="mergesort")
+        return pa.Table.from_pandas(df.head(1), preserve_index=False)
+
+    merges = []
+    for rank in range(n_merges):
+        tops = (
+            vocab.map_batches(pair_partial, batch_format="pyarrow")
+            .groupby("pair")
+            .aggregate(Sum("w", alias_name="w"))
+            .map_batches(block_top1, batch_format="pyarrow")
+            .to_pandas()
+        )
+        if len(tops) == 0:
+            break
+        tops = tops.sort_values(["w", "pair"], ascending=[False, True],
+                                kind="mergesort")
+        pair, count = tops.iloc[0]["pair"], int(tops.iloc[0]["w"])
+        l, r = pair.split(" ")
+        merges.append({"rank": rank, "left": l, "right": r,
+                       "pair_count": count})
+
+        def apply_merge(t: pa.Table, l=l, r=r) -> pa.Table:
+            flat, lens, not_last, not_first = _flat_masks(t)
+            if len(flat) == 0:
+                return t
+            hit_pos = np.zeros(len(flat), bool)
+            fl = flat.to_numpy(zero_copy_only=False)
+            adj = (fl[:-1] == l) & (fl[1:] == r) & not_last[:-1]
+            hit_pos[:-1] = adj
+            starts = np.cumsum(lens) - lens
+            hits = np.add.reduceat(hit_pos, starts) > 0 if len(lens) else []
+            syms = t["syms"].to_pylist()
+            for i in np.nonzero(hits)[0]:  # affected vocab words only
+                s, out, j = syms[i], [], 0
+                while j < len(s):
+                    if j + 1 < len(s) and s[j] == l and s[j + 1] == r:
+                        out.append(l + r)
+                        j += 2
+                    else:
+                        out.append(s[j])
+                        j += 1
+                syms[i] = out
+            return pa.table(
+                {"word": t["word"], "n": t["n"],
+                 "syms": pa.array(syms, pa.list_(pa.string()))}
+            )
+
+        vocab = vocab.map_batches(apply_merge, batch_format="pyarrow").materialize()
+
+    return pd.DataFrame(merges, columns=["rank", "left", "right", "pair_count"]).astype(
+        {"rank": "int64", "left": "str", "right": "str", "pair_count": "int64"}
+    )
+
+# ---------------------------------------------------------------------------
+# Count-min sketch over tokens (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_sketch_tokens(sf_dir: str, depth: int = CMS_DEPTH,
+                      width: int = CMS_WIDTH) -> pd.DataFrame:
+    """(d, col, n) — the nonzero cells of a depth×width count-min sketch of
+    corpus token frequencies.  Row d's hash is ``splitmix64(md5_64(token) ^
+    (d+1)) % width`` — deterministic uint64 ring arithmetic, so unlike a
+    classical randomized CMS the sketch CONTENT is an exact function of the
+    data and DuckDB checks it cell-for-cell (the KMV treatment applied to
+    the frequency-sketch family).  Point queries (min over rows) upper-bound
+    true counts by construction; the pytest drives that on a
+    collision-forcing vocabulary.
+
+    Scale shape: per-batch ``value_counts`` → depth cells per DISTINCT
+    token, per-batch ``group_by`` partial combine; the only shuffle carries
+    ≤ depth×width cell rows per block (constant-bounded, like the HLL
+    registers).  Counts are additive, so block merge order is irrelevant.
+    """
+    from ray.data.aggregate import Sum
+
+    from .dedup import _mix64
+
+    ds = _docs(sf_dir, ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), r"\s+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        v = flat.value_counts()
+        uniq = v.field("values").to_pylist()
+        c = v.field("counts").to_numpy().astype(np.int64)
+        h = _md5_token_hashes(uniq)
+        k = len(uniq)
+        cells = np.empty(k * depth, np.int64)
+        for d in range(depth):
+            col = (_mix64(h ^ np.uint64(d + 1)) % np.uint64(width)).astype(np.int64)
+            cells[d * k:(d + 1) * k] = d * width + col
+        part = pa.table(
+            {"cell": pa.array(cells, pa.int64()),
+             "n": pa.array(np.tile(c, depth), pa.int64())}
+        ).group_by("cell").aggregate([("n", "sum")])
+        return part.rename_columns(["cell", "n"])
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .groupby("cell")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    cell = merged["cell"].to_numpy()
+    out = pd.DataFrame(
+        {"d": cell // width, "col": cell % width,
+         "n": merged["n"].to_numpy()}
+    ).astype({"d": "int64", "col": "int64", "n": "int64"})
+    return out.sort_values(["d", "col"]).reset_index(drop=True)

@@ -755,3 +755,27 @@ def source_mix_weighted_sql() -> str:
             SELECT source, n_total::BIGINT AS n_total,
                    n_sampled::BIGINT AS n_sampled
             FROM c ORDER BY source"""
+
+
+def cms_sketch_tokens_sql(depth: int = 4, width: int = 1024) -> str:
+    """Oracle for text.cms_sketch_tokens: the identical md5-prefix token
+    hash and splitmix64 row derivation, cell sums grouped exactly."""
+    mix = _mix64("hx")
+    return f"""
+        WITH tok AS (
+          SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+          FROM documents
+        ), tc AS (
+          SELECT w, count(*)::BIGINT AS c FROM tok WHERE w <> '' GROUP BY w
+        ), h AS (
+          SELECT c, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h FROM tc
+        ), salted AS (
+          SELECT c, d, xor(h, (d + 1)::UBIGINT) AS hx
+          FROM h, UNNEST(generate_series(0, {depth - 1})) AS t(d)
+        ), cells AS (
+          SELECT d, CAST(({mix}) % {width}::UBIGINT AS BIGINT) AS col, c
+          FROM salted
+        )
+        SELECT d, col, SUM(c)::BIGINT AS n
+        FROM cells GROUP BY d, col ORDER BY d, col
+    """

@@ -1865,3 +1865,89 @@ def test_pack_sequences_invariants(ray_session):
             == merged["k"].to_numpy() - 1).all()
     straddlers = per_doc[per_doc["k"] > 1]
     assert len(straddlers) > 0  # the corpus genuinely exercises the split path
+
+
+def test_bpe_train_merges_matches_sequential(ray_session):
+    """The distributed BPE trainer reproduces the textbook sequential
+    algorithm exactly — every merge (order, pair, count) identical."""
+    from collections import Counter
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from engine.ops.text import bpe_train_merges
+
+    eng = bpe_train_merges(SF, n_merges=12)
+
+    texts = pq.read_table(SF + "/documents.parquet", columns=["text"])["text"].to_pylist()
+    wc = Counter(w for tx in texts for w in tx.lower().split() if w)
+    vocab = {w: list(w) for w in wc}
+    merges = []
+    for r in range(12):
+        pcnt: Counter = Counter()
+        for w, c in wc.items():
+            s = vocab[w]
+            for i in range(len(s) - 1):
+                pcnt[(s[i], s[i + 1])] += c
+        if not pcnt:
+            break
+        (l, rr), c = min(pcnt.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1]))
+        merges.append((r, l, rr, c))
+        for w in wc:
+            s, out, j = vocab[w], [], 0
+            while j < len(s):
+                if j + 1 < len(s) and s[j] == l and s[j + 1] == rr:
+                    out.append(l + rr)
+                    j += 2
+                else:
+                    out.append(s[j])
+                    j += 1
+            vocab[w] = out
+    ref = pd.DataFrame(merges, columns=["rank", "left", "right", "pair_count"]).astype(
+        {"rank": "int64", "left": "str", "right": "str", "pair_count": "int64"}
+    )
+    assert eng.equals(ref)
+    assert len(eng) == 12
+
+
+def test_cms_point_query_upper_bounds(ray_session, tmp_path):
+    """On a vocabulary larger than the sketch width, point queries
+    (min over depth rows) upper-bound every true count, heavy hitters are
+    estimated exactly-or-high, and total mass per row is conserved."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from engine.ops.dedup import _mix64
+    from engine.ops.text import (CMS_DEPTH, CMS_WIDTH, _md5_token_hashes,
+                                 cms_sketch_tokens)
+
+    rng = np.random.default_rng(7)
+    vocab = [f"tok{i:05d}" for i in range(5000)]  # 5k distinct >> width 1024
+    # zipf-ish: token i appears (5000 - i) // 50 + 1 times
+    words = []
+    for i, w in enumerate(vocab):
+        words.extend([w] * ((5000 - i) // 50 + 1))
+    rng.shuffle(words)
+    docs = [" ".join(words[j::100]) for j in range(100)]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(100), pa.int64()),
+                  "text": pa.array(docs, pa.string())}),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = cms_sketch_tokens(str(tmp_path))
+    sketch = np.zeros((CMS_DEPTH, CMS_WIDTH), np.int64)
+    sketch[out["d"].to_numpy(), out["col"].to_numpy()] = out["n"].to_numpy()
+
+    true = pd.Series(words).value_counts()
+    h = _md5_token_hashes(list(true.index))
+    est = np.full(len(true), np.iinfo(np.int64).max)
+    for d in range(CMS_DEPTH):
+        col = (_mix64(h ^ np.uint64(d + 1)) % np.uint64(CMS_WIDTH)).astype(int)
+        est = np.minimum(est, sketch[d, col])
+    tc = true.to_numpy()
+    assert (est >= tc).all()                       # CMS never underestimates
+    assert (est[:20] == tc[:20]).all() or (est[:20] >= tc[:20]).all()
+    # every row holds the full token mass (additive counters)
+    assert (sketch.sum(axis=1) == len(words)).all()
+    # collisions actually happened (the test exercises the sketch regime)
+    assert (est > tc).any()
