@@ -383,6 +383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup_cluster_stats": dedup.near_dedup_cluster_stats,
         "dedup_keep_best": dedup.dedup_keep_best,
         "curate_training_data": curate.curate_training_data,
+        "source_quality_stats": curate.source_quality_stats,
         "export_training_shards": curate.export_training_shards,
         # similarity search
         "ann_topk": ann.ann_topk_bruteforce,
@@ -1096,4 +1097,21 @@ def oracle_sql() -> dict[str, str]:
                sum(length(d.text))::BIGINT AS n_chars
         FROM documents d JOIN kept k ON k.doc_id = d.doc_id
         GROUP BY 1 ORDER BY 1"""
+    # Domain-level curation scoreboard: the composed curate oracle joined
+    # against per-doc token counts, aggregated per source.
+    d["source_quality_stats"] = rf"""
+        WITH cur AS ({d["curate_training_data"]}),
+        tok AS (SELECT doc_id, source,
+                       len(regexp_extract_all(text, '\S+')) AS n
+                FROM documents)
+        SELECT t.source,
+               count(*)::BIGINT AS n_docs,
+               sum(CASE WHEN c.status = 'quality' THEN 1 ELSE 0 END)::BIGINT AS n_quality,
+               sum(CASE WHEN c.status = 'exact_dup' THEN 1 ELSE 0 END)::BIGINT AS n_exact_dup,
+               sum(CASE WHEN c.status = 'near_dup' THEN 1 ELSE 0 END)::BIGINT AS n_near_dup,
+               sum(CASE WHEN c.status = 'perplexity' THEN 1 ELSE 0 END)::BIGINT AS n_perplexity,
+               sum(CASE WHEN c.status = 'kept' THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+               sum(t.n)::BIGINT AS sum_tokens
+        FROM tok t JOIN cur c ON c.doc_id = t.doc_id
+        GROUP BY t.source ORDER BY t.source"""
     return d

@@ -99,6 +99,9 @@ BENCH_QUERY_NAMES = [
     "incremental_minhash_dedup",
     "pii_redact",
     "pack_sequences",
+    "cms_sketch_tokens",
+    "bpe_train_merges",
+    "source_quality_stats",
 ]
 
 

@@ -303,3 +303,95 @@ def export_training_shards(sf_dir: str, out_dir: str | None = None,
     )
     out = out[out["n_docs"] > 0]
     return out.sort_values("shard").reset_index(drop=True)
+
+
+def source_quality_stats(sf_dir: str) -> pd.DataFrame:
+    """(source, n_docs, n_quality, n_exact_dup, n_near_dup, n_perplexity,
+    n_kept, sum_tokens) — per-source curation scoreboard: how each source
+    (the web-pipeline analog of a DOMAIN) fares through the curate stages,
+    plus its token mass.  This is the RefinedWeb/CCNet domain-level
+    filtering signal: a source whose docs are mostly near-dups or
+    perplexity-tail is a candidate for domain-level exclusion or
+    down-weighting, decided on aggregates rather than per-doc rules.
+
+    Scale shape: the per-doc verdicts stream straight off the cached curate
+    composition Dataset (never collected); they meet the narrow
+    (doc_id, source, n_tokens) doc rows in ONE doc_id-bucket all-to-all,
+    each group merges vectorized and pre-aggregates to per-source partials,
+    and the final ``groupby(source)`` sums |sources| x |buckets| tiny rows.
+    The DuckDB oracle joins the composed curate oracle against the token
+    counts, so this op cannot drift from its checked parts.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .io import read_pruned
+
+    _U_SCHEMA = pa.schema(
+        [("doc_id", pa.int64()), ("bucket", pa.int32()),
+         ("source", pa.string()), ("status", pa.string()),
+         ("n_tokens", pa.int64())]
+    )
+
+    def cur_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "bucket": pa.array((ids % _N_SIG_BUCKETS).astype(np.int32), pa.int32()),
+             "source": pa.nulls(len(ids), pa.string()),
+             "status": t["status"],
+             "n_tokens": pa.nulls(len(ids), pa.int64())},
+            schema=_U_SCHEMA,
+        )
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "bucket": pa.array((ids % _N_SIG_BUCKETS).astype(np.int32), pa.int32()),
+             "source": t["source"],
+             "status": pa.nulls(len(ids), pa.string()),
+             "n_tokens": pc.cast(
+                 pc.count_substring_regex(t["text"], r"\S+"), pa.int64())},
+            schema=_U_SCHEMA,
+        )
+
+    cur = curate_training_data_ds(sf_dir).map_batches(
+        cur_rows, batch_format="pyarrow")
+    docs = read_pruned(
+        _os.path.join(sf_dir, "documents.parquet"), ["doc_id", "source", "text"]
+    ).map_batches(doc_rows, batch_format="pyarrow")
+
+    _STATUSES = ("quality", "exact_dup", "near_dup", "perplexity", "kept")
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["status"].isna()][["doc_id", "source", "n_tokens"]]
+        right = g[g["source"].isna()][["doc_id", "status"]]
+        m = left.merge(right, on="doc_id")
+        agg = m.groupby("source", sort=True)
+        out = pd.DataFrame({"n_docs": agg.size(),
+                            "sum_tokens": agg["n_tokens"].sum()})
+        for s in _STATUSES:
+            out["n_" + s] = agg["status"].apply(lambda v, s=s: int((v == s).sum()))
+        return out.reset_index()
+
+    stats = (
+        cur.union(docs)
+        .groupby("bucket")
+        .map_groups(partial, batch_format="pandas")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_quality", alias_name="n_quality"),
+            Sum("n_exact_dup", alias_name="n_exact_dup"),
+            Sum("n_near_dup", alias_name="n_near_dup"),
+            Sum("n_perplexity", alias_name="n_perplexity"),
+            Sum("n_kept", alias_name="n_kept"),
+            Sum("sum_tokens", alias_name="sum_tokens"),
+        )
+        .to_pandas()
+    )
+    cols = ["source", "n_docs", "n_quality", "n_exact_dup", "n_near_dup",
+            "n_perplexity", "n_kept", "sum_tokens"]
+    stats = stats[cols].astype({c: "int64" for c in cols[1:]})
+    return stats.sort_values("source").reset_index(drop=True)
