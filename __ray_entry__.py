@@ -366,6 +366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exactness locked by test_bpe_train_merges_matches_sequential
         "bpe_train_merges": text.bpe_train_merges,
         "cms_sketch_tokens": text.cms_sketch_tokens,
+        "cms_heavy_hitters": text.cms_heavy_hitters,
         # dedup family
         "exact_dedup": dedup.exact_dedup,
         "incremental_exact_dedup": dedup.incremental_exact_dedup,
@@ -1009,6 +1010,21 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _lsh_oracles.bm25_topk_sql(),
         "kmv_distinct_tokens": _lsh_oracles.kmv_distinct_tokens_sql(),
         "cms_sketch_tokens": _lsh_oracles.cms_sketch_tokens_sql(),
+        # the CMS prefilter provably loses no true heavy hitter (point
+        # queries never underestimate), so the oracle is a plain exact
+        # frequency filter at the same integer threshold
+        "cms_heavy_hitters": r"""
+            WITH tok AS (
+              SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+              FROM documents
+            ), tc AS (
+              SELECT w, count(*)::BIGINT AS c FROM tok WHERE w <> '' GROUP BY w
+            ), tot AS (SELECT sum(c)::BIGINT AS s FROM tc)
+            SELECT w AS token, c AS n
+            FROM tc, tot
+            WHERE c >= greatest(1, s // 200)
+            ORDER BY token
+        """,
         "source_mix_weighted": _lsh_oracles.source_mix_weighted_sql(),
         "lm_perplexity_bucket": _lsh_oracles.lm_perplexity_bucket_sql(),
         "dsir_importance_weights": _lsh_oracles.dsir_importance_weights_sql(),

@@ -100,6 +100,7 @@ BENCH_QUERY_NAMES = [
     "pii_redact",
     "pack_sequences",
     "cms_sketch_tokens",
+    "cms_heavy_hitters",
     "bpe_train_merges",
     "source_quality_stats",
 ]
@@ -437,6 +438,19 @@ def run_dedup_smoke() -> dict:
         "bm25_topk": lambda: _text_ops.bm25_topk(
             dest, queries=("w00001 w00042", "w00100 w00200 w00300")
         ),
+        # PII redaction: map-only Arrow-RE2 pass over every doc (returns
+        # rewritten text, so rows == n_docs and bytes move once, no shuffle)
+        "pii_redact": lambda: _text_ops.pii_redact(dest),
+        # GPT-style sequence packing: distributed prefix sum over 4096-doc
+        # cumsum buckets (production granularity), 16 B/doc exchange only
+        "pack_sequences": lambda: _text_ops.pack_sequences(
+            dest, bucket_docs=4096
+        ),
+        # count-min sketch: constant-bounded (depth*width) partials per block
+        "cms_sketch_tokens": lambda: _text_ops.cms_sketch_tokens(dest),
+        # BPE merge training: one corpus pass to the word vocab, then 20
+        # vocab-sized rounds (the corpus never re-enters)
+        "bpe_train_merges": lambda: _text_ops.bpe_train_merges(dest),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")
     if only:

@@ -1325,7 +1325,8 @@ PACK_CAPACITY = 256       # tokens per training sequence
 PACK_BUCKET_DOCS = 64     # doc_ids per cumsum bucket (production: ~4096)
 
 
-def pack_sequences(sf_dir: str, capacity: int = PACK_CAPACITY) -> pd.DataFrame:
+def pack_sequences(sf_dir: str, capacity: int = PACK_CAPACITY,
+                   bucket_docs: int = PACK_BUCKET_DOCS) -> pd.DataFrame:
     """(seq_id, doc_id, off_in_seq, n_tokens) — pack the corpus, in doc_id
     order, into fixed-capacity training sequences: documents are concatenated
     into one global token stream and cut every ``capacity`` tokens (the
@@ -1340,6 +1341,10 @@ def pack_sequences(sf_dir: str, capacity: int = PACK_CAPACITY) -> pd.DataFrame:
     computes its exact in-group cumsum + window explode vectorized
     (``np.repeat`` over per-doc window counts).  No document text enters the
     exchange at all; the only all-to-all carries the 16-byte token rows.
+    ``bucket_docs`` sizes the cumsum granularity: the sf default (64) keeps
+    the multi-bucket path exercised on 500-doc tables; the scale smoke
+    passes 4096 (the production choice — n_buckets ≈ docs/4096 stays
+    driver-small at 10^10 docs while groups stay worker-sized).
     """
     ds = _docs(sf_dir, ["doc_id", "text"])
 
@@ -1348,7 +1353,7 @@ def pack_sequences(sf_dir: str, capacity: int = PACK_CAPACITY) -> pd.DataFrame:
         return pa.table(
             {"doc_id": t["doc_id"],
              "n": pc.cast(pc.count_substring_regex(t["text"], r"\S+"), pa.int64()),
-             "bucket": pa.array(ids // PACK_BUCKET_DOCS, pa.int64())}
+             "bucket": pa.array(ids // bucket_docs, pa.int64())}
         )
 
     narrow = ds.map_batches(tok, batch_format="pyarrow").materialize()
@@ -1593,3 +1598,60 @@ def cms_sketch_tokens(sf_dir: str, depth: int = CMS_DEPTH,
          "n": merged["n"].to_numpy()}
     ).astype({"d": "int64", "col": "int64", "n": "int64"})
     return out.sort_values(["d", "col"]).reset_index(drop=True)
+
+
+def cms_heavy_hitters(sf_dir: str, denom: int = 200) -> pd.DataFrame:
+    """(token, n) — every token whose exact corpus frequency is at least
+    ``total_tokens // denom`` (0.5% of the stream by default), found via the
+    classic CMS heavy-hitter composition: the count-min sketch prunes, an
+    exact pass verifies.  Because CMS point queries never underestimate, no
+    true heavy hitter can be pruned — the output is EXACT and the DuckDB
+    oracle is a plain frequency filter.
+
+    Scale shape: pass 1 is :func:`cms_sketch_tokens` (constant-bounded
+    partials); the 32 KB sketch + threshold broadcast once (``ray.put``);
+    pass 2 re-reads the corpus and keeps only tokens whose sketch estimate
+    clears the threshold, so the exact-count shuffle carries candidate rows
+    only — at web scale that is the handful of stopword-class tokens, not
+    the billion-token vocabulary.
+    """
+    from ray.data.aggregate import Sum
+
+    from .dedup import _mix64
+
+    cells = cms_sketch_tokens(sf_dir)
+    sketch = np.zeros((CMS_DEPTH, CMS_WIDTH), np.int64)
+    sketch[cells["d"].to_numpy(), cells["col"].to_numpy()] = cells["n"].to_numpy()
+    total = int(sketch[0].sum())  # every row holds the full token mass
+    thresh = max(1, total // denom)
+    bc = _ray.put((sketch, thresh))
+
+    ds = _docs(sf_dir, ["text"])
+
+    def candidates(t: pa.Table) -> pa.Table:
+        sk, th = _ray.get(bc)
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), r"\s+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        v = flat.value_counts()
+        uniq = v.field("values")
+        c = v.field("counts").to_numpy().astype(np.int64)
+        h = _md5_token_hashes(uniq.to_pylist())
+        est = np.full(len(c), np.iinfo(np.int64).max)
+        for d in range(CMS_DEPTH):
+            col = (_mix64(h ^ np.uint64(d + 1)) % np.uint64(CMS_WIDTH)).astype(np.int64)
+            est = np.minimum(est, sk[d, col])
+        keep = est >= th
+        return pa.table(
+            {"token": uniq.filter(pa.array(keep)),
+             "n": pa.array(c[keep], pa.int64())}
+        )
+
+    merged = (
+        ds.map_batches(candidates, batch_format="pyarrow", batch_size=4096)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out = merged[merged["n"] >= thresh].astype({"n": "int64"})
+    return out.sort_values("token").reset_index(drop=True)

@@ -1951,3 +1951,34 @@ def test_cms_point_query_upper_bounds(ray_session, tmp_path):
     assert (sketch.sum(axis=1) == len(words)).all()
     # collisions actually happened (the test exercises the sketch regime)
     assert (est > tc).any()
+
+
+def test_cms_heavy_hitters_exact_under_collisions(ray_session, tmp_path):
+    """On a collision-heavy vocabulary the CMS prefilter admits false
+    candidates but never drops a true heavy hitter — the verified output is
+    exactly the frequency-filter answer."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from engine.ops.text import cms_heavy_hitters
+
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{i:05d}" for i in range(5000)]
+    words = []
+    for i, w in enumerate(vocab):
+        words.extend([w] * ((5000 - i) // 50 + 1))
+    rng.shuffle(words)
+    docs = [" ".join(words[j::100]) for j in range(100)]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(100), pa.int64()),
+                  "text": pa.array(docs, pa.string())}),
+        str(tmp_path / "documents.parquet"),
+    )
+    denom = 3000  # threshold = total // 3000 -> a nontrivial heavy set
+    out = cms_heavy_hitters(str(tmp_path), denom=denom)
+    true = pd.Series(words).value_counts()
+    th = max(1, len(words) // denom)
+    exact = true[true >= th].sort_index()
+    assert list(out["token"]) == list(exact.index)
+    assert (out["n"].to_numpy() == exact.to_numpy()).all()
+    assert 0 < len(out) < 5000
