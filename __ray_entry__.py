@@ -326,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": relational.stratified_sample,
         "distinct_users_per_type": relational.distinct_users_per_type,
         "pagerank_docs": relational.pagerank_docs,
+        "hits_docs": relational.hits_docs,
         "orders_without_lineitems": relational.orders_without_lineitems,
         "orders_with_lineitems_bloom": relational.orders_with_lineitems_bloom,
         "events_funnel": relational.events_funnel,
@@ -339,6 +340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles": relational.doc_length_quantiles,
         "brand_nation_profit": relational.brand_nation_profit,
         "revenue_filter_agg": relational.revenue_filter_agg,
+        "small_quantity_revenue": relational.small_quantity_revenue,
         # text analysis (M11/M12/M13 + training-data ops)
         "token_count": text.token_count,
         "token_count_bpe": text.token_count_bpe,
@@ -477,8 +479,45 @@ def oracle_sql() -> dict[str, str]:
         "WITH " + ",\n ".join(_pr)
         + f"\nSELECT doc_id, round(rank, 9) AS rank FROM r{_pr_iters} ORDER BY doc_id"
     )
+    # HITS oracle: the 3 L1-normalized half-step pairs unrolled over the
+    # same edge set (authority from in-edges, hub from out-edges)
+    _hi_iters = 3
+    _hi = [
+        "nodes AS (SELECT doc_id FROM documents)",
+        "p AS (SELECT count(*) AS n FROM documents)",
+        "e AS (SELECT doc_id AS src, (doc_id*31 + s.s) % (SELECT n FROM p) AS dst"
+        " FROM documents, (SELECT unnest([1,2,3]) AS s) s)",
+        "h0 AS (SELECT doc_id, 1.0/(SELECT n FROM p) AS val FROM nodes)",
+    ]
+    for _i in range(1, _hi_iters + 1):
+        _hi.append(
+            f"a{_i}raw AS (SELECT nodes.doc_id, coalesce(sum(h{_i-1}.val), 0) AS x"
+            f" FROM nodes LEFT JOIN e ON e.dst = nodes.doc_id"
+            f" LEFT JOIN h{_i-1} ON h{_i-1}.doc_id = e.src GROUP BY nodes.doc_id)"
+        )
+        _hi.append(
+            f"a{_i} AS (SELECT doc_id, x/(SELECT sum(x) FROM a{_i}raw) AS val"
+            f" FROM a{_i}raw)"
+        )
+        _hi.append(
+            f"h{_i}raw AS (SELECT nodes.doc_id, coalesce(sum(a{_i}.val), 0) AS x"
+            f" FROM nodes LEFT JOIN e ON e.src = nodes.doc_id"
+            f" LEFT JOIN a{_i} ON a{_i}.doc_id = e.dst GROUP BY nodes.doc_id)"
+        )
+        _hi.append(
+            f"h{_i} AS (SELECT doc_id, x/(SELECT sum(x) FROM h{_i}raw) AS val"
+            f" FROM h{_i}raw)"
+        )
+    hits_sql = (
+        "WITH " + ",\n ".join(_hi)
+        + f"\nSELECT n.doc_id, round(h{_hi_iters}.val, 9) AS hub,"
+        f" round(a{_hi_iters}.val, 9) AS authority"
+        f" FROM nodes n JOIN h{_hi_iters} ON h{_hi_iters}.doc_id = n.doc_id"
+        f" JOIN a{_hi_iters} ON a{_hi_iters}.doc_id = n.doc_id ORDER BY n.doc_id"
+    )
     d = {
         "pagerank_docs": pagerank_sql,
+        "hits_docs": hits_sql,
         "q1_agg": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 0) AS sum_qty,
@@ -1010,6 +1049,20 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _lsh_oracles.bm25_topk_sql(),
         "kmv_distinct_tokens": _lsh_oracles.kmv_distinct_tokens_sql(),
         "cms_sketch_tokens": _lsh_oracles.cms_sketch_tokens_sql(),
+        # Q17 shape: correlated subquery decorrelated; threshold is the same
+        # IEEE expression both sides (0.2*avg over integral quantities),
+        # revenue summed in exact integer cents
+        "small_quantity_revenue": """
+            WITH sel AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'),
+            agg AS (
+              SELECT l_partkey, 0.2 * avg(l_quantity) AS thr
+              FROM lineitem JOIN sel ON p_partkey = l_partkey
+              GROUP BY l_partkey)
+            SELECT count(*)::BIGINT AS n_rows,
+                   COALESCE(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)), 0) AS sum_cents
+            FROM lineitem l JOIN agg a ON a.l_partkey = l.l_partkey
+            WHERE l.l_quantity < a.thr
+        """,
         # the CMS prefilter provably loses no true heavy hitter (point
         # queries never underestimate), so the oracle is a plain exact
         # frequency filter at the same integer threshold

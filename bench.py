@@ -103,6 +103,8 @@ BENCH_QUERY_NAMES = [
     "cms_heavy_hitters",
     "bpe_train_merges",
     "source_quality_stats",
+    "small_quantity_revenue",
+    "hits_docs",
 ]
 
 

@@ -1529,3 +1529,184 @@ def events_funnel(sf_dir: str, window_hours: int = 24,
     )
     out = parts.groupby(["stage", "event_type"], as_index=False)["n_users"].sum()
     return out.sort_values("stage").reset_index(drop=True)
+
+
+def small_quantity_revenue(sf_dir: str, brand: str = "Brand#13") -> pd.DataFrame:
+    """(n_rows, sum_cents) — TPC-H Q17 shape: revenue from small-quantity
+    orders of one brand's parts, where "small" is each part's own 0.2×avg
+    quantity — the classic CORRELATED-subquery pattern, decorrelated into a
+    pre-aggregate + rejoin.
+
+    Scale shape: the brand's partkeys broadcast once (``ray.put``, the
+    small-dimension side); pass 1 computes per-part (sum_qty, cnt) partials
+    over only the matching lineitems (per-batch Arrow ``group_by`` combine,
+    tiny final groupby); the resulting per-part thresholds broadcast back
+    (bounded by the brand's part count, 1/25 of parts); pass 2 filters
+    ``l_quantity < thr[pk]`` vectorized and reduces count + cents partials.
+    No lineitem all-to-all at any point.  The threshold is the same IEEE
+    double expression (0.2 * (sum/cnt)) the oracle's ``0.2*avg`` computes —
+    quantities are integral so the sums are exact in any order — and
+    revenue is summed in exact integer cents.
+    """
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(_t(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+    keys = part.filter(pc.equal(part["p_brand"], brand))["p_partkey"].combine_chunks()
+    keys_ref = ray.put(keys)
+
+    li = read_pruned(_t(sf_dir, "lineitem"),
+                     ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.is_in(t["l_partkey"], value_set=ray.get(keys_ref)))
+        g = sel.group_by("l_partkey").aggregate(
+            [("l_quantity", "sum"), ("l_quantity", "count")])
+        return g.rename_columns(["l_partkey", "sum_qty", "cnt"])
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        li.map_batches(qty_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("l_partkey")
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                   Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    thr = 0.2 * (agg["sum_qty"].to_numpy() / agg["cnt"].to_numpy())
+    thr_ref = ray.put(
+        (pa.array(agg["l_partkey"].to_numpy(), pa.int64()),
+         pa.array(thr, pa.float64()))
+    )
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        pk, th = ray.get(thr_ref)
+        idx = pc.index_in(t["l_partkey"], value_set=pk)
+        row_thr = pc.take(th, idx)  # null where part not in the brand
+        keep = pc.less(t["l_quantity"], row_thr)  # null-safe: null -> null -> dropped
+        sel = t.filter(pc.fill_null(keep, False))
+        cents = np.round(sel["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {"n_rows": pa.array([len(sel)], pa.int64()),
+             "sum_cents": pa.array([int(cents.sum())], pa.int64())}
+        )
+
+    parts = li.map_batches(rev_partial, batch_format="pyarrow",
+                           batch_size=65536).to_pandas()
+    return pd.DataFrame(
+        {"n_rows": [int(parts["n_rows"].sum())],
+         "sum_cents": [int(parts["sum_cents"].sum())]}
+    )
+
+
+def hits_docs(sf_dir: str, n_iter: int = 3) -> pd.DataFrame:
+    """(doc_id, hub, authority) — HITS (Kleinberg 1999) over the same
+    hash-derived link graph as :func:`pagerank_docs`, L1-normalized each
+    half-step.  The new distributed shape vs PageRank: each half-iteration
+    needs a GLOBAL normalizer, computed as a Dataset scalar reduce and
+    folded into the next lazy map — the per-iteration all-reduce pattern of
+    iterative ML, with no driver-held vectors.
+
+    Per iteration: the authority step is one coarse-bucket shuffle of hub
+    contributions (per-batch combine first, zero carriers keep isolated
+    nodes alive); the hub step gathers each node's three targets' authority
+    via value+request rows meeting in one bucket shuffle (the repo's attach
+    idiom), then a second narrow shuffle sums per source.  Scores round to
+    9 decimals (the oracle unrolls the same iterations in SQL;
+    summation-order noise is ~1e-15).
+    """
+    ds = read_pruned(_t(sf_dir, "documents"), ["doc_id"])
+    n = ds.count()
+
+    state = ds.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"],
+             "val": pa.array(np.full(t.num_rows, 1.0 / n), pa.float64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+    _V_SCHEMA = pa.schema([("doc_id", pa.int64()), ("val", pa.float64())])
+    _R_SCHEMA = pa.schema(
+        [("key", pa.int64()), ("src", pa.int64()), ("val", pa.float64()),
+         ("bucket", pa.int32())]
+    )
+
+    def contribs(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        v = t["val"].to_numpy()
+        node = np.concatenate([(ids * 31 + s) % n for s in (1, 2, 3)] + [ids])
+        val = np.concatenate([v, v, v, np.zeros(len(ids))])
+        g = pd.DataFrame({"node": node, "val": val}).groupby(
+            "node", as_index=False)["val"].sum()
+        keys = g["node"].to_numpy()
+        return pa.table(
+            {"node": pa.array(keys, pa.int64()),
+             "val": pa.array(g["val"].to_numpy(), pa.float64()),
+             "bucket": pa.array((keys % N_KEY_BUCKETS).astype(np.int32), pa.int32())}
+        )
+
+    def bucket_sum(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby("node", as_index=False)["val"].sum()
+        return pa.Table.from_pandas(
+            pd.DataFrame({"doc_id": s["node"], "val": s["val"]}),
+            schema=_V_SCHEMA, preserve_index=False,
+        ).replace_schema_metadata(None)
+
+    def normalized(dset):
+        dset = dset.materialize()          # consumed twice: reduce + divide
+        total = dset.sum("val")
+        return dset.map_batches(
+            lambda t, tot=total: pa.table(
+                {"doc_id": t["doc_id"],
+                 "val": pc.divide(t["val"], pa.scalar(tot, pa.float64()))}
+            ),
+            batch_format="pyarrow",
+        )
+
+    def attach_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        v = t["val"].to_numpy()
+        key = np.concatenate([ids] + [(ids * 31 + s) % n for s in (1, 2, 3)])
+        src = np.concatenate([np.full(len(ids), -1)] + [ids] * 3)
+        val = np.concatenate([v, np.zeros(3 * len(ids))])
+        return pa.table(
+            {"key": pa.array(key, pa.int64()),
+             "src": pa.array(src, pa.int64()),
+             "val": pa.array(val, pa.float64()),
+             "bucket": pa.array((key % N_KEY_BUCKETS).astype(np.int32), pa.int32())},
+            schema=_R_SCHEMA,
+        )
+
+    def attach_group(g: pd.DataFrame) -> pa.Table:
+        vals = g[g["src"] < 0][["key", "val"]].rename(columns={"val": "a"})
+        reqs = g[g["src"] >= 0][["key", "src"]].merge(vals, on="key")
+        agg = reqs.groupby("src", as_index=False)["a"].sum()  # in-bucket combine
+        keys = agg["src"].to_numpy()
+        return pa.table(
+            {"node": pa.array(keys, pa.int64()),
+             "val": pa.array(agg["a"].to_numpy(), pa.float64()),
+             "bucket": pa.array((keys % N_KEY_BUCKETS).astype(np.int32), pa.int32())}
+        )
+
+    auth = None
+    for _ in range(n_iter):
+        auth = normalized(
+            state.map_batches(contribs, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(bucket_sum, batch_format="pandas")
+        )
+        auth = auth.materialize()          # feeds both the hub step and output
+        state = normalized(
+            auth.map_batches(attach_rows, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(attach_group, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(bucket_sum, batch_format="pandas")
+        )
+
+    h = state.to_pandas().rename(columns={"val": "hub"})
+    a = auth.to_pandas().rename(columns={"val": "authority"})
+    out = h.merge(a, on="doc_id")
+    out["hub"] = out["hub"].round(9)
+    out["authority"] = out["authority"].round(9)
+    return out.sort_values("doc_id").reset_index(drop=True)
