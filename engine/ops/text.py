@@ -548,8 +548,15 @@ def gopher_quality_flags_ds(sf_dir: str):
     Tokens are ``text.lower().split()`` (the repo-wide convention); ellipsis
     counts are non-overlapping ``...`` occurrences on the raw text.
     """
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        gopher_flags_batch, batch_format="pyarrow")
+
+
+def gopher_flags_batch(t: pa.Table) -> pa.Table:
+    """The Gopher rule kernel over one Arrow batch (doc_id, text) — shared
+    by :func:`gopher_quality_flags_ds` and the quality-classifier label pass
+    (engine.ops.ml), so the rule can never drift between them."""
     stop_arr = pa.array(STOP_WORDS, pa.string())
-    ds = _docs(sf_dir, ["doc_id", "text"])
 
     def flags(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), r"\s+")
@@ -606,7 +613,7 @@ def gopher_quality_flags_ds(sf_dir: str):
             }
         )
 
-    return ds.map_batches(flags, batch_format="pyarrow")
+    return flags(t)
 
 
 def gopher_quality_flags(sf_dir: str) -> pd.DataFrame:
