@@ -305,7 +305,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from engine.ops import ann, curate, dedup, multimodal, relational, text
+    from engine.ops import ann, curate, dedup, ml, multimodal, relational, text
 
     return {
         # relational / aggregation / join / sort / window (SURVEY §2.4-2.6, §2.9)
@@ -369,6 +369,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train_merges": text.bpe_train_merges,
         "cms_sketch_tokens": text.cms_sketch_tokens,
         "cms_heavy_hitters": text.cms_heavy_hitters,
+        # rows-only: iterative model training (AdaGrad), not SQL-expressible;
+        # exactness locked by tests/test_ml.py vs a sequential reference +
+        # partition invariance
+        "quality_classifier_score": ml.quality_classifier_score,
+        "quality_classifier_metrics": ml.quality_classifier_metrics,
         # dedup family
         "exact_dedup": dedup.exact_dedup,
         "incremental_exact_dedup": dedup.incremental_exact_dedup,

@@ -105,6 +105,7 @@ BENCH_QUERY_NAMES = [
     "source_quality_stats",
     "small_quantity_revenue",
     "hits_docs",
+    "quality_classifier_score",
 ]
 
 
