@@ -367,6 +367,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only: iterative (vocab-level BPE rounds), not SQL-expressible;
         # exactness locked by test_bpe_train_merges_matches_sequential
         "bpe_train_merges": text.bpe_train_merges,
+        # rows-only: encodes with the trained merges (20-round replay not
+        # SQL-expressible); locked by test_bpe_apply_matches_sequential_encoder
+        "bpe_apply": text.bpe_apply,
         "cms_sketch_tokens": text.cms_sketch_tokens,
         "cms_heavy_hitters": text.cms_heavy_hitters,
         # rows-only: iterative model training (AdaGrad), not SQL-expressible;
@@ -404,6 +407,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf_partitioned": ann.ann_topk_ivf_partitioned,
         "embedding_near_pairs": ann.embedding_near_pairs,
         "embedding_dedup_canonical": ann.embedding_dedup_canonical,
+        "embedding_moments": ann.embedding_moments,
+        # rows-only: eigendecomposition isn't SQL; the moment INPUTS are
+        # oracle-checked via embedding_moments, projection pytest-locked
+        "embedding_pca_project": ann.embedding_pca_project,
         # multimodal plumbing
         "media_sizes": multimodal.media_sizes,
         "media_metadata": multimodal.media_metadata,
@@ -998,6 +1005,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS vec_id, min(r) AS canonical_id
             FROM reach GROUP BY node ORDER BY vec_id
+        """,
+        # exact integer moment sums (per-vector micro-rounding on both
+        # sides; rounding ties are impossible for dyadic floats, see
+        # engine/ops/ann.py::embedding_moments)
+        "embedding_moments": """
+            WITH e AS (
+              SELECT vec_id, unnest(embedding) AS x,
+                     unnest(range(0, len(embedding))) AS i
+              FROM embeddings
+            )
+            SELECT a.i AS i, b.i AS j,
+                   SUM(CAST(ROUND(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)
+                                  * 1000000.0) AS BIGINT)) AS sum_micro
+            FROM e a JOIN e b USING (vec_id)
+            WHERE a.i <= b.i GROUP BY 1, 2
+            UNION ALL
+            SELECT i, -1 AS j,
+                   SUM(CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0)
+                            AS BIGINT)) AS sum_micro
+            FROM e GROUP BY 1
+            ORDER BY i, j
         """,
         # Gopher rule gate: ratios integer-cross-multiplied on both sides so
         # the hash comparison is float-free (engine.ops.text constants)

@@ -1009,3 +1009,125 @@ def ann_recall_report(sf_dir: str, n_queries: int = 5, k: int = 10) -> pd.DataFr
         recalls.append(int(round(1000 * hits / len(tset))))
     return pd.DataFrame({"variant": names,
                          "recall_milli": pd.Series(recalls, dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# Distributed second-moment accumulation + PCA (Pearson 1901 / the standard
+# covariance-sketch route: d×d moments are a constant-size all-reduce, the
+# eigenproblem is driver-sized).  The dimensionality-reduction step an
+# embedding-heavy curation pipeline runs before clustering / visualizing.
+# ---------------------------------------------------------------------------
+
+_MOMENT_CHUNK = 512  # rows per in-batch outer-product slab (n×d×d floats)
+
+
+def embedding_moments(sf_dir: str) -> pd.DataFrame:
+    """(i, j, sum_micro) — exact integer moment sums of the embedding
+    columns: for j >= i the second moment ``sum_v round(x_vi * x_vj * 1e6)``
+    (upper triangle), and for j == -1 the first moment
+    ``sum_v round(x_vi * 1e6)``.
+
+    Every per-vector product is rounded to int64 micros BEFORE the sum, so
+    the cross-partition reduction is an order-free integer sum — hash-exact
+    vs the DuckDB oracle (lockstep-unnest self-join).  Ties in the rounding
+    cannot occur: x*1e6 == k + 0.5 would need a non-dyadic x, impossible in
+    binary floating point, so the round-half convention never fires.
+
+    Scale shape: one map-only pass; each block emits a CONSTANT d(d+3)/2-row
+    partial (d=64 → 2,144 rows) reduced driver-side.  Nothing wide ever
+    shuffles — the moments are the classic all-reduce sketch.
+    """
+    d = _embedding_dim(_emb_path(sf_dir))
+    iu, ju = np.triu_indices(d)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids, X = _to_matrix(t)
+        S = np.zeros((d, d), dtype=np.int64)
+        M = np.zeros(d, dtype=np.int64)
+        for lo in range(0, len(ids), _MOMENT_CHUNK):
+            C = X[lo:lo + _MOMENT_CHUNK]
+            # per-vector rounding, then an exact integer-valued-float sum
+            S += np.round(np.einsum("ni,nj->nij", C, C) * 1e6).sum(
+                axis=0).astype(np.int64)
+            M += np.round(C * 1e6).sum(axis=0).astype(np.int64)
+        return pa.table({
+            "i": pa.array(np.concatenate([np.arange(d), iu]), pa.int64()),
+            "j": pa.array(np.concatenate([np.full(d, -1), ju]), pa.int64()),
+            "s": pa.array(np.concatenate([M, S[iu, ju]]), pa.int64()),
+        })
+
+    red = _emb(sf_dir).map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (red.groupby(["i", "j"], as_index=False)["s"].sum()
+           .rename(columns={"s": "sum_micro"})
+           .sort_values(["i", "j"]).reset_index(drop=True))
+    return out.astype({"i": "int64", "j": "int64", "sum_micro": "int64"})
+
+
+_MOMENTS_CACHE: dict = {}
+
+
+def _moments_cached(sf_dir: str) -> pd.DataFrame:
+    p = _emb_path(sf_dir)
+    st = os.stat(p)
+    key = (os.path.abspath(p), st.st_mtime_ns, st.st_size)
+    if key not in _MOMENTS_CACHE:
+        _MOMENTS_CACHE[key] = embedding_moments(sf_dir)
+    return _MOMENTS_CACHE[key]
+
+
+def _pca_basis(sf_dir: str, k: int):
+    """(mu[d], W[d,k]) from the cached exact moments: covariance assembled
+    on the driver (single-threaded float64 over exact integer sums —
+    deterministic at any parallelism), eigh, top-k by descending
+    eigenvalue, sign fixed so each component's largest-|value| entry is
+    positive (first index on ties)."""
+    import pyarrow.parquet as pq
+
+    mom = _moments_cached(sf_dir)
+    n = pq.ParquetFile(_emb_path(sf_dir)).metadata.num_rows
+    d = int(mom["i"].max()) + 1
+    firsts = mom[mom["j"] == -1].sort_values("i")["sum_micro"].to_numpy()
+    mu = firsts / n / 1e6
+    S = np.zeros((d, d), np.float64)
+    sec = mom[mom["j"] >= 0]
+    S[sec["i"].to_numpy(), sec["j"].to_numpy()] = sec["sum_micro"].to_numpy()
+    S = np.where(S == 0, S.T, S)  # mirror the upper triangle
+    cov = S / n / 1e6 - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    W = evecs[:, order]
+    for c in range(W.shape[1]):
+        a = np.abs(W[:, c])
+        top = np.flatnonzero(a == a.max())[0]
+        if W[top, c] < 0:
+            W[:, c] = -W[:, c]
+    return mu, W, evals[order]
+
+
+def embedding_pca_project(sf_dir: str, k: int = 4) -> pd.DataFrame:
+    """(vec_id, pc0_micro..pc{k-1}_micro) — every embedding projected onto
+    the top-k principal components of the corpus, each coordinate rounded
+    to int64 micros per vector (deterministic at any parallelism: the basis
+    is a driver-side function of the exact integer moments, the projection
+    is doc-local).
+
+    Rows-only for the driver (the eigendecomposition is not
+    SQL-expressible); the moment inputs ARE oracle-checked via
+    ``embedding_moments``, and tests lock the projection against a
+    sequential numpy reference plus orthonormality / variance-ordering
+    invariants.
+    """
+    mu, W, _ = _pca_basis(sf_dir, k)
+
+    def project(t: pa.Table) -> pa.Table:
+        ids, X = _to_matrix(t)
+        P = (np.round((X - mu) @ W * 1e6).astype(np.int64)
+             if len(ids) else np.zeros((0, W.shape[1]), np.int64))
+        cols = {"vec_id": pa.array(ids, pa.int64())}
+        for c in range(W.shape[1]):
+            cols[f"pc{c}_micro"] = pa.array(P[:, c], pa.int64())
+        return pa.table(cols)
+
+    out = (_emb(sf_dir).map_batches(project, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("vec_id").reset_index(drop=True)

@@ -1544,6 +1544,128 @@ def bpe_train_merges(sf_dir: str, n_merges: int = BPE_N_MERGES) -> pd.DataFrame:
         {"rank": "int64", "left": "str", "right": "str", "pair_count": "int64"}
     )
 
+_BPE_MERGES_CACHE: dict = {}
+
+
+def _bpe_merges(sf_dir: str, n_merges: int) -> pd.DataFrame:
+    """Session cache of the trained merge table (the _minhash_labels_ds
+    idiom): bpe_train_merges and bpe_apply share one training run."""
+    p = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(p)
+    key = (os.path.abspath(p), st.st_mtime_ns, st.st_size, n_merges)
+    if key not in _BPE_MERGES_CACHE:
+        _BPE_MERGES_CACHE[key] = bpe_train_merges(sf_dir, n_merges)
+    return _BPE_MERGES_CACHE[key]
+
+
+def bpe_apply(sf_dir: str, n_merges: int = BPE_N_MERGES) -> pd.DataFrame:
+    """(doc_id, pos, token_id, token) — ENCODE the corpus with the trained
+    BPE merges: the tokenization step that actually produces model inputs
+    (bpe_train_merges learns the merges; this applies them, closing the
+    tokenizer loop).  Vocabulary ids are the GPT-2 convention: sorted
+    distinct corpus characters first, then merge products in rank order —
+    a pure function of the corpus, no RNG.
+
+    Scale shape: merges + vocab broadcast once (tiny); ONE map-only pass
+    over documents.  Each batch encodes only its DISTINCT words
+    (``pd.factorize`` — the Zipf trade every text op here uses) by replaying
+    the merges in rank order over an adjacency-tested subset, then explodes
+    back through the code table with ``np.repeat``.  No shuffle; output rows
+    stream straight out of the map.
+
+    Rows-only for the driver (the 20-round merge replay is not reasonably
+    SQL-expressible); ``tests/test_ops.py::test_bpe_apply_*`` locks it
+    against a pure-Python sequential encoder plus a reconstruction
+    invariant (concatenating a doc's tokens reproduces its whitespace-
+    normalized lowercase text).
+    """
+    merges = _bpe_merges(sf_dir, n_merges)
+    merge_list = list(zip(merges["left"].tolist(), merges["right"].tolist()))
+
+    # distinct corpus characters: constant-size per-block partials
+    def chars_partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(pc.utf8_lower(t["text"]), r"\s+"))
+        seen = set()
+        for w in toks.to_pylist():
+            seen.update(w)
+        return pa.table({"ch": pa.array(sorted(seen), pa.string())})
+
+    base_chars = sorted(set(
+        _docs(sf_dir, ["text"])
+        .map_batches(chars_partial, batch_format="pyarrow")
+        .to_pandas()["ch"].tolist()
+    ))
+    vocab = {ch: i for i, ch in enumerate(base_chars)}
+    for l, r in merge_list:
+        vocab[l + r] = len(vocab)
+
+    def _encode_word(w: str) -> list:
+        s = list(w)
+        for l, r in merge_list:
+            if l not in w or r not in w:  # cheap substring prefilter
+                continue
+            out, j = [], 0
+            while j < len(s):
+                if j + 1 < len(s) and s[j] == l and s[j + 1] == r:
+                    out.append(l + r)
+                    j += 2
+                else:
+                    out.append(s[j])
+                    j += 1
+            s = out
+        return s
+
+    _SCHEMA = pa.schema(
+        [("doc_id", pa.int64()), ("pos", pa.int64()),
+         ("token_id", pa.int64()), ("token", pa.string())]
+    )
+
+    def encode(t: pa.Table) -> pa.Table:
+        toks_per_doc = [s.lower().split() for s in t["text"].to_pylist()]
+        lens = np.array([len(x) for x in toks_per_doc], dtype=np.int64)
+        flat = np.asarray([w for ts in toks_per_doc for w in ts], dtype=object)
+        codes, uniques = pd.factorize(flat)
+        enc = [_encode_word(w) for w in uniques]  # distinct words only
+        n_syms = np.array([len(e) for e in enc], dtype=np.int64)
+        # explode: per word occurrence -> its word's symbol run
+        occ_syms = n_syms[codes] if len(codes) else np.empty(0, np.int64)
+        doc_of_word = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        doc_of_sym = np.repeat(doc_of_word, occ_syms)
+        # flatten symbols in occurrence order via a per-unique offset table
+        sym_flat = [s for e in enc for s in e]
+        sym_ids = np.array([vocab[s] for s in sym_flat], dtype=np.int64)
+        offs = np.concatenate([np.zeros(1, np.int64), np.cumsum(n_syms)])
+        idx = (np.repeat(offs[codes], occ_syms)
+               + (np.arange(len(doc_of_sym), dtype=np.int64)
+                  - np.repeat(np.concatenate([np.zeros(1, np.int64),
+                                              np.cumsum(occ_syms)])[:-1],
+                              occ_syms)))
+        ids = t["doc_id"].to_numpy()
+        # pos: running symbol index within each doc
+        pos = (np.arange(len(doc_of_sym), dtype=np.int64)
+               - np.repeat(np.concatenate(
+                   [np.zeros(1, np.int64),
+                    np.cumsum(np.bincount(doc_of_sym,
+                                          minlength=len(lens)))])[:-1],
+                           np.bincount(doc_of_sym, minlength=len(lens))))
+        return pa.table(
+            {"doc_id": pa.array(ids[doc_of_sym], pa.int64()),
+             "pos": pa.array(pos, pa.int64()),
+             "token_id": pa.array(sym_ids[idx], pa.int64()),
+             "token": pa.array(np.asarray(sym_flat, dtype=object)[idx],
+                               pa.string())},
+            schema=_SCHEMA,
+        )
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(encode, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Count-min sketch over tokens (Cormode & Muthukrishnan 2005)
 # ---------------------------------------------------------------------------

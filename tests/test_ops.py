@@ -1910,6 +1910,61 @@ def test_bpe_train_merges_matches_sequential(ray_session):
     assert len(eng) == 12
 
 
+def test_bpe_apply_matches_sequential_encoder(ray_session):
+    """bpe_apply reproduces a pure-Python sequential encoder token-for-token
+    and reconstructs the whitespace-normalized lowercase text."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from engine.ops.text import _bpe_merges, bpe_apply
+
+    out = bpe_apply(SF, n_merges=12)
+    merges = _bpe_merges(SF, 12)
+    merge_list = list(zip(merges["left"], merges["right"]))
+
+    t = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    chars = sorted({ch for tx in t["text"].to_pylist()
+                    for w in tx.lower().split() for ch in w})
+    vocab = {ch: i for i, ch in enumerate(chars)}
+    for l, r in merge_list:
+        vocab[l + r] = len(vocab)
+    memo = {}
+
+    def enc(w):
+        if w not in memo:
+            s = list(w)
+            for l, r in merge_list:
+                out2, j = [], 0
+                while j < len(s):
+                    if j + 1 < len(s) and s[j] == l and s[j + 1] == r:
+                        out2.append(l + r)
+                        j += 2
+                    else:
+                        out2.append(s[j])
+                        j += 1
+                s = out2
+            memo[w] = s
+        return memo[w]
+
+    for did, tx in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        pos = 0
+        for w in tx.lower().split():
+            for s in enc(w):
+                rows.append((did, pos, vocab[s], s))
+                pos += 1
+    ref = pd.DataFrame(rows, columns=["doc_id", "pos", "token_id", "token"])
+    ref = ref.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, ref)
+
+    # reconstruction invariant: concatenated tokens == normalized words
+    joined = out.groupby("doc_id")["token"].apply("".join)
+    for did, tx in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        assert joined.get(did, "") == "".join(tx.lower().split())
+    # merges actually fired: some tokens are multi-character
+    assert (out["token"].str.len() > 1).any()
+
+
 def test_cms_point_query_upper_bounds(ray_session, tmp_path):
     """On a vocabulary larger than the sketch width, point queries
     (min over depth rows) upper-bound every true count, heavy hitters are
@@ -1982,3 +2037,40 @@ def test_cms_heavy_hitters_exact_under_collisions(ray_session, tmp_path):
     assert list(out["token"]) == list(exact.index)
     assert (out["n"].to_numpy() == exact.to_numpy()).all()
     assert 0 < len(out) < 5000
+
+
+def test_embedding_pca_project_matches_sequential(ray_session):
+    """PCA projections equal a sequential numpy reference built from the
+    same exact integer moments; components are orthonormal with descending
+    explained variance; the distributed path is partition-invariant by
+    construction (basis from driver-side moments, doc-local projection)."""
+    import pyarrow.parquet as pq
+
+    from engine.ops.ann import (_pca_basis, embedding_moments,
+                                embedding_pca_project)
+
+    out = embedding_pca_project(SF, k=4)
+    mu, W, evals = _pca_basis(SF, 4)
+
+    # orthonormal basis, descending variance
+    assert np.allclose(W.T @ W, np.eye(4), atol=1e-9)
+    assert (np.diff(evals) <= 1e-12).all()
+
+    # sequential reference: full-matrix numpy from the raw parquet
+    t = pq.read_table(SF + "/embeddings.parquet", columns=["vec_id", "embedding"])
+    X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    ref = np.round((X - mu) @ W * 1e6).astype(np.int64)
+    got = out.sort_values("vec_id")
+    assert np.array_equal(got["vec_id"].to_numpy(), t["vec_id"].to_numpy())
+    for c in range(4):
+        assert np.array_equal(got[f"pc{c}_micro"].to_numpy(), ref[:, c])
+
+    # the moments the basis came from are internally consistent: mirrored
+    # diagonal second moments are >= squared first moments / n (variance>=0)
+    mom = embedding_moments(SF)
+    n = len(t)
+    diag = mom[(mom.i == mom.j)]
+    firsts = mom[mom.j == -1].sort_values("i")["sum_micro"].to_numpy()
+    var = diag.sort_values("i")["sum_micro"].to_numpy() / n / 1e6 - (
+        firsts / n / 1e6) ** 2
+    assert (var > -1e-9).all()
