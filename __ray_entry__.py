@@ -408,6 +408,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_pairs": ann.embedding_near_pairs,
         "embedding_dedup_canonical": ann.embedding_dedup_canonical,
         "embedding_moments": ann.embedding_moments,
+        # rows-only: k-means cells aren't SQL; pytest locks a brute-force
+        # within-cell reference + planted-pair membership + determinism
+        "knn_graph": ann.knn_graph,
         # rows-only: eigendecomposition isn't SQL; the moment INPUTS are
         # oracle-checked via embedding_moments, projection pytest-locked
         "embedding_pca_project": ann.embedding_pca_project,

@@ -372,6 +372,7 @@ def run_dedup_smoke() -> dict:
     gen_sec = time.time() - t0
 
     from engine.ops import ann, dedup
+    from engine.ops import ml as _ml
     from engine.ops import relational as rel
     from engine.ops import text as _text_ops
 
@@ -454,6 +455,19 @@ def run_dedup_smoke() -> dict:
         # BPE merge training: one corpus pass to the word vocab, then 20
         # vocab-sized rounds (the corpus never re-enters)
         "bpe_train_merges": lambda: _text_ops.bpe_train_merges(dest),
+        # BPE encode with the trained merges: one map-only pass consumed as
+        # a streaming COUNT — the encoded corpus is tokens-sized and never
+        # belongs on the driver (1-row frame carries the count)
+        "bpe_apply": lambda: __import__("pandas").DataFrame(
+            {"encoded_rows": [_text_ops.bpe_apply_ds(dest).count()]}),
+        # deterministic AdaGrad quality classifier: feature-table build +
+        # 8 integer all-reduce iterations (each = one pass over the
+        # materialized narrow feature table; constant-size partials)
+        "quality_classifier_score": lambda: _ml.quality_classifier_score(
+            dest, iters=8),
+        # exact d×d moment all-reduce + doc-local PCA projection
+        "embedding_moments": lambda: ann.embedding_moments(dest),
+        "embedding_pca_project": lambda: ann.embedding_pca_project(dest),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")
     if only:

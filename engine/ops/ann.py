@@ -1131,3 +1131,90 @@ def embedding_pca_project(sf_dir: str, k: int = 4) -> pd.DataFrame:
     out = (_emb(sf_dir).map_batches(project, batch_format="pyarrow")
            .to_pandas())
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def knn_graph(sf_dir: str, k: int = 5, n_cells: int = 16, seed: int = 42,
+              index_dir: str | None = None, chunk: int = 1024) -> pd.DataFrame:
+    """(vec_id, rank, neighbor_id, sim_micro) — the approximate all-corpus
+    kNN GRAPH: exact top-k cosine neighbors within each k-means cell
+    (cell-closed groupby over the consolidated IVF index — the SemDeDup
+    candidate structure applied to graph building, the step FAISS-style
+    pipelines run before graph-based clustering / agglomerative dedup).
+    Cross-cell neighbors are missed BY DESIGN (the O(n²) → O(Σ n_c²)
+    trade); ``ann_recall_report`` quantifies the same structure's recall.
+
+    Determinism: similarities are rounded to int64 micros per pair
+    (doc-local), ranking sorts on (-sim_micro, neighbor_id) with the cell
+    members pre-sorted by id, so ties and float platform noise cannot
+    reorder the graph.  Seeded k-means build ⇒ the whole graph is a pure
+    function of the corpus.
+
+    Scale shape: one groupby(cell) shuffle of (id, vector) rows; per group
+    the n_c × n_c similarity never materializes (row chunks of ``chunk``);
+    output is exactly n×k edges streaming out of the groups.  Rows-only for
+    the driver (k-means cells are not SQL); pytest locks planted-pair
+    membership, ranking invariants, and a brute-force within-cell
+    reference."""
+    import hashlib as _hl
+
+    path = _emb_path(sf_dir)
+    if index_dir is None:
+        key = _hl.blake2b(
+            f"{os.path.abspath(path)}:{n_cells}:{seed}".encode(), digest_size=8
+        ).hexdigest()
+        index_dir = os.path.join("/tmp", f"ivf_index_{key}")
+    if not os.path.exists(os.path.join(index_dir, "_codebook.npy")):
+        build_ivf_index(sf_dir, index_dir, n_cells, seed)
+
+    _SCHEMA = pa.schema(
+        [("vec_id", pa.int64()), ("rank", pa.int64()),
+         ("neighbor_id", pa.int64()), ("sim_micro", pa.int64())]
+    )
+
+    def knn_in_cell(t: pa.Table) -> pa.Table:
+        ids, mat = _to_matrix(t)
+        if len(ids) < 2:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "rank": pa.array([], pa.int64()),
+                 "neighbor_id": pa.array([], pa.int64()),
+                 "sim_micro": pa.array([], pa.int64())}, schema=_SCHEMA)
+        order = np.argsort(ids)  # columns ascend by id -> stable tie-break
+        ids, mat = ids[order], mat[order]
+        mn = _normalize(mat)
+        kk = min(k, len(ids) - 1)
+        out_v, out_r, out_n, out_s = [], [], [], []
+        for lo in range(0, len(ids), chunk):
+            hi = min(lo + chunk, len(ids))
+            sm = np.round(mn[lo:hi] @ mn.T * 1e6).astype(np.int64)
+            rows = np.arange(lo, hi)
+            # self-exclusion sentinel must survive negation in the argsort
+            # key (-INT64_MIN overflows back to INT64_MIN and sorts FIRST)
+            sm[np.arange(hi - lo), rows] = -(2 ** 62)
+            top = np.argsort(-sm, axis=1, kind="stable")[:, :kk]
+            out_v.append(np.repeat(ids[rows], kk))
+            out_r.append(np.tile(np.arange(kk, dtype=np.int64), hi - lo))
+            out_n.append(ids[top].reshape(-1))
+            out_s.append(np.take_along_axis(sm, top, axis=1).reshape(-1))
+        return pa.table(
+            {"vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+             "rank": pa.array(np.concatenate(out_r), pa.int64()),
+             "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+             "sim_micro": pa.array(np.concatenate(out_s), pa.int64())},
+            schema=_SCHEMA)
+
+    files = []
+    for d in sorted(os.listdir(index_dir)):
+        if d.startswith("cell="):
+            files.extend(sorted(
+                os.path.join(index_dir, d, f)
+                for f in os.listdir(os.path.join(index_dir, d))
+                if f.endswith(".parquet")
+            ))
+    out = (
+        rd.read_parquet(files)
+        .groupby("cell")
+        .map_groups(knn_in_cell, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(["vec_id", "rank"]).reset_index(drop=True)

@@ -1559,6 +1559,16 @@ def _bpe_merges(sf_dir: str, n_merges: int) -> pd.DataFrame:
 
 
 def bpe_apply(sf_dir: str, n_merges: int = BPE_N_MERGES) -> pd.DataFrame:
+    """Driver-protocol wrapper of :func:`bpe_apply_ds` — same columns,
+    collected and (doc_id, pos)-sorted.  Collecting is the PROTOCOL's
+    granularity; at scale consume the Dataset variant (the smoke counts it
+    streaming — the encoded corpus is tokens-sized and never belongs on the
+    driver)."""
+    out = bpe_apply_ds(sf_dir, n_merges).to_pandas()
+    return out.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+
+
+def bpe_apply_ds(sf_dir: str, n_merges: int = BPE_N_MERGES):
     """(doc_id, pos, token_id, token) — ENCODE the corpus with the trained
     BPE merges: the tokenization step that actually produces model inputs
     (bpe_train_merges learns the merges; this applies them, closing the
@@ -1658,12 +1668,8 @@ def bpe_apply(sf_dir: str, n_merges: int = BPE_N_MERGES) -> pd.DataFrame:
             schema=_SCHEMA,
         )
 
-    out = (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(encode, batch_format="pyarrow")
-        .to_pandas()
-    )
-    return out.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        encode, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -2074,3 +2074,88 @@ def test_embedding_pca_project_matches_sequential(ray_session):
     var = diag.sort_values("i")["sum_micro"].to_numpy() / n / 1e6 - (
         firsts / n / 1e6) ** 2
     assert (var > -1e-9).all()
+
+
+def test_knn_graph_invariants_and_reference(ray_session):
+    """knn_graph: within-cell brute-force reference agreement, planted
+    near-pair membership, ranking invariants, determinism."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from engine.ops.ann import _normalize, knn_graph
+    from engine.ops.ann import embedding_near_pairs
+
+    out = knn_graph(SF, k=5)
+    # ranking invariants: ranks 0..k-1 per vector, sims non-increasing,
+    # no self edges
+    for vid, g in out.groupby("vec_id"):
+        assert list(g["rank"]) == list(range(len(g)))
+        s = g["sim_micro"].to_numpy()
+        assert (np.diff(s) <= 0).all()
+        assert (g["neighbor_id"].to_numpy() != vid).all()
+
+    # determinism
+    out2 = knn_graph(SF, k=5)
+    assert out.equals(out2)
+
+    # brute-force within-cell reference on the index files themselves
+    import glob
+    import hashlib as _hl
+    key = _hl.blake2b(
+        f"{os.path.abspath(SF + '/embeddings.parquet')}:16:42".encode(),
+        digest_size=8).hexdigest()
+    idx = f"/tmp/ivf_index_{key}"
+    cells = {}
+    for f in sorted(glob.glob(idx + "/cell=*/*.parquet")):
+        t = pq.read_table(f, columns=["vec_id", "embedding"]).to_pandas()
+        cell = f.split("cell=")[1].split("/")[0]
+        cells.setdefault(cell, []).append(t)
+    rows = []
+    for cell, parts in cells.items():
+        df = pd.concat(parts).sort_values("vec_id")
+        ids = df["vec_id"].to_numpy()
+        if len(ids) < 2:
+            continue
+        X = _normalize(np.array(df["embedding"].tolist(), dtype=np.float64))
+        sm = np.round(X @ X.T * 1e6).astype(np.int64)
+        np.fill_diagonal(sm, -(2 ** 62))
+        kk = min(5, len(ids) - 1)
+        for r_i, vid in enumerate(ids):
+            ordn = np.argsort(-sm[r_i], kind="stable")[:kk]
+            for rk, j in enumerate(ordn):
+                rows.append((vid, rk, ids[j], sm[r_i, j]))
+    ref = pd.DataFrame(rows, columns=["vec_id", "rank", "neighbor_id",
+                                      "sim_micro"]).sort_values(
+        ["vec_id", "rank"]).reset_index(drop=True).astype("int64")
+    pd.testing.assert_frame_equal(out.astype("int64"), ref)
+
+def test_knn_graph_planted_neighbors(ray_session, tmp_path):
+    """Planted near-identical vectors are each other's rank-0 neighbors
+    (identical vectors land in the same k-means cell by construction)."""
+    import pyarrow.parquet as pq
+
+    from engine.ops.ann import knn_graph
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    rows = np.vstack([base, base[0],
+                      base[1] + 0.01 * rng.standard_normal(16).astype(np.float32)])
+    ids = list(range(40)) + [100, 101]
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([r.tolist() for r in rows], pa.list_(pa.float32())),
+    })
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(t, d / "embeddings.parquet")
+
+    out = knn_graph(str(d), k=3, n_cells=4,
+                    index_dir=str(tmp_path / "idx"), chunk=7)
+    top = {v: (g.iloc[0]["neighbor_id"], g.iloc[0]["sim_micro"])
+           for v, g in out.groupby("vec_id")}
+    assert top[0][0] == 100 and top[100][0] == 0
+    assert top[0][1] == 1_000_000  # identical vector: cosine exactly 1
+    assert top[1][0] == 101 and top[101][0] == 1
+    assert top[1][1] >= 950_000
