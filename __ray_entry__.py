@@ -341,6 +341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_nation_profit": relational.brand_nation_profit,
         "revenue_filter_agg": relational.revenue_filter_agg,
         "small_quantity_revenue": relational.small_quantity_revenue,
+        "sole_return_supplier": relational.sole_return_supplier,
         # text analysis (M11/M12/M13 + training-data ops)
         "token_count": text.token_count,
         "token_count_bpe": text.token_count_bpe,
@@ -1098,6 +1099,24 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)), 0) AS sum_cents
             FROM lineitem l JOIN agg a ON a.l_partkey = l.l_partkey
             WHERE l.l_quantity < a.thr
+        """,
+        # Q21 shape: both correlated EXISTS subqueries decorrelated into
+        # per-order aggregates (multi-supplier orders whose only 'R'
+        # supplier is this one), counted per distinct order
+        "sole_return_supplier": """
+            SELECT s_suppkey, s_name,
+                   count(DISTINCT l1.l_orderkey) AS numwait
+            FROM supplier, lineitem l1
+            WHERE s_suppkey = l1.l_suppkey AND l1.l_returnflag = 'R'
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_returnflag = 'R')
+            GROUP BY s_suppkey, s_name
+            ORDER BY s_suppkey
         """,
         # the CMS prefilter provably loses no true heavy hitter (point
         # queries never underestimate), so the oracle is a plain exact

@@ -1710,3 +1710,72 @@ def hits_docs(sf_dir: str, n_iter: int = 3) -> pd.DataFrame:
     out["hub"] = out["hub"].round(9)
     out["authority"] = out["authority"].round(9)
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def sole_return_supplier(sf_dir: str) -> pd.DataFrame:
+    """(s_suppkey, s_name, numwait) — the TPC-H Q21 decorrelation SHAPE
+    (correlated EXISTS + NOT EXISTS against the same fact table) adapted to
+    this schema: for each supplier, count the MULTI-supplier orders on
+    which it was the ONLY supplier with a returned ('R') line.
+
+    Scale shape: ONE orderkey-bucket all-to-all of narrow rows — each batch
+    first combines to DISTINCT (orderkey, suppkey, any_R) triples so
+    duplicate line rows never enter the exchange; the in-group resolution
+    (distinct suppliers per order > 1, distinct R-suppliers == 1) is
+    vectorized pandas; groups emit per-supplier partial counts, which
+    reduce to a supplier-sized table on the driver before the broadcast
+    name attach (supplier is the small side everywhere in this repo —
+    mktsegment_revenue's trade).  Both EXISTS subqueries of the SQL form
+    collapse into per-order aggregates: the decorrelation a distributed
+    engine must do, since correlated per-row re-scans of a 100 TB fact
+    table are not a plan.
+    """
+    N_BUCKETS = 64
+    li = read_pruned(_t(sf_dir, "lineitem"),
+                     ["l_orderkey", "l_suppkey", "l_returnflag"])
+
+    _ROW = pa.schema([("key", pa.int64()), ("skey", pa.int64()),
+                      ("r", pa.int8()), ("bucket", pa.int32())])
+
+    def distinct_rows(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "key": t["l_orderkey"].to_numpy(),
+            "skey": t["l_suppkey"].to_numpy(),
+            "r": pc.equal(t["l_returnflag"], "R").to_numpy(
+                zero_copy_only=False).astype(np.int8),
+        })
+        g = df.groupby(["key", "skey"], as_index=False)["r"].max()
+        return pa.Table.from_pandas(
+            g.assign(bucket=(g["key"].to_numpy() % N_BUCKETS).astype(np.int32)),
+            schema=_ROW, preserve_index=False,
+        ).replace_schema_metadata(None)
+
+    _PART = pa.schema([("skey", pa.int64()), ("n", pa.int64())])
+
+    def resolve(g: pd.DataFrame) -> pa.Table:
+        # batch partials may split an order: re-combine, then resolve
+        gg = g.groupby(["key", "skey"], as_index=False)["r"].max()
+        per_order = gg.groupby("key").agg(n_supp=("skey", "size"),
+                                          n_r=("r", "sum"))
+        ok = per_order[(per_order["n_supp"] > 1) & (per_order["n_r"] == 1)]
+        hits = gg[(gg["r"] == 1) & gg["key"].isin(ok.index)]
+        cnt = hits.groupby("skey", as_index=False).size()
+        return pa.Table.from_pandas(
+            pd.DataFrame({"skey": cnt["skey"].to_numpy(dtype=np.int64),
+                          "n": cnt["size"].to_numpy(dtype=np.int64)}),
+            schema=_PART, preserve_index=False,
+        ).replace_schema_metadata(None)
+
+    parts = (
+        li.map_batches(distinct_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = parts.groupby("skey", as_index=False)["n"].sum()
+    sup = read_pruned(_t(sf_dir, "supplier"),
+                      ["s_suppkey", "s_name"]).to_pandas()
+    out = agg.merge(sup, left_on="skey", right_on="s_suppkey")
+    out = out[["s_suppkey", "s_name", "n"]].rename(columns={"n": "numwait"})
+    return (out.sort_values("s_suppkey").reset_index(drop=True)
+            .astype({"s_suppkey": "int64", "numwait": "int64"}))
