@@ -421,6 +421,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": multimodal.media_features,
         "media_decode": multimodal.media_decode,
         "media_signal_stats": multimodal.media_signal_stats,
+        # rows-only: codec decode isn't SQL; pytest locks cross-codec twin
+        # collapse + hash invariance + determinism
+        "media_phash_dedup": multimodal.media_phash_dedup,
         "media_thumbnails": multimodal.media_thumbnails,
         "media_frames": multimodal.media_frames,
         # the crawl engine itself (no SQL view of the synthetic pages corpus)

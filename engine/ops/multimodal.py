@@ -462,3 +462,122 @@ def media_signal_stats(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("media_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup (aHash, the classic average-hash): the
+# multimodal twin of exact_dedup — the web serves the SAME picture re-encoded
+# through different codecs, so byte-level hashing misses what pixel-level
+# hashing catches.
+# ---------------------------------------------------------------------------
+
+_PHASH_TRANSCODE_EVERY = 24  # media_id % 24 == 0 images get a PNG twin
+
+
+def _ahash_bits(px: np.ndarray) -> int:
+    """64-bit average hash of an RGB pixel array — ALL-INTEGER: resize to
+    8x8 (nearest), per-pixel channel sum, bit k set iff 64*pixel_sum_k >
+    total_sum (strict, division-free), row-major bit order.  A pure function
+    of the pixels, so any lossless re-encode hashes identically."""
+    small = resize_nearest(px, 8, 8).astype(np.int64)
+    sums = small.sum(axis=2).reshape(-1)  # 64 per-pixel channel sums
+    total = int(sums.sum())
+    bits = (64 * sums > total).astype(np.uint64)
+    return int((bits << np.arange(64, dtype=np.uint64)).sum())
+
+
+class PerceptualHashStage:
+    """Image payloads -> (media_id, ahash int64 bit-cast); non-images skip.
+    Decode state (codec dispatch) is per-actor; work is per batch."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hashes = [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            kind = sniff(payload)
+            if kind == "bmp":
+                px = decode_bmp(payload)
+            elif kind == "png":
+                px = decode_png(payload)
+            elif kind == "jpeg":
+                px = decode_jpeg(payload)
+            elif kind == "gif":
+                px = decode_gif(payload)
+            else:
+                continue
+            ids.append(mid)
+            hashes.append(np.int64(np.uint64(_ahash_bits(px))))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "ahash": pa.array(hashes, pa.int64()),
+        })
+
+
+def _media_with_transcodes(sf_dir: str):
+    """The real media table plus PLANTED cross-codec duplicates: every
+    ``media_id % _PHASH_TRANSCODE_EVERY == 0`` image re-enters LOSSLESSLY
+    re-encoded as PNG under ``media_id + 10**9`` — the duplicated-image
+    shape of a real web crawl (same picture, different container), built
+    deterministically so the sf tables stay untouched."""
+
+    def add_twins(t: pa.Table) -> pa.Table:
+        ids = t["media_id"].to_pylist()
+        payloads = t["payload"].to_pylist()
+        out_i, out_p = list(ids), list(payloads)
+        for mid, payload in zip(ids, payloads):
+            if mid % _PHASH_TRANSCODE_EVERY != 0:
+                continue
+            kind = sniff(payload)
+            if kind == "bmp":
+                px = decode_bmp(payload)
+            elif kind == "png":
+                px = decode_png(payload)
+            elif kind == "gif":
+                px = decode_gif(payload)
+            else:
+                continue  # jpeg is lossy; audio/video carry no pixels
+            out_i.append(mid + 10 ** 9)
+            out_p.append(encode_png(px))
+        return pa.table({
+            "media_id": pa.array(out_i, pa.int64()),
+            "payload": pa.array(out_p, pa.binary()),
+        })
+
+    return real_media_table(sf_dir).map_batches(
+        add_twins, batch_format="pyarrow", batch_size=64)
+
+
+def media_phash_dedup(sf_dir: str) -> pd.DataFrame:
+    """(media_id, ahash, canonical_id) — perceptual dedup of the image
+    corpus: decode every image (actor pool), 64-bit integer average-hash,
+    ONE hash-bucket shuffle groups identical hashes, canonical = min
+    media_id per hash group.  Catches the planted cross-codec twins
+    (identical pixels through different containers) that byte hashing
+    cannot.
+
+    Scale shape: pixels never shuffle — only (media_id, ahash) rows enter
+    the exchange (16 B/image); the decode is the actor-pool stage.
+    Rows-only for the driver (codec decode isn't SQL); pytest locks the
+    planted twins collapsing, non-duplicates staying singletons, and
+    cross-codec hash invariance."""
+    hashed = _media_with_transcodes(sf_dir).map_batches(
+        PerceptualHashStage, batch_format="pyarrow", batch_size=64,
+        concurrency=2)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        h = t["ahash"].to_numpy()
+        return t.append_column(
+            "bucket", pa.array((h % 64).astype(np.int32), pa.int32()))
+
+    def canon(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["canonical_id"] = g.groupby("ahash")["media_id"].transform("min")
+        return g[["media_id", "ahash", "canonical_id"]]
+
+    out = (
+        hashed.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(canon, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("media_id").reset_index(drop=True)

@@ -2159,3 +2159,32 @@ def test_knn_graph_planted_neighbors(ray_session, tmp_path):
     assert top[0][1] == 1_000_000  # identical vector: cosine exactly 1
     assert top[1][0] == 101 and top[101][0] == 1
     assert top[1][1] >= 950_000
+
+
+def test_media_phash_dedup_cross_codec(ray_session):
+    """Perceptual dedup: planted cross-codec twins collapse onto their
+    originals; untouched images stay singletons; the aHash itself is
+    invariant to a lossless re-encode (BMP -> PNG of identical pixels)."""
+    import numpy as np
+
+    from engine.ops.codecs import decode_bmp, decode_png, encode_bmp, encode_png
+    from engine.ops.multimodal import _ahash_bits, media_phash_dedup
+
+    out = media_phash_dedup(SF)
+    twins = out[out.media_id >= 10 ** 9]
+    assert len(twins) > 0
+    canon = out.set_index("media_id")["canonical_id"]
+    for t in twins.media_id:
+        assert canon.loc[t] == t - 10 ** 9
+    nondup = out[(out.media_id < 10 ** 9) & (out.media_id % 24 != 0)]
+    assert (nondup.canonical_id == nondup.media_id).all()
+
+    # direct codec-invariance of the hash kernel
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    h_bmp = _ahash_bits(decode_bmp(encode_bmp(px)))
+    h_png = _ahash_bits(decode_png(encode_png(px)))
+    assert h_bmp == h_png
+
+    # determinism
+    assert out.equals(media_phash_dedup(SF))
