@@ -388,6 +388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_pairs": dedup.simhash_near_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "dup_ngram_spans": dedup.dup_ngram_spans,
+        "winnow_fingerprints": dedup.winnow_fingerprints,
         "strip_dup_spans": dedup.strip_dup_spans,
         "c4_line_dedup": dedup.c4_line_dedup,
         "decontaminate_ngrams": dedup.decontaminate_ngrams,
@@ -1084,6 +1085,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dedup_canonical": _lsh_oracles.near_dedup_canonical_sql(),
         "incremental_minhash_dedup": _lsh_oracles.incremental_minhash_dedup_sql(),
         "dup_ngram_spans": _lsh_oracles.dup_ngram_spans_sql(),
+        "winnow_fingerprints": _lsh_oracles.winnow_fingerprints_sql(),
         "strip_dup_spans": _lsh_oracles.strip_dup_spans_sql(),
         "c4_line_dedup": _lsh_oracles.c4_line_dedup_sql(),
         "bm25_topk": _lsh_oracles.bm25_topk_sql(),

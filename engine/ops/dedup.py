@@ -1600,3 +1600,88 @@ def c4_line_dedup(sf_dir: str, seg_len: int = 10) -> pd.DataFrame:
              "n_lines_removed": pd.Series([], dtype="int64")}
         )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def winnow_fingerprints(sf_dir: str, k: int = 3, w: int = 4) -> pd.DataFrame:
+    """(doc_id, pos, fp) — winnowing document fingerprints (Schleimer,
+    Wilkerson & Aiken 2003, the MOSS algorithm): per document, hash every
+    k-token gram (the MinHash md5/splitmix ring, positions 1-based), slide
+    a window of ``w`` consecutive gram hashes, and select each window's
+    minimum — ties to the RIGHTMOST position; documents with fewer than
+    ``w`` grams contribute their rightmost global minimum.  The selected
+    set is the classic plagiarism/near-copy fingerprint sketch with the
+    guarantee that any shared substring of length >= w + k - 1 tokens
+    yields a shared fingerprint.
+
+    Scale shape: map-only — the whole computation is doc-local (no
+    shuffle); the batch kernel hashes only DISTINCT tokens (factorize), 
+    builds every window hash in k strided XOR passes, and winnows ALL
+    docs' windows in one ``sliding_window_view`` argmin with doc-boundary
+    masks.  Output is the (small) fingerprint set, ~m/((w+1)/2) rows per
+    doc in expectation.
+
+    DuckDB-oracle-checked (window-function min + rightmost-tie argmax join
+    over the same gram CTEs as dup_ngram_spans).
+    """
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    _SCHEMA = pa.schema(
+        [("doc_id", pa.int64()), ("pos", pa.int64()), ("fp", pa.int64())]
+    )
+
+    def winnow(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        toks_per_doc = [s.lower().split() for s in t["text"].to_pylist()]
+        lens = np.array([len(x) for x in toks_per_doc], dtype=np.int64)
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "pos": pa.array([], pa.int64()),
+                          "fp": pa.array([], pa.int64())}, schema=_SCHEMA)
+        if int(lens.sum()) == 0:
+            return empty
+        flat = [wd for toks in toks_per_doc for wd in toks]
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+        uh = np.fromiter((_token_hash(x) for x in uniques), dtype=np.uint64,
+                         count=len(uniques))
+        th = uh[codes]
+        n_starts = len(th) - k + 1
+        if n_starts <= 0:
+            return empty
+        g_full = np.zeros(n_starts, dtype=np.uint64)
+        for j in range(k):
+            g_full ^= th[j: j + n_starts] * _POS_MULT[j]
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        offs = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        s = np.arange(len(th), dtype=np.int64) - offs[doc_idx]
+        valid = (s <= np.repeat(lens, lens) - k)[:n_starts]
+        g = _mix64(g_full[valid]) & np.uint64((1 << 61) - 1)
+        gdoc = doc_idx[:n_starts][valid]
+        gpos = (s + 1)[:n_starts][valid]  # 1-based gram position
+        mg = np.bincount(gdoc, minlength=len(lens))  # grams per doc
+        gofs = np.concatenate([[0], np.cumsum(mg)])[:-1]
+
+        sel: list = []
+        if len(g) >= w:
+            sw = sliding_window_view(g, w)
+            starts = np.arange(len(sw))
+            # window fully inside one doc: start and end share the doc
+            ok = gdoc[starts] == gdoc[starts + w - 1]
+            am = (w - 1) - np.argmin(sw[ok][:, ::-1], axis=1)
+            sel.append(starts[ok] + am)
+        shorts = np.flatnonzero((mg > 0) & (mg < w))
+        for d in shorts:  # rare: docs with fewer than w grams
+            seg = g[gofs[d]: gofs[d] + mg[d]]
+            am = len(seg) - 1 - int(np.argmin(seg[::-1]))
+            sel.append(np.array([gofs[d] + am], dtype=np.int64))
+        if not sel:
+            return empty
+        chosen = np.unique(np.concatenate(sel))
+        return pa.table(
+            {"doc_id": pa.array(ids[gdoc[chosen]], pa.int64()),
+             "pos": pa.array(gpos[chosen], pa.int64()),
+             "fp": pa.array(g[chosen].astype(np.int64), pa.int64())},
+            schema=_SCHEMA,
+        )
+
+    out = ds.map_batches(winnow, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "pos"]).reset_index(drop=True)

@@ -779,3 +779,63 @@ def cms_sketch_tokens_sql(depth: int = 4, width: int = 1024) -> str:
         SELECT d, col, SUM(c)::BIGINT AS n
         FROM cells GROUP BY d, col ORDER BY d, col
     """
+
+
+def winnow_fingerprints_sql(k: int = 3, w: int = 4) -> str:
+    """Oracle for dedup.winnow_fingerprints: the same positional gram hash
+    as dup_ngram_spans, a w-row window min per position, rightmost-tie
+    argmax join, plus the short-document (fewer than w grams) rightmost
+    global-min rule."""
+    win_joins = "\n".join(
+        f"              JOIN th t{j} ON t{j}.doc_id = t0.doc_id"
+        f" AND t{j}.i = t0.i + {j}" for j in range(1, k)
+    )
+    g = f"{_mul64('t0.h', int(dd._POS_MULT[0]))}"
+    for j in range(1, k):
+        g = f"xor({g}, {_mul64(f't{j}.h', int(dd._POS_MULT[j]))})"
+    return rf"""
+            WITH tok_arr AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                         x -> x <> '') AS toks
+              FROM documents
+            ), th AS (
+              SELECT doc_id, generate_subscripts(toks, 1) AS i,
+                     ('0x' || substr(md5(unnest(toks)), 1, 16))::UBIGINT AS h
+              FROM tok_arr
+            ), g_pos AS (
+              SELECT t0.doc_id, t0.i, {g} AS g
+              FROM th t0
+{win_joins}
+            ), s_pos AS (
+              SELECT doc_id, i, ({_mix64('g')} & {_MASK61}::UBIGINT) AS s
+              FROM g_pos
+            ), m AS (
+              SELECT doc_id, count(*) AS mg, min(s) AS smin
+              FROM s_pos GROUP BY doc_id
+            ), wmin AS (
+              SELECT doc_id, i,
+                     min(s) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS wm,
+                     count(*) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS wcnt
+              FROM s_pos
+            ), sel AS (         -- rightmost position achieving the window min
+              SELECT v.doc_id, max(p.i) AS sel_i
+              FROM (SELECT doc_id, i AS j, wm FROM wmin WHERE wcnt = {w}) v
+              JOIN s_pos p ON p.doc_id = v.doc_id
+                AND p.i BETWEEN v.j AND v.j + {w - 1} AND p.s = v.wm
+              GROUP BY v.doc_id, v.j
+            ), short AS (       -- < w grams: rightmost global min
+              SELECT p.doc_id, max(p.i) AS sel_i
+              FROM s_pos p JOIN m ON m.doc_id = p.doc_id
+                AND m.mg < {w} AND p.s = m.smin
+              GROUP BY p.doc_id
+            ), allsel AS (
+              SELECT DISTINCT doc_id, sel_i FROM (
+                SELECT doc_id, sel_i FROM sel
+                UNION ALL SELECT doc_id, sel_i FROM short)
+            )
+            SELECT a.doc_id AS doc_id, a.sel_i AS pos, p.s::BIGINT AS fp
+            FROM allsel a JOIN s_pos p
+              ON p.doc_id = a.doc_id AND p.i = a.sel_i
+            ORDER BY a.doc_id, pos"""

@@ -2188,3 +2188,38 @@ def test_media_phash_dedup_cross_codec(ray_session):
 
     # determinism
     assert out.equals(media_phash_dedup(SF))
+
+
+def test_winnow_fingerprints_guarantee(ray_session, tmp_path):
+    """Winnowing guarantee (Schleimer et al. 2003 thm 1): any shared token
+    run of length >= w + k - 1 produces at least one SHARED fingerprint;
+    fingerprint density is ~2/(w+1) of gram positions."""
+    import pyarrow.parquet as pq
+
+    from engine.ops.dedup import winnow_fingerprints
+
+    rng = np.random.default_rng(9)
+    vocab = [f"v{i:04d}" for i in range(2000)]
+    shared = " ".join(rng.choice(vocab, 6))  # k=3, w=4 -> guarantee at 6
+    docs = []
+    for i in range(8):
+        left = " ".join(rng.choice(vocab, 30))
+        right = " ".join(rng.choice(vocab, 30))
+        docs.append(f"{left} {shared} {right}" if i < 2
+                    else f"{left} {right}")
+    t = pa.table({"doc_id": pa.array(range(8), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    d = tmp_path / "wf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+
+    out = winnow_fingerprints(str(d))
+    f0 = set(out[out.doc_id == 0]["fp"])
+    f1 = set(out[out.doc_id == 1]["fp"])
+    assert f0 & f1  # the planted shared run fingerprints in both docs
+    # density sanity: selected positions are a small fraction of grams
+    per_doc = out.groupby("doc_id").size()
+    n_grams = 30 + 30 + 6 + 2 - 3 + 1  # tokens per planted doc, k=3
+    assert per_doc.loc[0] < n_grams
+    # determinism
+    assert out.equals(winnow_fingerprints(str(d)))
