@@ -327,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_type": relational.distinct_users_per_type,
         "pagerank_docs": relational.pagerank_docs,
         "hits_docs": relational.hits_docs,
+        "triangle_count": relational.triangle_count,
         "orders_without_lineitems": relational.orders_without_lineitems,
         "orders_with_lineitems_bloom": relational.orders_with_lineitems_bloom,
         "events_funnel": relational.events_funnel,
@@ -1104,6 +1105,26 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)), 0) AS sum_cents
             FROM lineitem l JOIN agg a ON a.l_partkey = l.l_partkey
             WHERE l.l_quantity < a.thr
+        """,
+        # triangle counting on the PageRank/HITS link graph: wedge-check
+        # (closed wedges / 3) vs the canonical a<b three-way self-join
+        "triangle_count": """
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            e0 AS (
+              SELECT doc_id AS a, (doc_id * 31 + s) % nn.n AS b
+              FROM documents, nn, (VALUES (1), (2), (3)) v(s)
+            ),
+            e AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+                  FROM e0 WHERE a <> b),
+            t AS (
+              SELECT count(*)::BIGINT AS tri
+              FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+              JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+            )
+            SELECT (SELECT n FROM nn) AS n_nodes,
+                   (SELECT count(*) FROM e)::BIGINT AS n_edges,
+                   tri AS n_triangles
+            FROM t
         """,
         # Q21 shape: both correlated EXISTS subqueries decorrelated into
         # per-order aggregates (multi-supplier orders whose only 'R'
