@@ -106,6 +106,14 @@ BENCH_QUERY_NAMES = [
     "small_quantity_revenue",
     "hits_docs",
     "quality_classifier_score",
+    "bpe_apply",
+    "embedding_moments",
+    "embedding_pca_project",
+    "knn_graph",
+    "sole_return_supplier",
+    "media_phash_dedup",
+    "winnow_fingerprints",
+    "triangle_count",
 ]
 
 

@@ -991,6 +991,15 @@ def ann_recall_report(sf_dir: str, n_queries: int = 5, k: int = 10) -> pd.DataFr
     build_ivf_index(sf_dir, ivf_dir, n_cells=8)
     build_ivfpq_index(sf_dir, pq_dir, n_cells=8, m=8)
 
+    def knn_edges():
+        # the all-corpus graph, sliced to the report's query vectors; the
+        # graph excludes self-edges exactly like the brute truth
+        g = knn_graph(sf_dir, k=k, n_cells=8, index_dir=ivf_dir)
+        qs = set(truth["query_id"])
+        g = g[g["vec_id"].isin(qs)]
+        return pd.DataFrame({"query_id": g["vec_id"].to_numpy(),
+                             "vec_id": g["neighbor_id"].to_numpy()})
+
     variants = {
         "lsh": lambda: ann_topk_lsh(sf_dir, n_queries, k),
         "ivf_probe2": lambda: ann_topk_ivf_partitioned(
@@ -999,6 +1008,7 @@ def ann_recall_report(sf_dir: str, n_queries: int = 5, k: int = 10) -> pd.DataFr
             sf_dir, n_queries, k, n_probe=8, index_dir=ivf_dir),
         "ivfpq_probe_all": lambda: ann_topk_ivfpq(
             sf_dir, n_queries, k, n_cells=8, n_probe=8, index_dir=pq_dir),
+        "knn_graph_cell": knn_edges,
     }
     names, recalls = [], []
     for name, fn in sorted(variants.items()):

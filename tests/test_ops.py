@@ -1808,6 +1808,12 @@ def test_ann_recall_report(ray_session):
     assert r["ivfpq_probe_all"] >= 900
     assert r["lsh"] >= 500
     assert r["ivf_probe2"] <= r["ivf_probe_all"]
+    # the kNN graph is exact WITHIN each vector's own cell only (no
+    # query-adaptive probing), so on uniform random vectors it sits below
+    # the probed variants — the documented SemDeDup-structure trade; the
+    # floor just guards against a broken pipeline (measured 300 at sf0.001)
+    assert r["knn_graph_cell"] <= r["ivf_probe_all"]
+    assert r["knn_graph_cell"] >= 200
 
 
 def test_pii_redact_invariants(ray_session):
