@@ -351,6 +351,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keywords_topk": text.keywords_topk,
         "tfidf_topk": text.tfidf_topk,
         "bm25_topk": text.bm25_topk,
+        "inverted_postings": text.inverted_postings,
+        "token_frequency_spectrum": text.token_frequency_spectrum,
         "kmv_distinct_tokens": text.kmv_distinct_tokens,
         "lang_counts": text.lang_counts,
         "langid_predict": text.langid_predict,
@@ -1090,6 +1092,32 @@ def oracle_sql() -> dict[str, str]:
         "strip_dup_spans": _lsh_oracles.strip_dup_spans_sql(),
         "c4_line_dedup": _lsh_oracles.c4_line_dedup_sql(),
         "bm25_topk": _lsh_oracles.bm25_topk_sql(),
+        # Zipf frequency-of-frequencies over the token vocabulary
+        "token_frequency_spectrum": r"""
+            WITH tok AS (
+              SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                        x -> x <> '')) AS w
+              FROM documents
+            ), tc AS (
+              SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY w
+            )
+            SELECT c AS occurrences, count(*)::BIGINT AS n_tokens
+            FROM tc GROUP BY c ORDER BY occurrences
+        """,
+        # the inverted-index SINK + bounded lookup must agree with the
+        # full-corpus tokenize definition, not just with itself
+        "inverted_postings": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                        x -> x <> '')) AS w
+              FROM documents
+            )
+            SELECT w AS token, doc_id, count(*)::BIGINT AS tf
+            FROM tok WHERE w IN ('hash', 'join', 'stream', 'batch')
+            GROUP BY w, doc_id
+            ORDER BY token, doc_id
+        """,
         "kmv_distinct_tokens": _lsh_oracles.kmv_distinct_tokens_sql(),
         "cms_sketch_tokens": _lsh_oracles.cms_sketch_tokens_sql(),
         # Q17 shape: correlated subquery decorrelated; threshold is the same

@@ -114,6 +114,8 @@ BENCH_QUERY_NAMES = [
     "media_phash_dedup",
     "winnow_fingerprints",
     "triangle_count",
+    "inverted_postings",
+    "token_frequency_spectrum",
 ]
 
 

@@ -35,16 +35,16 @@ oscillates on), and its accumulator lives ONLY on the driver as a
 single-threaded float64 function of the exact integer gradient sums —
 deterministic regardless of parallelism.
 
-Scale shape (per iteration): ONE map_batches pass over a materialized
-narrow feature table (doc_id, label, ng, cnw, dv:list<int64>[5],
+Scale shape (per iteration): one gradient TASK per pinned Arrow block of a
+materialized narrow feature table (doc_id, label, ng, cnw, dv:list<int64>[5],
 fb:list<int64>, fc:list<int64> — the bm25 tf-table trade: both training and
 scoring consume it, and re-tokenizing the corpus ``iters`` times costs far
-more), each block emitting a constant-size partial table of (W + 3) int64
-rows reduced driver-side (W ≈ 1.3k — collecting block partials is cheaper
-than a groupby exchange).  The weight vector (~10 KB) is the only
-broadcast.  No shuffle ever touches the text or the gram stream — the same
-all-reduce shape as hits_docs, with the model, not the graph, as the
-iterated state.
+more), each returning a constant-size integer partial (W ints + 3 scalars,
+W ≈ 1.3k) reduced on the driver.  The ~10 KB weight vector is the only
+per-iteration broadcast.  No shuffle ever touches the text or the gram
+stream — the same all-reduce shape as hits_docs, with the model, not the
+graph, as the iterated state; ``_train`` documents why the loop is raw
+tasks over the block refs rather than ``iters`` separate Dataset runs.
 """
 from __future__ import annotations
 
@@ -200,66 +200,76 @@ def _doc_logits_micro(w: np.ndarray, n_feat: int, ng, cnw, dv, doc_of, b, c,
     )
 
 
-def _train(feats, n_feat: int, iters: int, lr: float):
-    """Full-batch AdaGrad over the materialized feature Dataset; returns
-    (w_micro int64[W], metrics DataFrame one row per iteration)."""
+def _grad_partial_arrays(t: pa.Table, w_now: np.ndarray, n_feat: int):
+    """One block's gradient partial: (G int64[W], loss_micro, n_correct,
+    n_docs).  Every per-(doc, feature) contribution is rounded to int64
+    micros BEFORE any sum; the add.at-of-integer-valued-float64 sums stay
+    exact (<2^53), so the partial is a pure function of (block, w) —
+    independent of which execution path (map_batches or raw task) ran it."""
     W = _n_weights(n_feat)
     bias_at = n_feat + _NW_CAP
+    y, ng, cnw, dv, doc_of, b, c = _flat_features(t)
+    n = t.num_rows
+    zm = _doc_logits_micro(w_now, n_feat, ng, cnw, dv, doc_of, b, c, n)
+    z = np.clip(zm / 1e6, -30.0, 30.0)
+    p = 1.0 / (1.0 + np.exp(-z))
+    err = p - y  # in (-1, 1)
+    err_micro = np.round(err * 1e6)
+    g = np.zeros(W, dtype=np.float64)
+    np.add.at(g, b, np.round(
+        _GRAM_SCALE * err[doc_of] * c / np.maximum(ng, 1)[doc_of] * 1e6))
+    np.add.at(g, n_feat + cnw, err_micro)
+    g[bias_at] = err_micro.sum()
+    g[bias_at + 1:] = np.round(err[:, None] * (dv / 1e6) * 1e6).sum(axis=0)
+    # per-doc CE loss, micros (logaddexp: stable in both tails)
+    loss = np.round(np.logaddexp(0.0, np.where(y == 1, -z, z)) * 1e6)
+    correct = int(((zm >= 0).astype(np.int64) == y).sum())
+    return g.astype(np.int64), int(loss.sum()), correct, n
+
+
+def _train(feats, n_feat: int, iters: int, lr: float):
+    """Full-batch AdaGrad over the materialized feature Dataset; returns
+    (w_micro int64[W], metrics DataFrame one row per iteration).
+
+    The iteration loop is a RAW-TASK all-reduce over the Dataset's pinned
+    Arrow block refs — the one shape here where per-iteration Dataset
+    execution is the wrong tool: each ``map_batches`` pass pays
+    plan+schedule setup (~0.3 s measured) for work that is milliseconds,
+    and at 40 iterations that overhead dominated the query (16.5 s at
+    sf0.1).  The task loop reuses the same object-store blocks across
+    iterations with only an ~10 KB weight ref broadcast per round.
+    Partials are integer, so the reduce is order-free and bit-identical to
+    the map_batches formulation (the pytest sequential-reference and
+    partition-invariance locks cover this path)."""
+    import ray as _ray
+
+    W = _n_weights(n_feat)
+    refs = feats.to_arrow_refs()
+
+    @_ray.remote
+    def block_grad(block, w_now, nf):
+        return _grad_partial_arrays(block, w_now, nf)
+
     w = np.zeros(W, dtype=np.int64)
     g2 = np.zeros(W, dtype=np.float64)  # driver-only AdaGrad state
     history = []
     for it in range(iters):
-        w_now = w.copy()  # capture by value: the closure must not see updates
-
-        def grad_partial(t: pa.Table, w_now=w_now) -> pa.Table:
-            y, ng, cnw, dv, doc_of, b, c = _flat_features(t)
-            n = t.num_rows
-            zm = _doc_logits_micro(w_now, n_feat, ng, cnw, dv, doc_of, b, c, n)
-            z = np.clip(zm / 1e6, -30.0, 30.0)
-            p = 1.0 / (1.0 + np.exp(-z))
-            err = p - y  # in (-1, 1)
-            err_micro = np.round(err * 1e6)
-            # per-(doc, feature) contributions rounded to micros BEFORE any
-            # sum; bincount-of-integer-valued-float64 sums stay exact (<2^53)
-            g = np.zeros(W, dtype=np.float64)
-            np.add.at(g, b, np.round(
-                _GRAM_SCALE * err[doc_of] * c / np.maximum(ng, 1)[doc_of] * 1e6))
-            np.add.at(g, n_feat + cnw, err_micro)
-            g[bias_at] = err_micro.sum()
-            g[bias_at + 1:] = np.round(err[:, None] * (dv / 1e6) * 1e6).sum(axis=0)
-            # per-doc CE loss, micros (logaddexp: stable in both tails)
-            loss = np.round(np.logaddexp(0.0, np.where(y == 1, -z, z)) * 1e6)
-            correct = int(((zm >= 0).astype(np.int64) == y).sum())
-            j = np.concatenate([np.arange(W, dtype=np.int64),
-                                np.array([_J_LOSS, _J_CORRECT, _J_DOCS])])
-            gv = np.concatenate([g.astype(np.int64),
-                                 np.array([int(loss.sum()), correct, n],
-                                          dtype=np.int64)])
-            return pa.table({"j": pa.array(j, pa.int64()),
-                             "g": pa.array(gv, pa.int64())})
-
-        # constant-size partials summed driver-side: W+3 int64 rows per
-        # block; integer addition is order-free, and skipping the groupby
-        # exchange cuts the per-iteration wall to the map pass itself.
-        red = (
-            feats.map_batches(grad_partial, batch_format="pyarrow")
-            .to_pandas()
-        )
-        jv = red["j"].to_numpy()
-        gvv = red["g"].to_numpy()
+        w_ref = _ray.put(w.copy())  # broadcast once per iteration
+        parts = _ray.get([block_grad.remote(r, w_ref, n_feat) for r in refs])
         G = np.zeros(W, dtype=np.int64)
-        np.add.at(G, jv[jv >= 0], gvv[jv >= 0])
-        meta = {int(k): 0 for k in (_J_LOSS, _J_CORRECT, _J_DOCS)}
-        for k in meta:
-            meta[k] = int(gvv[jv == k].sum())
-        n_docs = meta[_J_DOCS]
+        loss = correct = n_docs = 0
+        for gb, lb, cb, nb in parts:  # integer sums: order-free
+            G += gb
+            loss += lb
+            correct += cb
+            n_docs += nb
         # AdaGrad: mean gradient in natural units; accumulator and step are a
         # single-threaded driver function of the exact integer sums.
         gm = G / max(n_docs, 1) / 1e6
         g2 += gm * gm
         w = w - np.round(lr * gm / np.sqrt(1e-8 + g2) * 1e6).astype(np.int64)
-        history.append({"iteration": it, "loss_micro": meta[_J_LOSS],
-                        "n_correct": meta[_J_CORRECT], "n_docs": n_docs})
+        history.append({"iteration": it, "loss_micro": loss,
+                        "n_correct": correct, "n_docs": n_docs})
     return w, pd.DataFrame(history)
 
 

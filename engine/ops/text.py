@@ -1790,3 +1790,164 @@ def cms_heavy_hitters(sf_dir: str, denom: int = 200) -> pd.DataFrame:
     )
     out = merged[merged["n"] >= thresh].astype({"n": "int64"})
     return out.sort_values("token").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Inverted index: the search-index SINK the reference's upload loop feeds
+# (SharePointCrawler pushes extracted chunks into an index service; here the
+# index itself is a first-class resumable parquet artifact) + bounded-read
+# term lookup.
+# ---------------------------------------------------------------------------
+
+INV_BUCKETS = 32
+_INV_TERMS = ("hash", "join", "stream", "batch")
+
+
+def build_inverted_index(sf_dir: str, n_buckets: int = INV_BUCKETS) -> str:
+    """Write (once, cached) the corpus's token->postings inverted index as
+    ``bucket=K/`` hive parquet — rows (token, doc_id, tf), bucket =
+    md5-prefix-64(token) % n_buckets (the DuckDB-expressible MinHash token
+    ring, so the oracle can address buckets too) — and return the index dir.
+
+    Scale shape: one tokenize pass (per-batch factorize + (doc, token)
+    bincount -> tf rows), ONE bucket-keyed all-to-all, and the
+    consolidation idiom (groupby(bucket) before the hive write) so each
+    bucket is ONE file — term lookups open exactly the touched bucket
+    files, never the corpus (the bucketed_copy/IVF lesson: plain
+    partition_cols writes block×bucket fragments and lookups drown in
+    footer opens).  Cache-keyed on the documents file identity, so a
+    rewritten corpus invalidates.
+    """
+    import hashlib as _hl
+    import json as _json
+
+    from .dedup import _token_hash
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(p)
+    key = _hl.md5(
+        f"{os.path.abspath(p)}|{st.st_mtime_ns}|{st.st_size}|{n_buckets}".encode()
+    ).hexdigest()[:16]
+    dest = os.path.join("/tmp", "engine_inv_index", key)
+    marker = os.path.join(dest, "_done.json")
+    if os.path.exists(marker):
+        return dest
+    os.makedirs(dest, exist_ok=True)
+
+    _SCHEMA = pa.schema(
+        [("token", pa.string()), ("doc_id", pa.int64()), ("tf", pa.int64()),
+         ("bucket", pa.int64())]
+    )
+
+    def postings(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        toks_per_doc = [s.lower().split() for s in t["text"].to_pylist()]
+        lens = np.array([len(x) for x in toks_per_doc], dtype=np.int64)
+        flat = [w for ts in toks_per_doc for w in ts]
+        if not flat:
+            return _SCHEMA.empty_table()
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        # (doc, token) tf via sparse unique-counts over fused keys — memory
+        # is O(occurrences), never O(docs x batch-vocab)
+        fused = doc_idx * np.int64(len(uniques)) + codes
+        keys, tf = np.unique(fused, return_counts=True)
+        d_i = keys // len(uniques)
+        c_i = keys % len(uniques)
+        ub = np.fromiter((_token_hash(w) % n_buckets for w in uniques),
+                         dtype=np.int64, count=len(uniques))
+        return pa.table(
+            {"token": pa.array(uniques[c_i], pa.string()),
+             "doc_id": pa.array(ids[d_i], pa.int64()),
+             "tf": pa.array(tf.astype(np.int64), pa.int64()),
+             "bucket": pa.array(ub[c_i], pa.int64())},
+            schema=_SCHEMA)
+
+    (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(postings, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda t: t, batch_format="pyarrow")
+        .write_parquet(dest, partition_cols=["bucket"])
+    )
+    with open(marker, "w") as f:
+        _json.dump({"source": p, "n_buckets": n_buckets}, f)
+    return dest
+
+
+def inverted_postings(sf_dir: str, terms: tuple = _INV_TERMS,
+                      n_buckets: int = INV_BUCKETS) -> pd.DataFrame:
+    """(token, doc_id, tf) — postings for ``terms`` served from the
+    inverted-index artifact: opens ONLY the terms' ``bucket=K/`` files (a
+    bounded read — lookup cost scales with the query, not the corpus),
+    with an in-bucket token filter.  DuckDB-oracle-checked end to end
+    against a full-corpus tokenize (the index build + lookup must agree
+    with the definition, not just with itself)."""
+    import pyarrow.dataset as pads
+
+    from .dedup import _token_hash
+
+    dest = build_inverted_index(sf_dir, n_buckets)
+    by_bucket: dict = {}
+    for w in terms:
+        by_bucket.setdefault(_token_hash(w) % n_buckets, []).append(w)
+    parts = []
+    for b, want in sorted(by_bucket.items()):
+        bdir = os.path.join(dest, f"bucket={b}")
+        if not os.path.isdir(bdir):
+            continue
+        dset = pads.dataset(bdir, format="parquet")
+        parts.append(dset.to_table(columns=["token", "doc_id", "tf"],
+                                   filter=pads.field("token").isin(want)))
+    if not parts:
+        return pd.DataFrame({"token": pd.Series([], dtype="object"),
+                             "doc_id": pd.Series([], dtype="int64"),
+                             "tf": pd.Series([], dtype="int64")})
+    out = pa.concat_tables(parts).to_pandas()
+    return out.sort_values(["token", "doc_id"]).reset_index(drop=True)
+
+
+def token_frequency_spectrum(sf_dir: str) -> pd.DataFrame:
+    """(occurrences, n_tokens) — the corpus frequency-of-frequencies
+    spectrum (the Zipf/Good-Turing statistic: how many distinct tokens
+    occur exactly k times).  The vocabulary-health dashboard row a corpus
+    curation run watches (singleton mass, head weight).
+
+    Scale shape: per-batch ``value_counts`` partials -> the ONE token-keyed
+    all-to-all (``groupby(word).sum`` — the bpe vocab pass), then each
+    block reduces its words to (k, count) partial spectrum rows (bounded by
+    distinct k per block) and a tiny ``groupby(occurrences)`` finishes.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["text"])
+
+    def wc(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), r"\s+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        v = flat.value_counts()
+        return pa.table(
+            {"word": v.field("values"),
+             "n": pc.cast(v.field("counts"), pa.int64())}
+        )
+
+    def spectrum_partial(t: pa.Table) -> pa.Table:
+        v = t["n"].combine_chunks().value_counts()
+        return pa.table(
+            {"occurrences": pc.cast(v.field("values"), pa.int64()),
+             "n_tokens": pc.cast(v.field("counts"), pa.int64())}
+        )
+
+    out = (
+        ds.map_batches(wc, batch_format="pyarrow", batch_size=4096)
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(spectrum_partial, batch_format="pyarrow")
+        .groupby("occurrences")
+        .sum("n_tokens")
+        .to_pandas()
+        .rename(columns={"sum(n_tokens)": "n_tokens"})
+    )
+    return (out.sort_values("occurrences").reset_index(drop=True)
+            .astype({"occurrences": "int64", "n_tokens": "int64"}))

