@@ -353,6 +353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": text.bm25_topk,
         "inverted_postings": text.inverted_postings,
         "token_frequency_spectrum": text.token_frequency_spectrum,
+        "bigram_pmi_topk": text.bigram_pmi_topk,
         "kmv_distinct_tokens": text.kmv_distinct_tokens,
         "lang_counts": text.lang_counts,
         "langid_predict": text.langid_predict,
@@ -413,6 +414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_pairs": ann.embedding_near_pairs,
         "embedding_dedup_canonical": ann.embedding_dedup_canonical,
         "embedding_moments": ann.embedding_moments,
+        "label_centroids": ann.label_centroids,
         # rows-only: k-means cells aren't SQL; pytest locks a brute-force
         # within-cell reference + planted-pair membership + determinism
         "knn_graph": ann.knn_graph,
@@ -1038,6 +1040,19 @@ def oracle_sql() -> dict[str, str]:
             FROM e GROUP BY 1
             ORDER BY i, j
         """,
+        # per-label centroid sums: the embedding_moments discipline per group
+        "label_centroids": """
+            WITH e AS (
+              SELECT label, unnest(embedding) AS x,
+                     unnest(range(0, len(embedding))) AS i
+              FROM embeddings
+            )
+            SELECT label::BIGINT AS label, i,
+                   SUM(CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0)
+                            AS BIGINT)) AS sum_micro,
+                   count(*)::BIGINT AS n_vecs
+            FROM e GROUP BY label, i ORDER BY label, i
+        """,
         # Gopher rule gate: ratios integer-cross-multiplied on both sides so
         # the hash comparison is float-free (engine.ops.text constants)
         "gopher_quality_flags": rf"""
@@ -1092,6 +1107,35 @@ def oracle_sql() -> dict[str, str]:
         "strip_dup_spans": _lsh_oracles.strip_dup_spans_sql(),
         "c4_line_dedup": _lsh_oracles.c4_line_dedup_sql(),
         "bm25_topk": _lsh_oracles.bm25_topk_sql(),
+        # collocations: PMI in ln-micros, the exact engine float expression
+        # (same association order), ties at the cut broken by (w1, w2)
+        "bigram_pmi_topk": r"""
+            WITH tok_arr AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                         x -> x <> '') AS toks
+              FROM documents
+            ), th AS (
+              SELECT doc_id, generate_subscripts(toks, 1) AS i,
+                     unnest(toks) AS w
+              FROM tok_arr
+            ), bg AS (
+              SELECT t0.w AS w1, t1.w AS w2, count(*)::BIGINT AS cxy
+              FROM th t0 JOIN th t1
+                ON t1.doc_id = t0.doc_id AND t1.i = t0.i + 1
+              GROUP BY 1, 2
+            ), ug AS (SELECT w, count(*)::BIGINT AS c FROM th GROUP BY w),
+            tot AS (SELECT (SELECT sum(c) FROM ug)::DOUBLE AS N,
+                           (SELECT sum(cxy) FROM bg)::DOUBLE AS B)
+            SELECT w1, w2, cxy,
+                   CAST(ROUND(ln((cxy::DOUBLE * N * N) / ((B * u1.c) * u2.c))
+                              * 1000000.0) AS BIGINT) AS pmi_micro
+            FROM bg, tot
+            JOIN ug u1 ON u1.w = bg.w1
+            JOIN ug u2 ON u2.w = bg.w2
+            WHERE cxy >= 5
+            ORDER BY pmi_micro DESC, w1, w2
+            LIMIT 20
+        """,
         # Zipf frequency-of-frequencies over the token vocabulary
         "token_frequency_spectrum": r"""
             WITH tok AS (

@@ -1228,3 +1228,55 @@ def knn_graph(sf_dir: str, k: int = 5, n_cells: int = 16, seed: int = 42,
         .to_pandas()
     )
     return out.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+
+
+def label_centroids(sf_dir: str) -> pd.DataFrame:
+    """(label, i, sum_micro, n_vecs) — exact integer per-label embedding
+    centroid sums (the class-prototype computation behind centroid
+    classifiers / per-class drift monitors): for every label and dimension,
+    ``sum_v round(x_vi * 1e6)`` plus the label's vector count.  Per-vector
+    micro-rounding before the order-free integer reduce — the
+    embedding_moments discipline applied per group.
+
+    Scale shape: one map-only pass; each block emits <= labels×(d+1)
+    integer partial rows (labels is a small enum), reduced by a tiny
+    groupby.  Consumers divide sum_micro / n_vecs for the centroid.
+    """
+    ds = read_pruned(_emb_path(sf_dir), ["vec_id", "label", "embedding"])
+    d = _embedding_dim(_emb_path(sf_dir))
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pcc
+
+        ids, X = _to_matrix(t)
+        if not len(ids):
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "i": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes, uniq = pd.factorize(labels)
+        R = np.round(X * 1e6)
+        S = np.zeros((len(uniq), d), dtype=np.int64)
+        np.add.at(S, codes, R.astype(np.int64))
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        lab = np.repeat(uniq, d)
+        dim = np.tile(np.arange(d, dtype=np.int64), len(uniq))
+        return pa.table(
+            {"label": pa.array(np.concatenate([lab, uniq]), pa.int64()),
+             "i": pa.array(np.concatenate([dim, np.full(len(uniq), -1)]),
+                           pa.int64()),
+             "s": pa.array(np.concatenate([S.reshape(-1), cnt]), pa.int64()),
+             "n": pa.array(np.concatenate([np.zeros(len(lab), np.int64), cnt]),
+                           pa.int64())})
+
+    red = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = red.groupby(["label", "i"], as_index=False)["s"].sum()
+    counts = agg[agg["i"] == -1].set_index("label")["s"]
+    out = agg[agg["i"] >= 0].copy()
+    out["n_vecs"] = out["label"].map(counts).astype("int64")
+    out = out.rename(columns={"s": "sum_micro"})
+    return (out.sort_values(["label", "i"]).reset_index(drop=True)
+            [["label", "i", "sum_micro", "n_vecs"]]
+            .astype({"label": "int64", "i": "int64",
+                     "sum_micro": "int64", "n_vecs": "int64"}))

@@ -1951,3 +1951,171 @@ def token_frequency_spectrum(sf_dir: str) -> pd.DataFrame:
     )
     return (out.sort_values("occurrences").reset_index(drop=True)
             .astype({"occurrences": "int64", "n_tokens": "int64"}))
+
+
+def bigram_pmi_topk(sf_dir: str, min_count: int = 5, k: int = 20) -> pd.DataFrame:
+    """(w1, w2, cxy, pmi_micro) — top-k adjacent-token bigrams by pointwise
+    mutual information (Church & Hanks 1990), min corpus count
+    ``min_count``: the collocation-mining staple (phrase detection for
+    tokenizer/embedding pipelines).  pmi_micro =
+    round(ln(cxy*N*N / (B*cx*cy)) * 1e6) with the exact float expression
+    the DuckDB oracle evaluates (the dsir/bm25 ln-micro discipline); ties
+    at the cut rank break by (w1, w2) ascending on both sides.
+
+    Scale shape: bigram and unigram counts each take ONE token-keyed
+    groupby with per-batch value_counts combine; the two count attaches are
+    md5-bucket joins of narrow (string, int) rows (no broadcast — the
+    unigram table is vocabulary-sized); totals are 1-row reduces; each
+    block then emits only its local top-k partial.
+    """
+    from ray.data.aggregate import Sum
+
+    from .dedup import _token_hash
+
+    N_BUCKETS = 64
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def bigram_counts(t: pa.Table) -> pa.Table:
+        empty = pa.table({"w1": pa.array([], pa.string()),
+                          "w2": pa.array([], pa.string()),
+                          "cxy": pa.array([], pa.int64())})
+        toks_per_doc = [s.lower().split() for s in t["text"].to_pylist()]
+        lens = np.array([len(x) for x in toks_per_doc], dtype=np.int64)
+        flat = [w for ts in toks_per_doc for w in ts]
+        if len(flat) < 2:
+            return empty
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        adj = doc_idx[1:] == doc_idx[:-1]  # pairs never cross a doc
+        if not adj.any():
+            return empty
+        fused = codes[:-1][adj] * np.int64(len(uniques)) + codes[1:][adj]
+        keys, cnt = np.unique(fused, return_counts=True)
+        return pa.table(
+            {"w1": pa.array(uniques[keys // len(uniques)], pa.string()),
+             "w2": pa.array(uniques[keys % len(uniques)], pa.string()),
+             "cxy": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    def unigram_counts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), r"\s+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        v = flat.value_counts()
+        return pa.table({"w": v.field("values"),
+                         "c": pc.cast(v.field("counts"), pa.int64())})
+
+    bg = (
+        ds.map_batches(bigram_counts, batch_format="pyarrow", batch_size=4096)
+        .groupby(["w1", "w2"]).aggregate(Sum("cxy", alias_name="cxy"))
+        .materialize()
+    )
+    ug = (
+        ds.map_batches(unigram_counts, batch_format="pyarrow", batch_size=4096)
+        .groupby("w").aggregate(Sum("c", alias_name="c"))
+        .materialize()
+    )
+    N = int(ug.sum("c"))
+    B = int(bg.sum("cxy"))
+
+    def _wbucket(words) -> np.ndarray:
+        codes, uniq = pd.factorize(np.asarray(words, dtype=object))
+        ub = np.fromiter((_token_hash(w) % N_BUCKETS for w in uniq),
+                         dtype=np.int64, count=len(uniq))
+        return ub[codes] if len(codes) else np.zeros(0, np.int64)
+
+    _J = pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                    ("cxy", pa.int64()), ("cx", pa.int64()),
+                    ("key", pa.string()), ("side", pa.int8()),
+                    ("bucket", pa.int64())])
+
+    def _tag(t: pa.Table, keycol: str, side: int, cx=None) -> pa.Table:
+        n = t.num_rows
+        keys = t[keycol].to_pylist()
+        return pa.table(
+            {"w1": t["w1"] if "w1" in t.column_names
+             else pa.array([""] * n, pa.string()),
+             "w2": t["w2"] if "w2" in t.column_names
+             else pa.array([""] * n, pa.string()),
+             "cxy": t["cxy"] if "cxy" in t.column_names
+             else pa.array(np.zeros(n, np.int64), pa.int64()),
+             "cx": t[cx] if cx else pa.array(np.zeros(n, np.int64), pa.int64()),
+             "key": pa.array(keys, pa.string()),
+             "side": pa.array(np.full(n, side, np.int8), pa.int8()),
+             "bucket": pa.array(_wbucket(keys), pa.int64())},
+            schema=_J)
+
+    def _attach_c1(g: pd.DataFrame) -> pd.DataFrame:
+        lut = g[g["side"] == 1].drop_duplicates("key").set_index("key")["cx"]
+        rows = g[g["side"] == 0].copy()
+        rows["c1"] = rows["key"].map(lut).astype("int64")
+        return rows[["w1", "w2", "cxy", "c1"]]
+
+    # attach c(w1): bigram rows and unigram rows meet in the w1 hash bucket
+    j1 = (
+        bg.map_batches(lambda t: _tag(t, "w1", 0), batch_format="pyarrow")
+        .union(ug.map_batches(lambda t: _tag(t, "w", 1, cx="c"),
+                              batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(_attach_c1, batch_format="pandas")
+    )
+
+    _J2 = pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                     ("cxy", pa.int64()), ("c1", pa.int64()),
+                     ("key", pa.string()), ("side", pa.int8()),
+                     ("bucket", pa.int64())])
+
+    def _tag2(t: pa.Table, side: int) -> pa.Table:
+        n = t.num_rows
+        if side == 0:
+            keys = t["w2"].to_pylist()
+            return pa.table(
+                {"w1": t["w1"], "w2": t["w2"], "cxy": t["cxy"],
+                 "c1": t["c1"],
+                 "key": pa.array(keys, pa.string()),
+                 "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+                 "bucket": pa.array(_wbucket(keys), pa.int64())},
+                schema=_J2)
+        keys = t["w"].to_pylist()
+        return pa.table(
+            {"w1": pa.array([""] * n, pa.string()),
+             "w2": pa.array([""] * n, pa.string()),
+             "cxy": pa.array(np.zeros(n, np.int64), pa.int64()),
+             "c1": t["c"],
+             "key": pa.array(keys, pa.string()),
+             "side": pa.array(np.ones(n, np.int8), pa.int8()),
+             "bucket": pa.array(_wbucket(keys), pa.int64())},
+            schema=_J2)
+
+    def _attach_c2_topk(g: pd.DataFrame) -> pd.DataFrame:
+        lut = g[g["side"] == 1].drop_duplicates("key").set_index("key")["c1"]
+        rows = g[g["side"] == 0].copy()
+        rows["c2"] = rows["key"].map(lut).astype("int64")
+        rows = rows[rows["cxy"] >= min_count]
+        if not len(rows):
+            return pd.DataFrame({"w1": pd.Series([], dtype="object"),
+                                 "w2": pd.Series([], dtype="object"),
+                                 "cxy": pd.Series([], dtype="int64"),
+                                 "pmi_micro": pd.Series([], dtype="int64")})
+        cxy = rows["cxy"].to_numpy().astype(np.float64)
+        c1 = rows["c1"].to_numpy().astype(np.float64)
+        c2 = rows["c2"].to_numpy().astype(np.float64)
+        # the EXACT oracle float expression, same association order
+        pmi = np.log(((cxy * float(N)) * float(N)) / ((float(B) * c1) * c2))
+        rows["pmi_micro"] = np.round(pmi * 1e6).astype(np.int64)
+        rows = rows.sort_values(["pmi_micro", "w1", "w2"],
+                                ascending=[False, True, True],
+                                kind="mergesort").head(k)
+        return rows[["w1", "w2", "cxy", "pmi_micro"]]
+
+    out = (
+        j1.map_batches(lambda t: _tag2(t, 0), batch_format="pyarrow")
+        .union(ug.map_batches(lambda t: _tag2(t, 1), batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(_attach_c2_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.sort_values(["pmi_micro", "w1", "w2"],
+                          ascending=[False, True, True],
+                          kind="mergesort").head(k)
+    return out.reset_index(drop=True).astype(
+        {"w1": "str", "w2": "str", "cxy": "int64", "pmi_micro": "int64"})
