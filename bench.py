@@ -478,6 +478,23 @@ def run_dedup_smoke() -> dict:
         # exact d×d moment all-reduce + doc-local PCA projection
         "embedding_moments": lambda: ann.embedding_moments(dest),
         "embedding_pca_project": lambda: ann.embedding_pca_project(dest),
+        # MOSS winnowing: map-only; streaming COUNT (fingerprints are
+        # corpus-sized)
+        "winnow_fingerprints": lambda: __import__("pandas").DataFrame(
+            {"fingerprints": [dedup.winnow_fingerprints_ds(dest).count()]}),
+        # wedge-check triangle counting: two narrow all-to-alls over the
+        # ~3n-edge link graph
+        "triangle_count": lambda: rel.triangle_count(dest),
+        # inverted-index SINK build (one tokenize pass + one bucket-keyed
+        # consolidating shuffle over ~40 postings/doc) + bounded lookup
+        "inverted_postings": lambda: _text_ops.inverted_postings(
+            dest, terms=("w00001", "w00042")),
+        # PMI collocations: two count groupbys + two vocabulary-sized
+        # bucket joins over ~39 bigrams/doc
+        "bigram_pmi_topk": lambda: _text_ops.bigram_pmi_topk(dest),
+        # approximate kNN graph on the consolidated IVF cells (512 cells
+        # at 2M vectors keeps per-cell work ~4k^2)
+        "knn_graph": lambda: ann.knn_graph(dest, n_cells=512),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")
     if only:

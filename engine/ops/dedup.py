@@ -1603,6 +1603,15 @@ def c4_line_dedup(sf_dir: str, seg_len: int = 10) -> pd.DataFrame:
 
 
 def winnow_fingerprints(sf_dir: str, k: int = 3, w: int = 4) -> pd.DataFrame:
+    """Driver-protocol wrapper of :func:`winnow_fingerprints_ds` — same
+    columns, collected and (doc_id, pos)-sorted.  At scale consume the
+    Dataset variant (the fingerprint set is ~2/(w+1) of gram positions —
+    corpus-sized, not driver-sized)."""
+    out = winnow_fingerprints_ds(sf_dir, k, w).to_pandas()
+    return out.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+
+
+def winnow_fingerprints_ds(sf_dir: str, k: int = 3, w: int = 4):
     """(doc_id, pos, fp) — winnowing document fingerprints (Schleimer,
     Wilkerson & Aiken 2003, the MOSS algorithm): per document, hash every
     k-token gram (the MinHash md5/splitmix ring, positions 1-based), slide
@@ -1683,5 +1692,4 @@ def winnow_fingerprints(sf_dir: str, k: int = 3, w: int = 4) -> pd.DataFrame:
             schema=_SCHEMA,
         )
 
-    out = ds.map_batches(winnow, batch_format="pyarrow").to_pandas()
-    return out.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    return ds.map_batches(winnow, batch_format="pyarrow")
