@@ -343,6 +343,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_filter_agg": relational.revenue_filter_agg,
         "small_quantity_revenue": relational.small_quantity_revenue,
         "sole_return_supplier": relational.sole_return_supplier,
+        "min_cost_supplier": relational.min_cost_supplier,
+        "degree_distribution": relational.degree_distribution,
+        "user_retention_cohorts": relational.user_retention_cohorts,
         # text analysis (M11/M12/M13 + training-data ops)
         "token_count": text.token_count,
         "token_count_bpe": text.token_count_bpe,
@@ -1215,6 +1218,53 @@ def oracle_sql() -> dict[str, str]:
                                 AND l3.l_returnflag = 'R')
             GROUP BY s_suppkey, s_name
             ORDER BY s_suppkey
+        """,
+        # Q2 argmin shape: per-part min cents, join-back to the supplier
+        # achieving it, ties to the smallest s_suppkey on both sides
+        "min_cost_supplier": """
+            WITH lc AS (
+              SELECT l_partkey, l_suppkey,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+              FROM lineitem),
+            m AS (SELECT l_partkey, min(cents) AS min_cents
+                  FROM lc GROUP BY l_partkey),
+            w AS (SELECT lc.l_partkey, min(lc.l_suppkey) AS s_suppkey,
+                         min(m.min_cents) AS min_cents
+                  FROM lc JOIN m ON lc.l_partkey = m.l_partkey
+                               AND lc.cents = m.min_cents
+                  GROUP BY lc.l_partkey)
+            SELECT w.l_partkey AS p_partkey, w.s_suppkey, s.s_name, w.min_cents
+            FROM w JOIN supplier s ON s.s_suppkey = w.s_suppkey
+            ORDER BY p_partkey
+        """,
+        # pagerank/hits/triangle_count's generated edge set + the quadratic
+        # hub edge (see engine.ops.relational.degree_distribution)
+        "degree_distribution": """
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            e0 AS (
+              SELECT doc_id AS src, (doc_id * 31 + v.s) % nn.n AS dst
+              FROM documents, nn, (VALUES (1), (2), (3)) v(s)
+              UNION ALL
+              SELECT doc_id, (doc_id * doc_id + 1) % nn.n
+              FROM documents, nn
+            ),
+            e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+            ind AS (
+              SELECT d.doc_id, count(e.dst)::BIGINT AS indeg
+              FROM documents d LEFT JOIN e ON e.dst = d.doc_id
+              GROUP BY d.doc_id)
+            SELECT indeg AS in_degree, count(*)::BIGINT AS n_nodes
+            FROM ind GROUP BY indeg ORDER BY in_degree
+        """,
+        "user_retention_cohorts": """
+            WITH ud AS (
+              SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+            c AS (SELECT user_id, min(d) AS cohort FROM ud GROUP BY user_id)
+            SELECT c.cohort AS cohort_day,
+                   CAST(datediff('day', c.cohort, ud.d) AS BIGINT) AS day_offset,
+                   count(*)::BIGINT AS n_users
+            FROM ud JOIN c ON ud.user_id = c.user_id
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # the CMS prefilter provably loses no true heavy hitter (point
         # queries never underestimate), so the oracle is a plain exact

@@ -1893,3 +1893,189 @@ def triangle_count(sf_dir: str) -> pd.DataFrame:
     )
     return pd.DataFrame({"n_nodes": [int(n)], "n_edges": [int(edges)],
                          "n_triangles": [int(closed) // 3]})
+
+
+def min_cost_supplier(sf_dir: str) -> pd.DataFrame:
+    """(p_partkey, s_suppkey, s_name, min_cents) — the TPC-H Q2 SHAPE
+    (correlated MIN subquery + join-back to the row achieving it) adapted
+    to this schema: for every part, the cheapest lineitem price ever
+    charged (exact integer cents) and the supplier who charged it, ties
+    broken to the smallest s_suppkey on both sides.
+
+    Scale shape: the argmin DECORRELATION — one partkey-bucket all-to-all
+    of per-batch argmin partials.  Each batch first resolves its own
+    (part -> min cents, min suppkey among achievers) so only one narrow
+    row per (part, batch) enters the exchange; the in-group resolution
+    re-applies the same two-level rule (global min cents, then min suppkey
+    among partial rows AT that min — correct because any batch containing
+    a global-min line emits a partial at exactly that cents value).  The
+    supplier name attach is a driver-side merge against the small
+    dimension table (mktsegment_revenue's trade); output is part-sized.
+    Ref parity: the reference's per-key "best row" selections are in-UDF
+    sorts (SURVEY §2 O1-O4); this is the distributed form.
+    """
+    N_BUCKETS = 64
+    li = read_pruned(_t(sf_dir, "lineitem"),
+                     ["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    _ROW = pa.schema([("pk", pa.int64()), ("cents", pa.int64()),
+                      ("sk", pa.int64()), ("bucket", pa.int32())])
+
+    def _argmin(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.groupby("pk")["cents"].transform("min")
+        best = (df[df["cents"] == m]
+                .groupby("pk", as_index=False)
+                .agg(cents=("cents", "first"), sk=("sk", "min")))
+        return best
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "pk": t["l_partkey"].to_numpy(),
+            "cents": np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64),
+            "sk": t["l_suppkey"].to_numpy(),
+        })
+        best = _argmin(df)
+        return pa.Table.from_pandas(
+            best.assign(bucket=(best["pk"].to_numpy() % N_BUCKETS).astype(np.int32)),
+            schema=_ROW, preserve_index=False,
+        ).replace_schema_metadata(None)
+
+    _OUT = pa.schema([("pk", pa.int64()), ("cents", pa.int64()), ("sk", pa.int64())])
+
+    def resolve(g: pd.DataFrame) -> pa.Table:
+        best = _argmin(g[["pk", "cents", "sk"]])
+        return pa.Table.from_pandas(
+            best[["pk", "cents", "sk"]], schema=_OUT, preserve_index=False,
+        ).replace_schema_metadata(None)
+
+    won = (
+        li.map_batches(partial, batch_format="pyarrow", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pandas")
+        .to_pandas()
+    )
+    sup = read_pruned(_t(sf_dir, "supplier"), ["s_suppkey", "s_name"]).to_pandas()
+    out = won.merge(sup, left_on="sk", right_on="s_suppkey")
+    out = out.rename(columns={"pk": "p_partkey", "cents": "min_cents"})
+    out = out[["p_partkey", "s_suppkey", "s_name", "min_cents"]]
+    return (out.sort_values("p_partkey").reset_index(drop=True)
+            .astype({"p_partkey": "int64", "s_suppkey": "int64",
+                     "min_cents": "int64"}))
+
+
+def degree_distribution(sf_dir: str) -> pd.DataFrame:
+    """(in_degree, n_nodes) — in-degree histogram of a synthetic doc link
+    graph.  The base edges are the pure-in-doc_id set PageRank/HITS/
+    triangle_count share (doc -> (doc*31+s) % n, s in 1..3 — a bijection
+    per s, so alone they'd give everyone in-degree 3); a fourth QUADRATIC
+    edge doc -> (doc*doc + 1) % n lands on quadratic residues only, giving
+    the skewed histogram a real web graph shows.  Self-loops dropped.  The
+    first thing anyone plots about a crawled web graph.
+
+    Scale shape: one coarse node-bucket all-to-all of per-batch in-degree
+    partials (zero carrier rows keep sink-less nodes in the histogram —
+    the pagerank idiom); each bucket resolves exact per-node degrees
+    vectorized and emits only its BOUNDED (in_degree, count) histogram
+    partial; the driver reduce is histogram-sized.
+    """
+    import pyarrow.parquet as _pq
+
+    n = _pq.ParquetFile(_t(sf_dir, "documents")).metadata.num_rows
+    ds = read_pruned(_t(sf_dir, "documents"), ["doc_id"])
+    N_BUCKETS = 64
+
+    _ROW = pa.schema([("node", pa.int64()), ("c", pa.int64()),
+                      ("bucket", pa.int32())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        src = np.concatenate([ids, ids, ids, ids])
+        dst = np.concatenate([(ids * 31 + s) % n for s in (1, 2, 3)]
+                             + [(ids * ids + 1) % n])
+        dst = dst[src != dst]
+        node, cnt = np.unique(dst, return_counts=True)
+        node = np.concatenate([node, ids])                  # zero carriers
+        cnt = np.concatenate([cnt.astype(np.int64), np.zeros(len(ids), np.int64)])
+        return pa.table(
+            {"node": pa.array(node, pa.int64()), "c": pa.array(cnt, pa.int64()),
+             "bucket": pa.array((node % N_BUCKETS).astype(np.int32), pa.int32())},
+            schema=_ROW)
+
+    _H = pa.schema([("in_degree", pa.int64()), ("n_nodes", pa.int64())])
+
+    def hist(g: pd.DataFrame) -> pa.Table:
+        per_node = g.groupby("node")["c"].sum()
+        deg, cnt = np.unique(per_node.to_numpy(), return_counts=True)
+        return pa.table(
+            {"in_degree": pa.array(deg, pa.int64()),
+             "n_nodes": pa.array(cnt.astype(np.int64), pa.int64())}, schema=_H)
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(hist, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("in_degree", as_index=False)["n_nodes"].sum()
+    return (out.sort_values("in_degree").reset_index(drop=True)
+            .astype({"in_degree": "int64", "n_nodes": "int64"}))
+
+
+def user_retention_cohorts(sf_dir: str) -> pd.DataFrame:
+    """(cohort_day, day_offset, n_users) — classic cohort retention: users
+    cohorted by their FIRST event's day, counted once per (cohort, day
+    offset) they were active on.  The product-analytics staple the events
+    window family lacked (it needs a per-user GLOBAL min, not a frame).
+
+    Scale shape: each user's history lives wholly in one coarse
+    ``user_id % 64`` bucket, so ONE all-to-all of per-batch-distinct
+    (user, day) rows suffices: the in-bucket resolution re-dedups, takes
+    each user's min day vectorized (groupby transform), and emits bounded
+    (cohort, offset, count) partials — exact distinct-user counts without
+    a second exchange.  Days are integer microseconds until the final
+    driver-side cast.
+    """
+    ds = read_pruned(_t(sf_dir, "events"), ["user_id", "ts"])
+    US_DAY = 86_400_000_000
+
+    _ROW = pa.schema([("user_id", pa.int64()), ("day_us", pa.int64()),
+                      ("bucket", pa.int32())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(),
+            "day_us": pc.cast(pc.floor_temporal(t["ts"], unit="day"),
+                              pa.int64()).to_numpy(),
+        }).drop_duplicates()
+        return pa.Table.from_pandas(
+            df.assign(bucket=(df["user_id"].to_numpy() % N_KEY_BUCKETS)
+                      .astype(np.int32)),
+            schema=_ROW, preserve_index=False,
+        ).replace_schema_metadata(None)
+
+    _PART = pa.schema([("cohort_us", pa.int64()), ("day_offset", pa.int64()),
+                       ("n", pa.int64())])
+
+    def resolve(g: pd.DataFrame) -> pa.Table:
+        g = g[["user_id", "day_us"]].drop_duplicates()
+        cohort = g.groupby("user_id")["day_us"].transform("min")
+        off = (g["day_us"].to_numpy() - cohort.to_numpy()) // US_DAY
+        cnt = (pd.DataFrame({"cohort_us": cohort.to_numpy(), "day_offset": off})
+               .groupby(["cohort_us", "day_offset"], as_index=False).size()
+               .rename(columns={"size": "n"}))
+        return pa.Table.from_pandas(
+            cnt, schema=_PART, preserve_index=False,
+        ).replace_schema_metadata(None)
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby(["cohort_us", "day_offset"], as_index=False)["n"].sum()
+    out["cohort_day"] = pd.to_datetime(out["cohort_us"], unit="us")
+    out = out.rename(columns={"n": "n_users"})
+    out = out[["cohort_day", "day_offset", "n_users"]]
+    return (out.sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
+            .astype({"day_offset": "int64", "n_users": "int64"}))
