@@ -357,6 +357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_postings": text.inverted_postings,
         "token_frequency_spectrum": text.token_frequency_spectrum,
         "bigram_pmi_topk": text.bigram_pmi_topk,
+        "char_entropy": text.char_entropy,
         "kmv_distinct_tokens": text.kmv_distinct_tokens,
         "lang_counts": text.lang_counts,
         "langid_predict": text.langid_predict,
@@ -1112,6 +1113,24 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _lsh_oracles.bm25_topk_sql(),
         # collocations: PMI in ln-micros, the exact engine float expression
         # (same association order), ties at the cut broken by (w1, w2)
+        # per-character-TYPE contributions round to micro-nats BEFORE the
+        # doc sum (ln-micro discipline) — hash-exact on both sides; the
+        # corpus is pure ASCII so chars == bytes (engine asserts)
+        "char_entropy": """
+            WITH ch AS (
+              SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+            cc AS (
+              SELECT doc_id, c, count(*)::BIGINT AS cnt
+              FROM ch GROUP BY doc_id, c),
+            nn AS (SELECT doc_id, sum(cnt)::BIGINT AS n FROM cc GROUP BY doc_id),
+            contrib AS (
+              SELECT cc.doc_id,
+                     CAST(round((cnt::DOUBLE / n) * ln(n::DOUBLE / cnt) * 1000000)
+                          AS BIGINT) AS m
+              FROM cc JOIN nn USING (doc_id))
+            SELECT doc_id, sum(m)::BIGINT AS entropy_micronats
+            FROM contrib GROUP BY doc_id ORDER BY doc_id
+        """,
         "bigram_pmi_topk": r"""
             WITH tok_arr AS (
               SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),

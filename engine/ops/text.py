@@ -2119,3 +2119,56 @@ def bigram_pmi_topk(sf_dir: str, min_count: int = 5, k: int = 20) -> pd.DataFram
                           kind="mergesort").head(k)
     return out.reset_index(drop=True).astype(
         {"w1": "str", "w2": "str", "cxy": "int64", "pmi_micro": "int64"})
+
+
+def char_entropy(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, entropy_micronats) — per-document character-unigram Shannon
+    entropy as exact int64 micro-nats.  A classic cheap quality signal
+    (gibberish and template boilerplate both sit at entropy extremes;
+    complements the token-level Gopher flags).
+
+    Determinism: each distinct character's contribution
+    ``round((c/n) * ln(n/c) * 1e6)`` is rounded to integer micro-nats
+    BEFORE the per-doc sum (the lm_perplexity/pmi ln-micro discipline), so
+    the result is independent of summation order and the DuckDB oracle
+    checks it hash-exactly.  The corpus is pure ASCII (asserted), so the
+    engine's byte-level counting equals the oracle's per-character
+    ``string_split(text, '')``.
+
+    Scale shape: map-only — per batch, all texts concatenate into ONE byte
+    buffer and a single ``np.unique`` over the composite (row, byte) key
+    yields every per-doc character count vectorized (no per-row Python
+    loop); contributions round and ``np.bincount`` back to docs.  No
+    shuffle; output is doc-sized.
+    """
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    _SCHEMA = pa.schema([("doc_id", pa.int64()), ("entropy_micronats", pa.int64())])
+
+    def ent(t: pa.Table) -> pa.Table:
+        col = t["text"].combine_chunks()
+        n_rows = len(col)
+        # zero-copy byte view of the whole column + per-row offsets
+        # (offset-aware: a sliced array's offsets index the shared buffer)
+        offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+            col.offset: col.offset + n_rows + 1].astype(np.int64)
+        buf = np.frombuffer(col.buffers()[2], dtype=np.uint8)[offs[0]: offs[-1]]
+        lens = np.diff(offs)
+        if buf.size and buf.max() >= 128:
+            raise NotImplementedError("char_entropy assumes an ASCII corpus")
+        row = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+        key = row * 256 + buf
+        uniq, cnt = np.unique(key, return_counts=True)
+        doc_idx = uniq >> 8
+        nn = lens[doc_idx].astype(np.float64)
+        c = cnt.astype(np.float64)
+        micro = np.round((c / nn) * np.log(nn / c) * 1e6).astype(np.int64)
+        h = np.bincount(doc_idx, weights=micro.astype(np.float64),
+                        minlength=n_rows).astype(np.int64)
+        return pa.table(
+            {"doc_id": t["doc_id"], "entropy_micronats": pa.array(h, pa.int64())},
+            schema=_SCHEMA)
+
+    out = ds.map_batches(ent, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype(
+        {"doc_id": "int64", "entropy_micronats": "int64"})
