@@ -364,6 +364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_md5": text.fingerprint_md5,
         "fingerprint_rolling": text.fingerprint_rolling,
         "hll_distinct_tokens": text.hll_distinct_tokens,
+        "compression_ratio": text.compression_ratio,
         "gopher_quality_flags": text.gopher_quality_flags,
         "gram_repetition_stats": text.gram_repetition_stats,
         "top_docs_per_lang": text.top_docs_per_lang,
@@ -395,6 +396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": dedup.simhash_signatures,
         "simhash_near_pairs": dedup.simhash_near_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "dedup_recall_report": dedup.dedup_recall_report,
         "dup_ngram_spans": dedup.dup_ngram_spans,
         "winnow_fingerprints": dedup.winnow_fingerprints,
         "strip_dup_spans": dedup.strip_dup_spans,

@@ -1693,3 +1693,45 @@ def winnow_fingerprints_ds(sf_dir: str, k: int = 3, w: int = 4):
         )
 
     return ds.map_batches(winnow, batch_format="pyarrow")
+
+
+def dedup_recall_report(sf_dir: str) -> pd.DataFrame:
+    """(method, n_pairs, n_truth, n_hit, recall_milli, precision_milli) —
+    the near-dup twin of ann_recall_report: every SKETCH-based pair finder
+    scored against the EXACT token-3-gram Jaccard >= 1/2 pair set
+    (ngram_jaccard_pairs, the no-recall-loss baseline this module documents
+    the sketches are judged against).  The self-validating quality gauge a
+    deployed dedup service watches: a recall drop after retuning bands /
+    hamming radius shows up here before it shows up in the corpus.
+
+    minhash targets the SAME similarity notion (estimated Jaccard at the
+    same threshold), so its row reads as sketch quality; simhash targets
+    Hamming distance over hashed token features — its recall against the
+    Jaccard truth is honestly lower and that gap IS the documented
+    difference between the two families, not a bug.  Integer milli ratios
+    (floor division) keep the report hash-stable.
+
+    Pair frames are dup-pair-sized (bounded by corpus dup rate), so the
+    driver-side merges here are report-arithmetic, not data movement — the
+    heavy lifting stayed in the three distributed pipelines.
+    """
+    truth = ngram_jaccard_pairs(sf_dir)
+    methods = {
+        "minhash_lsh": minhash_lsh_pairs(sf_dir),
+        "simhash_h3": simhash_near_pairs(sf_dir),
+    }
+    n_truth = len(truth)
+    rows = []
+    for name, df in sorted(methods.items()):
+        hit = len(df.merge(truth, on=["doc_a", "doc_b"]))
+        rows.append({
+            "method": name,
+            "n_pairs": len(df),
+            "n_truth": n_truth,
+            "n_hit": hit,
+            "recall_milli": (1000 * hit) // n_truth if n_truth else 0,
+            "precision_milli": (1000 * hit) // len(df) if len(df) else 0,
+        })
+    return pd.DataFrame(rows).astype(
+        {"method": "str", "n_pairs": "int64", "n_truth": "int64",
+         "n_hit": "int64", "recall_milli": "int64", "precision_milli": "int64"})

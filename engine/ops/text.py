@@ -2172,3 +2172,39 @@ def char_entropy(sf_dir: str) -> pd.DataFrame:
     out = ds.map_batches(ent, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True).astype(
         {"doc_id": "int64", "entropy_micronats": "int64"})
+
+
+def compression_ratio(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, raw_bytes, deflate_bytes, ratio_milli) — per-document
+    DEFLATE compressibility, the classic cheap redundancy signal (highly
+    templated / repetitive pages compress far below prose; random noise
+    compresses above it).  Complements char_entropy: entropy sees the
+    unigram distribution, DEFLATE sees repeated substrings.
+
+    ratio_milli = 1000 * deflate_bytes // raw_bytes (integer floor — hash
+    stable).  zlib level 6 with a fresh compressor per doc: byte-exact
+    deterministic for a fixed zlib, which is why this is a rows-only query
+    (no SQL oracle can express DEFLATE; the pytest locks monotonicity and
+    determinism instead).  Map-only, no shuffle; the per-row loop is honest
+    — compression IS the kernel here, same stance as the codec stages.
+    """
+    import zlib
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    _SCHEMA = pa.schema([("doc_id", pa.int64()), ("raw_bytes", pa.int64()),
+                         ("deflate_bytes", pa.int64()), ("ratio_milli", pa.int64())])
+
+    def comp(t: pa.Table) -> pa.Table:
+        raws = [s.encode("utf-8") for s in t["text"].to_pylist()]
+        raw_n = np.array([len(b) for b in raws], dtype=np.int64)
+        c_n = np.array([len(zlib.compress(b, 6)) for b in raws], dtype=np.int64)
+        ratio = np.where(raw_n > 0, (1000 * c_n) // np.maximum(raw_n, 1), 0)
+        return pa.table(
+            {"doc_id": t["doc_id"], "raw_bytes": pa.array(raw_n, pa.int64()),
+             "deflate_bytes": pa.array(c_n, pa.int64()),
+             "ratio_milli": pa.array(ratio.astype(np.int64), pa.int64())},
+            schema=_SCHEMA)
+
+    out = ds.map_batches(comp, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

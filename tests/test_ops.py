@@ -2265,3 +2265,59 @@ def test_inverted_index_consolidated_and_bounded(ray_session):
     # bounded read: the touched buckets are exactly the terms' hash buckets
     touched = {_token_hash(w) % INV_BUCKETS for w in ("hash", "join")}
     assert touched  # sanity; lookup opened only these by construction
+
+
+def test_dedup_recall_report(ray_session):
+    """The dedup scoreboard is deterministic; minhash (same similarity
+    notion as the exact Jaccard truth) clears a healthy recall floor, and
+    every count is internally consistent (hits bounded by both sides)."""
+    import __ray_entry__ as e
+
+    g1 = e.queries()["dedup_recall_report"]("/root/testdata/sf0.001")
+    g2 = e.queries()["dedup_recall_report"]("/root/testdata/sf0.001")
+    assert g1.equals(g2)
+    rows = {r["method"]: r for _, r in g1.iterrows()}
+    assert set(rows) == {"minhash_lsh", "simhash_h3"}
+    for r in rows.values():
+        assert 0 <= r["n_hit"] <= min(r["n_pairs"], r["n_truth"])
+        assert 0 <= r["recall_milli"] <= 1000
+        assert 0 <= r["precision_milli"] <= 1000
+    # same-notion sketch: minhash at t=0.5 against Jaccard>=0.5 truth
+    assert rows["minhash_lsh"]["recall_milli"] >= 700
+    assert rows["minhash_lsh"]["precision_milli"] >= 700
+
+
+def test_compression_ratio_signal(ray_session, tmp_path):
+    """Templated (repetitive) text compresses below prose; determinism and
+    byte accounting hold on the real corpus."""
+    import pandas as pd
+
+    import __ray_entry__ as e
+    from engine.ops.text import compression_ratio
+
+    g1 = e.queries()["compression_ratio"]("/root/testdata/sf0.001")
+    g2 = e.queries()["compression_ratio"]("/root/testdata/sf0.001")
+    assert g1.equals(g2)
+    assert (g1["raw_bytes"] > 0).all()
+    assert (g1["deflate_bytes"] > 0).all()
+    assert (g1["ratio_milli"] >= 0).all()
+
+    # planted corpus: one highly repetitive doc, one high-entropy doc
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    noisy = " ".join("".join(rng.choice(list("abcdefghijklmnop"), 8)) for _ in range(200))
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["lorem ipsum " * 200, noisy], pa.string()),
+        "lang": pa.array(["en", "en"], pa.string()),
+        "source": pa.array(["a", "a"], pa.string()),
+        "n_chars": pa.array([2400, len(noisy)], pa.int64()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = compression_ratio(str(tmp_path))
+    r = dict(zip(out["doc_id"], out["ratio_milli"]))
+    assert r[0] < 100          # template compresses ~25x or better
+    assert r[1] > 3 * r[0]     # entropy-heavy text compresses far worse
