@@ -344,6 +344,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_quantity_revenue": relational.small_quantity_revenue,
         "sole_return_supplier": relational.sole_return_supplier,
         "min_cost_supplier": relational.min_cost_supplier,
+        "customer_order_distribution": relational.customer_order_distribution,
+        "idle_rich_customers": relational.idle_rich_customers,
         "degree_distribution": relational.degree_distribution,
         "user_retention_cohorts": relational.user_retention_cohorts,
         # text analysis (M11/M12/M13 + training-data ops)
@@ -1257,6 +1259,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT w.l_partkey AS p_partkey, w.s_suppkey, s.s_name, w.min_cents
             FROM w JOIN supplier s ON s.s_suppkey = w.s_suppkey
             ORDER BY p_partkey
+        """,
+        # Q13 shape: LEFT-JOIN order-count histogram (zero customers kept)
+        "customer_order_distribution": """
+            WITH oc AS (
+              SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+              FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+              GROUP BY c_custkey)
+            SELECT c_count, count(*)::BIGINT AS custdist
+            FROM oc GROUP BY c_count ORDER BY c_count
+        """,
+        # Q22 shape: scalar-avg broadcast (integer cross-multiplied — no
+        # float threshold) + NOT-EXISTS anti-join, grouped by nation
+        "idle_rich_customers": """
+            WITH c AS (
+              SELECT c_custkey, c_nationkey,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+              FROM customer),
+            t AS (SELECT sum(cents)::BIGINT AS s, count(*)::BIGINT AS n
+                  FROM c WHERE cents > 0),
+            e AS (SELECT c.* FROM c, t WHERE cents * n > s),
+            noord AS (
+              SELECT e.* FROM e
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = e.c_custkey
+                                  AND o.o_orderdate >= TIMESTAMP '2000-01-01'))
+            SELECT c_nationkey, count(*)::BIGINT AS numcust,
+                   sum(cents)::BIGINT AS total_cents
+            FROM noord GROUP BY c_nationkey ORDER BY c_nationkey
         """,
         # pagerank/hits/triangle_count's generated edge set + the quadratic
         # hub edge (see engine.ops.relational.degree_distribution)

@@ -2079,3 +2079,158 @@ def user_retention_cohorts(sf_dir: str) -> pd.DataFrame:
     out = out[["cohort_day", "day_offset", "n_users"]]
     return (out.sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
             .astype({"day_offset": "int64", "n_users": "int64"}))
+
+
+def customer_order_distribution(sf_dir: str) -> pd.DataFrame:
+    """(c_count, custdist) — TPC-H Q13 shape: the distribution of order
+    counts per customer INCLUDING the zero-order customers (the outer-join
+    histogram; a plain groupby over orders silently drops them).
+
+    Scale shape: one coarse custkey-bucket all-to-all carrying per-batch
+    order-count partials PLUS zero carrier rows from the customer table
+    (degree_distribution's idiom — the distributed form of the LEFT JOIN);
+    each bucket resolves exact per-customer counts vectorized and emits
+    only its bounded (c_count, custdist) histogram partial.
+    """
+    N_BUCKETS = 64
+    orders = read_pruned(_t(sf_dir, "orders"), ["o_custkey"])
+    cust = read_pruned(_t(sf_dir, "customer"), ["c_custkey"])
+
+    _ROW = pa.schema([("ck", pa.int64()), ("c", pa.int64()), ("bucket", pa.int32())])
+
+    def order_partial(t: pa.Table) -> pa.Table:
+        ck, cnt = np.unique(t["o_custkey"].to_numpy(), return_counts=True)
+        return pa.table(
+            {"ck": pa.array(ck, pa.int64()),
+             "c": pa.array(cnt.astype(np.int64), pa.int64()),
+             "bucket": pa.array((ck % N_BUCKETS).astype(np.int32), pa.int32())},
+            schema=_ROW)
+
+    def cust_carrier(t: pa.Table) -> pa.Table:
+        ck = t["c_custkey"].to_numpy()
+        return pa.table(
+            {"ck": pa.array(ck, pa.int64()),
+             "c": pa.array(np.zeros(len(ck), np.int64), pa.int64()),
+             "bucket": pa.array((ck % N_BUCKETS).astype(np.int32), pa.int32())},
+            schema=_ROW)
+
+    _H = pa.schema([("c_count", pa.int64()), ("custdist", pa.int64())])
+
+    def hist(g: pd.DataFrame) -> pa.Table:
+        per = g.groupby("ck")["c"].sum()
+        deg, cnt = np.unique(per.to_numpy(), return_counts=True)
+        return pa.table(
+            {"c_count": pa.array(deg, pa.int64()),
+             "custdist": pa.array(cnt.astype(np.int64), pa.int64())}, schema=_H)
+
+    rows = (
+        orders.map_batches(order_partial, batch_format="pyarrow", batch_size=262144)
+        .union(cust.map_batches(cust_carrier, batch_format="pyarrow",
+                                batch_size=262144))
+        .groupby("bucket")
+        .map_groups(hist, batch_format="pandas")
+        .to_pandas()
+    )
+    out = rows.groupby("c_count", as_index=False)["custdist"].sum()
+    return (out.sort_values("c_count").reset_index(drop=True)
+            .astype({"c_count": "int64", "custdist": "int64"}))
+
+
+def idle_rich_customers(sf_dir: str) -> pd.DataFrame:
+    """(c_nationkey, numcust, total_cents) — TPC-H Q22 shape: LAPSED rich
+    customers — balance beats the positive-balance AVERAGE but no order
+    since 2000-01-01 (every synth customer has SOME order, so the pure
+    never-ordered form is vacuous; the dated predicate keeps the correlated
+    NOT EXISTS non-trivial), grouped by nation.  Two classic decorrelations
+    in one: the scalar-AVG subquery becomes a broadcast, the NOT EXISTS an
+    anti-join — and the date predicate pushes down INTO the orders read
+    (row-filtered scan: recent orders are a sliver of a 100 TB history).
+
+    Exactness: balances are integer cents, and the average test
+    ``cents > sum/n`` is evaluated by integer CROSS-MULTIPLICATION
+    (``cents * n > sum``) on both sides — no float threshold anywhere, so
+    the oracle hash-matches regardless of summation order.
+
+    Scale shape: the scalar reduce streams constant-size (sum, n) partials;
+    the anti-join is one custkey-bucket all-to-all of eligible-customer
+    rows unioned with per-batch-DISTINCT order custkeys (the
+    orders_without_lineitems idiom); each bucket resolves vectorized and
+    emits bounded per-nation partials.
+    """
+    N_BUCKETS = 64
+    CUTOFF = np.datetime64("2000-01-01", "us")
+    cust = read_pruned(_t(sf_dir, "customer"),
+                       ["c_custkey", "c_nationkey", "c_acctbal"])
+    orders = read_pruned(_t(sf_dir, "orders"), ["o_custkey", "o_orderdate"],
+                         filter=(pc.field("o_orderdate") >= pa.scalar(
+                             CUTOFF.item(), pa.timestamp("us"))))
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        cents = np.round(t["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        pos = cents[cents > 0]
+        return pa.table({"s": pa.array([int(pos.sum())], pa.int64()),
+                         "n": pa.array([len(pos)], pa.int64())})
+
+    tot = cust.map_batches(bal_partial, batch_format="pyarrow",
+                           batch_size=262144).to_pandas()
+    s, n = int(tot["s"].sum()), int(tot["n"].sum())
+
+    _ROW = pa.schema([("ck", pa.int64()), ("nk", pa.int32()),
+                      ("cents", pa.int64()), ("side", pa.int8()),
+                      ("bucket", pa.int32())])
+
+    def elig(t: pa.Table) -> pa.Table:
+        cents = np.round(t["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        keep = cents * n > s          # integer cross-multiplied avg test
+        ck = t["c_custkey"].to_numpy()[keep]
+        return pa.table(
+            {"ck": pa.array(ck, pa.int64()),
+             "nk": pa.array(t["c_nationkey"].to_numpy()[keep], pa.int32()),
+             "cents": pa.array(cents[keep], pa.int64()),
+             "side": pa.array(np.zeros(len(ck), np.int8), pa.int8()),
+             "bucket": pa.array((ck % N_BUCKETS).astype(np.int32), pa.int32())},
+            schema=_ROW)
+
+    def ordkeys(t: pa.Table) -> pa.Table:
+        # the filter already ran at the scan; re-assert for exactness
+        recent = t.filter(pc.greater_equal(
+            t["o_orderdate"], pa.scalar(CUTOFF.item(), pa.timestamp("us"))))
+        ck = np.unique(recent["o_custkey"].to_numpy())
+        return pa.table(
+            {"ck": pa.array(ck, pa.int64()),
+             "nk": pa.array(np.zeros(len(ck), np.int32), pa.int32()),
+             "cents": pa.array(np.zeros(len(ck), np.int64), pa.int64()),
+             "side": pa.array(np.ones(len(ck), np.int8), pa.int8()),
+             "bucket": pa.array((ck % N_BUCKETS).astype(np.int32), pa.int32())},
+            schema=_ROW)
+
+    _PART = pa.schema([("c_nationkey", pa.int32()), ("numcust", pa.int64()),
+                       ("total_cents", pa.int64())])
+
+    def anti(g: pd.DataFrame) -> pa.Table:
+        has_ord = set(g.loc[g["side"] == 1, "ck"])
+        c = g[(g["side"] == 0) & ~g["ck"].isin(has_ord)]
+        agg = c.groupby("nk").agg(numcust=("ck", "size"), total_cents=("cents", "sum"))
+        return pa.table(
+            {"c_nationkey": pa.array(agg.index.to_numpy().astype(np.int32), pa.int32()),
+             "numcust": pa.array(agg["numcust"].to_numpy().astype(np.int64), pa.int64()),
+             "total_cents": pa.array(agg["total_cents"].to_numpy().astype(np.int64),
+                                     pa.int64())}, schema=_PART)
+
+    parts = (
+        cust.map_batches(elig, batch_format="pyarrow", batch_size=262144)
+        .union(orders.map_batches(ordkeys, batch_format="pyarrow",
+                                  batch_size=262144))
+        .groupby("bucket")
+        .map_groups(anti, batch_format="pandas")
+        .to_pandas()
+    )
+    if parts.empty:   # an all-ordering corpus: typed empty frame
+        parts = pd.DataFrame({"c_nationkey": pd.Series([], dtype="int32"),
+                              "numcust": pd.Series([], dtype="int64"),
+                              "total_cents": pd.Series([], dtype="int64")})
+    out = parts.groupby("c_nationkey", as_index=False).agg(
+        numcust=("numcust", "sum"), total_cents=("total_cents", "sum"))
+    return (out.sort_values("c_nationkey").reset_index(drop=True)
+            .astype({"c_nationkey": "int32", "numcust": "int64",
+                     "total_cents": "int64"}))
