@@ -346,6 +346,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "min_cost_supplier": relational.min_cost_supplier,
         "customer_order_distribution": relational.customer_order_distribution,
         "idle_rich_customers": relational.idle_rich_customers,
+        "events_hourly_anomalies": relational.events_hourly_anomalies,
+        "campaign_attribution": relational.campaign_attribution,
         "degree_distribution": relational.degree_distribution,
         "user_retention_cohorts": relational.user_retention_cohorts,
         # text analysis (M11/M12/M13 + training-data ops)
@@ -457,7 +459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from engine import oracles as _lsh_oracles
-    from engine.ops import dedup, text
+    from engine.ops import dedup, relational, text
     from engine.ops.text import CATEGORY_PATTERNS, STOP_WORDS
 
     stop_list = ", ".join(f"'{w}'" for w in STOP_WORDS)
@@ -1259,6 +1261,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT w.l_partkey AS p_partkey, w.s_suppkey, s.s_name, w.min_cents
             FROM w JOIN supplier s ON s.s_suppkey = w.s_suppkey
             ORDER BY p_partkey
+        """,
+        # 3-sigma hourly anomaly flags — the z-score test cross-multiplied
+        # to pure integers: (n*c - s)^2 > 9*(n*ss - s*s), no float anywhere
+        "events_hourly_anomalies": """
+            WITH h AS (
+              SELECT event_type, date_trunc('hour', ts) AS hour,
+                     count(*)::BIGINT AS c
+              FROM events GROUP BY 1, 2),
+            m AS (
+              SELECT event_type, sum(c)::BIGINT AS s, sum(c*c)::BIGINT AS ss,
+                     count(*)::BIGINT AS n
+              FROM h GROUP BY 1)
+            SELECT h.event_type, h.hour, h.c AS n_events
+            FROM h JOIN m USING (event_type)
+            WHERE (m.n*h.c - m.s)*(m.n*h.c - m.s) > 9*(m.n*m.ss - m.s*m.s)
+            ORDER BY 1, 2
+        """,
+        # broadcast interval attach: the calendar is generated from the
+        # SAME module constants the engine closes over
+        "campaign_attribution": f"""
+            WITH cal AS (
+              SELECT k AS campaign_id,
+                     make_timestamp(({relational.CAMPAIGN_EPOCH_DAYS}::BIGINT * 24
+                        + k * {relational.CAMPAIGN_STRIDE_HOURS}) * 3600000000) AS st,
+                     make_timestamp(({relational.CAMPAIGN_EPOCH_DAYS}::BIGINT * 24
+                        + k * {relational.CAMPAIGN_STRIDE_HOURS}
+                        + {relational.CAMPAIGN_LEN_HOURS}) * 3600000000) AS en
+              FROM generate_series(0, {relational.CAMPAIGN_N - 1}) t(k)),
+            hit AS (
+              SELECT cal.campaign_id, e.user_id
+              FROM events e JOIN cal ON e.ts >= cal.st AND e.ts < cal.en)
+            SELECT campaign_id, count(*)::BIGINT AS n_events,
+                   count(DISTINCT user_id)::BIGINT AS n_users
+            FROM hit GROUP BY campaign_id ORDER BY campaign_id
         """,
         # Q13 shape: LEFT-JOIN order-count histogram (zero customers kept)
         "customer_order_distribution": """

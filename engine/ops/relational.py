@@ -2234,3 +2234,159 @@ def idle_rich_customers(sf_dir: str) -> pd.DataFrame:
     return (out.sort_values("c_nationkey").reset_index(drop=True)
             .astype({"c_nationkey": "int32", "numcust": "int64",
                      "total_cents": "int64"}))
+
+
+def events_hourly_anomalies(sf_dir: str) -> pd.DataFrame:
+    """(event_type, hour, n_events) — hours whose event count sits more
+    than 3 standard deviations from that type's own mean hourly count: the
+    monitoring-dashboard anomaly staple, done with EXACT INTEGER math.
+    The 3-sigma test ``(c - s/n)^2 > 9*(ss/n - (s/n)^2)`` cross-multiplies
+    to ``(n*c - s)^2 > 9*(n*ss - s*s)`` — no float ever forms, so the
+    DuckDB oracle hash-matches bit-for-bit.  Moments are over OBSERVED
+    hours for the type (the hourly table's own rows).
+
+    Scale shape: hourly counts form exactly as events_hourly (per-batch
+    combine, one coarse hour-bucket all-to-all); the anomaly pass is a
+    SECOND narrow shuffle of the (type x hour)-sized count rows keyed by
+    type, where each group computes its (s, ss, n) moments and flags
+    vectorized — the hourly table is already ~1e6x smaller than the events
+    stream, so both exchanges after the first are bounded by calendar
+    hours, not data volume.
+    """
+    ds = read_pruned(_t(sf_dir, "events"), ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pandas(),
+            "hour_us": pc.cast(pc.floor_temporal(batch["ts"], unit="hour"),
+                               pa.int64()).to_pandas(),
+        })
+        g = df.groupby(["event_type", "hour_us"], as_index=False).size().rename(
+            columns={"size": "c"})
+        g["bucket"] = (g["hour_us"].to_numpy() % N_KEY_BUCKETS).astype(np.int32)
+        return _from_pandas(g)
+
+    _H = pa.schema([("event_type", pa.string()), ("hour_us", pa.int64()),
+                    ("c", pa.int64()), ("tbucket", pa.int32())])
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby(["event_type", "hour_us"], as_index=False)["c"].sum()
+        tb = pd.util.hash_pandas_object(s["event_type"], index=False).to_numpy()
+        s["tbucket"] = (tb % N_KEY_BUCKETS).astype(np.int32)
+        return pa.Table.from_pandas(
+            s, schema=_H, preserve_index=False).replace_schema_metadata(None)
+
+    _OUT = pa.schema([("event_type", pa.string()), ("hour_us", pa.int64()),
+                      ("n_events", pa.int64())])
+
+    def flag(g: pd.DataFrame) -> pa.Table:
+        mom = g.groupby("event_type").agg(
+            s=("c", "sum"), n=("c", "size"),
+            ss=("c", lambda x: int((x.to_numpy() ** 2).sum())))
+        m = g.merge(mom, left_on="event_type", right_index=True)
+        lhs = (m["n"].to_numpy() * m["c"].to_numpy() - m["s"].to_numpy()) ** 2
+        rhs = 9 * (m["n"].to_numpy() * m["ss"].to_numpy()
+                   - m["s"].to_numpy() ** 2)
+        sel = m[lhs > rhs]
+        return pa.table(
+            {"event_type": pa.array(sel["event_type"], pa.string()),
+             "hour_us": pa.array(sel["hour_us"].to_numpy(), pa.int64()),
+             "n_events": pa.array(sel["c"].to_numpy(), pa.int64())},
+            schema=_OUT)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pandas")
+        .groupby("tbucket")
+        .map_groups(flag, batch_format="pandas")
+        .to_pandas()
+    )
+    out["hour"] = pd.to_datetime(out["hour_us"], unit="us")
+    out = out[["event_type", "hour", "n_events"]]
+    return (out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+            .astype({"event_type": "str", "n_events": "int64"}))
+
+
+# deterministic campaign calendar shared by engine and oracle: campaign k
+# runs [2024-01-01 + k*60h, +36h) — non-overlapping, covering the events
+# stream's 30-day span with gaps (events in a gap attribute to nothing)
+CAMPAIGN_N = 12
+CAMPAIGN_EPOCH_DAYS = 19723         # 2024-01-01 in days since unix epoch
+CAMPAIGN_STRIDE_HOURS = 60
+CAMPAIGN_LEN_HOURS = 36
+
+
+def campaign_attribution(sf_dir: str) -> pd.DataFrame:
+    """(campaign_id, n_events, n_users) — attribute events to the campaign
+    interval containing their timestamp: the broadcast SMALL-SIDE interval
+    join (the other half of the range-join family — events_range_join is
+    the big x big trailing window; this is the dimension-calendar lookup a
+    shuffle join would be absurd for).
+
+    Scale shape: the 12-interval calendar is module constants (broadcast by
+    closure capture — nothing ships per batch); each batch attaches
+    campaign ids with ONE vectorized searchsorted + end-bound check.
+    Event counts reduce as constant-size per-campaign partials with no
+    shuffle; exact DISTINCT user counts ride one coarse user-bucket
+    all-to-all of per-batch-distinct (campaign, user) rows (each user's
+    rows co-locate, so per-bucket distinct counts sum exactly —
+    user_retention_cohorts' idiom).
+    """
+    US_HOUR = 3_600_000_000
+    starts = (CAMPAIGN_EPOCH_DAYS * 24
+              + np.arange(CAMPAIGN_N, dtype=np.int64) * CAMPAIGN_STRIDE_HOURS) * US_HOUR
+    ends = starts + CAMPAIGN_LEN_HOURS * US_HOUR
+
+    ds = read_pruned(_t(sf_dir, "events"), ["user_id", "ts"])
+
+    def attach(t: pa.Table):
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy()
+        idx = np.searchsorted(starts, ts, side="right") - 1
+        ok = (idx >= 0) & (ts < ends[np.clip(idx, 0, CAMPAIGN_N - 1)])
+        return idx[ok], t["user_id"].to_numpy()[ok]
+
+    _CNT = pa.schema([("campaign_id", pa.int64()), ("n", pa.int64())])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        idx, _ = attach(t)
+        cid, cnt = np.unique(idx, return_counts=True)
+        return pa.table({"campaign_id": pa.array(cid, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())},
+                        schema=_CNT)
+
+    _UROW = pa.schema([("campaign_id", pa.int64()), ("user_id", pa.int64()),
+                       ("bucket", pa.int32())])
+
+    def user_rows(t: pa.Table) -> pa.Table:
+        idx, users = attach(t)
+        df = pd.DataFrame({"campaign_id": idx, "user_id": users}).drop_duplicates()
+        return pa.Table.from_pandas(
+            df.assign(bucket=(df["user_id"].to_numpy() % N_KEY_BUCKETS)
+                      .astype(np.int32)),
+            schema=_UROW, preserve_index=False).replace_schema_metadata(None)
+
+    _UCNT = pa.schema([("campaign_id", pa.int64()), ("u", pa.int64())])
+
+    def distinct_users(g: pd.DataFrame) -> pa.Table:
+        d = g[["campaign_id", "user_id"]].drop_duplicates()
+        cnt = d.groupby("campaign_id").size()
+        return pa.table({"campaign_id": pa.array(cnt.index.to_numpy(), pa.int64()),
+                         "u": pa.array(cnt.to_numpy().astype(np.int64), pa.int64())},
+                        schema=_UCNT)
+
+    counts = (ds.map_batches(count_partial, batch_format="pyarrow",
+                             batch_size=262144).to_pandas()
+              .groupby("campaign_id", as_index=False)["n"].sum())
+    users = (
+        ds.map_batches(user_rows, batch_format="pyarrow", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(distinct_users, batch_format="pandas")
+        .to_pandas()
+        .groupby("campaign_id", as_index=False)["u"].sum()
+    )
+    out = counts.merge(users, on="campaign_id")
+    out = out.rename(columns={"n": "n_events", "u": "n_users"})
+    return (out.sort_values("campaign_id").reset_index(drop=True)
+            .astype({"campaign_id": "int64", "n_events": "int64",
+                     "n_users": "int64"}))
