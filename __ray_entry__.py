@@ -348,6 +348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idle_rich_customers": relational.idle_rich_customers,
         "events_hourly_anomalies": relational.events_hourly_anomalies,
         "campaign_attribution": relational.campaign_attribution,
+        "props_json_stats": relational.props_json_stats,
         "degree_distribution": relational.degree_distribution,
         "user_retention_cohorts": relational.user_retention_cohorts,
         # text analysis (M11/M12/M13 + training-data ops)
@@ -1261,6 +1262,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT w.l_partkey AS p_partkey, w.s_suppkey, s.s_name, w.min_cents
             FROM w JOIN supplier s ON s.s_suppkey = w.s_suppkey
             ORDER BY p_partkey
+        """,
+        # JSON scalar family over the events props payload
+        "props_json_stats": """
+            WITH x AS (
+              SELECT event_type,
+                     CAST(json_extract(props, '$.k') AS BIGINT) AS k
+              FROM events)
+            SELECT event_type, count(k)::BIGINT AS n, sum(k)::BIGINT AS sum_k,
+                   min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k
+            FROM x WHERE k IS NOT NULL
+            GROUP BY event_type ORDER BY event_type
         """,
         # 3-sigma hourly anomaly flags — the z-score test cross-multiplied
         # to pure integers: (n*c - s)^2 > 9*(n*ss - s*s), no float anywhere

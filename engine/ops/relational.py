@@ -2390,3 +2390,38 @@ def campaign_attribution(sf_dir: str) -> pd.DataFrame:
     return (out.sort_values("campaign_id").reset_index(drop=True)
             .astype({"campaign_id": "int64", "n_events": "int64",
                      "n_users": "int64"}))
+
+
+def props_json_stats(sf_dir: str) -> pd.DataFrame:
+    """(event_type, n, sum_k, min_k, max_k) — grouped integer stats of the
+    ``k`` field extracted from the events table's JSON ``props`` column:
+    the semi-structured-payload scalar family (SURVEY §2.8's JSON entry)
+    over the one column no other query touches.
+
+    Scale shape: extraction is ONE vectorized Arrow RE2 kernel per batch
+    (``pc.extract_regex`` — no per-row json.loads; the payloads are flat
+    single-key objects, exactly the case where regex extraction is the
+    vectorized plan); per-batch Arrow group_by partials reduce through a
+    tiny final groupby, decomposable min/max/sum only.  Rows whose props
+    lack an integer ``k`` are dropped on both sides (the oracle's
+    json_extract returns NULL there).
+    """
+    ds = read_pruned(_t(sf_dir, "events"), ["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], pattern=r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        tbl = pa.table({"event_type": t["event_type"], "k": k}).filter(
+            pc.is_valid(k))
+        g = tbl.group_by("event_type").aggregate(
+            [("k", "count"), ("k", "sum"), ("k", "min"), ("k", "max")])
+        return g.rename_columns(["event_type", "n", "sum_k", "min_k", "max_k"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=262144).to_pandas()
+    out = parts.groupby("event_type", as_index=False).agg(
+        n=("n", "sum"), sum_k=("sum_k", "sum"),
+        min_k=("min_k", "min"), max_k=("max_k", "max"))
+    return (out.sort_values("event_type").reset_index(drop=True)
+            .astype({"event_type": "str", "n": "int64", "sum_k": "int64",
+                     "min_k": "int64", "max_k": "int64"}))
