@@ -116,6 +116,19 @@ BENCH_QUERY_NAMES = [
     "triangle_count",
     "inverted_postings",
     "token_frequency_spectrum",
+    "label_centroids",
+    "bigram_pmi_topk",
+    "min_cost_supplier",
+    "degree_distribution",
+    "user_retention_cohorts",
+    "char_entropy",
+    "compression_ratio",
+    "dedup_recall_report",
+    "customer_order_distribution",
+    "idle_rich_customers",
+    "events_hourly_anomalies",
+    "campaign_attribution",
+    "props_json_stats",
 ]
 
 
@@ -495,6 +508,14 @@ def run_dedup_smoke() -> dict:
         # approximate kNN graph on the consolidated IVF cells (512 cells
         # at 2M vectors keeps per-cell work ~4k^2)
         "knn_graph": lambda: ann.knn_graph(dest, n_cells=512),
+        # map-only quality signals: byte-vectorized entropy, per-doc DEFLATE
+        "char_entropy": lambda: _text_ops.char_entropy(dest),
+        "compression_ratio": lambda: _text_ops.compression_ratio(dest),
+        # the dedup scoreboard runs exact-jaccard + minhash + simhash
+        # back to back — the full sketch-vs-truth gauge at corpus scale
+        "dedup_recall_report": lambda: dedup.dedup_recall_report(dest),
+        # in-degree histogram over the synthetic link graph
+        "degree_distribution": lambda: rel.degree_distribution(dest),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")
     if only:
@@ -647,6 +668,16 @@ def run_events_smoke() -> dict:
         # sequential-pattern funnel over the smoke's own type vocabulary
         "events_funnel": lambda: int(rel.events_funnel(
             dest, stages=("signup", "click", "view"))["n_users"].sum()),
+        # cohort retention: per-user global-min day + distinct-day counts,
+        # one user-bucket all-to-all
+        "user_retention_cohorts": lambda: len(rel.user_retention_cohorts(dest)),
+        # integer 3-sigma hourly anomaly flags (two narrow exchanges after
+        # the hourly combine)
+        "events_hourly_anomalies": lambda: len(rel.events_hourly_anomalies(dest)),
+        # broadcast interval attach; the smoke stream starts at epoch day
+        # 19676 (base_us 1.7e15), so the calendar anchors there
+        "campaign_attribution": lambda: int(rel.campaign_attribution(
+            dest, epoch_days=19676)["n_events"].sum()),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")
     if only:

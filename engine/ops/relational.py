@@ -2317,7 +2317,8 @@ CAMPAIGN_STRIDE_HOURS = 60
 CAMPAIGN_LEN_HOURS = 36
 
 
-def campaign_attribution(sf_dir: str) -> pd.DataFrame:
+def campaign_attribution(sf_dir: str,
+                         epoch_days: int = CAMPAIGN_EPOCH_DAYS) -> pd.DataFrame:
     """(campaign_id, n_events, n_users) — attribute events to the campaign
     interval containing their timestamp: the broadcast SMALL-SIDE interval
     join (the other half of the range-join family — events_range_join is
@@ -2334,7 +2335,7 @@ def campaign_attribution(sf_dir: str) -> pd.DataFrame:
     user_retention_cohorts' idiom).
     """
     US_HOUR = 3_600_000_000
-    starts = (CAMPAIGN_EPOCH_DAYS * 24
+    starts = (epoch_days * 24
               + np.arange(CAMPAIGN_N, dtype=np.int64) * CAMPAIGN_STRIDE_HOURS) * US_HOUR
     ends = starts + CAMPAIGN_LEN_HOURS * US_HOUR
 
