@@ -425,6 +425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_pairs": ann.embedding_near_pairs,
         "embedding_dedup_canonical": ann.embedding_dedup_canonical,
         "embedding_moments": ann.embedding_moments,
+        "embedding_norm_outliers": ann.embedding_norm_outliers,
         "label_centroids": ann.label_centroids,
         # rows-only: k-means cells aren't SQL; pytest locks a brute-force
         # within-cell reference + planted-pair membership + determinism
@@ -1033,6 +1034,23 @@ def oracle_sql() -> dict[str, str]:
         # exact integer moment sums (per-vector micro-rounding on both
         # sides; rounding ties are impossible for dyadic floats, see
         # engine/ops/ann.py::embedding_moments)
+        # per-element milli rounding -> order-free integer per-vector sum;
+        # the 2-sigma test runs in HUGEINT (the engine's driver side uses
+        # Python arbitrary-precision ints + isqrt bounds — same predicate)
+        "embedding_norm_outliers": """
+            WITH v AS (
+              SELECT vec_id,
+                     (SELECT sum(CAST(round(x*x*1000) AS BIGINT))
+                      FROM unnest(embedding) AS t(x)) AS nm
+              FROM embeddings),
+            m AS (SELECT count(*)::HUGEINT AS n, sum(nm)::HUGEINT AS s,
+                         sum(nm::HUGEINT * nm)::HUGEINT AS ss
+                  FROM v)
+            SELECT vec_id, nm AS norm_sq_milli
+            FROM v, m
+            WHERE (n*nm - s)*(n*nm - s) > 4*(n*ss - s*s)
+            ORDER BY vec_id
+        """,
         "embedding_moments": """
             WITH e AS (
               SELECT vec_id, unnest(embedding) AS x,

@@ -1280,3 +1280,63 @@ def label_centroids(sf_dir: str) -> pd.DataFrame:
             [["label", "i", "sum_micro", "n_vecs"]]
             .astype({"label": "int64", "i": "int64",
                      "sum_micro": "int64", "n_vecs": "int64"}))
+
+
+def embedding_norm_outliers(sf_dir: str) -> pd.DataFrame:
+    """(vec_id, norm_sq_milli) — vectors whose squared L2 norm sits more
+    than 2 standard deviations from the store's mean: the embedding-store
+    health check (a bad encoder batch or a zeroed shard shows up here
+    first).  The events_hourly_anomalies integer discipline applied to
+    embeddings:
+
+    * per-ELEMENT milli rounding ``round(x_d^2 * 1e3)`` then an integer
+      per-vector sum — order-free, so engine and oracle agree bit-for-bit
+      (x_d^2 rounds identically in both; exact-.5 ties would need a dyadic
+      product landing on half-milli, the embedding_moments stance);
+    * the 2-sigma test cross-multiplies to ``(n*v - s)^2 > 4*(n*ss - s^2)``
+      — no float forms.  n*ss exceeds int64 at fleet scale, so the DRIVER
+      side of the test runs in Python arbitrary-precision ints and reduces
+      to integer BOUNDS: flag iff ``|n*v - s| > isqrt(4*(n*ss - s^2))``
+      (exact — floor-sqrt flips no case since r = floor(sqrt(R2)) has
+      r^2 <= R2 < (r+1)^2); the per-vector test is then one vectorized
+      int64 comparison.  The oracle runs the same test in HUGEINT.
+
+    Scale shape: pass 1 streams constant-size (n, s, ss) partials (no
+    shuffle); the driver reduce is 3 Python ints; pass 2 is map-only
+    flagging.  Output is outlier-sized.
+    """
+    import math
+
+    ds = _emb(sf_dir)
+
+    def norms(t: pa.Table) -> pa.Table:
+        ids, mat = _to_matrix(t)
+        milli = np.round(mat * mat * 1000.0).astype(np.int64)
+        v = milli.sum(axis=1)
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "v": pa.array(v, pa.int64())})
+
+    def mom(t: pa.Table) -> pa.Table:
+        v = t["v"].to_numpy()
+        return pa.table({"n": pa.array([len(v)], pa.int64()),
+                         "s": pa.array([int(v.sum())], pa.int64()),
+                         "ss": pa.array([int((v.astype(object) ** 2).sum())],
+                                        pa.int64())})
+
+    nv = ds.map_batches(norms, batch_format="pyarrow", batch_size=65536)
+    nv = nv.materialize()      # consumed twice: moments + flagging
+    m = nv.map_batches(mom, batch_format="pyarrow").to_pandas()
+    n, s = int(m["n"].sum()), int(m["s"].sum())
+    ss = int(m["ss"].sum())
+    r = math.isqrt(max(0, 4 * (n * ss - s * s)))
+
+    def flag(t: pa.Table) -> pa.Table:
+        v = t["v"].to_numpy()
+        d = n * v - s
+        sel = np.abs(d) > r
+        return pa.table({"vec_id": t["vec_id"].filter(pa.array(sel)),
+                         "norm_sq_milli": pa.array(v[sel], pa.int64())})
+
+    out = nv.map_batches(flag, batch_format="pyarrow").to_pandas()
+    return (out.sort_values("vec_id").reset_index(drop=True)
+            .astype({"vec_id": "int64", "norm_sq_milli": "int64"}))
