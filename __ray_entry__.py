@@ -349,6 +349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_anomalies": relational.events_hourly_anomalies,
         "campaign_attribution": relational.campaign_attribution,
         "props_json_stats": relational.props_json_stats,
+        "events_sliding_distinct_users": relational.events_sliding_distinct_users,
         "degree_distribution": relational.degree_distribution,
         "user_retention_cohorts": relational.user_retention_cohorts,
         # text analysis (M11/M12/M13 + training-data ops)
@@ -1280,6 +1281,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT w.l_partkey AS p_partkey, w.s_suppkey, s.s_name, w.min_cents
             FROM w JOIN supplier s ON s.s_suppkey = w.s_suppkey
             ORDER BY p_partkey
+        """,
+        # exact sliding-window COUNT DISTINCT (windows = observed hours)
+        "events_sliding_distinct_users": """
+            WITH uh AS (
+              SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
+              FROM events),
+            w AS (SELECT DISTINCT h AS w FROM uh)
+            SELECT w.w AS window_end,
+                   count(DISTINCT uh.user_id)::BIGINT AS n_users
+            FROM w JOIN uh
+              ON uh.h > w.w - INTERVAL 24 HOUR AND uh.h <= w.w
+            GROUP BY 1 ORDER BY 1
         """,
         # JSON scalar family over the events props payload
         "props_json_stats": """

@@ -129,6 +129,8 @@ BENCH_QUERY_NAMES = [
     "events_hourly_anomalies",
     "campaign_attribution",
     "props_json_stats",
+    "embedding_norm_outliers",
+    "events_sliding_distinct_users",
 ]
 
 
@@ -516,6 +518,8 @@ def run_dedup_smoke() -> dict:
         "dedup_recall_report": lambda: dedup.dedup_recall_report(dest),
         # in-degree histogram over the synthetic link graph
         "degree_distribution": lambda: rel.degree_distribution(dest),
+        # two map passes over a materialized narrow (vec_id, v) table
+        "embedding_norm_outliers": lambda: ann.embedding_norm_outliers(dest),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")
     if only:
@@ -678,6 +682,11 @@ def run_events_smoke() -> dict:
         # 19676 (base_us 1.7e15), so the calendar anchors there
         "campaign_attribution": lambda: int(rel.campaign_attribution(
             dest, epoch_days=19676)["n_events"].sum()),
+        # exact sliding COUNT DISTINCT: the distinct(user,hour) x 24
+        # explode is the honest exact cost (see docstring for the HLL
+        # sketch alternative at larger windows)
+        "events_sliding_distinct_users": lambda: len(
+            rel.events_sliding_distinct_users(dest)),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")
     if only:

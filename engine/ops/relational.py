@@ -2426,3 +2426,82 @@ def props_json_stats(sf_dir: str) -> pd.DataFrame:
     return (out.sort_values("event_type").reset_index(drop=True)
             .astype({"event_type": "str", "n": "int64", "sum_k": "int64",
                      "min_k": "int64", "max_k": "int64"}))
+
+
+def events_sliding_distinct_users(sf_dir: str,
+                                  window_hours: int = 24) -> pd.DataFrame:
+    """(window_end, n_users) — for every observed hour h, the EXACT count
+    of distinct users active in the trailing window (h-24h, h]: the
+    sliding-window COUNT DISTINCT the rest of the window family dodges
+    (sums/avgs decompose over frames; distinct does not — this is the one
+    that needs per-user information at every window).
+
+    Scale shape: per-batch-distinct (user, hour) rows take ONE user-bucket
+    all-to-all (each user's activity co-locates); inside a bucket, each
+    (user, hour) row explodes to the 24 windows it covers and a composite
+    np.unique dedups (user, window) — so a user active 100 times in an hour
+    costs one row, and one active hour never double-counts across windows.
+    Bounded (window, count) partials sum exactly across buckets (users are
+    bucket-disjoint).  The final intersect against OBSERVED hours is
+    calendar-sized on the driver.  Cost is honestly distinct(user,hour) x
+    window_hours exploded int rows — the exact price of sliding distinct;
+    the approximate path at larger windows is per-hour HLL registers merged
+    over the frame (hll_distinct_tokens' sketch), documented here as the
+    trade.
+    """
+    ds = read_pruned(_t(sf_dir, "events"), ["user_id", "ts"])
+    US_HOUR = 3_600_000_000
+
+    _ROW = pa.schema([("user_id", pa.int64()), ("hour_us", pa.int64()),
+                      ("bucket", pa.int32())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(),
+            "hour_us": pc.cast(pc.floor_temporal(t["ts"], unit="hour"),
+                               pa.int64()).to_numpy(),
+        }).drop_duplicates()
+        return pa.Table.from_pandas(
+            df.assign(bucket=(df["user_id"].to_numpy() % N_KEY_BUCKETS)
+                      .astype(np.int32)),
+            schema=_ROW, preserve_index=False).replace_schema_metadata(None)
+
+    _CNT = pa.schema([("window_us", pa.int64()), ("n", pa.int64())])
+
+    def windows(g: pd.DataFrame) -> pa.Table:
+        d = g[["user_id", "hour_us"]].drop_duplicates()
+        u = d["user_id"].to_numpy()
+        h = (d["hour_us"].to_numpy() // US_HOUR)
+        off = np.arange(window_hours, dtype=np.int64)
+        # (user, window) pairs: window w covers hours (w-24, w] <=> w in
+        # [h, h+23]; composite-key unique dedups multi-hour users per window
+        uu = np.repeat(u, window_hours)
+        ww = (h[:, None] + off[None, :]).ravel()
+        dfw = pd.DataFrame({"u": uu, "w": ww}).drop_duplicates()
+        cnt = dfw.groupby("w").size()
+        return pa.table(
+            {"window_us": pa.array(cnt.index.to_numpy() * US_HOUR, pa.int64()),
+             "n": pa.array(cnt.to_numpy().astype(np.int64), pa.int64())},
+            schema=_CNT)
+
+    def observed_partial(t: pa.Table) -> pa.Table:
+        h = np.unique(pc.cast(pc.floor_temporal(t["ts"], unit="hour"),
+                              pa.int64()).to_numpy())
+        return pa.table({"hour_us": pa.array(h, pa.int64())})
+
+    obs = set(
+        ds.map_batches(observed_partial, batch_format="pyarrow",
+                       batch_size=262144).to_pandas()["hour_us"].unique())
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(windows, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("window_us", as_index=False)["n"].sum()
+    out = out[out["window_us"].isin(obs)]
+    out["window_end"] = pd.to_datetime(out["window_us"], unit="us")
+    out = out.rename(columns={"n": "n_users"})[["window_end", "n_users"]]
+    return (out.sort_values("window_end").reset_index(drop=True)
+            .astype({"n_users": "int64"}))
