@@ -350,6 +350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "campaign_attribution": relational.campaign_attribution,
         "props_json_stats": relational.props_json_stats,
         "events_sliding_distinct_users": relational.events_sliding_distinct_users,
+        "brand_price_trend": relational.brand_price_trend,
         "degree_distribution": relational.degree_distribution,
         "user_retention_cohorts": relational.user_retention_cohorts,
         # text analysis (M11/M12/M13 + training-data ops)
@@ -1281,6 +1282,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT w.l_partkey AS p_partkey, w.s_suppkey, s.s_name, w.min_cents
             FROM w JOIN supplier s ON s.s_suppkey = w.s_suppkey
             ORDER BY p_partkey
+        """,
+        # grouped integer least-squares slope; HUGEINT // truncates toward
+        # zero, matching the engine's sign-explicit truncated division
+        "brand_price_trend": """
+            WITH l AS (
+              SELECT l_partkey,
+                     CAST(datediff('day', TIMESTAMP '1995-01-01', l_shipdate)
+                          AS BIGINT) AS x,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+              FROM lineitem),
+            j AS (SELECT p_brand, x, y FROM l JOIN part ON p_partkey = l_partkey),
+            a AS (
+              SELECT p_brand, count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+                     sum(y)::HUGEINT AS sy, sum(x*y)::HUGEINT AS sxy,
+                     sum(x*x)::HUGEINT AS sxx
+              FROM j GROUP BY p_brand)
+            SELECT p_brand, CAST(n AS BIGINT) AS n,
+                   CAST(CASE WHEN n*sxx - sx*sx = 0 THEN 0
+                        ELSE (1000000 * (n*sxy - sx*sy)) // (n*sxx - sx*sx)
+                        END AS BIGINT) AS slope_micro
+            FROM a ORDER BY p_brand
         """,
         # exact sliding-window COUNT DISTINCT (windows = observed hours)
         "events_sliding_distinct_users": """

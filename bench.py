@@ -131,6 +131,7 @@ BENCH_QUERY_NAMES = [
     "props_json_stats",
     "embedding_norm_outliers",
     "events_sliding_distinct_users",
+    "brand_price_trend",
 ]
 
 

@@ -2505,3 +2505,72 @@ def events_sliding_distinct_users(sf_dir: str,
     out = out.rename(columns={"n": "n_users"})[["window_end", "n_users"]]
     return (out.sort_values("window_end").reset_index(drop=True)
             .astype({"n_users": "int64"}))
+
+
+def brand_price_trend(sf_dir: str) -> pd.DataFrame:
+    """(p_brand, n, slope_micro) — per-brand least-squares price trend in
+    micro-cents per day: grouped LINEAR REGRESSION as a decomposable
+    integer aggregate (the one aggregation family — sufficient-statistic
+    regression — the moments/rollup queries don't cover).  x = days since
+    1995-01-01 (keeps x*y partials deep inside int64), y = exact cents;
+    the per-brand sufficient statistics (n, Σx, Σy, Σxy, Σx²) are all
+    exact integers, the driver forms slope = (nΣxy - ΣxΣy)/(nΣx² - (Σx)²)
+    in Python arbitrary-precision ints (the numerators exceed int64 at
+    fleet scale) and emits TRUNCATED micro-slope — matching DuckDB's
+    HUGEINT ``//`` (which truncates toward zero, unlike Python's floor —
+    handled sign-explicitly).
+
+    Scale shape: the part->brand map is a broadcast small-side attach
+    (``pc.index_in`` over shared Arrow arrays, the mktsegment idiom);
+    per-batch Arrow group_by partials; the only exchange is brand-count
+    partial rows.
+    """
+    import pyarrow.parquet as _pq
+
+    part = _pq.read_table(_t(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+    pk = part["p_partkey"].combine_chunks()
+    pb = part["p_brand"].combine_chunks()
+    pk_ref = ray.put((pk, pb))
+
+    li = read_pruned(_t(sf_dir, "lineitem"),
+                     ["l_partkey", "l_shipdate", "l_extendedprice"])
+    BASE_DAYS = 9131  # 1995-01-01
+
+    def partial(t: pa.Table) -> pa.Table:
+        kk, bb = ray.get(pk_ref)
+        idx = pc.index_in(t["l_partkey"], value_set=kk)
+        brand = pc.take(bb, idx)
+        x = (pc.cast(t["l_shipdate"], pa.int64()).to_numpy()
+             // 86_400_000_000) - BASE_DAYS
+        y = np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        g = pa.table({
+            "p_brand": brand,
+            "n": pa.array(np.ones(len(x), np.int64), pa.int64()),
+            "sx": pa.array(x, pa.int64()),
+            "sy": pa.array(y, pa.int64()),
+            "sxy": pa.array(x * y, pa.int64()),
+            "sxx": pa.array(x * x, pa.int64()),
+        }).group_by("p_brand").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxy", "sum"), ("sxx", "sum")])
+        return g.rename_columns(["p_brand", "n", "sx", "sy", "sxy", "sxx"])
+
+    parts = li.map_batches(partial, batch_format="pyarrow",
+                           batch_size=262144).to_pandas()
+    agg = parts.groupby("p_brand", as_index=False).sum()
+
+    def trunc_div(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    slopes = []
+    for _, r in agg.iterrows():
+        n, sx, sy, sxy, sxx = (int(r["n"]), int(r["sx"]), int(r["sy"]),
+                               int(r["sxy"]), int(r["sxx"]))
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        slopes.append(trunc_div(1_000_000 * num, den) if den else 0)
+    out = pd.DataFrame({"p_brand": agg["p_brand"], "n": agg["n"],
+                        "slope_micro": slopes})
+    return (out.sort_values("p_brand").reset_index(drop=True)
+            .astype({"p_brand": "str", "n": "int64", "slope_micro": "int64"}))
