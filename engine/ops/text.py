@@ -2157,14 +2157,16 @@ def char_entropy(sf_dir: str) -> pd.DataFrame:
         if buf.size and buf.max() >= 128:
             raise NotImplementedError("char_entropy assumes an ASCII corpus")
         row = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
-        key = row * 256 + buf
-        uniq, cnt = np.unique(key, return_counts=True)
-        doc_idx = uniq >> 8
-        nn = lens[doc_idx].astype(np.float64)
+        # O(bytes) histogram: bincount over (row, byte) composite keys —
+        # a sort-based unique at 1 GB/batch was 2x the whole op's wall
+        cnt = np.bincount(row * 128 + buf, minlength=n_rows * 128).reshape(
+            n_rows, 128)
+        nn = np.maximum(lens, 1).astype(np.float64)[:, None]
         c = cnt.astype(np.float64)
-        micro = np.round((c / nn) * np.log(nn / c) * 1e6).astype(np.int64)
-        h = np.bincount(doc_idx, weights=micro.astype(np.float64),
-                        minlength=n_rows).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            micro = np.round((c / nn) * np.log(nn / c) * 1e6)
+        micro[cnt == 0] = 0.0
+        h = micro.sum(axis=1).astype(np.int64)
         return pa.table(
             {"doc_id": t["doc_id"], "entropy_micronats": pa.array(h, pa.int64())},
             schema=_SCHEMA)
