@@ -2321,3 +2321,103 @@ def test_compression_ratio_signal(ray_session, tmp_path):
     r = dict(zip(out["doc_id"], out["ratio_milli"]))
     assert r[0] < 100          # template compresses ~25x or better
     assert r[1] > 3 * r[0]     # entropy-heavy text compresses far worse
+
+
+def test_char_entropy_matches_counter_reference(ray_session, tmp_path):
+    """Byte-vectorized batch entropy == a per-doc collections.Counter
+    reference (same per-type micro rounding), including a uniform doc
+    (max entropy) and a single-char doc (zero)."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.ops.text import char_entropy
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    rng = np.random.RandomState(11)
+    texts = ["aaaaaaa", "abcdefgh", "the quick brown fox jumps"]
+    texts += ["".join(rng.choice(list("abcxyz "), 300)) for _ in range(20)]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(d / "documents.parquet"))
+
+    got = char_entropy(str(d))
+
+    for i, s in enumerate(texts):
+        n = len(s)
+        ref = sum(
+            int(np.round((c / n) * math.log(n / c) * 1e6))
+            for c in Counter(s).values())
+        assert int(got["entropy_micronats"][i]) == ref, (i, s)
+    assert int(got["entropy_micronats"][0]) == 0  # single-char doc
+
+
+def test_sliding_distinct_users_brute_force(ray_session, tmp_path):
+    """The exploded-window distinct count == per-window brute force over a
+    random event stream with heavy per-user repetition."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.ops.relational import events_sliding_distinct_users
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    rng = np.random.RandomState(5)
+    n = 3000
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    ts = base + (rng.randint(0, 96, n) * 3_600_000_000
+                 + rng.randint(0, 3_600_000_000, n)).astype("timedelta64[us]")
+    users = rng.randint(0, 40, n)
+    pq.write_table(
+        pa.table({"event_id": pa.array(range(n), pa.int64()),
+                  "ts": pa.array(ts.astype("datetime64[us]")),
+                  "user_id": pa.array(users, pa.int64()),
+                  "event_type": pa.array(["click"] * n, pa.string()),
+                  "value": pa.array(np.zeros(n), pa.float64()),
+                  "props": pa.array(["{}"] * n, pa.string())}),
+        str(d / "events.parquet"))
+
+    got = events_sliding_distinct_users(str(d))
+
+    df = pd.DataFrame({"u": users,
+                       "h": pd.to_datetime(ts).floor("h")})
+    hours = np.sort(df["h"].unique())
+    ref = {
+        pd.Timestamp(h): df[(df["h"] > h - np.timedelta64(24, "h"))
+                            & (df["h"] <= h)]["u"].nunique()
+        for h in hours
+    }
+    assert len(got) == len(hours)
+    for _, r in got.iterrows():
+        assert ref[pd.Timestamp(r["window_end"])] == r["n_users"]
+
+
+def test_brand_price_trend_matches_lstsq(ray_session):
+    """Integer sufficient-statistic slopes == numpy lstsq on the same
+    (day, cents) points, within the 1-micro truncation step."""
+    import duckdb
+    import numpy as np
+
+    from engine.ops.relational import brand_price_trend
+
+    got = brand_price_trend("/root/testdata/sf0.001")
+    con = duckdb.connect()
+    pts = con.execute("""
+        SELECT p_brand,
+               datediff('day', TIMESTAMP '1995-01-01', l_shipdate) AS x,
+               round(l_extendedprice*100) AS y
+        FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet') l
+        JOIN read_parquet('/root/testdata/sf0.001/part.parquet') p
+          ON p_partkey = l_partkey
+    """).df()
+    for _, r in got.iterrows():
+        g = pts[pts["p_brand"] == r["p_brand"]]
+        slope = np.polyfit(g["x"].to_numpy(float), g["y"].to_numpy(float), 1)[0]
+        assert abs(slope * 1e6 - r["slope_micro"]) <= max(2, abs(slope * 1e6) * 1e-6)
