@@ -2437,16 +2437,16 @@ def events_sliding_distinct_users(sf_dir: str,
     that needs per-user information at every window).
 
     Scale shape: per-batch-distinct (user, hour) rows take ONE user-bucket
-    all-to-all (each user's activity co-locates); inside a bucket, each
-    (user, hour) row explodes to the 24 windows it covers and a composite
-    np.unique dedups (user, window) — so a user active 100 times in an hour
-    costs one row, and one active hour never double-counts across windows.
-    Bounded (window, count) partials sum exactly across buckets (users are
-    bucket-disjoint).  The final intersect against OBSERVED hours is
-    calendar-sized on the driver.  Cost is honestly distinct(user,hour) x
-    window_hours exploded int rows — the exact price of sliding distinct;
-    the approximate path at larger windows is per-hour HLL registers merged
-    over the frame (hll_distinct_tokens' sketch), documented here as the
+    all-to-all (each user's activity co-locates); inside a bucket, a
+    SWEEP-LINE replaces the naive W-fold window explode — each user's
+    covered windows form a union of intervals (sorted activity runs with
+    gap <= W merge), and only (start, +1) / (end+1, -1) BOUNDARY rows
+    leave the group, grouped so the exchange is bounded by calendar hours,
+    not activity.  The driver's job is a calendar-sized prefix sum read at
+    the observed hours.  (The explode form measured 229 s at 50M events;
+    the sweep is bounded by activity runs instead of runs x W.)  The
+    approximate path at much larger windows is per-hour HLL registers
+    merged over the frame (hll_distinct_tokens' sketch), noted as the
     trade.
     """
     ds = read_pruned(_t(sf_dir, "events"), ["user_id", "ts"])
@@ -2466,23 +2466,32 @@ def events_sliding_distinct_users(sf_dir: str,
                       .astype(np.int32)),
             schema=_ROW, preserve_index=False).replace_schema_metadata(None)
 
-    _CNT = pa.schema([("window_us", pa.int64()), ("n", pa.int64())])
+    _CNT = pa.schema([("w", pa.int64()), ("d", pa.int64())])
 
-    def windows(g: pd.DataFrame) -> pa.Table:
-        d = g[["user_id", "hour_us"]].drop_duplicates()
+    def diffs(g: pd.DataFrame) -> pa.Table:
+        # sweep-line: a user active at hour h covers windows [h, h+W-1];
+        # merge each user's overlapping coverage intervals (sorted runs
+        # with gap <= W) and emit (start, +1) / (end+1, -1) boundary rows —
+        # per-run constants instead of the W-fold window explode (which
+        # measured 229 s at 50M events; this form is bounded by activity
+        # RUNS and the boundary values by calendar hours)
+        d = g[["user_id", "hour_us"]].drop_duplicates().sort_values(
+            ["user_id", "hour_us"])
         u = d["user_id"].to_numpy()
-        h = (d["hour_us"].to_numpy() // US_HOUR)
-        off = np.arange(window_hours, dtype=np.int64)
-        # (user, window) pairs: window w covers hours (w-24, w] <=> w in
-        # [h, h+23]; composite-key unique dedups multi-hour users per window
-        uu = np.repeat(u, window_hours)
-        ww = (h[:, None] + off[None, :]).ravel()
-        dfw = pd.DataFrame({"u": uu, "w": ww}).drop_duplicates()
-        cnt = dfw.groupby("w").size()
-        return pa.table(
-            {"window_us": pa.array(cnt.index.to_numpy() * US_HOUR, pa.int64()),
-             "n": pa.array(cnt.to_numpy().astype(np.int64), pa.int64())},
-            schema=_CNT)
+        h = d["hour_us"].to_numpy() // US_HOUR
+        if not len(u):
+            return pa.table({"w": pa.array([], pa.int64()),
+                             "d": pa.array([], pa.int64())}, schema=_CNT)
+        new = np.ones(len(u), dtype=bool)
+        new[1:] = (u[1:] != u[:-1]) | (h[1:] - h[:-1] > window_hours)
+        starts = h[new]
+        last = h[np.append(new[1:], True)]
+        w = np.concatenate([starts, last + window_hours])
+        delta = np.concatenate([np.ones(len(starts), np.int64),
+                                np.full(len(last), -1, np.int64)])
+        cnt = pd.DataFrame({"w": w, "d": delta}).groupby("w", as_index=False).sum()
+        return pa.Table.from_pandas(cnt, schema=_CNT, preserve_index=False
+                                    ).replace_schema_metadata(None)
 
     def observed_partial(t: pa.Table) -> pa.Table:
         h = np.unique(pc.cast(pc.floor_temporal(t["ts"], unit="hour"),
@@ -2496,15 +2505,20 @@ def events_sliding_distinct_users(sf_dir: str,
     parts = (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=262144)
         .groupby("bucket")
-        .map_groups(windows, batch_format="pandas")
+        .map_groups(diffs, batch_format="pandas")
         .to_pandas()
     )
-    out = parts.groupby("window_us", as_index=False)["n"].sum()
-    out = out[out["window_us"].isin(obs)]
-    out["window_end"] = pd.to_datetime(out["window_us"], unit="us")
-    out = out.rename(columns={"n": "n_users"})[["window_end", "n_users"]]
-    return (out.sort_values("window_end").reset_index(drop=True)
-            .astype({"n_users": "int64"}))
+    # calendar-sized sweep on the driver: prefix-sum the boundary deltas,
+    # then read the coverage count at each OBSERVED hour
+    agg = parts.groupby("w", as_index=False)["d"].sum().sort_values("w")
+    dw = agg["w"].to_numpy()
+    run = np.cumsum(agg["d"].to_numpy())
+    obs_h = np.array(sorted(obs), dtype=np.int64) // US_HOUR
+    pos = np.searchsorted(dw, obs_h, side="right") - 1
+    n_users = np.where(pos >= 0, run[np.maximum(pos, 0)], 0)
+    out = pd.DataFrame({"window_end": pd.to_datetime(obs_h * US_HOUR, unit="us"),
+                        "n_users": n_users.astype(np.int64)})
+    return out.reset_index(drop=True).astype({"n_users": "int64"})
 
 
 def brand_price_trend(sf_dir: str) -> pd.DataFrame:
@@ -2574,3 +2588,370 @@ def brand_price_trend(sf_dir: str) -> pd.DataFrame:
                         "slope_micro": slopes})
     return (out.sort_values("p_brand").reset_index(drop=True)
             .astype({"p_brand": "str", "n": "int64", "slope_micro": "int64"}))
+
+
+def promo_revenue_share(sf_dir: str) -> pd.DataFrame:
+    """(ship_month, promo_revenue, total_revenue) — TPC-H Q14 shape: what
+    share of each month's discounted revenue came from PROMO-type parts.
+
+    Scale shape: the part catalog is the bounded small side — its
+    partkey -> is-promo map broadcasts once as shared Arrow arrays
+    (``pc.index_in`` attach, the mktsegment idiom); lineitem does one
+    map-only pass emitting per-(month) partial sums, so the only exchange
+    is calendar-month-sized partial rows.  Revenue split promo/total in
+    the same pass (a CASE inside the combiner, not a second scan).
+    """
+    import pyarrow.parquet as _pq
+
+    part = _pq.read_table(_t(sf_dir, "part"), columns=["p_partkey", "p_type"])
+    pk = part["p_partkey"].combine_chunks()
+    promo = pc.equal(part["p_type"], "PROMO").combine_chunks()
+    side_ref = ray.put((pk, promo))
+
+    li = read_pruned(_t(sf_dir, "lineitem"),
+                     ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        kk, pp = ray.get(side_ref)
+        idx = pc.index_in(t["l_partkey"], value_set=kk)
+        is_promo = pc.take(pp, idx).to_numpy(zero_copy_only=False)
+        rev = t["l_extendedprice"].to_numpy() * (1.0 - t["l_discount"].to_numpy())
+        d = pc.cast(t["l_shipdate"], pa.int64()).to_numpy() // 86_400_000_000
+        # month key = year*12 + (month-1), computed from the epoch-day via
+        # pandas' vectorized datetime accessor (exact calendar months)
+        dt = pd.to_datetime(d * 86_400_000_000, unit="us")
+        mkey = dt.year * 12 + (dt.month - 1)
+        g = pd.DataFrame({
+            "mkey": mkey,
+            "promo_rev": np.where(is_promo, rev, 0.0),
+            "total_rev": rev,
+        }).groupby("mkey", as_index=False).sum()
+        return _from_pandas(g)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        li.map_batches(partial, batch_format="pyarrow", batch_size=262144)
+        .groupby("mkey")
+        .aggregate(Sum("promo_rev", alias_name="promo_revenue"),
+                   Sum("total_rev", alias_name="total_revenue"))
+        .to_pandas()
+    )
+    out["ship_month"] = pd.to_datetime(
+        {"year": out["mkey"] // 12, "month": out["mkey"] % 12 + 1, "day": 1})
+    out["promo_revenue"] = out["promo_revenue"].round(0)
+    out["total_revenue"] = out["total_revenue"].round(0)
+    return (out[["ship_month", "promo_revenue", "total_revenue"]]
+            .sort_values("ship_month").reset_index(drop=True))
+
+
+def returned_item_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Top-k customers by revenue on RETURNED lineitems (TPC-H Q10 shape):
+    filtered fact scan -> big x big orderkey join -> per-customer rollup ->
+    global top-k with dimension attach.
+
+    Scale shape: the returnflag filter pushes into the parquet read
+    (row-group stats prune at the source); lineitem combines per batch to
+    (orderkey, rev) partials; orders and the partials co-locate via ONE
+    key-bucket groupby (the order_priority_revenue idiom) where the
+    in-group merge re-keys revenue to custkey; a second small groupby sums
+    per customer, and the top-k is a distributed sort + limit over
+    customer-count rows (revenue pre-rounded to whole units so the rank
+    order is summation-order-stable).  Customer names attach to only the
+    k winners via one bounded-catalog lookup.
+    """
+    import pyarrow.dataset as pads
+
+    N_BUCKETS = 32
+    _JOIN_SCHEMA = pa.schema(
+        [("key", pa.int64()), ("side", pa.int8()),
+         ("cust", pa.int64()), ("rev", pa.float64()), ("bucket", pa.int32())]
+    )
+
+    orders = read_pruned(_t(sf_dir, "orders"), ["o_orderkey", "o_custkey"])
+    items = read_pruned(
+        _t(sf_dir, "lineitem"),
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+        filter=(pads.field("l_returnflag") == "R"),
+    )
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"].to_numpy()
+        return pa.table(
+            {"key": pa.array(keys, pa.int64()),
+             "side": pa.array(np.zeros(len(keys), np.int8), pa.int8()),
+             "cust": t["o_custkey"],
+             "rev": pa.array(np.zeros(len(keys)), pa.float64()),
+             "bucket": pa.array((keys % N_BUCKETS).astype(np.int32), pa.int32())},
+            schema=_JOIN_SCHEMA,
+        )
+
+    def item_partials(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"key": t["l_orderkey"].to_numpy(),
+             "rev": t["l_extendedprice"].to_numpy()
+             * (1.0 - t["l_discount"].to_numpy())}
+        )
+        g = df.groupby("key", as_index=False)["rev"].sum()
+        keys = g["key"].to_numpy()
+        return pa.table(
+            {"key": pa.array(keys, pa.int64()),
+             "side": pa.array(np.ones(len(keys), np.int8), pa.int8()),
+             "cust": pa.array(np.zeros(len(keys), np.int64), pa.int64()),
+             "rev": pa.array(g["rev"].to_numpy(), pa.float64()),
+             "bucket": pa.array((keys % N_BUCKETS).astype(np.int32), pa.int32())},
+            schema=_JOIN_SCHEMA,
+        )
+
+    _CUST_SCHEMA = pa.schema([("c_custkey", pa.int64()), ("rev", pa.float64())])
+
+    def join_group(g: pd.DataFrame) -> pa.Table:
+        left = g[g["side"] == 0][["key", "cust"]]
+        right = g[g["side"] == 1].groupby("key", as_index=False)["rev"].sum()
+        m = left.merge(right, on="key", how="inner")
+        out = m.groupby("cust", as_index=False)["rev"].sum().rename(
+            columns={"cust": "c_custkey"})
+        return pa.Table.from_pandas(
+            out, schema=_CUST_SCHEMA, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    from ray.data.aggregate import Sum
+
+    both = orders.map_batches(order_rows, batch_format="pyarrow").union(
+        items.map_batches(item_partials, batch_format="pyarrow", batch_size=65536)
+    )
+    per_cust = (
+        both.groupby("bucket")
+        .map_groups(join_group, batch_format="pandas")
+        .groupby("c_custkey")
+        .aggregate(Sum("rev", alias_name="rev"))
+        .map_batches(
+            lambda t: pa.table(
+                {"c_custkey": t["c_custkey"],
+                 "revenue": pc.round(t["rev"]),
+                 # rank key: revenue desc, custkey asc — deterministic under ties
+                 "neg_rev": pc.negate(pc.round(t["rev"]))}),
+            batch_format="pyarrow",
+        )
+    )
+    top = per_cust.sort(["neg_rev", "c_custkey"]).limit(k).to_pandas()
+
+    import pyarrow.parquet as _pq
+
+    cust = _pq.read_table(_t(sf_dir, "customer"),
+                          columns=["c_custkey", "c_name", "c_nationkey"])
+    nation = _pq.read_table(_t(sf_dir, "nation"),
+                            columns=["n_nationkey", "n_name"])
+    cdf = cust.to_pandas().merge(
+        nation.to_pandas(), left_on="c_nationkey", right_on="n_nationkey")
+    out = top.merge(cdf[["c_custkey", "c_name", "n_name"]], on="c_custkey")
+    return (out[["c_custkey", "c_name", "n_name", "revenue"]]
+            .sort_values(["revenue", "c_custkey"],
+                         ascending=[False, True]).reset_index(drop=True))
+
+
+def volume_shipping(sf_dir: str) -> pd.DataFrame:
+    """(supp_nation, cust_nation, ship_year, revenue) — TPC-H Q7 shape:
+    trade volume between every supplier-nation / customer-nation pair per
+    ship year.
+
+    Scale shape: supplier->nation and customer->nation are bounded-catalog
+    broadcasts; the orderkey join between lineitem and orders is the ONE
+    big x big exchange, done on the shared key-bucket idiom with lineitem
+    pre-combined per batch to (orderkey, supp_nation, year, rev) partial
+    sums (the combiner collapses same-order same-nation lines before the
+    shuffle).  Order rows carry cust_nation attached map-side, so the
+    in-group merge emits (supp_nation, cust_nation, year) partials and
+    the final groupby is nation² x years sized.
+    """
+    import pyarrow.parquet as _pq
+
+    supp = _pq.read_table(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    cust = _pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    nation = _pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    n_name = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    snat_ref = ray.put(
+        {k: n_name[v] for k, v in zip(supp["s_suppkey"].to_pylist(),
+                                      supp["s_nationkey"].to_pylist())})
+    cnat_ref = ray.put(
+        {k: n_name[v] for k, v in zip(cust["c_custkey"].to_pylist(),
+                                      cust["c_nationkey"].to_pylist())})
+
+    N_BUCKETS = 32
+    _JOIN_SCHEMA = pa.schema(
+        [("key", pa.int64()), ("side", pa.int8()), ("nat", pa.string()),
+         ("year", pa.int32()), ("rev", pa.float64()), ("bucket", pa.int32())]
+    )
+
+    orders = read_pruned(_t(sf_dir, "orders"), ["o_orderkey", "o_custkey"])
+    items = read_pruned(
+        _t(sf_dir, "lineitem"),
+        ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        cnat = ray.get(cnat_ref)
+        keys = t["o_orderkey"].to_numpy()
+        df = pd.DataFrame({"key": keys, "nat": t["o_custkey"].to_numpy()})
+        df["nat"] = df["nat"].map(cnat)
+        return pa.table(
+            {"key": pa.array(keys, pa.int64()),
+             "side": pa.array(np.zeros(len(keys), np.int8), pa.int8()),
+             "nat": pa.array(df["nat"], pa.string()),
+             "year": pa.array(np.zeros(len(keys), np.int32), pa.int32()),
+             "rev": pa.array(np.zeros(len(keys)), pa.float64()),
+             "bucket": pa.array((keys % N_BUCKETS).astype(np.int32), pa.int32())},
+            schema=_JOIN_SCHEMA,
+        )
+
+    def item_partials(t: pa.Table) -> pa.Table:
+        snat = ray.get(snat_ref)
+        d = pc.cast(t["l_shipdate"], pa.int64()).to_numpy() // 86_400_000_000
+        year = pd.to_datetime(d * 86_400_000_000, unit="us").year.to_numpy()
+        df = pd.DataFrame(
+            {"key": t["l_orderkey"].to_numpy(),
+             "nat": pd.Series(t["l_suppkey"].to_numpy()).map(snat),
+             "year": year.astype(np.int32),
+             "rev": t["l_extendedprice"].to_numpy()
+             * (1.0 - t["l_discount"].to_numpy())}
+        )
+        g = df.groupby(["key", "nat", "year"], as_index=False)["rev"].sum()
+        keys = g["key"].to_numpy()
+        return pa.table(
+            {"key": pa.array(keys, pa.int64()),
+             "side": pa.array(np.ones(len(keys), np.int8), pa.int8()),
+             "nat": pa.array(g["nat"], pa.string()),
+             "year": pa.array(g["year"].to_numpy(), pa.int32()),
+             "rev": pa.array(g["rev"].to_numpy(), pa.float64()),
+             "bucket": pa.array((keys % N_BUCKETS).astype(np.int32), pa.int32())},
+            schema=_JOIN_SCHEMA,
+        )
+
+    _OUT = pa.schema([("supp_nation", pa.string()), ("cust_nation", pa.string()),
+                      ("ship_year", pa.int32()), ("rev", pa.float64())])
+
+    def join_group(g: pd.DataFrame) -> pa.Table:
+        left = g[g["side"] == 0][["key", "nat"]].rename(columns={"nat": "cust_nation"})
+        right = g[g["side"] == 1][["key", "nat", "year", "rev"]].rename(
+            columns={"nat": "supp_nation", "year": "ship_year"})
+        m = right.merge(left, on="key", how="inner")
+        out = m.groupby(["supp_nation", "cust_nation", "ship_year"],
+                        as_index=False)["rev"].sum()
+        return pa.Table.from_pandas(
+            out[["supp_nation", "cust_nation", "ship_year", "rev"]],
+            schema=_OUT, preserve_index=False).replace_schema_metadata(None)
+
+    from ray.data.aggregate import Sum
+
+    both = orders.map_batches(order_rows, batch_format="pyarrow").union(
+        items.map_batches(item_partials, batch_format="pyarrow", batch_size=65536)
+    )
+    out = (
+        both.groupby("bucket")
+        .map_groups(join_group, batch_format="pandas")
+        .groupby(["supp_nation", "cust_nation", "ship_year"])
+        .aggregate(Sum("rev", alias_name="revenue"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(0)
+    out["ship_year"] = out["ship_year"].astype("int64")
+    return (out.sort_values(["supp_nation", "cust_nation", "ship_year"])
+            .reset_index(drop=True))
+
+
+def large_order_customers(sf_dir: str, min_qty: float = 250.0) -> pd.DataFrame:
+    """Orders whose total lineitem quantity exceeds ``min_qty`` with their
+    customers (TPC-H Q18 shape): a HAVING-filtered big groupby whose
+    survivors are rare, then a semi-join back to two fact/dim tables.
+
+    Scale shape: lineitem combines per batch to (orderkey, qty) partials
+    -> one groupby(orderkey) sum -> the ``> min_qty`` filter runs inside
+    map_batches so only SURVIVOR rows (q99+ of orders — output-sized, the
+    point of the query) ever reach the driver.  The survivor set then
+    broadcasts once, and orders does a map-only semi-join + attach; the
+    bounded customer catalog attaches names the same way.  Neither orders
+    nor lineitem ever shuffles at full width.
+    """
+    from ray.data.aggregate import Sum
+
+    items = read_pruned(_t(sf_dir, "lineitem"), ["l_orderkey", "l_quantity"])
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"key": t["l_orderkey"].to_numpy(),
+                           "qty": t["l_quantity"].to_numpy()})
+        return _from_pandas(df.groupby("key", as_index=False)["qty"].sum())
+
+    survivors = (
+        items.map_batches(qty_partial, batch_format="pyarrow", batch_size=262144)
+        .groupby("key")
+        .aggregate(Sum("qty", alias_name="sum_qty"))
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["sum_qty"], min_qty)),
+            batch_format="pyarrow")
+        .to_pandas()  # output-sized: orders over the quantity ceiling are rare
+    )
+    qty_ref = ray.put(dict(zip(survivors["key"], survivors["sum_qty"])))
+
+    orders = read_pruned(
+        _t(sf_dir, "orders"), ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        qty = ray.get(qty_ref)
+        df = t.to_pandas()
+        df = df[df["o_orderkey"].isin(qty.keys())].copy()
+        df["sum_qty"] = df["o_orderkey"].map(qty)
+        return _from_pandas(df)
+
+    hit = orders.map_batches(attach, batch_format="pyarrow").to_pandas()
+
+    import pyarrow.parquet as _pq
+
+    cust = _pq.read_table(_t(sf_dir, "customer"),
+                          columns=["c_custkey", "c_name"]).to_pandas()
+    out = hit.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out = out[["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+               "o_totalprice", "sum_qty"]].copy()
+    out["o_orderdate"] = pd.to_datetime(out["o_orderdate"])
+    out["sum_qty"] = out["sum_qty"].round(0)
+    return (out.sort_values(["sum_qty", "o_orderkey"],
+                            ascending=[False, True]).reset_index(drop=True))
+
+
+def source_cap_sample(sf_dir: str, cap: int = 20) -> pd.DataFrame:
+    """Per-source document cap (the RefinedWeb/C4 per-domain quota): keep at
+    most ``cap`` docs from each source, chosen by a DETERMINISTIC
+    multiplicative-hash rank so any parallelism level (and the SQL oracle)
+    selects the identical rows — no RNG state, no driver pass.
+
+    Scale shape: the shuffle key is a COARSE hash(source) % 64 bucket (the
+    top_order_per_customer idiom — at web scale sources are millions of
+    domains, and per-domain map_groups would pay the per-group overhead
+    pathology); inside a bucket the per-source rank is one vectorized
+    sort + cumcount.  Only (doc_id, source) ever moves.
+    """
+    N_BUCKETS = 64
+    ds = read_pruned(_t(sf_dir, "documents"), ["doc_id", "source"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        src = t["source"].to_numpy(zero_copy_only=False)
+        b = (pd.util.hash_array(src.astype(object)) % N_BUCKETS).astype(np.int32)
+        return t.append_column("bucket", pa.array(b, pa.int32()))
+
+    _OUT = pa.schema([("doc_id", pa.int64()), ("source", pa.string())])
+
+    def cap_group(g: pd.DataFrame) -> pa.Table:
+        g = g.copy()
+        g["rank_key"] = (g["doc_id"].to_numpy() * SAMPLE_MULT) % 1000003
+        g = g.sort_values(["source", "rank_key", "doc_id"], kind="mergesort")
+        kept = g[g.groupby("source").cumcount() < cap]
+        return pa.Table.from_pandas(
+            kept[["doc_id", "source"]], schema=_OUT, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(cap_group, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
