@@ -351,6 +351,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_json_stats": relational.props_json_stats,
         "events_sliding_distinct_users": relational.events_sliding_distinct_users,
         "brand_price_trend": relational.brand_price_trend,
+        "promo_revenue_share": relational.promo_revenue_share,
+        "returned_item_revenue": relational.returned_item_revenue,
+        "volume_shipping": relational.volume_shipping,
+        "large_order_customers": relational.large_order_customers,
+        "source_cap_sample": relational.source_cap_sample,
         "degree_distribution": relational.degree_distribution,
         "user_retention_cohorts": relational.user_retention_cohorts,
         # text analysis (M11/M12/M13 + training-data ops)
@@ -363,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": text.bm25_topk,
         "inverted_postings": text.inverted_postings,
         "token_frequency_spectrum": text.token_frequency_spectrum,
+        "filter_funnel": text.filter_funnel,
         "bigram_pmi_topk": text.bigram_pmi_topk,
         "char_entropy": text.char_entropy,
         "kmv_distinct_tokens": text.kmv_distinct_tokens,
@@ -1303,6 +1309,98 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (1000000 * (n*sxy - sx*sy)) // (n*sxx - sx*sx)
                         END AS BIGINT) AS slope_micro
             FROM a ORDER BY p_brand
+        """,
+        # TPC-H Q14 shape: monthly PROMO revenue share (broadcast part attach)
+        "promo_revenue_share": """
+            WITH j AS (
+              SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)
+                       AS ship_month,
+                     l_extendedprice * (1 - l_discount) AS rev,
+                     (p_type = 'PROMO') AS is_promo
+              FROM lineitem JOIN part ON p_partkey = l_partkey)
+            SELECT ship_month,
+                   round(sum(CASE WHEN is_promo THEN rev ELSE 0 END), 0)
+                     AS promo_revenue,
+                   round(sum(rev), 0) AS total_revenue
+            FROM j GROUP BY 1 ORDER BY 1
+        """,
+        # TPC-H Q10 shape: top-20 customers by returned-lineitem revenue
+        "returned_item_revenue": """
+            WITH r AS (
+              SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+              FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+            c AS (
+              SELECT o_custkey AS c_custkey, round(sum(rev), 0) AS revenue
+              FROM orders JOIN r ON l_orderkey = o_orderkey GROUP BY 1)
+            SELECT c.c_custkey, cu.c_name, n.n_name, c.revenue
+            FROM c JOIN customer cu ON cu.c_custkey = c.c_custkey
+                   JOIN nation n ON n.n_nationkey = cu.c_nationkey
+            ORDER BY revenue DESC, c.c_custkey LIMIT 20
+        """,
+        # TPC-H Q7 shape: nation-pair trade volume per ship year
+        "volume_shipping": """
+            WITH j AS (
+              SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                     CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+                     l_extendedprice * (1 - l_discount) AS rev
+              FROM lineitem
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation sn ON sn.n_nationkey = s_nationkey
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation cn ON cn.n_nationkey = c_nationkey)
+            SELECT supp_nation, cust_nation, ship_year,
+                   round(sum(rev), 0) AS revenue
+            FROM j GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        # TPC-H Q18 shape: HAVING-filtered big groupby + semi-join attach
+        "large_order_customers": """
+            WITH q AS (
+              SELECT l_orderkey, sum(l_quantity) AS sq FROM lineitem
+              GROUP BY 1 HAVING sum(l_quantity) > 250)
+            SELECT c_name, c_custkey, o_orderkey,
+                   CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+                   o_totalprice, round(q.sq, 0) AS sum_qty
+            FROM q JOIN orders ON o_orderkey = q.l_orderkey
+                   JOIN customer ON c_custkey = o_custkey
+            ORDER BY sum_qty DESC, o_orderkey
+        """,
+        # cumulative web-corpus filter cascade (single-scan funnel)
+        "filter_funnel": r"""
+            WITH m AS (
+              SELECT (length(text) > 0) AS p1,
+                     (length(text) > 0 AND lang = 'en') AS p2,
+                     (length(text) > 0 AND lang = 'en'
+                      AND n_chars BETWEEN 100 AND 400) AS p3,
+                     (length(text) > 0 AND lang = 'en'
+                      AND n_chars BETWEEN 100 AND 400
+                      AND len(regexp_extract_all(text, '\S+'))
+                          BETWEEN 20 AND 55) AS p4
+              FROM documents),
+            c AS (SELECT count(*)::BIGINT AS total,
+                         sum(CASE WHEN p1 THEN 1 ELSE 0 END)::BIGINT AS nonempty,
+                         sum(CASE WHEN p2 THEN 1 ELSE 0 END)::BIGINT AS lang_en,
+                         sum(CASE WHEN p3 THEN 1 ELSE 0 END)::BIGINT AS char_band,
+                         sum(CASE WHEN p4 THEN 1 ELSE 0 END)::BIGINT AS token_band
+                  FROM m)
+            SELECT s.stage, CASE s.stage
+                     WHEN 'total' THEN c.total
+                     WHEN 'nonempty' THEN c.nonempty
+                     WHEN 'lang_en' THEN c.lang_en
+                     WHEN 'char_band' THEN c.char_band
+                     ELSE c.token_band END AS n_docs
+            FROM c, (VALUES ('total'), ('nonempty'), ('lang_en'),
+                            ('char_band'), ('token_band')) AS s(stage)
+        """,
+        # per-source quota with deterministic multiplicative-hash rank
+        "source_cap_sample": """
+            WITH r AS (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY (doc_id * 2654435761) % 1000003, doc_id) AS rk
+              FROM documents)
+            SELECT doc_id, source FROM r WHERE rk <= 20 ORDER BY doc_id
         """,
         # exact sliding-window COUNT DISTINCT (windows = observed hours)
         "events_sliding_distinct_users": """

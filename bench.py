@@ -132,6 +132,11 @@ BENCH_QUERY_NAMES = [
     "embedding_norm_outliers",
     "events_sliding_distinct_users",
     "brand_price_trend",
+    "promo_revenue_share",
+    "returned_item_revenue",
+    "volume_shipping",
+    "large_order_customers",
+    "filter_funnel",
 ]
 
 

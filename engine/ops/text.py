@@ -2210,3 +2210,58 @@ def compression_ratio(sf_dir: str) -> pd.DataFrame:
 
     out = ds.map_batches(comp, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+FUNNEL_CHAR_LO, FUNNEL_CHAR_HI = 100, 400
+FUNNEL_TOK_LO, FUNNEL_TOK_HI = 20, 55
+
+
+def filter_funnel(sf_dir: str) -> pd.DataFrame:
+    """(stage, n_docs) — cumulative survival counts through the standard
+    web-corpus filter cascade (the FineWeb/CCNet-style pipeline-health
+    report): total -> non-empty -> lang=en -> char-length band ->
+    token-count band.
+
+    Scale shape: ONE map-only pass computes every stage's predicate
+    vectorized (Arrow RE2 token count, integer bounds) and emits a single
+    5-counter partial row per batch; the only exchange is
+    batches x 5 int64s, summed in a tiny driver-side combine.  Adding a
+    stage is one more column, not another scan — the cascade never
+    re-reads the corpus per filter.
+    """
+    ds = _docs(sf_dir, ["doc_id", "text", "lang", "n_chars"])
+
+    _P = pa.schema([(s, pa.int64())
+                    for s in ("total", "nonempty", "lang_en", "char_band",
+                              "token_band")])
+
+    def partial(t: pa.Table) -> pa.Table:
+        nonempty = pc.greater(pc.utf8_length(t["text"]), 0)
+        lang_en = pc.and_(nonempty, pc.equal(t["lang"], "en"))
+        nch = t["n_chars"]
+        char_band = pc.and_(
+            lang_en,
+            pc.and_(pc.greater_equal(nch, FUNNEL_CHAR_LO),
+                    pc.less_equal(nch, FUNNEL_CHAR_HI)))
+        ntok = pc.count_substring_regex(t["text"], r"\S+")
+        token_band = pc.and_(
+            char_band,
+            pc.and_(pc.greater_equal(ntok, FUNNEL_TOK_LO),
+                    pc.less_equal(ntok, FUNNEL_TOK_HI)))
+        def n(mask):
+            return pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
+        return pa.table(
+            {"total": pa.array([t.num_rows], pa.int64()),
+             "nonempty": pa.array([n(nonempty)], pa.int64()),
+             "lang_en": pa.array([n(lang_en)], pa.int64()),
+             "char_band": pa.array([n(char_band)], pa.int64()),
+             "token_band": pa.array([n(token_band)], pa.int64())},
+            schema=_P)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536).to_pandas()
+    stages = ["total", "nonempty", "lang_en", "char_band", "token_band"]
+    return pd.DataFrame({
+        "stage": stages,
+        "n_docs": [int(parts[s].sum()) for s in stages],
+    })
