@@ -356,6 +356,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "volume_shipping": relational.volume_shipping,
         "large_order_customers": relational.large_order_customers,
         "source_cap_sample": relational.source_cap_sample,
+        "nation_market_share": relational.nation_market_share,
+        "linestatus_priority_counts": relational.linestatus_priority_counts,
+        "bracket_discount_revenue": relational.bracket_discount_revenue,
         "degree_distribution": relational.degree_distribution,
         "user_retention_cohorts": relational.user_retention_cohorts,
         # text analysis (M11/M12/M13 + training-data ops)
@@ -1401,6 +1404,52 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY (doc_id * 2654435761) % 1000003, doc_id) AS rk
               FROM documents)
             SELECT doc_id, source FROM r WHERE rk <= 20 ORDER BY doc_id
+        """,
+        # TPC-H Q8 shape: supplier-nation revenue share per order year
+        "nation_market_share": """
+            WITH j AS (
+              SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     l_extendedprice * (1 - l_discount) AS rev,
+                     (sn.n_name = 'NATION_3') AS is_nat
+              FROM lineitem
+              JOIN part ON p_partkey = l_partkey AND p_type = 'ECONOMY'
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation sn ON sn.n_nationkey = s_nationkey
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation cn ON cn.n_nationkey = c_nationkey
+              JOIN region ON r_regionkey = cn.n_regionkey
+                         AND r_name = 'EUROPE'
+              WHERE o_orderdate >= DATE '1995-01-01'
+                AND o_orderdate < DATE '1997-01-01')
+            SELECT o_year,
+                   round(sum(CASE WHEN is_nat THEN rev ELSE 0 END), 0)
+                     AS nation_revenue,
+                   round(sum(rev), 0) AS total_revenue
+            FROM j GROUP BY 1 ORDER BY 1
+        """,
+        # TPC-H Q12 shape: per-linestatus high/low priority line counts
+        "linestatus_priority_counts": """
+            SELECT l_linestatus,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        # TPC-H Q19 shape: OR-of-AND-brackets disjunctive predicate
+        "bracket_discount_revenue": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 0)
+                     AS revenue,
+                   count(*)::BIGINT AS n_lines
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 15)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 25)
+               OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity BETWEEN 20 AND 35)
         """,
         # exact sliding-window COUNT DISTINCT (windows = observed hours)
         "events_sliding_distinct_users": """

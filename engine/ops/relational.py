@@ -2955,3 +2955,274 @@ def source_cap_sample(sf_dir: str, cap: int = 20) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def nation_market_share(sf_dir: str, nation: str = "NATION_3",
+                        region: str = "EUROPE",
+                        ptype: str = "ECONOMY") -> pd.DataFrame:
+    """(o_year, nation_revenue, total_revenue) — TPC-H Q8 shape: within a
+    region's customers and one part type, what share of each order-year's
+    discounted revenue was supplied by ``nation``.
+
+    Scale shape: three bounded-catalog broadcasts (part-type partkey set,
+    supplier->is-target-nation flags, region customer set) prefilter both
+    fact sides map-side; the date window pushes INTO the orders parquet
+    read.  The one big x big exchange is the shared orderkey-bucket idiom
+    with lineitem pre-combined per batch to (orderkey, rev_total,
+    rev_nation) partial sums — the in-group merge emits year-keyed
+    partials and the final groupby is years-sized.  Both revenue columns
+    round to whole units (the promo_revenue_share discipline) so the
+    share is computable exactly downstream without float-division drift.
+    """
+    import datetime
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as _pq
+
+    nat = _pq.read_table(_t(sf_dir, "nation"),
+                         columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = _pq.read_table(_t(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+    rkey = {k: v for k, v in zip(reg["r_name"].to_pylist(),
+                                 reg["r_regionkey"].to_pylist())}[region]
+    region_nations = {k for k, v in zip(nat["n_nationkey"].to_pylist(),
+                                        nat["n_regionkey"].to_pylist()) if v == rkey}
+    target_nkey = {v: k for k, v in zip(nat["n_nationkey"].to_pylist(),
+                                        nat["n_name"].to_pylist())}[nation]
+
+    part = _pq.read_table(_t(sf_dir, "part"), columns=["p_partkey", "p_type"])
+    econ = pc.filter(part["p_partkey"], pc.equal(part["p_type"], ptype))
+    econ_ref = ray.put(econ.combine_chunks())
+
+    supp = _pq.read_table(_t(sf_dir, "supplier"),
+                          columns=["s_suppkey", "s_nationkey"])
+    sk = supp["s_suppkey"].combine_chunks()
+    s_is_nat = pc.equal(supp["s_nationkey"],
+                        pa.scalar(target_nkey, pa.int32())).combine_chunks()
+    supp_ref = ray.put((sk, s_is_nat))
+
+    cust = _pq.read_table(_t(sf_dir, "customer"),
+                          columns=["c_custkey", "c_nationkey"])
+    region_cust = pc.filter(
+        cust["c_custkey"],
+        pc.is_in(cust["c_nationkey"],
+                 value_set=pa.array(sorted(region_nations), pa.int32())))
+    cust_ref = ray.put(region_cust.combine_chunks())
+
+    lo = datetime.datetime(1995, 1, 1)
+    hi = datetime.datetime(1997, 1, 1)
+    orders = read_pruned(
+        _t(sf_dir, "orders"), ["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
+    )
+    items = read_pruned(
+        _t(sf_dir, "lineitem"),
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    N_BUCKETS = 32
+    _JOIN_SCHEMA = pa.schema(
+        [("key", pa.int64()), ("side", pa.int8()), ("year", pa.int32()),
+         ("rev", pa.float64()), ("rev_nat", pa.float64()), ("bucket", pa.int32())]
+    )
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["o_custkey"], value_set=ray.get(cust_ref))
+        t = t.filter(keep)
+        keys = t["o_orderkey"].to_numpy()
+        d = pc.cast(t["o_orderdate"], pa.int64()).to_numpy() // 86_400_000_000
+        year = pd.to_datetime(d * 86_400_000_000, unit="us").year.to_numpy()
+        z = np.zeros(len(keys))
+        return pa.table(
+            {"key": pa.array(keys, pa.int64()),
+             "side": pa.array(np.zeros(len(keys), np.int8), pa.int8()),
+             "year": pa.array(year.astype(np.int32), pa.int32()),
+             "rev": pa.array(z, pa.float64()),
+             "rev_nat": pa.array(z, pa.float64()),
+             "bucket": pa.array((keys % N_BUCKETS).astype(np.int32), pa.int32())},
+            schema=_JOIN_SCHEMA,
+        )
+
+    def item_partials(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["l_partkey"], value_set=ray.get(econ_ref)))
+        kk, flag = ray.get(supp_ref)
+        idx = pc.index_in(t["l_suppkey"], value_set=kk)
+        is_nat = pc.take(flag, idx).to_numpy(zero_copy_only=False).astype(bool)
+        rev = t["l_extendedprice"].to_numpy() * (1.0 - t["l_discount"].to_numpy())
+        g = pd.DataFrame(
+            {"key": t["l_orderkey"].to_numpy(), "rev": rev,
+             "rev_nat": np.where(is_nat, rev, 0.0)}
+        ).groupby("key", as_index=False).sum()
+        keys = g["key"].to_numpy()
+        return pa.table(
+            {"key": pa.array(keys, pa.int64()),
+             "side": pa.array(np.ones(len(keys), np.int8), pa.int8()),
+             "year": pa.array(np.zeros(len(keys), np.int32), pa.int32()),
+             "rev": pa.array(g["rev"].to_numpy(), pa.float64()),
+             "rev_nat": pa.array(g["rev_nat"].to_numpy(), pa.float64()),
+             "bucket": pa.array((keys % N_BUCKETS).astype(np.int32), pa.int32())},
+            schema=_JOIN_SCHEMA,
+        )
+
+    _OUT = pa.schema([("o_year", pa.int32()), ("rev", pa.float64()),
+                      ("rev_nat", pa.float64())])
+
+    def join_group(g: pd.DataFrame) -> pa.Table:
+        left = g[g["side"] == 0][["key", "year"]]
+        right = g[g["side"] == 1][["key", "rev", "rev_nat"]]
+        m = right.merge(left, on="key", how="inner")
+        out = m.groupby("year", as_index=False)[["rev", "rev_nat"]].sum()
+        return pa.Table.from_pandas(out[["year", "rev", "rev_nat"]].rename(
+            columns={"year": "o_year"}), schema=_OUT,
+            preserve_index=False).replace_schema_metadata(None)
+
+    from ray.data.aggregate import Sum
+
+    both = orders.map_batches(order_rows, batch_format="pyarrow").union(
+        items.map_batches(item_partials, batch_format="pyarrow", batch_size=65536))
+    out = (
+        both.groupby("bucket")
+        .map_groups(join_group, batch_format="pandas")
+        .groupby("o_year")
+        .aggregate(Sum("rev_nat", alias_name="nation_revenue"),
+                   Sum("rev", alias_name="total_revenue"))
+        .to_pandas()
+    )
+    out["nation_revenue"] = out["nation_revenue"].round(0)
+    out["total_revenue"] = out["total_revenue"].round(0)
+    out["o_year"] = out["o_year"].astype("int64")
+    return (out[["o_year", "nation_revenue", "total_revenue"]]
+            .sort_values("o_year").reset_index(drop=True))
+
+
+def linestatus_priority_counts(sf_dir: str) -> pd.DataFrame:
+    """(l_linestatus, high_line_count, low_line_count) — TPC-H Q12 shape:
+    per lineitem status, how many lines belong to high-priority orders
+    (1-URGENT / 2-HIGH) vs the rest.  Pure integer counts — hash-exact.
+
+    Scale shape: lineitem pre-combines per batch to (orderkey, status, n)
+    count partials and orders ships one int8 priority flag per row; the
+    orderkey-bucket exchange co-locates them, the in-group merge emits
+    (status, high, low) partials, and the final groupby is status-sized.
+    """
+    N_BUCKETS = 32
+    _JOIN_SCHEMA = pa.schema(
+        [("key", pa.int64()), ("side", pa.int8()), ("status", pa.string()),
+         ("n", pa.int64()), ("high", pa.int8()), ("bucket", pa.int32())]
+    )
+    _HIGH = pa.array(["1-URGENT", "2-HIGH"], pa.string())
+
+    orders = read_pruned(_t(sf_dir, "orders"), ["o_orderkey", "o_orderpriority"])
+    items = read_pruned(_t(sf_dir, "lineitem"), ["l_orderkey", "l_linestatus"])
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"].to_numpy()
+        high = pc.cast(pc.is_in(t["o_orderpriority"], value_set=_HIGH), pa.int8())
+        return pa.table(
+            {"key": pa.array(keys, pa.int64()),
+             "side": pa.array(np.zeros(len(keys), np.int8), pa.int8()),
+             "status": pa.array([""] * len(keys), pa.string()),
+             "n": pa.array(np.zeros(len(keys), np.int64), pa.int64()),
+             "high": high,
+             "bucket": pa.array((keys % N_BUCKETS).astype(np.int32), pa.int32())},
+            schema=_JOIN_SCHEMA,
+        )
+
+    def item_partials(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame(
+            {"key": t["l_orderkey"].to_numpy(),
+             "status": t["l_linestatus"].to_pandas()}
+        ).groupby(["key", "status"], as_index=False).size()
+        keys = g["key"].to_numpy()
+        return pa.table(
+            {"key": pa.array(keys, pa.int64()),
+             "side": pa.array(np.ones(len(keys), np.int8), pa.int8()),
+             "status": pa.array(g["status"], pa.string()),
+             "n": pa.array(g["size"].to_numpy(), pa.int64()),
+             "high": pa.array(np.zeros(len(keys), np.int8), pa.int8()),
+             "bucket": pa.array((keys % N_BUCKETS).astype(np.int32), pa.int32())},
+            schema=_JOIN_SCHEMA,
+        )
+
+    _OUT = pa.schema([("l_linestatus", pa.string()), ("high", pa.int64()),
+                      ("low", pa.int64())])
+
+    def join_group(g: pd.DataFrame) -> pa.Table:
+        left = g[g["side"] == 0][["key", "high"]].rename(columns={"high": "is_high"})
+        right = g[g["side"] == 1][["key", "status", "n"]]
+        m = right.merge(left, on="key", how="inner")
+        m["high"] = np.where(m["is_high"] == 1, m["n"], 0)
+        m["low"] = np.where(m["is_high"] == 1, 0, m["n"])
+        out = m.groupby("status", as_index=False)[["high", "low"]].sum()
+        return pa.Table.from_pandas(
+            out.rename(columns={"status": "l_linestatus"}),
+            schema=_OUT, preserve_index=False).replace_schema_metadata(None)
+
+    from ray.data.aggregate import Sum
+
+    both = orders.map_batches(order_rows, batch_format="pyarrow").union(
+        items.map_batches(item_partials, batch_format="pyarrow", batch_size=65536))
+    out = (
+        both.groupby("bucket")
+        .map_groups(join_group, batch_format="pandas")
+        .groupby("l_linestatus")
+        .aggregate(Sum("high", alias_name="high_line_count"),
+                   Sum("low", alias_name="low_line_count"))
+        .to_pandas()
+    )
+    out["high_line_count"] = out["high_line_count"].astype("int64")
+    out["low_line_count"] = out["low_line_count"].astype("int64")
+    return out.sort_values("l_linestatus").reset_index(drop=True)
+
+
+# Q19 disjunctive brackets: (brand, max_size, qty_lo, qty_hi); sizes/brands
+# chosen to be non-empty at every sf of the synthetic catalog (25 brands,
+# sizes 1-50, quantities 1-50)
+_BRACKETS = (("Brand#12", 15, 1.0, 15.0),
+             ("Brand#3", 25, 10.0, 25.0),
+             ("Brand#24", 35, 20.0, 35.0))
+
+
+def bracket_discount_revenue(sf_dir: str) -> pd.DataFrame:
+    """Single-row (revenue, n_lines) over an OR-of-three-AND-brackets
+    predicate mixing part attributes and lineitem quantity — TPC-H Q19
+    shape: a disjunction can't push into one scan filter, but the part
+    side of every bracket broadcasts as one partkey -> bracket-candidate
+    int8 map, so the fact pass stays map-only with the per-bracket
+    quantity bands tested vectorized.  Rows matching NO bracket never
+    leave the batch; the exchange is one scalar partial per block.
+    """
+    import pyarrow.parquet as _pq
+
+    part = _pq.read_table(_t(sf_dir, "part"),
+                          columns=["p_partkey", "p_brand", "p_size"])
+    brand = part["p_brand"].to_numpy(zero_copy_only=False)
+    size = part["p_size"].to_numpy()
+    cand = np.full(len(brand), -1, np.int8)
+    for bi, (b, smax, _, _) in enumerate(_BRACKETS):
+        cand[(brand == b) & (size >= 1) & (size <= smax)] = bi
+    pk = part["p_partkey"].combine_chunks()
+    side_ref = ray.put((pk, pa.array(cand, pa.int8())))
+
+    items = read_pruned(_t(sf_dir, "lineitem"),
+                        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        kk, cc = ray.get(side_ref)
+        idx = pc.index_in(t["l_partkey"], value_set=kk)
+        c = pc.take(cc, idx).to_numpy(zero_copy_only=False).astype(np.int8)
+        qty = t["l_quantity"].to_numpy()
+        mask = np.zeros(len(c), bool)
+        for bi, (_, _, qlo, qhi) in enumerate(_BRACKETS):
+            mask |= (c == bi) & (qty >= qlo) & (qty <= qhi)
+        rev = (t["l_extendedprice"].to_numpy()[mask]
+               * (1.0 - t["l_discount"].to_numpy()[mask]))
+        return pa.table({"rev": pa.array([float(rev.sum())], pa.float64()),
+                         "n": pa.array([int(mask.sum())], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    out = (items.map_batches(partial, batch_format="pyarrow", batch_size=262144)
+           .aggregate(Sum("rev", alias_name="revenue"),
+                      Sum("n", alias_name="n_lines")))
+    return pd.DataFrame({"revenue": [round(out["revenue"], 0)],
+                         "n_lines": [int(out["n_lines"])]})
