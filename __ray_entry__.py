@@ -361,6 +361,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bracket_discount_revenue": relational.bracket_discount_revenue,
         "degree_distribution": relational.degree_distribution,
         "user_retention_cohorts": relational.user_retention_cohorts,
+        "event_transition_counts": relational.event_transition_counts,
+        "link_bfs_depth": relational.link_bfs_depth,
         # text analysis (M11/M12/M13 + training-data ops)
         "token_count": text.token_count,
         "token_count_bpe": text.token_count_bpe,
@@ -436,6 +438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_pairs": ann.embedding_near_pairs,
         "embedding_dedup_canonical": ann.embedding_dedup_canonical,
         "embedding_moments": ann.embedding_moments,
+        "embedding_quantize": ann.embedding_quantize,
         "embedding_norm_outliers": ann.embedding_norm_outliers,
         "label_centroids": ann.label_centroids,
         # rows-only: k-means cells aren't SQL; pytest locks a brute-force
@@ -1080,6 +1083,26 @@ def oracle_sql() -> dict[str, str]:
             FROM e GROUP BY 1
             ORDER BY i, j
         """,
+        # int8 scalar-quantization audit: exact integer code/error sums
+        "embedding_quantize": """
+            WITH e AS (
+              SELECT CAST(ROUND(CAST(unnest(embedding) AS DOUBLE)
+                                * 1000000.0) AS BIGINT) AS xi,
+                     unnest(range(0, len(embedding))) AS i
+              FROM embeddings),
+            mm AS (SELECT i, min(xi) AS mn, max(xi) AS mx
+                   FROM e GROUP BY 1),
+            q AS (SELECT e.i, mn, mx, xi,
+                         ((xi - mn) * 255) // GREATEST(mx - mn, 1) AS qv
+                  FROM e JOIN mm USING (i)),
+            r AS (SELECT i, mn, mx, qv, xi,
+                         mn + (qv * (mx - mn)) // 255 AS dq
+                  FROM q)
+            SELECT CAST(i AS BIGINT) AS i, min(mn) AS mn_micro,
+                   min(mx) AS mx_micro, sum(qv)::BIGINT AS sum_q,
+                   sum(abs(xi - dq))::BIGINT AS sum_abs_err_micro
+            FROM r GROUP BY 1 ORDER BY 1
+        """,
         # per-label centroid sums: the embedding_moments discipline per group
         "label_centroids": """
             WITH e AS (
@@ -1404,6 +1427,43 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY (doc_id * 2654435761) % 1000003, doc_id) AS rk
               FROM documents)
             SELECT doc_id, source FROM r WHERE rk <= 20 ORDER BY doc_id
+        """,
+        # per-user consecutive event-type transition matrix
+        "event_transition_counts": """
+            WITH s AS (
+              SELECT user_id, event_type,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+              FROM events)
+            SELECT event_type AS prev_type, nxt AS next_type,
+                   count(*)::BIGINT AS n
+            FROM s WHERE nxt IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # multi-source BFS min-depth over the shared synthetic link graph
+        # (doc -> (doc*31+s) % n, s in 1..3), unrolled to 4 hops
+        "link_bfs_depth": """
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            e(s) AS (VALUES (1), (2), (3)),
+            h0 AS (SELECT doc_id AS node, CAST(0 AS BIGINT) AS depth
+                   FROM documents WHERE doc_id % 100 = 0),
+            h1 AS (SELECT DISTINCT (node * 31 + s) % (SELECT n FROM nn)
+                            AS node, CAST(1 AS BIGINT) AS depth
+                   FROM h0 CROSS JOIN e),
+            h2 AS (SELECT DISTINCT (node * 31 + s) % (SELECT n FROM nn)
+                            AS node, CAST(2 AS BIGINT) AS depth
+                   FROM h1 CROSS JOIN e),
+            h3 AS (SELECT DISTINCT (node * 31 + s) % (SELECT n FROM nn)
+                            AS node, CAST(3 AS BIGINT) AS depth
+                   FROM h2 CROSS JOIN e),
+            h4 AS (SELECT DISTINCT (node * 31 + s) % (SELECT n FROM nn)
+                            AS node, CAST(4 AS BIGINT) AS depth
+                   FROM h3 CROSS JOIN e),
+            a AS (SELECT * FROM h0 UNION ALL SELECT * FROM h1
+                  UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3
+                  UNION ALL SELECT * FROM h4)
+            SELECT node AS doc_id, min(depth) AS depth
+            FROM a GROUP BY 1 ORDER BY 1
         """,
         # TPC-H Q8 shape: supplier-nation revenue share per order year
         "nation_market_share": """

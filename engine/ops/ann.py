@@ -1340,3 +1340,68 @@ def embedding_norm_outliers(sf_dir: str) -> pd.DataFrame:
     out = nv.map_batches(flag, batch_format="pyarrow").to_pandas()
     return (out.sort_values("vec_id").reset_index(drop=True)
             .astype({"vec_id": "int64", "norm_sq_milli": "int64"}))
+
+
+def embedding_quantize(sf_dir: str) -> pd.DataFrame:
+    """(i, mn_micro, mx_micro, sum_q, sum_abs_err_micro) — int8 scalar
+    quantization of the embedding store with exact integer arithmetic:
+    per-dimension min/max over micro-rounded values, code
+    ``q = ((xi - mn) * 255) // max(mx - mn, 1)`` and reconstruction
+    ``dq = mn + (q * (mx - mn)) // 255``, reported as per-dim code sums
+    and absolute reconstruction error — the quantization-quality audit a
+    deployed vector store runs before switching to int8 storage.
+
+    Every value micro-rounds BEFORE any reduce (the embedding_moments
+    discipline: ties impossible for dyadic floats) so both passes are
+    order-free integer sums — hash-exact vs the DuckDB twin running the
+    identical integer formulas.  Scale shape: two map-only passes with
+    CONSTANT d-row partials per block (pass 1 min/max, pass 2 sums); the
+    only broadcast is the 2d-int min/max vector.
+    """
+    d = _embedding_dim(_emb_path(sf_dir))
+
+    _MM_SCHEMA = pa.schema([("i", pa.int64()), ("mn", pa.int64()),
+                            ("mx", pa.int64())])
+
+    def minmax(t: pa.Table) -> pa.Table:
+        _, X = _to_matrix(t)
+        if not X.shape[0]:
+            return _MM_SCHEMA.empty_table()
+        xi = np.round(X * 1e6).astype(np.int64)
+        return pa.table({
+            "i": pa.array(np.arange(d), pa.int64()),
+            "mn": pa.array(xi.min(axis=0), pa.int64()),
+            "mx": pa.array(xi.max(axis=0), pa.int64()),
+        })
+
+    mm = (_emb(sf_dir).map_batches(minmax, batch_format="pyarrow")
+          .to_pandas().groupby("i", as_index=False)
+          .agg(mn=("mn", "min"), mx=("mx", "max")).sort_values("i"))
+    mn = mm["mn"].to_numpy()
+    mx = mm["mx"].to_numpy()
+    span = np.maximum(mx - mn, 1)
+
+    _S_SCHEMA = pa.schema([("i", pa.int64()), ("sum_q", pa.int64()),
+                           ("sum_abs_err_micro", pa.int64())])
+
+    def sums(t: pa.Table) -> pa.Table:
+        _, X = _to_matrix(t)
+        if not X.shape[0]:
+            return _S_SCHEMA.empty_table()
+        xi = np.round(X * 1e6).astype(np.int64)
+        q = ((xi - mn) * 255) // span
+        dq = mn + (q * (mx - mn)) // 255
+        return pa.table({
+            "i": pa.array(np.arange(d), pa.int64()),
+            "sum_q": pa.array(q.sum(axis=0), pa.int64()),
+            "sum_abs_err_micro": pa.array(np.abs(xi - dq).sum(axis=0),
+                                          pa.int64()),
+        })
+
+    red = (_emb(sf_dir).map_batches(sums, batch_format="pyarrow")
+           .to_pandas().groupby("i", as_index=False).sum())
+    out = mm.merge(red, on="i").rename(columns={"mn": "mn_micro",
+                                                "mx": "mx_micro"})
+    out = out[["i", "mn_micro", "mx_micro", "sum_q", "sum_abs_err_micro"]]
+    return (out.sort_values("i").reset_index(drop=True)
+            .astype({c: "int64" for c in out.columns}))

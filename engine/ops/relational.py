@@ -3226,3 +3226,111 @@ def bracket_discount_revenue(sf_dir: str) -> pd.DataFrame:
                       Sum("n", alias_name="n_lines")))
     return pd.DataFrame({"revenue": [round(out["revenue"], 0)],
                          "n_lines": [int(out["n_lines"])]})
+
+
+def event_transition_counts(sf_dir: str) -> pd.DataFrame:
+    """(prev_type, next_type, n) — global counts of consecutive same-user
+    event-type transitions, ordered by (ts, event_id): the Markov
+    transition matrix of user behavior.  Pure integer counts — hash-exact.
+
+    Scale shape: one narrow (user, t_us, event_id, type) projection rides
+    the shared ``user_id % 64`` coarse-bucket all-to-all; each bucket
+    lexsorts once, masks same-user adjacency vectorized, and emits a
+    BOUNDED type x type count partial (<= 25 rows) — the final groupby is
+    transition-matrix sized regardless of corpus size.
+    """
+    ds = read_pruned(_t(sf_dir, "events"),
+                     ["event_id", "user_id", "ts", "event_type"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t["user_id"].to_numpy()
+        return pa.table(
+            {"user_id": t["user_id"],
+             "t_us": pc.cast(t["ts"], pa.int64()),
+             "event_id": t["event_id"],
+             "etype": t["event_type"],
+             "bucket": pa.array((keys % N_KEY_BUCKETS).astype(np.int32),
+                                pa.int32())})
+
+    _OUT = pa.schema([("prev_type", pa.string()), ("next_type", pa.string()),
+                      ("n", pa.int64())])
+
+    def count_group(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "t_us", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        et = g["etype"].to_numpy()
+        same = u[1:] == u[:-1]
+        out = (pd.DataFrame({"prev_type": et[:-1][same],
+                             "next_type": et[1:][same]})
+               .groupby(["prev_type", "next_type"], as_index=False).size()
+               .rename(columns={"size": "n"}))
+        return pa.Table.from_pandas(out, schema=_OUT,
+                                    preserve_index=False).replace_schema_metadata(None)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(count_group, batch_format="pandas")
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values(["prev_type", "next_type"])
+            .reset_index(drop=True))
+
+
+def link_bfs_depth(sf_dir: str, max_hops: int = 4) -> pd.DataFrame:
+    """(doc_id, depth) — multi-source BFS over the shared synthetic link
+    graph (every doc links to ``(doc_id*31 + s) % n`` for s in 1..3) from
+    the seed set ``doc_id % 100 == 0``, bounded at ``max_hops``: the
+    minimum hop count at which each reachable node is first discovered.
+
+    Scale shape: level-synchronous frontier expansion — each hop the
+    CURRENT known (node, depth) Dataset filters to the newest level,
+    expands its out-edges map-side (3 children per node, per-batch
+    combined to distinct candidates), unions with known, and one
+    node-keyed groupby-min collapses rediscoveries.  ``max_hops`` narrow
+    all-to-alls over (node, depth) int rows total; known materializes per
+    hop (2 ints/node — the same bounded state pagerank's rank Dataset
+    carries), the driver never holds it.
+    """
+    from ray.data.aggregate import Min
+
+    ds = read_pruned(_t(sf_dir, "documents"), ["doc_id"])
+    n = ds.count()
+
+    def seeds(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        ids = ids[ids % 100 == 0]
+        return pa.table(
+            {"node": pa.array(ids, pa.int64()),
+             "depth": pa.array(np.zeros(len(ids), np.int64), pa.int64())})
+
+    known = ds.map_batches(seeds, batch_format="pyarrow").materialize()
+
+    for h in range(1, max_hops + 1):
+        lvl = h - 1
+
+        def expand(t: pa.Table, _lvl=lvl, _h=h) -> pa.Table:
+            ids = t.filter(pc.equal(t["depth"], _lvl))["node"].to_numpy()
+            child = np.unique(np.concatenate(
+                [(ids * 31 + s) % n for s in (1, 2, 3)])) if len(ids) else (
+                np.empty(0, np.int64))
+            return pa.table(
+                {"node": pa.array(child, pa.int64()),
+                 "depth": pa.array(np.full(len(child), _h, np.int64),
+                                   pa.int64())})
+
+        known = (
+            known.union(known.map_batches(expand, batch_format="pyarrow"))
+            .groupby("node")
+            .aggregate(Min("depth", alias_name="depth"))
+            .materialize()
+        )
+
+    out = known.to_pandas().rename(columns={"node": "doc_id"})
+    out = out.astype({"doc_id": "int64", "depth": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
