@@ -414,6 +414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": dedup.simhash_signatures,
         "simhash_near_pairs": dedup.simhash_near_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "ngram_containment_pairs": dedup.ngram_containment_pairs,
         "dedup_recall_report": dedup.dedup_recall_report,
         "dup_ngram_spans": dedup.dup_ngram_spans,
         "winnow_fingerprints": dedup.winnow_fingerprints,
@@ -1007,6 +1008,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = i.doc_a
             JOIN sz sb ON sb.doc_id = i.doc_b
             WHERE 3 * i.n_common >= sa.n + sb.n
+            ORDER BY doc_a, doc_b
+        """,
+        # asymmetric containment twin: same shingle CTEs, min-size predicate
+        "ngram_containment_pairs": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), pos AS (
+              SELECT doc_id, unnest(toks) AS w,
+                     generate_subscripts(toks, 1) AS i
+              FROM tok
+            ), sh AS (
+              SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+              FROM pos a
+              JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+              JOIN pos c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+            ), sz AS (
+              SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+              FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT i.doc_a, i.doc_b, i.n_common, sa.n AS n_a, sb.n AS n_b
+            FROM inter i
+            JOIN sz sa ON sa.doc_id = i.doc_a
+            JOIN sz sb ON sb.doc_id = i.doc_b
+            WHERE 5 * i.n_common >= 4 * LEAST(sa.n, sb.n)
             ORDER BY doc_a, doc_b
         """,
         "ann_topk": """

@@ -757,8 +757,8 @@ def near_dedup_canonical_ds(sf_dir: str, threshold: float = 0.5):
 # ---------------------------------------------------------------------------
 
 
-def ngram_jaccard_pairs(sf_dir: str, k: int = 3,
-                        threshold_num: int = 1, threshold_den: int = 2) -> pd.DataFrame:
+def _ngram_overlap_pairs(sf_dir: str, k: int, threshold_num: int,
+                         threshold_den: int, mode: str) -> pd.DataFrame:
     """EXACT token-k-gram Jaccard near-dup pairs via a distributed inverted
     index (no sketching): pairs (doc_a < doc_b) whose distinct-shingle sets
     satisfy ``|A∩B| / |A∪B| >= threshold_num/threshold_den``.
@@ -854,9 +854,15 @@ def ngram_jaccard_pairs(sf_dir: str, k: int = 3,
             g.groupby(["doc_a", "doc_b", "n_a", "n_b"], sort=False)["c"]
             .sum().reset_index()
         )
-        keep = (threshold_den + threshold_num) * s["c"] >= threshold_num * (
-            s["n_a"] + s["n_b"]
-        )
+        if mode == "containment":
+            # c / min(n_a, n_b) >= num/den, integer cross-multiplied
+            keep = threshold_den * s["c"] >= threshold_num * np.minimum(
+                s["n_a"], s["n_b"]
+            )
+        else:
+            keep = (threshold_den + threshold_num) * s["c"] >= threshold_num * (
+                s["n_a"] + s["n_b"]
+            )
         s = s[keep]
         return pa.table(
             {"doc_a": pa.array(s["doc_a"].to_numpy(), pa.int64()),
@@ -881,6 +887,55 @@ def ngram_jaccard_pairs(sf_dir: str, k: int = 3,
              for c in ("doc_a", "doc_b", "n_common", "n_a", "n_b")}
         )
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def ngram_jaccard_pairs(sf_dir: str, k: int = 3,
+                        threshold_num: int = 1, threshold_den: int = 2) -> pd.DataFrame:
+    """EXACT token-k-gram Jaccard near-dup pairs via a distributed inverted
+    index (no sketching): pairs (doc_a < doc_b) whose distinct-shingle sets
+    satisfy ``|A∩B| / |A∪B| >= threshold_num/threshold_den``.
+
+    Shape (the PPJoin-lite inverted-index idiom) — see
+    ``_ngram_overlap_pairs``:
+
+    1. map_batches: doc -> DISTINCT string shingles ``tok[i..i+k)`` joined by
+       a single space over ``text.lower().split()``; every row carries the
+       doc's distinct-shingle count ``n`` so pair sizes need no second join.
+    2. shuffle shingle rows into 64 coarse buckets by shingle crc32; within a
+       bucket a vectorized self-merge on the shingle emits per-shingle pair
+       PARTIALS (doc_a, doc_b, n_a, n_b, c) — combined per bucket before the
+       second shuffle.
+    3. shuffle partials by pair hash; sum c per pair and keep pairs with
+       ``(den+num)*c >= num*(n_a+n_b)`` (integer cross-multiplication of
+       c/(n_a+n_b-c) >= num/den — float-free outputs for the oracle hash).
+
+    Exact (no LSH recall loss), so DuckDB-oracle-checkable; the cost model is
+    sum(f^2) over shingle document-frequencies f — boilerplate-heavy corpora
+    need the MinHash path instead (this op is the exactness baseline the
+    sketch is judged against).  Docs with fewer than k tokens emit no
+    shingles (mirrored by construction in the SQL oracle's position join).
+    """
+    return _ngram_overlap_pairs(sf_dir, k, threshold_num, threshold_den,
+                                "jaccard")
+
+
+def ngram_containment_pairs(sf_dir: str, k: int = 3,
+                            threshold_num: int = 4,
+                            threshold_den: int = 5) -> pd.DataFrame:
+    """EXACT k-gram CONTAINMENT near-dup pairs: (doc_a < doc_b) where the
+    smaller distinct-shingle set is >= num/den contained in the other —
+    ``|A∩B| / min(|A|, |B|) >= threshold_num/threshold_den``.
+
+    The asymmetric complement of ``ngram_jaccard_pairs`` (same distributed
+    inverted-index pipeline, different integer cross-multiplied keep rule):
+    Jaccard misses quote-style duplication where a short doc is swallowed
+    whole by a much longer one (the union term drowns the overlap);
+    containment is the standard detector for it (Broder's "containment" in
+    the resemblance/containment pair).  Cost model and partitioning
+    identical to the Jaccard op.
+    """
+    return _ngram_overlap_pairs(sf_dir, k, threshold_num, threshold_den,
+                                "containment")
 
 
 # ---------------------------------------------------------------------------
