@@ -359,6 +359,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_market_share": relational.nation_market_share,
         "linestatus_priority_counts": relational.linestatus_priority_counts,
         "bracket_discount_revenue": relational.bracket_discount_revenue,
+        "revenue_cube": relational.revenue_cube,
+        "top_revenue_supplier": relational.top_revenue_supplier,
         "degree_distribution": relational.degree_distribution,
         "user_retention_cohorts": relational.user_retention_cohorts,
         "event_transition_counts": relational.event_transition_counts,
@@ -374,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_postings": text.inverted_postings,
         "token_frequency_spectrum": text.token_frequency_spectrum,
         "filter_funnel": text.filter_funnel,
+        "vocab_growth_curve": text.vocab_growth_curve,
         "bigram_pmi_topk": text.bigram_pmi_topk,
         "char_entropy": text.char_entropy,
         "kmv_distinct_tokens": text.kmv_distinct_tokens,
@@ -1495,6 +1498,48 @@ def oracle_sql() -> dict[str, str]:
                   UNION ALL SELECT * FROM h4)
             SELECT node AS doc_id, min(depth) AS depth
             FROM a GROUP BY 1 ORDER BY 1
+        """,
+        # Heaps-law vocabulary growth at doc_id deciles
+        "vocab_growth_curve": r"""
+            WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+            tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text),
+                                                           '\s+'),
+                                        x -> x <> '')) AS w
+              FROM documents),
+            d(i) AS (VALUES (1), (2), (3), (4), (5),
+                            (6), (7), (8), (9), (10))
+            SELECT CAST(d.i AS BIGINT) AS decile,
+                   count(DISTINCT t.w)::BIGINT AS n_distinct_tokens
+            FROM d, tok t, nn
+            WHERE t.doc_id < (nn.n * d.i) // 10
+            GROUP BY 1 ORDER BY 1
+        """,
+        # full grouping-sets lattice (ROLLUP sibling)
+        "revenue_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_extendedprice * (1 - l_discount)), 0)
+                     AS revenue,
+                   count(*)::BIGINT AS n_lines
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """,
+        # TPC-H Q15 shape: global-max HAVING over per-supplier revenue
+        "top_revenue_supplier": """
+            WITH r AS (
+              SELECT l_suppkey AS s_suppkey,
+                     round(sum(l_extendedprice * (1 - l_discount)), 0)
+                       AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= DATE '1996-01-01'
+                AND l_shipdate < DATE '1996-04-01'
+              GROUP BY 1)
+            SELECT r.s_suppkey, s.s_name, r.total_revenue
+            FROM r JOIN supplier s ON s.s_suppkey = r.s_suppkey
+            WHERE r.total_revenue = (SELECT max(total_revenue) FROM r)
+            ORDER BY r.s_suppkey
         """,
         # TPC-H Q8 shape: supplier-nation revenue share per order year
         "nation_market_share": """

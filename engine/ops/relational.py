@@ -3334,3 +3334,108 @@ def link_bfs_depth(sf_dir: str, max_hops: int = 4) -> pd.DataFrame:
     out = known.to_pandas().rename(columns={"node": "doc_id"})
     out = out.astype({"doc_id": "int64", "depth": "int64"})
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def revenue_cube(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(l_returnflag, l_linestatus): leaf totals plus BOTH
+    one-dimension margins and the grand total — the full grouping-sets
+    lattice (ROLLUP's sibling; revenue_rollup covers the hierarchy case).
+
+    Only the leaf aggregation touches the fact table (per-batch Arrow
+    group_by combine + one tiny groupby); all three coarser grouping sets
+    re-aggregate the leaf PARTIALS on the driver (|flags| x |statuses|
+    rows), so the cube costs one shuffle at any scale.  NULL-label
+    convention matches SQL CUBE; revenue rounds to 0 decimals.
+    """
+    ds = read_pruned(
+        _t(sf_dir, "lineitem"),
+        ["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = t["l_extendedprice"].to_numpy() * (1.0 - t["l_discount"].to_numpy())
+        g = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "revenue": pa.array(rev, pa.float64()),
+            "n_lines": pa.array(np.ones(len(rev), np.int64), pa.int64()),
+        }).group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("revenue", "sum"), ("n_lines", "sum")])
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "revenue", "n_lines"])
+
+    from ray.data.aggregate import Sum
+
+    leaf = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=262144)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("revenue", alias_name="revenue"),
+                   Sum("n_lines", alias_name="n_lines"))
+        .to_pandas()
+    )
+    m_flag = leaf.groupby("l_returnflag", as_index=False).agg(
+        revenue=("revenue", "sum"), n_lines=("n_lines", "sum"))
+    m_flag["l_linestatus"] = None
+    m_stat = leaf.groupby("l_linestatus", as_index=False).agg(
+        revenue=("revenue", "sum"), n_lines=("n_lines", "sum"))
+    m_stat["l_returnflag"] = None
+    total = pd.DataFrame(
+        {"l_returnflag": [None], "l_linestatus": [None],
+         "revenue": [leaf["revenue"].sum()],
+         "n_lines": [leaf["n_lines"].sum()]})
+    out = pd.concat(
+        [leaf, m_flag[leaf.columns], m_stat[leaf.columns],
+         total[leaf.columns]], ignore_index=True)
+    out["revenue"] = out["revenue"].round(0)
+    out["n_lines"] = out["n_lines"].astype("int64")
+    return out.sort_values(
+        ["l_returnflag", "l_linestatus"], na_position="first"
+    ).reset_index(drop=True)
+
+
+def top_revenue_supplier(sf_dir: str) -> pd.DataFrame:
+    """(s_suppkey, s_name, total_revenue) — TPC-H Q15 shape: the
+    supplier(s) whose discounted revenue over one ship-date quarter equals
+    the GLOBAL maximum (HAVING = scalar-subquery max, ties all kept).
+
+    Scale shape: the date window pushes into the lineitem read; per-batch
+    (suppkey, rev) partials -> one supplier-count-sized groupby; revenue
+    rounds to whole units BEFORE the max so the winner set is
+    summation-order-stable; the argmax filter + bounded-catalog name
+    attach run on the supplier-sized frame.
+    """
+    import datetime
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as _pq
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 4, 1)
+    items = read_pruned(
+        _t(sf_dir, "lineitem"),
+        ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = t["l_extendedprice"].to_numpy() * (1.0 - t["l_discount"].to_numpy())
+        g = pd.DataFrame({"s_suppkey": t["l_suppkey"].to_numpy(), "rev": rev}
+                         ).groupby("s_suppkey", as_index=False).sum()
+        return _from_pandas(g)
+
+    from ray.data.aggregate import Sum
+
+    per_supp = (
+        items.map_batches(partial, batch_format="pyarrow", batch_size=262144)
+        .groupby("s_suppkey")
+        .aggregate(Sum("rev", alias_name="total_revenue"))
+        .to_pandas()
+    )
+    per_supp["total_revenue"] = per_supp["total_revenue"].round(0)
+    best = per_supp[per_supp["total_revenue"] == per_supp["total_revenue"].max()]
+
+    supp = _pq.read_table(_t(sf_dir, "supplier"),
+                          columns=["s_suppkey", "s_name"]).to_pandas()
+    out = best.merge(supp, on="s_suppkey")[["s_suppkey", "s_name",
+                                            "total_revenue"]]
+    return (out.sort_values("s_suppkey").reset_index(drop=True)
+            .astype({"s_suppkey": "int64"}))

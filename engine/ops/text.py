@@ -2265,3 +2265,66 @@ def filter_funnel(sf_dir: str) -> pd.DataFrame:
         "stage": stages,
         "n_docs": [int(parts[s].sum()) for s in stages],
     })
+
+
+def vocab_growth_curve(sf_dir: str) -> pd.DataFrame:
+    """(decile, n_distinct_tokens) — Heaps-law vocabulary growth: the
+    distinct-token count among documents with ``doc_id < n*i/10`` for each
+    decile i, i.e. how fast new vocabulary accrues as the corpus is
+    consumed in doc_id order.  The curve's flattening rate is the
+    standard novelty audit for a training corpus (near-linear growth
+    flags boilerplate/noise; early saturation flags template collapse).
+
+    Scale shape: a token appears before threshold t iff its FIRST
+    occurrence does, so the curve reduces to per-token min-doc_id — one
+    vocabulary-sized all-to-all of per-batch-distinct (token, min_doc)
+    rows on the crc32 token bucket; each bucket group computes in-group
+    minima vectorized and emits a BOUNDED 10-bin histogram partial
+    (first decile each token becomes visible), and the driver cumsums 10
+    rows.  Exact — DuckDB counts the same distinct-token predicate.
+    """
+    import zlib
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    n = ds.count()
+    thresholds = np.array([(n * i) // 10 for i in range(1, 11)], np.int64)
+    N_SHUFFLE_BUCKETS = 64
+
+    def token_mins(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        out_w: list = []
+        out_d: list = []
+        for did, tx in zip(ids, t["text"].to_pylist()):
+            toks = set(tx.lower().split())
+            out_w.extend(toks)
+            out_d.extend([int(did)] * len(toks))
+        g = pd.DataFrame({"w": out_w, "d": out_d}).groupby(
+            "w", as_index=False)["d"].min()
+        buckets = np.fromiter(
+            (zlib.crc32(s.encode()) % N_SHUFFLE_BUCKETS for s in g["w"]),
+            dtype=np.int32, count=len(g))
+        return pa.table({"w": pa.array(g["w"], pa.string()),
+                         "d": pa.array(g["d"].to_numpy(), pa.int64()),
+                         "bucket": pa.array(buckets, pa.int32())})
+
+    _OUT = pa.schema([("bin", pa.int64()), ("cnt", pa.int64())])
+
+    def bin_partial(g: pd.DataFrame) -> pa.Table:
+        mins = g.groupby("w")["d"].min().to_numpy()
+        # first decile i (1-based) with min_doc < thr_i; tokens whose first
+        # occurrence is past the last threshold can't exist (thr_10 = n)
+        first_bin = np.searchsorted(thresholds, mins, side="right") + 1
+        cnt = np.bincount(first_bin, minlength=11)[1:11]
+        return pa.table({"bin": pa.array(np.arange(1, 11), pa.int64()),
+                         "cnt": pa.array(cnt, pa.int64())}, schema=_OUT)
+
+    red = (
+        ds.map_batches(token_mins, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bin_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    hist = red.groupby("bin", as_index=False)["cnt"].sum().sort_values("bin")
+    out = pd.DataFrame({"decile": hist["bin"].to_numpy(),
+                        "n_distinct_tokens": hist["cnt"].cumsum().to_numpy()})
+    return out.astype({"decile": "int64", "n_distinct_tokens": "int64"})
