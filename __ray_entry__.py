@@ -377,6 +377,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_frequency_spectrum": text.token_frequency_spectrum,
         "filter_funnel": text.filter_funnel,
         "vocab_growth_curve": text.vocab_growth_curve,
+        # rows-only: sketch scoreboard (KMV oracled exactly elsewhere;
+        # HLL envelope pytest-locked; exact side is a plain distinct count)
+        "distinct_sketch_report": text.distinct_sketch_report,
         "bigram_pmi_topk": text.bigram_pmi_topk,
         "char_entropy": text.char_entropy,
         "kmv_distinct_tokens": text.kmv_distinct_tokens,

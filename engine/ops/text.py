@@ -2328,3 +2328,54 @@ def vocab_growth_curve(sf_dir: str) -> pd.DataFrame:
     out = pd.DataFrame({"decile": hist["bin"].to_numpy(),
                         "n_distinct_tokens": hist["cnt"].cumsum().to_numpy()})
     return out.astype({"decile": "int64", "n_distinct_tokens": "int64"})
+
+
+def distinct_sketch_report(sf_dir: str) -> pd.DataFrame:
+    """(sketch, estimate, exact, err_milli) — the distinct-count sketch
+    scoreboard: HLL and KMV estimates measured against the EXACT distinct
+    token count on the same corpus, error as integer milli-relative
+    (the ann_recall_report convention: a deployed pipeline watches its
+    sketches against periodic exact audits).
+
+    Exact side: per-batch distinct tokens -> one vocabulary-sized crc32
+    bucket exchange -> per-bucket nunique partials summed (tokens appear
+    in exactly one bucket).  Rows-only (the components are checked
+    elsewhere: KMV is oracled exactly; HLL's envelope is pytest-locked).
+    """
+    import zlib
+
+    ds = _docs(sf_dir, ["text"])
+    N_SHUFFLE_BUCKETS = 64
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        toks = set()
+        for s in t["text"].to_pylist():
+            toks.update(s.lower().split())
+        toks = sorted(toks)
+        buckets = np.fromiter(
+            (zlib.crc32(w.encode()) % N_SHUFFLE_BUCKETS for w in toks),
+            dtype=np.int32, count=len(toks))
+        return pa.table({"w": pa.array(toks, pa.string()),
+                         "bucket": pa.array(buckets, pa.int32())})
+
+    _OUT = pa.schema([("n", pa.int64())])
+
+    def nuniq(g: pd.DataFrame) -> pa.Table:
+        return pa.table({"n": pa.array([g["w"].nunique()], pa.int64())},
+                        schema=_OUT)
+
+    exact = int(
+        ds.map_batches(tok_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(nuniq, batch_format="pandas")
+        .to_pandas()["n"].sum())
+
+    hll = int(hll_distinct_tokens(sf_dir)["estimate"].iloc[0])
+    kmv = int(kmv_distinct_tokens(sf_dir)["estimate"].iloc[0])
+
+    rows = []
+    for name, est in (("hll", hll), ("kmv", kmv)):
+        rows.append({"sketch": name, "estimate": est, "exact": exact,
+                     "err_milli": abs(est - exact) * 1000 // max(exact, 1)})
+    return pd.DataFrame(rows).astype(
+        {"estimate": "int64", "exact": "int64", "err_milli": "int64"})

@@ -2421,3 +2421,30 @@ def test_brand_price_trend_matches_lstsq(ray_session):
         g = pts[pts["p_brand"] == r["p_brand"]]
         slope = np.polyfit(g["x"].to_numpy(float), g["y"].to_numpy(float), 1)[0]
         assert abs(slope * 1e6 - r["slope_micro"]) <= max(2, abs(slope * 1e6) * 1e-6)
+
+
+def test_distinct_sketch_report(ray_session):
+    """Scoreboard: exact field equals a brute-force distinct count, KMV/HLL
+    estimates sit inside their error envelopes, and the report is
+    deterministic across runs."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    g1 = e.queries()["distinct_sketch_report"]("/root/testdata/sf0.001")
+    g2 = e.queries()["distinct_sketch_report"]("/root/testdata/sf0.001")
+    assert g1.equals(g2)
+
+    truth = duckdb.sql(r"""
+        SELECT count(DISTINCT w) FROM (
+          SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS w
+          FROM read_parquet('/root/testdata/sf0.001/documents.parquet'))
+    """).fetchone()[0]
+    assert (g1["exact"] == truth).all()
+    # HLL at p=12 on a tiny vocabulary is near-exact; KMV at k=16 carries
+    # ~1/sqrt(k) ≈ 25% worst-case — both envelopes with slack
+    hll = g1[g1["sketch"] == "hll"].iloc[0]
+    kmv = g1[g1["sketch"] == "kmv"].iloc[0]
+    assert hll["err_milli"] <= 100
+    assert kmv["err_milli"] <= 400
