@@ -361,6 +361,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bracket_discount_revenue": relational.bracket_discount_revenue,
         "revenue_cube": relational.revenue_cube,
         "top_revenue_supplier": relational.top_revenue_supplier,
+        "value_histogram": relational.value_histogram,
+        "value_mad_per_type": relational.value_mad_per_type,
         "degree_distribution": relational.degree_distribution,
         "user_retention_cohorts": relational.user_retention_cohorts,
         "event_transition_counts": relational.event_transition_counts,
@@ -1501,6 +1503,50 @@ def oracle_sql() -> dict[str, str]:
                   UNION ALL SELECT * FROM h4)
             SELECT node AS doc_id, min(depth) AS depth
             FROM a GROUP BY 1 ORDER BY 1
+        """,
+        # robust stats: exact grouped median + MAD at the shared discrete
+        # rank convention (0-based ceil(n/2)-1)
+        "value_mad_per_type": """
+            WITH v AS (
+              SELECT event_type,
+                     CAST(ROUND(value * 100) AS BIGINT) AS cents
+              FROM events),
+            n AS (SELECT event_type, count(*) AS n FROM v GROUP BY 1),
+            r AS (SELECT event_type, cents, row_number() OVER (
+                    PARTITION BY event_type ORDER BY cents) AS rk FROM v),
+            med AS (SELECT r.event_type, r.cents AS med_cents
+                    FROM r JOIN n USING (event_type)
+                    WHERE rk = CAST(ceil(0.5 * n) AS BIGINT)),
+            d AS (SELECT v.event_type, abs(v.cents - m.med_cents) AS dev
+                  FROM v JOIN med m USING (event_type)),
+            r2 AS (SELECT event_type, dev, row_number() OVER (
+                     PARTITION BY event_type ORDER BY dev) AS rk FROM d),
+            mad AS (SELECT r2.event_type, r2.dev AS mad_cents
+                    FROM r2 JOIN n USING (event_type)
+                    WHERE rk = CAST(ceil(0.5 * n) AS BIGINT))
+            SELECT n.event_type, n.n::BIGINT AS n_events,
+                   med.med_cents, mad.mad_cents
+            FROM n JOIN med USING (event_type) JOIN mad USING (event_type)
+            ORDER BY 1
+        """,
+        # exact equi-width histogram, integer micro bin arithmetic
+        "value_histogram": """
+            WITH v AS (
+              SELECT CAST(ROUND(value * 1000000.0) AS BIGINT) AS vi
+              FROM events),
+            mm AS (SELECT min(vi) AS mn, max(vi) AS mx,
+                          GREATEST(max(vi) - min(vi), 1) AS span
+                   FROM v),
+            b AS (SELECT LEAST((vi - mn) * 20 // span, 19) AS bin
+                  FROM v, mm),
+            c AS (SELECT bin, count(*)::BIGINT AS n FROM b GROUP BY 1),
+            g AS (SELECT unnest(range(0, 20)) AS bin)
+            SELECT CAST(g.bin AS BIGINT) AS bin,
+                   mm.mn + g.bin * mm.span // 20 AS lo_micro,
+                   mm.mn + (g.bin + 1) * mm.span // 20 AS hi_micro,
+                   COALESCE(c.n, 0)::BIGINT AS n
+            FROM g CROSS JOIN mm LEFT JOIN c ON c.bin = g.bin
+            ORDER BY 1
         """,
         # Heaps-law vocabulary growth at doc_id deciles
         "vocab_growth_curve": r"""

@@ -526,6 +526,20 @@ def run_dedup_smoke() -> dict:
         "degree_distribution": lambda: rel.degree_distribution(dest),
         # two map passes over a materialized narrow (vec_id, v) table
         "embedding_norm_outliers": lambda: ann.embedding_norm_outliers(dest),
+        # asymmetric containment twin of the exact-jaccard pipeline (same
+        # inverted-index cost model; different integer keep rule)
+        "ngram_containment_pairs": lambda: dedup.ngram_containment_pairs(dest),
+        # Heaps-law novelty curve: one vocabulary-sized token exchange +
+        # bounded 10-bin histogram partials
+        "vocab_growth_curve": lambda: _text_ops.vocab_growth_curve(dest),
+        # HLL/KMV vs exact distinct scoreboard (exact side = one
+        # vocabulary-sized bucket exchange)
+        "distinct_sketch_report": lambda: _text_ops.distinct_sketch_report(dest),
+        # int8 quantization audit: two map-only passes, constant d-row
+        # partials per block
+        "embedding_quantize": lambda: ann.embedding_quantize(dest),
+        # multi-source BFS: max_hops narrow (node, depth) all-to-alls
+        "link_bfs_depth": lambda: rel.link_bfs_depth(dest),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")
     if only:
@@ -693,6 +707,10 @@ def run_events_smoke() -> dict:
         # sketch alternative at larger windows)
         "events_sliding_distinct_users": lambda: len(
             rel.events_sliding_distinct_users(dest)),
+        # Markov transition matrix: one user-bucket all-to-all, bounded
+        # type x type count partials per bucket
+        "event_transition_counts": lambda: int(
+            rel.event_transition_counts(dest)["n"].sum()),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")
     if only:

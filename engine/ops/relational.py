@@ -3439,3 +3439,118 @@ def top_revenue_supplier(sf_dir: str) -> pd.DataFrame:
                                             "total_revenue"]]
     return (out.sort_values("s_suppkey").reset_index(drop=True)
             .astype({"s_suppkey": "int64"}))
+
+
+def value_histogram(sf_dir: str, n_bins: int = 20) -> pd.DataFrame:
+    """(bin, lo_micro, hi_micro, n) — exact equi-width histogram of
+    events.value over the observed [min, max]: global min/max reduce,
+    then one map-only binning pass with integer-exact bin assignment.
+
+    Every value micro-rounds to int64 BEFORE any arithmetic (the
+    embedding_moments discipline), so both the range split and the bin
+    index ``min((vi - mn) * n_bins // span, n_bins - 1)`` are pure
+    integer expressions the DuckDB twin reproduces bit-for-bit — no
+    float-boundary ties anywhere.  Scale shape: constant 2-value min/max
+    partials per block, then constant n_bins-row count partials; nothing
+    wide shuffles.
+    """
+    ds = read_pruned(_t(sf_dir, "events"), ["value"])
+
+    def minmax(t: pa.Table) -> pa.Table:
+        vi = np.round(t["value"].to_numpy() * 1e6).astype(np.int64)
+        if not len(vi):
+            return pa.schema([("mn", pa.int64()), ("mx", pa.int64())]
+                             ).empty_table()
+        return pa.table({"mn": pa.array([vi.min()], pa.int64()),
+                         "mx": pa.array([vi.max()], pa.int64())})
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    mn = int(mm["mn"].min())
+    mx = int(mm["mx"].max())
+    span = max(mx - mn, 1)
+
+    def counts(t: pa.Table) -> pa.Table:
+        vi = np.round(t["value"].to_numpy() * 1e6).astype(np.int64)
+        b = np.minimum((vi - mn) * n_bins // span, n_bins - 1)
+        c = np.bincount(b, minlength=n_bins)
+        return pa.table({"bin": pa.array(np.arange(n_bins), pa.int64()),
+                         "n": pa.array(c, pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    red = (ds.map_batches(counts, batch_format="pyarrow", batch_size=262144)
+           .groupby("bin").aggregate(Sum("n", alias_name="n")).to_pandas())
+    red = red.set_index("bin").reindex(range(n_bins), fill_value=0).reset_index()
+    bins = red["bin"].to_numpy()
+    out = pd.DataFrame({
+        "bin": bins,
+        "lo_micro": mn + bins * span // n_bins,
+        "hi_micro": mn + (bins + 1) * span // n_bins,
+        "n": red["n"].to_numpy(),
+    })
+    return out.astype({c: "int64" for c in out.columns})
+
+
+def value_mad_per_type(sf_dir: str) -> pd.DataFrame:
+    """(event_type, n_events, med_cents, mad_cents) — exact median and
+    median-absolute-deviation of the event value per type at cent
+    resolution: the robust-statistics pair the mean/stddev family
+    (value_stats_per_type) can't see through outliers.
+
+    Rides the value_quantiles_per_type machinery verbatim: (type, cents,
+    n) histogram partials on the coarse ``cents % 64`` bucket, in-bucket
+    vectorized combine, then BOTH statistics fall out of the same
+    O(|types| x distinct cents) combined histogram — the median at
+    0-based rank ceil(n/2)-1, and the MAD as the same discrete rank over
+    the |cents - med| re-weighted histogram (a driver-side reindex of
+    bounded rows, no second pass over the stream).
+    """
+    import math
+
+    ds = read_pruned(_t(sf_dir, "events"), ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"event_type": t["event_type"].to_pandas(),
+             "cents": np.round(t["value"].to_numpy() * 100).astype(np.int64)})
+        g = df.groupby(["event_type", "cents"], as_index=False).size().rename(
+            columns={"size": "n"})
+        g["bucket"] = (g["cents"].to_numpy() % N_KEY_BUCKETS).astype(np.int32)
+        return _from_pandas(g)
+
+    _HIST_SCHEMA = pa.schema(
+        [("event_type", pa.string()), ("cents", pa.int64()), ("n", pa.int64())])
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby(["event_type", "cents"], as_index=False)["n"].sum()
+        return pa.Table.from_pandas(
+            s, schema=_HIST_SCHEMA, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["event_type", "cents"])
+    )
+
+    def disc_median(vals: np.ndarray, weights: np.ndarray) -> int:
+        cum = weights.cumsum()
+        total = int(cum[-1])
+        rank = math.ceil(0.5 * total) - 1
+        return int(vals[np.searchsorted(cum, rank + 1)])
+
+    rows = []
+    for etype, g in hist.groupby("event_type", sort=True):
+        vals = g["cents"].to_numpy()
+        w = g["n"].to_numpy()
+        med = disc_median(vals, w)
+        dev = np.abs(vals - med)
+        order = np.argsort(dev, kind="stable")
+        mad = disc_median(dev[order], w[order])
+        rows.append({"event_type": etype, "n_events": int(w.sum()),
+                     "med_cents": med, "mad_cents": mad})
+    out = pd.DataFrame(rows)
+    return out.astype({"n_events": "int64", "med_cents": "int64",
+                       "mad_cents": "int64"})
