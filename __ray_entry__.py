@@ -363,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_revenue_supplier": relational.top_revenue_supplier,
         "value_histogram": relational.value_histogram,
         "value_mad_per_type": relational.value_mad_per_type,
+        "event_type_day_pivot": relational.event_type_day_pivot,
         "degree_distribution": relational.degree_distribution,
         "user_retention_cohorts": relational.user_retention_cohorts,
         "event_transition_counts": relational.event_transition_counts,
@@ -1504,6 +1505,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, min(depth) AS depth
             FROM a GROUP BY 1 ORDER BY 1
         """,
+        # PIVOT shape: oracle CASE columns generated from the engine's own
+        # _PIVOT_TYPES tuple
+        "event_type_day_pivot": relational.event_type_day_pivot_sql(),
         # robust stats: exact grouped median + MAD at the shared discrete
         # rank convention (0-based ceil(n/2)-1)
         "value_mad_per_type": """

@@ -3554,3 +3554,65 @@ def value_mad_per_type(sf_dir: str) -> pd.DataFrame:
     out = pd.DataFrame(rows)
     return out.astype({"n_events": "int64", "med_cents": "int64",
                        "mad_cents": "int64"})
+
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def event_type_day_pivot(sf_dir: str) -> pd.DataFrame:
+    """(day, n_click, n_error, n_purchase, n_signup, n_view, n_total) —
+    the PIVOT shape: the long (day, event_type) count table turned wide,
+    one integer column per event type.  Pure counts — hash-exact.
+
+    Scale shape: each batch emits one ALREADY-WIDE partial row per
+    observed day (vectorized per-type masks; the pivot happens map-side,
+    not in the exchange), so the groupby moves days x 7-int rows no
+    matter how many events stream through.  The type list is the
+    engine-owned ``_PIVOT_TYPES`` constant — the oracle's CASE columns
+    are generated from the same tuple, so engine and SQL cannot drift.
+    """
+    ds = read_pruned(_t(sf_dir, "events"), ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["ts"], pa.int64()).to_numpy() // 86_400_000_000
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        days, inv = np.unique(d, return_inverse=True)
+        cols = {"day_epoch": pa.array(days, pa.int64())}
+        total = np.zeros(len(days), np.int64)
+        for ty in _PIVOT_TYPES:
+            c = np.bincount(inv[et == ty], minlength=len(days)).astype(np.int64)
+            cols[f"n_{ty}"] = pa.array(c, pa.int64())
+            total += c
+        cols["n_total"] = pa.array(total, pa.int64())
+        return pa.table(cols)
+
+    from ray.data.aggregate import Sum
+
+    aggs = [Sum(f"n_{ty}", alias_name=f"n_{ty}") for ty in _PIVOT_TYPES]
+    aggs.append(Sum("n_total", alias_name="n_total"))
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=262144)
+        .groupby("day_epoch")
+        .aggregate(*aggs)
+        .to_pandas()
+    )
+    out["day"] = pd.to_datetime(out["day_epoch"] * 86_400_000_000, unit="us")
+    cols = ["day"] + [f"n_{ty}" for ty in _PIVOT_TYPES] + ["n_total"]
+    out = out[cols].sort_values("day").reset_index(drop=True)
+    for c in cols[1:]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def event_type_day_pivot_sql() -> str:
+    """Generated oracle for event_type_day_pivot: CASE columns built from
+    the same ``_PIVOT_TYPES`` tuple the engine pivots on."""
+    cases = ",\n                   ".join(
+        f"sum(CASE WHEN event_type = '{ty}' THEN 1 ELSE 0 END)::BIGINT"
+        f" AS n_{ty}" for ty in _PIVOT_TYPES)
+    return f"""
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   {cases},
+                   count(*)::BIGINT AS n_total
+            FROM events GROUP BY 1 ORDER BY 1
+        """
