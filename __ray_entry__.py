@@ -364,6 +364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": relational.value_histogram,
         "value_mad_per_type": relational.value_mad_per_type,
         "event_type_day_pivot": relational.event_type_day_pivot,
+        "source_drift_ks": relational.source_drift_ks,
         "degree_distribution": relational.degree_distribution,
         "user_retention_cohorts": relational.user_retention_cohorts,
         "event_transition_counts": relational.event_transition_counts,
@@ -1504,6 +1505,31 @@ def oracle_sql() -> dict[str, str]:
                   UNION ALL SELECT * FROM h4)
             SELECT node AS doc_id, min(depth) AS depth
             FROM a GROUP BY 1 ORDER BY 1
+        """,
+        # exact integer two-sample KS drift statistic between sources
+        "source_drift_ks": """
+            WITH sz AS (SELECT source, count(*)::BIGINT AS n
+                        FROM documents GROUP BY 1),
+            grid AS (SELECT v.v, s.source
+                     FROM (SELECT DISTINCT n_chars AS v FROM documents) v
+                     CROSS JOIN sz s),
+            h AS (SELECT n_chars AS v, source, count(*)::BIGINT AS n
+                  FROM documents GROUP BY 1, 2),
+            c AS (SELECT g.v, g.source,
+                         sum(COALESCE(h.n, 0)) OVER (
+                           PARTITION BY g.source ORDER BY g.v)::BIGINT AS c
+                  FROM grid g LEFT JOIN h
+                    ON h.v = g.v AND h.source = g.source),
+            p AS (SELECT a.v, a.source AS sa, b.source AS sb,
+                         a.c AS ca, b.c AS cb
+                  FROM c a JOIN c b
+                    ON a.v = b.v AND a.source < b.source)
+            SELECT p.sa AS source_a, p.sb AS source_b,
+                   max(abs(p.ca * zb.n - p.cb * za.n))::BIGINT AS ks_num,
+                   za.n AS n_a, zb.n AS n_b
+            FROM p JOIN sz za ON za.source = p.sa
+                   JOIN sz zb ON zb.source = p.sb
+            GROUP BY 1, 2, za.n, zb.n ORDER BY 1, 2
         """,
         # PIVOT shape: oracle CASE columns generated from the engine's own
         # _PIVOT_TYPES tuple

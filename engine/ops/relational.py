@@ -3616,3 +3616,51 @@ def event_type_day_pivot_sql() -> str:
                    count(*)::BIGINT AS n_total
             FROM events GROUP BY 1 ORDER BY 1
         """
+
+
+def source_drift_ks(sf_dir: str) -> pd.DataFrame:
+    """(source_a, source_b, ks_num, n_a, n_b) — exact two-sample
+    Kolmogorov-Smirnov statistic between every pair of sources over the
+    document-length (n_chars) distribution, as the INTEGER numerator
+    ``max_v |F_a(v)*n_b - F_b(v)*n_a|`` (the KS distance times n_a*n_b —
+    division-free, so the oracle hash is float-free).  Distribution-drift
+    detection across corpus slices: the audit that catches one domain's
+    content shifting shape between crawls.
+
+    Scale shape: per-batch (n_chars, source, n) count partials reduce to
+    a BOUNDED histogram (distinct lengths x |sources| rows — lengths are
+    physically bounded); ECDF grids, pair maxima and the KS reduce all
+    run on that bounded frame.  The stream never shuffles.
+    """
+    ds = read_pruned(_t(sf_dir, "documents"), ["n_chars", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame(
+            {"v": t["n_chars"].to_numpy(),
+             "source": t["source"].to_pandas()}
+        ).groupby(["v", "source"], as_index=False).size().rename(
+            columns={"size": "n"})
+        return _from_pandas(g)
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=262144)
+        .to_pandas()
+        .groupby(["v", "source"], as_index=False)["n"].sum()
+    )
+    sources = sorted(hist["source"].unique())
+    vals = np.sort(hist["v"].unique())
+    # dense grid: cumulative counts per source at every distinct value
+    wide = (hist.pivot(index="v", columns="source", values="n")
+            .reindex(vals).fillna(0).cumsum())
+    sz = {s: int(wide[s].iloc[-1]) for s in sources}
+
+    rows = []
+    for i, sa in enumerate(sources):
+        ca = wide[sa].to_numpy(dtype=np.int64)
+        for sb in sources[i + 1:]:
+            cb = wide[sb].to_numpy(dtype=np.int64)
+            ks = int(np.abs(ca * sz[sb] - cb * sz[sa]).max())
+            rows.append({"source_a": sa, "source_b": sb, "ks_num": ks,
+                         "n_a": sz[sa], "n_b": sz[sb]})
+    out = pd.DataFrame(rows)
+    return out.astype({"ks_num": "int64", "n_a": "int64", "n_b": "int64"})
