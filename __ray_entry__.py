@@ -365,6 +365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_mad_per_type": relational.value_mad_per_type,
         "event_type_day_pivot": relational.event_type_day_pivot,
         "source_drift_ks": relational.source_drift_ks,
+        "user_value_deciles": relational.user_value_deciles,
         "degree_distribution": relational.degree_distribution,
         "user_retention_cohorts": relational.user_retention_cohorts,
         "event_transition_counts": relational.event_transition_counts,
@@ -1505,6 +1506,22 @@ def oracle_sql() -> dict[str, str]:
                   UNION ALL SELECT * FROM h4)
             SELECT node AS doc_id, min(depth) AS depth
             FROM a GROUP BY 1 ORDER BY 1
+        """,
+        # exact decile boundaries of the per-user total-value distribution
+        "user_value_deciles": """
+            WITH u AS (
+              SELECT user_id,
+                     sum(CAST(ROUND(value * 100) AS BIGINT)) AS total_cents
+              FROM events GROUP BY 1),
+            n AS (SELECT count(*)::BIGINT AS c FROM u),
+            r AS (SELECT total_cents, row_number() OVER (
+                    ORDER BY total_cents) AS rk FROM u),
+            d(i) AS (VALUES (1), (2), (3), (4), (5),
+                            (6), (7), (8), (9), (10))
+            SELECT CAST(d.i AS BIGINT) AS decile,
+                   r.total_cents AS boundary_cents
+            FROM d CROSS JOIN n JOIN r ON r.rk = (d.i * n.c + 9) // 10
+            ORDER BY 1
         """,
         # exact integer two-sample KS drift statistic between sources
         "source_drift_ks": """

@@ -3664,3 +3664,41 @@ def source_drift_ks(sf_dir: str) -> pd.DataFrame:
                          "n_a": sz[sa], "n_b": sz[sb]})
     out = pd.DataFrame(rows)
     return out.astype({"ks_num": "int64", "n_a": "int64", "n_b": "int64"})
+
+
+def user_value_deciles(sf_dir: str) -> pd.DataFrame:
+    """(decile, boundary_cents) — exact decile boundaries of the PER-USER
+    total event value distribution (the whale-vs-minnow curve): boundary i
+    is the value at ascending rank ceil(i*n/10) (1-based) among the n
+    per-user integer-cent totals.
+
+    Order statistics over a DERIVED aggregate: one user-bucket exchange
+    of per-batch (user, cents) partial sums forms the per-user totals as
+    a Dataset, then the distributed rank-selection idiom (sort +
+    per-block row counts + fetch only the block containing each rank —
+    ``text._values_at_ranks``) pulls the 10 boundaries without the driver
+    ever holding the totals.  All-integer — hash-exact.
+    """
+    from .text import _values_at_ranks
+
+    ds = read_pruned(_t(sf_dir, "events"), ["user_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame(
+            {"user_id": t["user_id"].to_numpy(),
+             "cents": np.round(t["value"].to_numpy() * 100).astype(np.int64)}
+        ).groupby("user_id", as_index=False)["cents"].sum()
+        return _from_pandas(g)
+
+    from ray.data.aggregate import Sum
+
+    totals = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=262144)
+        .groupby("user_id")
+        .aggregate(Sum("cents", alias_name="total_cents"))
+    )
+    n = totals.count()
+    ranks = [(i * n + 9) // 10 - 1 for i in range(1, 11)]  # 0-based
+    vals = _values_at_ranks(totals, "total_cents", ranks)
+    return pd.DataFrame({"decile": pd.Series(range(1, 11), dtype="int64"),
+                         "boundary_cents": pd.Series(vals, dtype="int64")})
