@@ -137,6 +137,22 @@ BENCH_QUERY_NAMES = [
     "volume_shipping",
     "large_order_customers",
     "filter_funnel",
+    "nation_market_share",
+    "linestatus_priority_counts",
+    "bracket_discount_revenue",
+    "revenue_cube",
+    "top_revenue_supplier",
+    "event_transition_counts",
+    "event_type_day_pivot",
+    "link_bfs_depth",
+    "embedding_quantize",
+    "ngram_containment_pairs",
+    "vocab_growth_curve",
+    "distinct_sketch_report",
+    "value_histogram",
+    "value_mad_per_type",
+    "source_drift_ks",
+    "user_value_deciles",
 ]
 
 

@@ -323,7 +323,6 @@ def source_quality_stats(sf_dir: str) -> pd.DataFrame:
     counts, so this op cannot drift from its checked parts.
     """
     import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
 
     from .io import read_pruned
 
@@ -375,21 +374,16 @@ def source_quality_stats(sf_dir: str) -> pd.DataFrame:
             out["n_" + s] = agg["status"].apply(lambda v, s=s: int((v == s).sum()))
         return out.reset_index()
 
+    # final reduce on the driver: the per-bucket partials are BOUNDED
+    # (|sources| x |buckets| rows) — a second Dataset aggregate here paid
+    # ~4 s of all-to-all fixed overhead at sf0.1 for 1,280 rows
     stats = (
         cur.union(docs)
         .groupby("bucket")
         .map_groups(partial, batch_format="pandas")
-        .groupby("source")
-        .aggregate(
-            Sum("n_docs", alias_name="n_docs"),
-            Sum("n_quality", alias_name="n_quality"),
-            Sum("n_exact_dup", alias_name="n_exact_dup"),
-            Sum("n_near_dup", alias_name="n_near_dup"),
-            Sum("n_perplexity", alias_name="n_perplexity"),
-            Sum("n_kept", alias_name="n_kept"),
-            Sum("sum_tokens", alias_name="sum_tokens"),
-        )
         .to_pandas()
+        .groupby("source", as_index=False)
+        .sum()
     )
     cols = ["source", "n_docs", "n_quality", "n_exact_dup", "n_near_dup",
             "n_perplexity", "n_kept", "sum_tokens"]
