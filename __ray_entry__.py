@@ -366,6 +366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_day_pivot": relational.event_type_day_pivot,
         "source_drift_ks": relational.source_drift_ks,
         "user_value_deciles": relational.user_value_deciles,
+        "customer_order_gaps": relational.customer_order_gaps,
         "degree_distribution": relational.degree_distribution,
         "user_retention_cohorts": relational.user_retention_cohorts,
         "event_transition_counts": relational.event_transition_counts,
@@ -1506,6 +1507,21 @@ def oracle_sql() -> dict[str, str]:
                   UNION ALL SELECT * FROM h4)
             SELECT node AS doc_id, min(depth) AS depth
             FROM a GROUP BY 1 ORDER BY 1
+        """,
+        # per-customer MAX consecutive-order gap (churn analytic)
+        "customer_order_gaps": """
+            WITH o AS (
+              SELECT o_custkey,
+                     CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day,
+                     lag(CAST(epoch(o_orderdate) AS BIGINT) // 86400) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS prev_day
+              FROM orders)
+            SELECT o_custkey AS c_custkey,
+                   (count(*) + 1)::BIGINT AS n_orders,
+                   max(day - prev_day)::BIGINT AS max_gap_days
+            FROM o WHERE prev_day IS NOT NULL
+            GROUP BY 1 ORDER BY 1
         """,
         # exact decile boundaries of the per-user total-value distribution
         "user_value_deciles": """

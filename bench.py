@@ -153,6 +153,7 @@ BENCH_QUERY_NAMES = [
     "value_mad_per_type",
     "source_drift_ks",
     "user_value_deciles",
+    "customer_order_gaps",
 ]
 
 

@@ -3713,3 +3713,60 @@ def user_value_deciles(sf_dir: str) -> pd.DataFrame:
     vals = _values_at_ranks(totals, "total_cents", ranks)
     return pd.DataFrame({"decile": pd.Series(range(1, 11), dtype="int64"),
                          "boundary_cents": pd.Series(vals, dtype="int64")})
+
+
+def customer_order_gaps(sf_dir: str) -> pd.DataFrame:
+    """(c_custkey, n_orders, max_gap_days) — for every customer with at
+    least two orders, the LARGEST day gap between consecutive orders
+    (order dates sorted, ties broken by orderkey; duplicate dates gap 0).
+    The churn-risk analytic: a long max-gap customer is a lapse
+    candidate — the per-key MAX-of-deltas shape the lag family
+    (per-event deltas) and retention cohorts (global minima) don't cover.
+
+    Scale shape: one narrow (custkey, epoch_day, orderkey) projection
+    rides the shared ``custkey % 64`` coarse-bucket all-to-all; each
+    bucket lexsorts once, diffs same-customer adjacency vectorized, and
+    reduces to per-customer (count, max) with one in-group groupby —
+    output rows only (multi-order customers) leave the exchange.
+    Pure integers, hash-exact.
+    """
+    ds = read_pruned(_t(sf_dir, "orders"),
+                     ["o_custkey", "o_orderdate", "o_orderkey"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t["o_custkey"].to_numpy()
+        return pa.table(
+            {"cust": pa.array(keys, pa.int64()),
+             "day": pa.array(pc.cast(t["o_orderdate"], pa.int64()).to_numpy()
+                             // 86_400_000_000, pa.int64()),
+             "okey": t["o_orderkey"],
+             "bucket": pa.array((keys % N_KEY_BUCKETS).astype(np.int32),
+                                pa.int32())})
+
+    _OUT = pa.schema([("c_custkey", pa.int64()), ("n_orders", pa.int64()),
+                      ("max_gap_days", pa.int64())])
+
+    def gaps_group(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["cust", "day", "okey"], kind="mergesort")
+        c = g["cust"].to_numpy()
+        d = g["day"].to_numpy()
+        same = c[1:] == c[:-1]
+        gap = pd.DataFrame({"cust": c[1:][same], "gap": (d[1:] - d[:-1])[same]})
+        if gap.empty:
+            return _OUT.empty_table()
+        agg = gap.groupby("cust", as_index=False).agg(
+            n_gaps=("gap", "size"), max_gap_days=("gap", "max"))
+        agg["n_orders"] = agg["n_gaps"] + 1
+        return pa.Table.from_pandas(
+            agg.rename(columns={"cust": "c_custkey"})[
+                ["c_custkey", "n_orders", "max_gap_days"]],
+            schema=_OUT, preserve_index=False).replace_schema_metadata(None)
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(gaps_group, batch_format="pandas")
+        .to_pandas()
+    )
+    return (out.sort_values("c_custkey").reset_index(drop=True)
+            .astype({c: "int64" for c in out.columns}))
