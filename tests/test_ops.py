@@ -2448,3 +2448,32 @@ def test_distinct_sketch_report(ray_session):
     kmv = g1[g1["sketch"] == "kmv"].iloc[0]
     assert hll["err_milli"] <= 100
     assert kmv["err_milli"] <= 400
+
+
+def test_link_bfs_depth_vs_sequential_reference(ray_session):
+    """Independent check: a plain Python set-based BFS over the same link
+    rule must agree with the distributed level-synchronous implementation
+    (the DuckDB oracle shares the engine's graph-definition CTEs, so this
+    closes the both-wrong-identically loophole)."""
+    import pyarrow.parquet as pq
+
+    from engine.ops.relational import link_bfs_depth
+
+    sf = "/root/testdata/sf0.001"
+    n = pq.read_metadata(sf + "/documents.parquet").num_rows
+    ids = pq.read_table(sf + "/documents.parquet", columns=["doc_id"])[
+        "doc_id"].to_pylist()
+    depth = {i: 0 for i in ids if i % 100 == 0}
+    frontier = set(depth)
+    for h in range(1, 5):
+        nxt = set()
+        for u in frontier:
+            for s in (1, 2, 3):
+                v = (u * 31 + s) % n
+                if v not in depth:
+                    depth[v] = h
+                    nxt.add(v)
+        frontier = nxt
+
+    got = link_bfs_depth(sf)
+    assert dict(zip(got["doc_id"], got["depth"])) == depth
