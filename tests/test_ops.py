@@ -2477,3 +2477,57 @@ def test_link_bfs_depth_vs_sequential_reference(ray_session):
 
     got = link_bfs_depth(sf)
     assert dict(zip(got["doc_id"], got["depth"])) == depth
+
+
+def test_event_transition_counts_vs_pandas_reference(ray_session):
+    """Independent pandas shift-based reference over the full sf0.001
+    stream (different implementation family from both the engine's
+    bucketed path and the SQL lag oracle)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from engine.ops.relational import event_transition_counts
+
+    sf = "/root/testdata/sf0.001"
+    ev = pq.read_table(sf + "/events.parquet",
+                       columns=["event_id", "user_id", "ts", "event_type"]
+                       ).to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    same = ev["user_id"].to_numpy()[1:] == ev["user_id"].to_numpy()[:-1]
+    et = ev["event_type"].to_numpy()
+    ref = (pd.DataFrame({"prev_type": et[:-1][same], "next_type": et[1:][same]})
+           .groupby(["prev_type", "next_type"]).size())
+
+    got = event_transition_counts(sf)
+    got_map = {(a, b): n for a, b, n in
+               zip(got["prev_type"], got["next_type"], got["n"])}
+    assert got_map == ref.to_dict()
+
+
+def test_embedding_quantize_error_bound(ray_session):
+    """Mathematical invariant: int8 dequantization error can never exceed
+    one code step (span/255) plus the integer-division remainder — bound
+    the MEAN abs error per dim by span/255 + 1 micro."""
+    from engine.ops.ann import embedding_quantize
+
+    q = embedding_quantize("/root/testdata/sf0.001")
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata("/root/testdata/sf0.001/embeddings.parquet").num_rows
+    span = (q["mx_micro"] - q["mn_micro"]).to_numpy()
+    mean_err = q["sum_abs_err_micro"].to_numpy() / n
+    assert (mean_err <= span / 255 + 1).all()
+    assert (q["sum_q"] >= 0).all()
+
+
+def test_value_histogram_mass_conservation(ray_session):
+    """Bin counts must sum to the stream length; edges must be monotone."""
+    import pyarrow.parquet as pq
+
+    from engine.ops.relational import value_histogram
+
+    h = value_histogram("/root/testdata/sf0.001")
+    n = pq.read_metadata("/root/testdata/sf0.001/events.parquet").num_rows
+    assert int(h["n"].sum()) == n
+    assert (h["hi_micro"].to_numpy() >= h["lo_micro"].to_numpy()).all()
+    assert (h["lo_micro"].to_numpy()[1:] == h["hi_micro"].to_numpy()[:-1]).all()
