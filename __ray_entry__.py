@@ -350,6 +350,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "campaign_attribution": relational.campaign_attribution,
         "props_json_stats": relational.props_json_stats,
         "events_sliding_distinct_users": relational.events_sliding_distinct_users,
+        # rows-only: HLL sketch variant of the sliding distinct (accuracy
+        # vs the exact op pytest-locked at the HLL envelope)
+        "events_sliding_distinct_hll": relational.events_sliding_distinct_hll,
         "brand_price_trend": relational.brand_price_trend,
         "promo_revenue_share": relational.promo_revenue_share,
         "returned_item_revenue": relational.returned_item_revenue,

@@ -154,6 +154,7 @@ BENCH_QUERY_NAMES = [
     "source_drift_ks",
     "user_value_deciles",
     "customer_order_gaps",
+    "events_sliding_distinct_hll",
 ]
 
 
@@ -728,6 +729,10 @@ def run_events_smoke() -> dict:
         # type x type count partials per bucket
         "event_transition_counts": lambda: int(
             rel.event_transition_counts(dest)["n"].sum()),
+        # constant-memory HLL sliding distinct (the sketch path the exact
+        # op's docstring promises at larger windows)
+        "events_sliding_distinct_hll": lambda: len(
+            rel.events_sliding_distinct_hll(dest)),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")
     if only:

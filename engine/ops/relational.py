@@ -3770,3 +3770,57 @@ def customer_order_gaps(sf_dir: str) -> pd.DataFrame:
     )
     return (out.sort_values("c_custkey").reset_index(drop=True)
             .astype({c: "int64" for c in out.columns}))
+
+
+def events_sliding_distinct_hll(sf_dir: str,
+                                window_hours: int = 24) -> pd.DataFrame:
+    """(window_end, n_users_est) — APPROXIMATE trailing-24h sliding
+    distinct users per observed hour via per-hour HyperLogLog registers:
+    the constant-memory scale path beside the exact op
+    (``events_sliding_distinct_users``), whose per-window explode is the
+    honest exact cost at large windows.
+
+    HLL registers are max-mergeable, so the sliding union is an
+    elementwise max over the trailing ``window_hours`` per-hour register
+    vectors — each window costs O(m), independent of user count.  Scale
+    shape: every batch emits one 4 KB register blob per hour it touches
+    (constant per block x hours); the driver folds hours x 4 KB — bounded
+    by the time span, never by users.  Deterministic (splitmix64 user
+    hashes), so reruns are bit-identical; accuracy vs the exact op is
+    pytest-locked at the HLL envelope.
+    """
+    from .dedup import _mix64
+    from .text import HLL_P, _hll_estimate, _hll_partial
+
+    ds = read_pruned(_t(sf_dir, "events"), ["user_id", "ts"])
+    m = 1 << HLL_P
+
+    def partials(t: pa.Table) -> pa.Table:
+        hrs = pc.cast(t["ts"], pa.int64()).to_numpy() // 3_600_000_000
+        h = _mix64(t["user_id"].to_numpy().astype(np.uint64))
+        uh, inv = np.unique(hrs, return_inverse=True)
+        out_h: list = []
+        out_r: list = []
+        for i, hour in enumerate(uh):
+            out_h.append(int(hour))
+            out_r.append(_hll_partial(h[inv == i], m).tobytes())
+        return pa.table({"hour": pa.array(out_h, pa.int64()),
+                         "regs": pa.array(out_r, pa.binary())})
+
+    parts = ds.map_batches(partials, batch_format="pyarrow",
+                           batch_size=262144).to_pandas()
+    hours = np.sort(parts["hour"].unique())
+    by_hour = {int(hh): np.zeros(m, np.uint8) for hh in hours}
+    for hh, blob in zip(parts["hour"], parts["regs"]):
+        np.maximum(by_hour[int(hh)], np.frombuffer(blob, np.uint8),
+                   out=by_hour[int(hh)])
+
+    rows = []
+    for hh in hours:
+        merged = np.zeros(m, np.uint8)
+        for w in hours[(hours > hh - window_hours) & (hours <= hh)]:
+            np.maximum(merged, by_hour[int(w)], out=merged)
+        rows.append({"window_end": pd.Timestamp(int(hh) * 3_600_000_000,
+                                                unit="us"),
+                     "n_users_est": int(round(_hll_estimate(merged)))})
+    return pd.DataFrame(rows).astype({"n_users_est": "int64"})

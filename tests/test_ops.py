@@ -2531,3 +2531,20 @@ def test_value_histogram_mass_conservation(ray_session):
     assert int(h["n"].sum()) == n
     assert (h["hi_micro"].to_numpy() >= h["lo_micro"].to_numpy()).all()
     assert (h["lo_micro"].to_numpy()[1:] == h["hi_micro"].to_numpy()[:-1]).all()
+
+
+def test_events_sliding_distinct_hll_envelope(ray_session):
+    """The HLL sliding variant must track the exact op within the sketch
+    envelope (p=12 -> ~1.6% standard error; assert 6 sigma + small-count
+    slack) on every window, and be rerun-deterministic."""
+    from engine.ops.relational import (events_sliding_distinct_hll,
+                                       events_sliding_distinct_users)
+
+    sf = "/root/testdata/sf0.001"
+    approx = events_sliding_distinct_hll(sf)
+    assert approx.equals(events_sliding_distinct_hll(sf))
+    exact = events_sliding_distinct_users(sf)
+    m = exact.merge(approx, on="window_end")
+    assert len(m) == len(exact) == len(approx)
+    err = (m["n_users_est"] - m["n_users"]).abs()
+    assert (err <= 0.1 * m["n_users"] + 5).all()
