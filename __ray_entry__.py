@@ -455,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup_canonical": ann.embedding_dedup_canonical,
         "embedding_moments": ann.embedding_moments,
         "embedding_quantize": ann.embedding_quantize,
+        "embedding_similarity_histogram": ann.embedding_similarity_histogram,
         "embedding_norm_outliers": ann.embedding_norm_outliers,
         "label_centroids": ann.label_centroids,
         # rows-only: k-means cells aren't SQL; pytest locks a brute-force
@@ -1129,6 +1130,10 @@ def oracle_sql() -> dict[str, str]:
             FROM e GROUP BY 1
             ORDER BY i, j
         """,
+        # similarity-structure audit: splitmix-sampled pair dot histogram
+        # (oracle generated from the shared splitmix/micro constants)
+        "embedding_similarity_histogram":
+            _lsh_oracles.embedding_similarity_histogram_sql(),
         # int8 scalar-quantization audit: exact integer code/error sums
         "embedding_quantize": """
             WITH e AS (

@@ -155,6 +155,7 @@ BENCH_QUERY_NAMES = [
     "user_value_deciles",
     "customer_order_gaps",
     "events_sliding_distinct_hll",
+    "embedding_similarity_histogram",
 ]
 
 

@@ -1405,3 +1405,57 @@ def embedding_quantize(sf_dir: str) -> pd.DataFrame:
     out = out[["i", "mn_micro", "mx_micro", "sum_q", "sum_abs_err_micro"]]
     return (out.sort_values("i").reset_index(drop=True)
             .astype({c: "int64" for c in out.columns}))
+
+
+def embedding_similarity_histogram(sf_dir: str, n_pairs: int = 2000,
+                                   n_bins: int = 20) -> pd.DataFrame:
+    """(bin, lo_micro, hi_micro, n_pairs) — exact integer histogram of
+    dot-product similarity over a DETERMINISTIC splitmix64 sample of
+    vector pairs: the similarity-structure audit (a healthy embedding
+    store shows the expected near-zero bulk with a planted-duplicate
+    tail; a collapsed encoder shows mass at high similarity).
+
+    Pair i = (mix64(i) % n, mix64(i + 2^32) % n), self-pairs dropped —
+    pure hash sampling, no RNG state, so any rerun and the DuckDB twin
+    (generated from the shared splitmix constants) draw the IDENTICAL
+    pairs.  Dots use the embedding_moments per-product micro-rounding
+    (order-free integer sums); bins use the value_histogram integer
+    formula.  Scale shape: the sampled id set is bounded (2*n_pairs), so
+    the gather is one map-only filtered pass emitting only sampled rows;
+    dots + histogram run on the bounded driver frame.
+    """
+    from .dedup import _mix64
+
+    n = _emb(sf_dir).count()
+    i = np.arange(n_pairs, dtype=np.uint64)
+    a = (_mix64(i) % np.uint64(n)).astype(np.int64)
+    b = (_mix64(i + np.uint64(1 << 32)) % np.uint64(n)).astype(np.int64)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    need = pa.array(np.unique(np.concatenate([a, b])), pa.int64())
+
+    def gather(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t["vec_id"], value_set=need))
+
+    got = _emb(sf_dir).map_batches(gather, batch_format="pyarrow").to_pandas()
+    ids = got["vec_id"].to_numpy()
+    X = np.stack(got["embedding"].to_numpy()).astype(np.float64)
+    pos = {int(v): k for k, v in enumerate(ids)}
+    ia = np.fromiter((pos[int(v)] for v in a), np.int64, len(a))
+    ib = np.fromiter((pos[int(v)] for v in b), np.int64, len(b))
+    dots = np.round(X[ia] * X[ib] * 1e6).sum(axis=1).astype(np.int64)
+
+    mn = int(dots.min())
+    span = max(int(dots.max()) - mn, 1)
+    bins = np.minimum((dots - mn) * n_bins // span, n_bins - 1)
+    c = np.bincount(bins, minlength=n_bins)
+    k = np.arange(n_bins)
+    out = pd.DataFrame({
+        "bin": k,
+        "lo_micro": mn + k * span // n_bins,
+        "hi_micro": mn + (k + 1) * span // n_bins,
+        "n_pairs": c,
+    })
+    return out.astype({c_: "int64" for c_ in out.columns})

@@ -839,3 +839,44 @@ def winnow_fingerprints_sql(k: int = 3, w: int = 4) -> str:
             FROM allsel a JOIN s_pos p
               ON p.doc_id = a.doc_id AND p.i = a.sel_i
             ORDER BY a.doc_id, pos"""
+
+
+def embedding_similarity_histogram_sql(n_pairs: int = 2000,
+                                       n_bins: int = 20) -> str:
+    """Oracle for ann.embedding_similarity_histogram: the same splitmix64
+    pair sample (shared constants), the same per-product micro-rounded
+    integer dot products, and the same integer bin arithmetic."""
+    mix_a = _mix64("s.i")
+    mix_b = _mix64("s.i2")
+    return f"""
+        WITH nn AS (SELECT count(*)::UBIGINT AS n FROM embeddings),
+        s AS (SELECT i::UBIGINT AS i,
+                     (i + 4294967296)::UBIGINT AS i2
+              FROM (SELECT unnest(range(0, {n_pairs})) AS i)),
+        pr AS (SELECT CAST({mix_a} % nn.n AS BIGINT) AS a,
+                      CAST({mix_b} % nn.n AS BIGINT) AS b,
+                      s.i AS i
+               FROM s, nn),
+        pp AS (SELECT * FROM pr WHERE a <> b),
+        e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                     unnest(range(0, len(embedding))) AS j
+              FROM embeddings),
+        d AS (SELECT pp.i AS pi,
+                     SUM(CAST(ROUND(ea.x * eb.x * 1000000.0) AS BIGINT))
+                       AS dot
+              FROM pp JOIN e ea ON ea.vec_id = pp.a
+                      JOIN e eb ON eb.vec_id = pp.b AND eb.j = ea.j
+              GROUP BY 1),
+        mm AS (SELECT min(dot) AS mn, max(dot) AS mx,
+                      GREATEST(max(dot) - min(dot), 1) AS span FROM d),
+        bn AS (SELECT LEAST((dot - mn) * {n_bins} // span, {n_bins - 1})
+                        AS bin FROM d, mm),
+        c AS (SELECT bin, count(*)::BIGINT AS n FROM bn GROUP BY 1),
+        g AS (SELECT unnest(range(0, {n_bins})) AS bin)
+        SELECT CAST(g.bin AS BIGINT) AS bin,
+               mm.mn + g.bin * mm.span // {n_bins} AS lo_micro,
+               mm.mn + (g.bin + 1) * mm.span // {n_bins} AS hi_micro,
+               COALESCE(c.n, 0)::BIGINT AS n_pairs
+        FROM g CROSS JOIN mm LEFT JOIN c ON c.bin = g.bin
+        ORDER BY 1
+    """
