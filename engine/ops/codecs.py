@@ -1575,7 +1575,7 @@ def encode_gif(index_px: np.ndarray, palette: np.ndarray,
 
 def decode_gif(data: bytes) -> np.ndarray:
     """(h, w, 3) uint8 pixels from a single-image GIF (first image of the
-    stream; interlaced images raise honestly)."""
+    stream; 4-pass interlaced images are deinterlaced)."""
     if data[:6] not in GIF_MAGICS:
         raise ValueError("not a gif")
     w = int.from_bytes(data[6:8], "little")
