@@ -473,6 +473,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only: codec decode isn't SQL; pytest locks cross-codec twin
         # collapse + hash invariance + determinism
         "media_phash_dedup": multimodal.media_phash_dedup,
+        # rows-only: PDF XObject extraction -> real JPEG/raw decode; round
+        # trip + text coexistence pytest-locked
+        "pdf_image_extract": multimodal.pdf_image_extract,
         "media_thumbnails": multimodal.media_thumbnails,
         "media_frames": multimodal.media_frames,
         # the crawl engine itself (no SQL view of the synthetic pages corpus)

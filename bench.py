@@ -156,6 +156,7 @@ BENCH_QUERY_NAMES = [
     "customer_order_gaps",
     "events_sliding_distinct_hll",
     "embedding_similarity_histogram",
+    "pdf_image_extract",
 ]
 
 

@@ -581,3 +581,105 @@ def media_phash_dedup(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("media_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# PDF embedded-image extraction: the PDF reader's XObject surface wired to
+# the from-scratch image codecs (the reference's PdfPig exposes the same
+# IPdfImage.RawBytes; here DCTDecode payloads flow into the real JPEG
+# decoder).  The PDF table is derived deterministically from doc ids, like
+# real_media_table.
+# ---------------------------------------------------------------------------
+
+
+def pdf_media_table(sf_dir: str):
+    """Deterministic one-page PDFs with an embedded image XObject per doc:
+    doc_id % 3 == 0 embeds FLATE raw RGB samples, else a REAL JPEG from
+    the from-scratch encoder; every second doc uses the PDF 1.5
+    xref-STREAM layout so the ObjStm walk is exercised too.  Pure in
+    doc_id — byte-stable across runs and partitionings."""
+    import zlib
+
+    from engine.pdf import render_pdf_page_bytes
+
+    from .codecs import encode_jpeg
+
+    ds = read_pruned(os.path.join(sf_dir, "documents.parquet"), ["doc_id"])
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            rng = np.random.default_rng(int(i))
+            h, w = 8 + i % 5, 10 + i % 7
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            if i % 3 == 0:
+                img = (0, w, h, "FlateDecode", zlib.compress(px.tobytes(), 9))
+            else:
+                img = (0, w, h, "DCTDecode", encode_jpeg(px))
+            words = [(72.0, 700.0, f"doc{i}"), (130.0, 700.0, "body")]
+            payloads.append(render_pdf_page_bytes(
+                [(1, 792.0, words)], [], xref_stream=(i % 2 == 1),
+                images=[img]))
+        return pa.table(
+            {"media_id": pa.array(ids, pa.int64()),
+             "payload": pa.array(payloads, pa.binary()),
+             "n_bytes": pa.array([len(p) for p in payloads], pa.int64())})
+
+    return ds.map_batches(build, batch_format="pyarrow", batch_size=256)
+
+
+class PdfImageStage:
+    """PDF payloads -> per-image rows (media_id, img_filter, width, height,
+    mean_milli, n_words): extract XObjects, decode DCT through the real
+    JPEG decoder / Flate through raw samples, and count the page's text
+    words in the same pass (proving text extraction coexists with image
+    payloads).  Stateless decode dispatch held per actor."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from engine.pdf import extract_pdf_images, parse_pdf_layout
+
+        from .codecs import decode_jpeg
+
+        ids, filts, ws, hs, means, nwords = [], [], [], [], [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            pages, _ = parse_pdf_layout(payload)
+            nw = sum(len(p[2]) for p in pages)
+            for img in extract_pdf_images(payload):
+                if img["filter"] == "DCTDecode":
+                    px = decode_jpeg(img["payload"])
+                elif img["filter"] is None:
+                    px = np.frombuffer(img["payload"], np.uint8).reshape(
+                        img["height"], img["width"], 3)
+                else:
+                    continue
+                ids.append(mid)
+                filts.append(img["filter"] or "raw")
+                ws.append(img["width"])
+                hs.append(img["height"])
+                means.append(int(px.astype(np.int64).sum()) * 1000
+                             // px.size)
+                nwords.append(nw)
+        return pa.table(
+            {"media_id": pa.array(ids, pa.int64()),
+             "img_filter": pa.array(filts, pa.string()),
+             "width": pa.array(ws, pa.int64()),
+             "height": pa.array(hs, pa.int64()),
+             "mean_milli": pa.array(means, pa.int64()),
+             "n_words": pa.array(nwords, pa.int64())})
+
+
+def pdf_image_extract(sf_dir: str) -> pd.DataFrame:
+    """(media_id, img_filter, width, height, mean_milli, n_words) — extract
+    and DECODE every embedded image of the derived PDF table through the
+    from-scratch codecs, actor-pool stage, with the page text parsed in
+    the same pass.  Rows-only (PDF parsing isn't SQL); the round trip and
+    text coexistence are pytest-locked."""
+    out = (
+        pdf_media_table(sf_dir)
+        .map_batches(PdfImageStage, batch_format="pyarrow", batch_size=64,
+                     concurrency=2)
+        .to_pandas()
+    )
+    return out.sort_values("media_id").reset_index(drop=True)

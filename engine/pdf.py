@@ -771,6 +771,7 @@ PAGE_WIDTH = 612.0
 def render_pdf_page_bytes(
     word_pages: list, hrefs: list, compress: bool = False,
     stream_filter: str | None = None, xref_stream: bool = False,
+    images: list | None = None,
 ) -> bytes:
     """[(page_no, height, [(x, y, word)])] + hrefs -> a valid PDF.
 
@@ -805,6 +806,13 @@ def render_pdf_page_bytes(
     content_obj = [4 + 2 * i for i in range(n_pages)]
     first_annot = 3 + 2 * n_pages
     annot_obj = [first_annot + i for i in range(len(hrefs))]
+    # image XObjects: (page_idx, width, height, filter_name|None, payload)
+    images = images or []
+    first_img = first_annot + len(hrefs)
+    img_obj = [first_img + i for i in range(len(images))]
+    imgs_on_page: dict = {}
+    for j, (pidx, _w, _h, _f, _p) in enumerate(images):
+        imgs_on_page.setdefault(pidx, []).append(j)
 
     objects.append((1, b"<< /Type /Catalog /Pages 2 0 R >>"))
     kids = b" ".join(b"%d 0 R" % p for p in page_obj)
@@ -817,11 +825,18 @@ def render_pdf_page_bytes(
                 b"1 0 0 1 %.1f %.1f Tm (%s) Tj" % (x, y, _escape_pdf_string(w))
             )
         parts.append(b"ET")
+        for j in imgs_on_page.get(i, ()):
+            _pi, iw, ih, _f, _p = images[j]
+            parts.append(b"q %d 0 0 %d 36 36 cm /Im%d Do Q" % (iw, ih, j))
         content = b"\n".join(parts)
         page = (
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %.1f %.1f] "
             b"/Contents %d 0 R" % (PAGE_WIDTH, height, content_obj[i])
         )
+        if i in imgs_on_page:
+            xdict = b" ".join(
+                b"/Im%d %d 0 R" % (j, img_obj[j]) for j in imgs_on_page[i])
+            page += b" /Resources << /XObject << " + xdict + b" >> >>"
         if i == n_pages - 1 and annot_obj:
             refs = b" ".join(b"%d 0 R" % a for a in annot_obj)
             page += b" /Annots [" + refs + b"]"
@@ -850,8 +865,18 @@ def render_pdf_page_bytes(
             )
         )
 
+    for j, (_pidx, iw, ih, fname, payload) in enumerate(images):
+        idict = (b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                 b"/ColorSpace /DeviceRGB /BitsPerComponent 8" % (iw, ih))
+        if fname is not None:
+            idict += b" /Filter /" + fname.encode("ascii")
+        idict += b" /Length %d >>" % len(payload)
+        objects.append((img_obj[j],
+                        idict + b"\nstream\n" + payload + b"\nendstream"))
+
     if xref_stream:
-        return _assemble_xref_stream_pdf(objects, set(content_obj))
+        return _assemble_xref_stream_pdf(
+            objects, set(content_obj) | set(img_obj))
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = {}
@@ -927,3 +952,46 @@ def _assemble_xref_stream_pdf(objects: list, stream_obj_nums: set) -> bytes:
         + xpayload + b"\nendstream\nendobj\nstartxref\n%d\n%%%%EOF\n" % xref_pos
     )
     return bytes(out)
+
+
+def extract_pdf_images(data: bytes) -> list:
+    """Every image XObject in the file -> list of dicts
+    ``{obj, width, height, filter, payload}``.
+
+    Pre-filters in the chain (Flate/LZW/AHx/A85/RL) are decoded; when the
+    chain ends in an image-class filter the dict's ``filter`` names it and
+    ``payload`` is that filter's input verbatim (e.g. ``DCTDecode`` ->
+    the embedded JPEG file bytes, ready for a codec-side decode); with no
+    image-class filter, ``filter`` is None and ``payload`` is the raw
+    decoded sample bytes.  The reference's PdfPig exposes the same
+    ``IPdfImage.RawBytes`` surface (UglyToad.PdfPig.Content.IPdfImage).
+    """
+    out = []
+    for num, body in sorted(_objects(data).items()):
+        send = body.find(b"stream")
+        dpart = body if send < 0 else body[:send]
+        if not re.search(rb"/Subtype\s*/Image\b", dpart):
+            continue
+        raw = _extract_stream(body)
+        wm = re.search(rb"/Width\s+(\d+)", dpart)
+        hm = re.search(rb"/Height\s+(\d+)", dpart)
+        if raw is None or wm is None or hm is None:
+            continue
+        fm = re.search(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)", dpart)
+        filters = re.findall(rb"/([A-Za-z0-9]+)", fm.group(1)) if fm else []
+        img_filter = None
+        payload = raw
+        for f in filters:
+            if f in _IMAGE_FILTERS:
+                img_filter = f.decode("ascii")
+                break
+            dec = _STREAM_DECODERS.get(f)
+            if dec is None:
+                raise NotImplementedError(
+                    "PDF image pre-filter /%s is not supported"
+                    % f.decode("ascii"))
+            payload = dec(payload)
+        out.append({"obj": num, "width": int(wm.group(1)),
+                    "height": int(hm.group(1)), "filter": img_filter,
+                    "payload": payload})
+    return out

@@ -479,3 +479,57 @@ def test_mediabox_inheritance():
     )
     pages, _ = parse_pdf_layout(data)
     assert [(n, h) for n, h, _w in pages] == [(1, 650.0), (2, 500.0)]
+
+
+def test_pdf_image_xobjects_roundtrip():
+    """Writer embeds DCT + Flate image XObjects (classic AND xref-stream
+    layouts); extract_pdf_images returns the exact payloads; text on the
+    same page still extracts; the JPEG payload decodes bit-identically to
+    a direct codec round trip."""
+    import zlib
+
+    import numpy as np
+
+    from engine.ops.codecs import decode_jpeg, encode_jpeg
+    from engine.pdf import (extract_pdf_images, parse_pdf_layout,
+                            render_pdf_page_bytes)
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(9, 12, 3), dtype=np.uint8)
+    jpg = encode_jpeg(px)
+    raw = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    pages = [(1, 792.0, [(72.0, 700.0, "Img"), (110.0, 700.0, "page")])]
+    for xs in (False, True):
+        pdf = render_pdf_page_bytes(
+            pages, ["https://t.test/i"], xref_stream=xs,
+            images=[(0, 12, 9, "DCTDecode", jpg),
+                    (0, 7, 5, "FlateDecode", zlib.compress(raw.tobytes(), 9))])
+        imgs = extract_pdf_images(pdf)
+        assert sorted(i["filter"] or "raw" for i in imgs) == ["DCTDecode", "raw"]
+        dct = next(i for i in imgs if i["filter"] == "DCTDecode")
+        assert dct["payload"] == jpg
+        assert (decode_jpeg(dct["payload"]) == decode_jpeg(jpg)).all()
+        flat = next(i for i in imgs if i["filter"] is None)
+        assert flat["payload"] == raw.tobytes()
+        lay, hrefs = parse_pdf_layout(pdf)
+        assert [w for (_x, _y, w) in lay[0][2]] == ["Img", "page"]
+        assert hrefs == ["https://t.test/i"]
+
+
+def test_pdf_image_extract_op(ray_session):
+    """The derived-PDF-table op: one image row per doc, filters split by
+    the doc_id % 3 rule, words counted on every page, deterministic."""
+    from engine.ops.multimodal import pdf_image_extract
+
+    out = pdf_image_extract("/root/testdata/sf0.001")
+    out2 = pdf_image_extract("/root/testdata/sf0.001")
+    assert out.equals(out2)
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata("/root/testdata/sf0.001/documents.parquet").num_rows
+    assert len(out) == n
+    assert (out["n_words"] == 2).all()
+    raw = out[out["media_id"] % 3 == 0]
+    assert (raw["img_filter"] == "raw").all()
+    assert (out[out["media_id"] % 3 != 0]["img_filter"] == "DCTDecode").all()
+    assert out["mean_milli"].between(0, 255000).all()
