@@ -735,6 +735,13 @@ def run_events_smoke() -> dict:
         # op's docstring promises at larger windows)
         "events_sliding_distinct_hll": lambda: len(
             rel.events_sliding_distinct_hll(dest)),
+        # map-side PIVOT: wide partials per (block, day), days x 7-int rows
+        "event_type_day_pivot": lambda: len(rel.event_type_day_pivot(dest)),
+        # bounded-histogram robust stats + exact integer equi-width bins
+        "value_mad_per_type": lambda: len(rel.value_mad_per_type(dest)),
+        "value_histogram": lambda: len(rel.value_histogram(dest)),
+        # distributed rank selection over the per-user aggregate
+        "user_value_deciles": lambda: len(rel.user_value_deciles(dest)),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")
     if only:

@@ -3719,14 +3719,26 @@ def user_value_deciles(sf_dir: str) -> pd.DataFrame:
             {"user_id": t["user_id"].to_numpy(),
              "cents": np.round(t["value"].to_numpy() * 100).astype(np.int64)}
         ).groupby("user_id", as_index=False)["cents"].sum()
+        g["bucket"] = (g["user_id"].to_numpy() % N_KEY_BUCKETS).astype(np.int32)
         return _from_pandas(g)
 
-    from ray.data.aggregate import Sum
+    _TOT_SCHEMA = pa.schema([("user_id", pa.int64()),
+                             ("total_cents", pa.int64())])
 
+    def sum_group(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby("user_id", as_index=False)["cents"].sum().rename(
+            columns={"cents": "total_cents"})
+        return pa.Table.from_pandas(
+            s, schema=_TOT_SCHEMA, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    # coarse-bucket per-user sum (a direct Ray groupby(user_id) measured
+    # 362 s at 2M distinct users — the many-distinct-key sort-aggregate
+    # pathology; the bucket idiom runs the same exchange on one int32 key)
     totals = (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=262144)
-        .groupby("user_id")
-        .aggregate(Sum("cents", alias_name="total_cents"))
+        .groupby("bucket")
+        .map_groups(sum_group, batch_format="pandas")
     )
     n = totals.count()
     ranks = [(i * n + 9) // 10 - 1 for i in range(1, 11)]  # 0-based
