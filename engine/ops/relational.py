@@ -2703,7 +2703,8 @@ def returned_item_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
             schema=_JOIN_SCHEMA,
         )
 
-    _CUST_SCHEMA = pa.schema([("c_custkey", pa.int64()), ("rev", pa.float64())])
+    _CUST_SCHEMA = pa.schema([("c_custkey", pa.int64()), ("rev", pa.float64()),
+                              ("cbucket", pa.int32())])
 
     def join_group(g: pd.DataFrame) -> pa.Table:
         left = g[g["side"] == 0][["key", "cust"]]
@@ -2711,20 +2712,31 @@ def returned_item_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
         m = left.merge(right, on="key", how="inner")
         out = m.groupby("cust", as_index=False)["rev"].sum().rename(
             columns={"cust": "c_custkey"})
+        out["cbucket"] = (out["c_custkey"].to_numpy()
+                          % N_BUCKETS).astype(np.int32)
         return pa.Table.from_pandas(
             out, schema=_CUST_SCHEMA, preserve_index=False
         ).replace_schema_metadata(None)
 
-    from ray.data.aggregate import Sum
+    _CSUM_SCHEMA = pa.schema([("c_custkey", pa.int64()),
+                              ("rev", pa.float64())])
+
+    def cust_sum(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby("c_custkey", as_index=False)["rev"].sum()
+        return pa.Table.from_pandas(
+            s, schema=_CSUM_SCHEMA, preserve_index=False
+        ).replace_schema_metadata(None)
 
     both = orders.map_batches(order_rows, batch_format="pyarrow").union(
         items.map_batches(item_partials, batch_format="pyarrow", batch_size=65536)
     )
+    # second reduce re-keyed by the coarse custkey bucket (customers grow
+    # with SF; a direct groupby(c_custkey) pays per-distinct-key overhead)
     per_cust = (
         both.groupby("bucket")
         .map_groups(join_group, batch_format="pandas")
-        .groupby("c_custkey")
-        .aggregate(Sum("rev", alias_name="rev"))
+        .groupby("cbucket")
+        .map_groups(cust_sum, batch_format="pandas")
         .map_batches(
             lambda t: pa.table(
                 {"c_custkey": t["c_custkey"],
