@@ -383,6 +383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": text.tfidf_topk,
         "bm25_topk": text.bm25_topk,
         "inverted_postings": text.inverted_postings,
+        "incremental_inverted_postings": text.incremental_inverted_postings,
         "token_frequency_spectrum": text.token_frequency_spectrum,
         "filter_funnel": text.filter_funnel,
         "vocab_growth_curve": text.vocab_growth_curve,
@@ -442,6 +443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_training_data": curate.curate_training_data,
         "source_quality_stats": curate.source_quality_stats,
         "export_training_shards": curate.export_training_shards,
+        "forget_documents": curate.forget_documents,
         # similarity search
         "ann_topk": ann.ann_topk_bruteforce,
         "ann_topk_lsh": ann.ann_topk_lsh,
@@ -473,6 +475,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only: codec decode isn't SQL; pytest locks cross-codec twin
         # collapse + hash invariance + determinism
         "media_phash_dedup": multimodal.media_phash_dedup,
+        # rows-only: codec decode isn't SQL; pytest locks the banded result
+        # equal to a brute-force all-pairs reference + planted noisy twins
+        "media_phash_near_pairs": multimodal.media_phash_near_pairs,
         # rows-only: PDF XObject extraction -> real JPEG/raw decode; round
         # trip + text coexistence pytest-locked
         "pdf_image_extract": multimodal.pdf_image_extract,
@@ -1297,6 +1302,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY w, doc_id
             ORDER BY token, doc_id
         """,
+        # segmented incremental index must equal a from-scratch full index,
+        # so it shares the same full-tokenize oracle
+        "incremental_inverted_postings": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                        x -> x <> '')) AS w
+              FROM documents
+            )
+            SELECT w AS token, doc_id, count(*)::BIGINT AS tf
+            FROM tok WHERE w IN ('hash', 'join', 'stream', 'batch')
+            GROUP BY w, doc_id
+            ORDER BY token, doc_id
+        """,
         "kmv_distinct_tokens": _lsh_oracles.kmv_distinct_tokens_sql(),
         "cms_sketch_tokens": _lsh_oracles.cms_sketch_tokens_sql(),
         # Q17 shape: correlated subquery decorrelated; threshold is the same
@@ -1923,6 +1942,16 @@ def oracle_sql() -> dict[str, str]:
     d["export_training_shards"] = f"""
         WITH cur AS ({d["curate_training_data"]}),
         kept AS (SELECT doc_id FROM cur WHERE status = 'kept')
+        SELECT (d.doc_id % 16)::BIGINT AS shard, count(*)::BIGINT AS n_docs,
+               sum(length(d.text))::BIGINT AS n_chars
+        FROM documents d JOIN kept k ON k.doc_id = d.doc_id
+        GROUP BY 1 ORDER BY 1"""
+    # Right-to-be-forgotten: the export manifest minus the deterministic
+    # deletion set (doc_id % 331 == 7) — counts AND chars checked.
+    d["forget_documents"] = f"""
+        WITH cur AS ({d["curate_training_data"]}),
+        kept AS (SELECT doc_id FROM cur
+                 WHERE status = 'kept' AND doc_id % 331 <> 7)
         SELECT (d.doc_id % 16)::BIGINT AS shard, count(*)::BIGINT AS n_docs,
                sum(length(d.text))::BIGINT AS n_chars
         FROM documents d JOIN kept k ON k.doc_id = d.doc_id

@@ -112,9 +112,12 @@ BENCH_QUERY_NAMES = [
     "knn_graph",
     "sole_return_supplier",
     "media_phash_dedup",
+    "media_phash_near_pairs",
     "winnow_fingerprints",
     "triangle_count",
     "inverted_postings",
+    "incremental_inverted_postings",
+    "forget_documents",
     "token_frequency_spectrum",
     "label_centroids",
     "bigram_pmi_topk",

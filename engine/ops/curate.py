@@ -230,6 +230,31 @@ def export_training_shards(sf_dir: str, out_dir: str | None = None,
         out_dir = _os.path.join("/tmp", "engine_training_shards", key)
     _os.makedirs(out_dir, exist_ok=True)
 
+    # Completed-export fast path: a top-level marker (written only after a
+    # full run) lists the manifest; if every listed shard's parquet FOOTER
+    # still matches, return it without replaying the curate pipeline.  A
+    # stale/partial marker (e.g. a shard rewritten underneath us) falls
+    # through to the per-shard resumable path below.
+    done_marker = _os.path.join(out_dir, "_export_done.json")
+    if _os.path.exists(done_marker):
+        with open(done_marker) as f:
+            rows = json.load(f)
+        ok = True
+        for m in rows:
+            fpath = _os.path.join(out_dir, f"shard={m['shard']}", "part.parquet")
+            try:
+                if _pq.ParquetFile(fpath).metadata.num_rows != m["n_docs"]:
+                    ok = False
+                    break
+            except (OSError, pa.ArrowInvalid):
+                ok = False
+                break
+        if ok:
+            return pd.DataFrame(
+                rows, columns=["shard", "n_docs", "n_chars"]
+            ).astype({"shard": "int64", "n_docs": "int64",
+                      "n_chars": "int64"})
+
     _U_SCHEMA = pa.schema(
         [("doc_id", pa.int64()), ("text", pa.string()),
          ("is_kept", pa.int8()), ("shard", pa.int64())]
@@ -302,7 +327,134 @@ def export_training_shards(sf_dir: str, out_dir: str | None = None,
         .to_pandas()
     )
     out = out[out["n_docs"] > 0]
-    return out.sort_values("shard").reset_index(drop=True)
+    out = out.sort_values("shard").reset_index(drop=True)
+    with open(done_marker + ".tmp", "w") as f:
+        json.dump(out.to_dict(orient="records"), f)
+    _os.replace(done_marker + ".tmp", done_marker)
+    return out
+
+
+# Deterministic stand-in for a right-to-be-forgotten request list: the docs
+# with doc_id % _FORGET_MOD == _FORGET_REM (SQL-expressible so the manifest
+# stays DuckDB-checkable end to end).
+_FORGET_MOD, _FORGET_REM = 331, 7
+
+
+def forget_documents(sf_dir: str, out_dir: str | None = None,
+                     n_shards: int = 16) -> pd.DataFrame:
+    """(shard, n_docs, n_chars) — targeted deletion (right-to-be-forgotten /
+    takedown) propagated into the exported training shards WITHOUT a corpus
+    rebuild: the deletion set maps to its ``shard=K/`` partitions and ONLY
+    those files are read, filtered, and atomically rewritten (tmp + rename,
+    manifest updated); every other shard is never even opened.  At 100 TB
+    this is the difference between an hours-long full re-export and touching
+    a handful of partition files.
+
+    Scale shape: phase 1 reuses ``export_training_shards``'s resumable build
+    (into a forget-private dir, so the plain export artifact stays
+    pristine).  Phase 2 collects the deletion set on the driver — deletion
+    REQUESTS are driver-small by nature (the detect_corpus_delta
+    assumption), here the deterministic ``doc_id % 331 == 7`` stand-in —
+    broadcasts it once, and rewrites the affected shards as one distributed
+    map (one task per shard, each a bounded single-file read).  Re-running
+    is a no-op: already-clean shards contain no forgotten ids and are left
+    untouched (content-level idempotence, no marker files).
+
+    Returns the post-forget manifest; the DuckDB oracle recomputes it from
+    the composed curate oracle minus the forgotten ids (counts AND chars, so
+    payload is checked).
+    """
+    import hashlib
+    import json
+
+    import pyarrow.parquet as _pq
+    import ray as _ray
+    import ray.data as _rd
+
+    from .io import read_pruned
+
+    src = _os.path.join(sf_dir, "documents.parquet")
+    if out_dir is None:
+        st = _os.stat(src)
+        key = hashlib.md5(
+            f"{_os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|"
+            f"{n_shards}|forget".encode()
+        ).hexdigest()[:16]
+        out_dir = _os.path.join("/tmp", "engine_forget_shards", key)
+    export_training_shards(sf_dir, out_dir=out_dir, n_shards=n_shards)
+
+    def matches(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        return pa.table({"doc_id": pa.array(
+            ids[ids % _FORGET_MOD == _FORGET_REM], pa.int64())})
+
+    forget_ids = np.sort(
+        read_pruned(src, ["doc_id"])
+        .map_batches(matches, batch_format="pyarrow")
+        .to_pandas()["doc_id"].to_numpy()
+    )
+    affected = sorted({int(i) % n_shards for i in forget_ids})
+    fref = _ray.put(forget_ids)
+
+    _M_SCHEMA = pa.schema(
+        [("shard", pa.int64()), ("rewritten", pa.int8())]
+    )
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        fids = _ray.get(fref)
+        out = {"shard": [], "rewritten": []}
+        for sh in t["shard"].to_pylist():
+            final = _os.path.join(out_dir, f"shard={sh}")
+            fpath = _os.path.join(final, "part.parquet")
+            mpath = _os.path.join(final, "manifest.json")
+            if not _os.path.exists(fpath):
+                continue
+            tbl = _pq.read_table(fpath)
+            keep = ~np.isin(tbl["doc_id"].to_numpy(), fids)
+            out["shard"].append(sh)
+            if keep.all():                      # already clean: untouched
+                out["rewritten"].append(0)
+                continue
+            clean = tbl.filter(pa.array(keep))
+            tmp = fpath + ".tmp"
+            _pq.write_table(clean, tmp)
+            _os.replace(tmp, fpath)
+            n_chars = int(pa.compute.sum(
+                pa.compute.utf8_length(clean["text"])).as_py() or 0)
+            with open(mpath + ".tmp", "w") as f:
+                json.dump({"shard": int(sh), "n_docs": clean.num_rows,
+                           "n_chars": n_chars}, f)
+            _os.replace(mpath + ".tmp", mpath)
+            out["rewritten"].append(1)
+        return pa.table(
+            {"shard": pa.array(out["shard"], pa.int64()),
+             "rewritten": pa.array(out["rewritten"], pa.int8())},
+            schema=_M_SCHEMA)
+
+    if affected:
+        (_rd.from_items([{"shard": s} for s in affected])
+         .map_batches(rewrite, batch_format="pyarrow", batch_size=1)
+         .materialize())
+
+    rows = []
+    for sh in range(n_shards):
+        mpath = _os.path.join(out_dir, f"shard={sh}", "manifest.json")
+        if not _os.path.exists(mpath):
+            continue
+        with open(mpath) as f:
+            m = json.load(f)
+        if m["n_docs"] > 0:
+            rows.append({"shard": sh, "n_docs": m["n_docs"],
+                         "n_chars": m["n_chars"]})
+    # Refresh the export's top-level marker with the post-forget manifest so
+    # a re-run's export_training_shards call fast-paths instead of replaying
+    # the curate pipeline against already-clean shards.
+    done_marker = _os.path.join(out_dir, "_export_done.json")
+    with open(done_marker + ".tmp", "w") as f:
+        json.dump(rows, f)
+    _os.replace(done_marker + ".tmp", done_marker)
+    return pd.DataFrame(rows, columns=["shard", "n_docs", "n_chars"]).astype(
+        {"shard": "int64", "n_docs": "int64", "n_chars": "int64"})
 
 
 def source_quality_stats(sf_dir: str) -> pd.DataFrame:

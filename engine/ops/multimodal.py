@@ -583,6 +583,118 @@ def media_phash_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+_PHASH_NOISY_EVERY = 24  # media_id % 24 == 6 (a plain-BMP slot) gets a
+_PHASH_NOISY_BASE = 2 * 10 ** 9  # retouched twin under media_id + 2e9
+
+
+def _media_with_noisy_twins(sf_dir: str):
+    """The real media table plus planted NEAR-duplicate images: every
+    ``media_id % 24 == 6`` BMP re-enters with its two corner-SAMPLED pixels
+    clamped (the exact pixels the 8x8 aHash resample reads, so the twin's
+    hash differs in a small, bounded number of bits) and re-encoded as PNG
+    — the 'same picture, slightly retouched, different container' shape a
+    web crawl actually serves.  Deterministic; sf tables untouched."""
+
+    def add_twins(t: pa.Table) -> pa.Table:
+        ids = t["media_id"].to_pylist()
+        payloads = t["payload"].to_pylist()
+        out_i, out_p = list(ids), list(payloads)
+        for mid, payload in zip(ids, payloads):
+            if mid % _PHASH_NOISY_EVERY != 6:
+                continue
+            if sniff(payload) != "bmp":
+                continue
+            px = decode_bmp(payload).copy()
+            h, w = px.shape[:2]
+            px[0, 0] = 255                       # aHash cell (0,0) forced on
+            px[7 * h // 8, 7 * w // 8] = 0       # aHash cell (7,7) forced off
+            out_i.append(mid + _PHASH_NOISY_BASE)
+            out_p.append(encode_png(px))
+        return pa.table({
+            "media_id": pa.array(out_i, pa.int64()),
+            "payload": pa.array(out_p, pa.binary()),
+        })
+
+    return real_media_table(sf_dir).map_batches(
+        add_twins, batch_format="pyarrow", batch_size=64)
+
+
+def media_phash_near_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+    """(media_a, media_b) — NEAR-duplicate image pairs at
+    Hamming(aHash) <= max_hamming: the multimodal twin of
+    ``simhash_near_pairs``, catching retouched/re-compressed copies whose
+    pixels (and so exact hashes) differ slightly.
+
+    Scale shape: pixels never shuffle — the actor-pool decode emits 16-byte
+    (media_id, ahash) rows; each batch fans those into 4 x 16-bit pigeonhole
+    block keys (a pair within Hamming<=3 agrees exactly on >=1 block — the
+    banding is EXACT, not probabilistic), a coarse 64-bucket shuffle
+    co-locates fine keys, each group verifies candidates with the vectorized
+    XOR/popcount matrix, and cross-block duplicate pairs drop inside the
+    pair-hash bucket shuffle.  Rows-only for the driver (codec decode isn't
+    SQL); pytest locks the banded result equal to a brute-force all-pairs
+    reference and the planted noisy twins being found."""
+    from .dedup import _hamming_matrix, _pair_dedup_ds, _pairs_to_pandas
+
+    hashed = _media_with_noisy_twins(sf_dir).map_batches(
+        PerceptualHashStage, batch_format="pyarrow", batch_size=64,
+        concurrency=2)
+
+    N_SHUFFLE_BUCKETS = 64
+
+    def block_rows(t: pa.Table) -> pa.Table:
+        ids = t["media_id"].to_numpy()
+        hs = t["ahash"].to_numpy().astype(np.uint64)
+        out_id = np.tile(ids, 4)
+        out_h = np.tile(hs, 4).astype(np.int64)
+        blk = np.repeat(np.arange(4, dtype=np.int32), len(ids))
+        key = ((np.tile(hs, 4) >> (blk.astype(np.uint64) * np.uint64(16)))
+               & np.uint64(0xFFFF)).astype(np.int32)
+        bucket = ((blk.astype(np.int64) << 16) | key) % N_SHUFFLE_BUCKETS
+        return pa.table(
+            {"media_id": pa.array(out_id, pa.int64()),
+             "ahash": pa.array(out_h, pa.int64()),
+             "blk": pa.array(blk, pa.int32()),
+             "key": pa.array(key, pa.int32()),
+             "bucket": pa.array(bucket.astype(np.int32), pa.int32())}
+        )
+
+    _PAIR_SCHEMA = pa.schema([("media_a", pa.int64()), ("media_b", pa.int64())])
+
+    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
+        g = g[g.groupby(["blk", "key"])["key"].transform("size") >= 2]
+        out_a: list = []
+        out_b: list = []
+        for _, sub in g.groupby(["blk", "key"], sort=False):
+            n = len(sub)
+            if n < 2:
+                continue
+            order = np.argsort(sub["media_id"].to_numpy(), kind="stable")
+            ids = sub["media_id"].to_numpy()[order]
+            hs = sub["ahash"].to_numpy()[order].astype(np.uint64)
+            dist = _hamming_matrix(hs)
+            iu, ju = np.triu_indices(n, k=1)
+            ok = dist[iu, ju] <= max_hamming
+            out_a.append(ids[iu[ok]])
+            out_b.append(ids[ju[ok]])
+        a = np.concatenate(out_a) if out_a else np.zeros(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.zeros(0, np.int64)
+        return pa.table({"media_a": pa.array(a, pa.int64()),
+                         "media_b": pa.array(b, pa.int64())},
+                        schema=_PAIR_SCHEMA)
+
+    return _pairs_to_pandas(
+        _pair_dedup_ds(
+            hashed.map_batches(block_rows, batch_format="pyarrow",
+                               batch_size=4096)
+            .groupby("bucket")
+            .map_groups(bucket_pairs, batch_format="pandas"),
+            cols=("media_a", "media_b"),
+        ),
+        cols=("media_a", "media_b"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # PDF embedded-image extraction: the PDF reader's XObject surface wired to
 # the from-scratch image codecs (the reference's PdfPig exposes the same

@@ -1818,26 +1818,20 @@ def build_inverted_index(sf_dir: str, n_buckets: int = INV_BUCKETS) -> str:
     footer opens).  Cache-keyed on the documents file identity, so a
     rewritten corpus invalidates.
     """
-    import hashlib as _hl
-    import json as _json
+    return _build_postings_segment(sf_dir, n_buckets, lo=None, hi=None)
 
+
+_POSTINGS_SCHEMA = pa.schema(
+    [("token", pa.string()), ("doc_id", pa.int64()), ("tf", pa.int64()),
+     ("bucket", pa.int64())]
+)
+
+
+def _postings_batch_fn(n_buckets: int):
+    """Per-batch (token, doc_id, tf, bucket) extraction — factorize + fused
+    (doc, token) unique-counts; memory O(occurrences), never
+    O(docs x batch-vocab)."""
     from .dedup import _token_hash
-
-    p = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(p)
-    key = _hl.md5(
-        f"{os.path.abspath(p)}|{st.st_mtime_ns}|{st.st_size}|{n_buckets}".encode()
-    ).hexdigest()[:16]
-    dest = os.path.join("/tmp", "engine_inv_index", key)
-    marker = os.path.join(dest, "_done.json")
-    if os.path.exists(marker):
-        return dest
-    os.makedirs(dest, exist_ok=True)
-
-    _SCHEMA = pa.schema(
-        [("token", pa.string()), ("doc_id", pa.int64()), ("tf", pa.int64()),
-         ("bucket", pa.int64())]
-    )
 
     def postings(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy()
@@ -1845,11 +1839,9 @@ def build_inverted_index(sf_dir: str, n_buckets: int = INV_BUCKETS) -> str:
         lens = np.array([len(x) for x in toks_per_doc], dtype=np.int64)
         flat = [w for ts in toks_per_doc for w in ts]
         if not flat:
-            return _SCHEMA.empty_table()
+            return _POSTINGS_SCHEMA.empty_table()
         codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
         doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-        # (doc, token) tf via sparse unique-counts over fused keys — memory
-        # is O(occurrences), never O(docs x batch-vocab)
         fused = doc_idx * np.int64(len(uniques)) + codes
         keys, tf = np.unique(fused, return_counts=True)
         d_i = keys // len(uniques)
@@ -1861,17 +1853,56 @@ def build_inverted_index(sf_dir: str, n_buckets: int = INV_BUCKETS) -> str:
              "doc_id": pa.array(ids[d_i], pa.int64()),
              "tf": pa.array(tf.astype(np.int64), pa.int64()),
              "bucket": pa.array(ub[c_i], pa.int64())},
-            schema=_SCHEMA)
+            schema=_POSTINGS_SCHEMA)
+
+    return postings
+
+
+def _build_postings_segment(sf_dir: str, n_buckets: int,
+                            lo: int | None, hi: int | None) -> str:
+    """Build (once, cached) a postings SEGMENT over the doc_id slice
+    [lo, hi) — None bounds are open — and return its directory.  The full
+    index is the lo=hi=None segment; an incremental delta is a bounded
+    slice, so the build cost scales with the slice, not the corpus."""
+    import hashlib as _hl
+    import json as _json
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(p)
+    key = _hl.md5(
+        f"{os.path.abspath(p)}|{st.st_mtime_ns}|{st.st_size}|{n_buckets}|"
+        f"{lo}|{hi}".encode()
+    ).hexdigest()[:16]
+    dest = os.path.join("/tmp", "engine_inv_index", key)
+    marker = os.path.join(dest, "_done.json")
+    if os.path.exists(marker):
+        return dest
+    os.makedirs(dest, exist_ok=True)
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    if lo is not None or hi is not None:
+        # Slice to the segment's docs before tokenizing (in production the
+        # new batch arrives as its own file and this filter is the read).
+        def in_slice(t: pa.Table) -> pa.Table:
+            m = pa.array(np.ones(len(t), bool))
+            ids = t["doc_id"]
+            if lo is not None:
+                m = pc.and_(m, pc.greater_equal(ids, lo))
+            if hi is not None:
+                m = pc.and_(m, pc.less(ids, hi))
+            return t.filter(m)
+
+        ds = ds.map_batches(in_slice, batch_format="pyarrow")
 
     (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(postings, batch_format="pyarrow")
+        ds.map_batches(_postings_batch_fn(n_buckets), batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(lambda t: t, batch_format="pyarrow")
         .write_parquet(dest, partition_cols=["bucket"])
     )
     with open(marker, "w") as f:
-        _json.dump({"source": p, "n_buckets": n_buckets}, f)
+        _json.dump({"source": p, "n_buckets": n_buckets,
+                    "lo": lo, "hi": hi}, f)
     return dest
 
 
@@ -1883,28 +1914,56 @@ def inverted_postings(sf_dir: str, terms: tuple = _INV_TERMS,
     with an in-bucket token filter.  DuckDB-oracle-checked end to end
     against a full-corpus tokenize (the index build + lookup must agree
     with the definition, not just with itself)."""
+    dest = build_inverted_index(sf_dir, n_buckets)
+    return _postings_lookup([dest], terms, n_buckets)
+
+
+def _postings_lookup(segment_dirs, terms, n_buckets: int) -> pd.DataFrame:
+    """Bounded postings lookup across index SEGMENTS: opens only the terms'
+    ``bucket=K/`` files in each segment (cost scales with |terms| x
+    |segments|, never the corpus).  Segments hold disjoint doc ranges, so
+    the merge is a concat."""
     import pyarrow.dataset as pads
 
     from .dedup import _token_hash
 
-    dest = build_inverted_index(sf_dir, n_buckets)
     by_bucket: dict = {}
     for w in terms:
         by_bucket.setdefault(_token_hash(w) % n_buckets, []).append(w)
     parts = []
-    for b, want in sorted(by_bucket.items()):
-        bdir = os.path.join(dest, f"bucket={b}")
-        if not os.path.isdir(bdir):
-            continue
-        dset = pads.dataset(bdir, format="parquet")
-        parts.append(dset.to_table(columns=["token", "doc_id", "tf"],
-                                   filter=pads.field("token").isin(want)))
+    for dest in segment_dirs:
+        for b, want in sorted(by_bucket.items()):
+            bdir = os.path.join(dest, f"bucket={b}")
+            if not os.path.isdir(bdir):
+                continue
+            dset = pads.dataset(bdir, format="parquet")
+            parts.append(dset.to_table(columns=["token", "doc_id", "tf"],
+                                       filter=pads.field("token").isin(want)))
     if not parts:
         return pd.DataFrame({"token": pd.Series([], dtype="object"),
                              "doc_id": pd.Series([], dtype="int64"),
                              "tf": pd.Series([], dtype="int64")})
     out = pa.concat_tables(parts).to_pandas()
     return out.sort_values(["token", "doc_id"]).reset_index(drop=True)
+
+
+def incremental_inverted_postings(sf_dir: str, terms: tuple = _INV_TERMS,
+                                  n_buckets: int = INV_BUCKETS,
+                                  n_base: int = 400) -> pd.DataFrame:
+    """(token, doc_id, tf) — postings served from a SEGMENTED index after an
+    incremental ingest (the Lucene idiom: an immutable base segment plus a
+    delta segment per ingest batch; a merge policy compacts segments later).
+    Base = doc_id < n_base, the day's batch = doc_id >= n_base; indexing the
+    batch costs one pass over the BATCH only — the 100-TB base index is
+    never rebuilt or rewritten.  Lookups open the terms' bucket files in
+    each segment and concat (doc ranges are disjoint).
+
+    The result must equal a from-scratch full-corpus index, so it shares
+    ``inverted_postings``'s full-tokenize DuckDB oracle.
+    """
+    base = _build_postings_segment(sf_dir, n_buckets, lo=None, hi=n_base)
+    delta = _build_postings_segment(sf_dir, n_buckets, lo=n_base, hi=None)
+    return _postings_lookup([base, delta], terms, n_buckets)
 
 
 def token_frequency_spectrum(sf_dir: str) -> pd.DataFrame:

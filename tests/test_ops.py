@@ -2548,3 +2548,95 @@ def test_events_sliding_distinct_hll_envelope(ray_session):
     assert len(m) == len(exact) == len(approx)
     err = (m["n_users_est"] - m["n_users"]).abs()
     assert (err <= 0.1 * m["n_users"] + 5).all()
+
+
+def test_media_phash_near_pairs_vs_bruteforce(ray_session):
+    """The banded (pigeonhole-block) near-pair result must EQUAL a
+    brute-force all-pairs Hamming scan (4 blocks, threshold 3 < 4 makes the
+    banding exact, not probabilistic), every planted noisy twin must pair
+    with its original, and the op is rerun-deterministic."""
+    import numpy as np
+
+    from engine.ops.dedup import _hamming_matrix
+    from engine.ops.multimodal import (_PHASH_NOISY_BASE, PerceptualHashStage,
+                                       _media_with_noisy_twins,
+                                       media_phash_near_pairs)
+
+    out = media_phash_near_pairs(SF)
+
+    hashed = (_media_with_noisy_twins(SF)
+              .map_batches(PerceptualHashStage, batch_format="pyarrow",
+                           batch_size=64, concurrency=1)
+              .to_pandas())
+    ids = hashed["media_id"].to_numpy()
+    hs = hashed["ahash"].to_numpy().astype(np.uint64)
+    dist = _hamming_matrix(hs)
+    iu, ju = np.triu_indices(len(ids), k=1)
+    ok = dist[iu, ju] <= 3
+    a = np.minimum(ids[iu[ok]], ids[ju[ok]])
+    b = np.maximum(ids[iu[ok]], ids[ju[ok]])
+    ref = set(zip(a.tolist(), b.tolist()))
+    got = set(zip(out["media_a"].tolist(), out["media_b"].tolist()))
+    assert got == ref
+
+    # Planted noisy twins: the two clamped aHash-sample pixels flip their own
+    # bits directly but also shift the global mean, so a twin can drift past
+    # the radius; assert the overwhelming majority stay within and that EVERY
+    # within-radius twin is found (the rest is covered by got == ref).
+    h = dict(zip(ids.tolist(), hs.tolist()))
+    twins = [int(t) for t in ids if t >= _PHASH_NOISY_BASE]
+    assert len(twins) > 0
+    within = [t for t in twins
+              if bin(h[t] ^ h[t - _PHASH_NOISY_BASE]).count("1") <= 3]
+    assert len(within) >= 0.8 * len(twins)
+    for t in within:
+        orig = t - _PHASH_NOISY_BASE
+        assert (orig, t) in got
+
+    assert out.equals(media_phash_near_pairs(SF))
+
+
+def test_forget_documents_targeted_rewrite(ray_session, tmp_path):
+    """Right-to-be-forgotten: forgotten doc_ids are physically absent from
+    the shard files, untouched shards keep their original bytes (mtime
+    unchanged — they were never rewritten), and a second run is a no-op on
+    every file (content-level idempotence)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from engine.ops.curate import (_FORGET_MOD, _FORGET_REM, forget_documents)
+
+    out_dir = str(tmp_path / "shards")
+    m1 = forget_documents(SF, out_dir=out_dir)
+    assert len(m1) > 0
+
+    for sh in sorted(os.listdir(out_dir)):
+        fpath = os.path.join(out_dir, sh, "part.parquet")
+        if not os.path.exists(fpath):
+            continue
+        ids = pq.read_table(fpath, columns=["doc_id"])["doc_id"].to_numpy()
+        assert not ((ids % _FORGET_MOD) == _FORGET_REM).any()
+
+    mtimes = {}
+    for sh in sorted(os.listdir(out_dir)):
+        fpath = os.path.join(out_dir, sh, "part.parquet")
+        if os.path.exists(fpath):
+            mtimes[fpath] = os.stat(fpath).st_mtime_ns
+
+    m2 = forget_documents(SF, out_dir=out_dir)
+    assert m1.equals(m2)
+    for fpath, t in mtimes.items():
+        assert os.stat(fpath).st_mtime_ns == t, f"{fpath} rewritten on no-op"
+
+
+def test_incremental_postings_equal_full(ray_session):
+    """The segmented (base + delta) index must serve postings identical to
+    the from-scratch full index for any split point, including degenerate
+    splits (empty base / empty delta)."""
+    from engine.ops.text import incremental_inverted_postings, inverted_postings
+
+    full = inverted_postings(SF)
+    for n_base in (0, 137, 400, 10 ** 9):
+        seg = incremental_inverted_postings(SF, n_base=n_base)
+        assert seg.equals(full), f"split at {n_base} diverges"
