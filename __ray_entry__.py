@@ -361,6 +361,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_cap_sample": relational.source_cap_sample,
         "nation_market_share": relational.nation_market_share,
         "linestatus_priority_counts": relational.linestatus_priority_counts,
+        "part_supplier_counts": relational.part_supplier_counts,
+        "important_parts": relational.important_parts,
+        "converted_clean_users": relational.converted_clean_users,
+        "events_late_arrivals": relational.events_late_arrivals,
+        "potential_promotion_suppliers": relational.potential_promotion_suppliers,
         "bracket_discount_revenue": relational.bracket_discount_revenue,
         "revenue_cube": relational.revenue_cube,
         "top_revenue_supplier": relational.top_revenue_supplier,
@@ -1463,6 +1468,74 @@ def oracle_sql() -> dict[str, str]:
             FROM q JOIN orders ON o_orderkey = q.l_orderkey
                    JOIN customer ON c_custkey = o_custkey
             ORDER BY sum_qty DESC, o_orderkey
+        """,
+        # TPC-H Q16 shape (lineitem-based: no partsupp table in the corpus):
+        # part-attr exclusions + NOT-IN supplier exclusion + exact
+        # count-distinct per bounded attribute group
+        "part_supplier_counts": """
+            WITH bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000),
+            pairs AS (
+              SELECT DISTINCT p_brand, p_type, p_size, l_suppkey
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+                AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+                AND l_suppkey NOT IN (SELECT s_suppkey FROM bad))
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                   count(*)::BIGINT AS supplier_cnt
+            FROM pairs GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        # TPC-H Q11 shape: HAVING against a scalar subquery over the same
+        # aggregate; both sides integer (whole-unit-rounded per-part sums)
+        "important_parts": """
+            WITH v AS (
+              SELECT l_partkey,
+                     CAST(round(sum(l_extendedprice * (1 - l_discount)), 0)
+                          AS BIGINT) AS value
+              FROM lineitem GROUP BY 1)
+            SELECT l_partkey, value FROM v
+            WHERE value * 10000 > (SELECT sum(value) FROM v) * 2
+            ORDER BY value DESC, l_partkey
+        """,
+        # INTERSECT / EXCEPT set-operation shape over the high-value slice
+        "converted_clean_users": """
+            WITH e AS (SELECT user_id, event_type FROM events WHERE value > 99.0)
+            SELECT user_id FROM (
+              SELECT user_id FROM e WHERE event_type = 'click'
+              INTERSECT
+              SELECT user_id FROM e WHERE event_type = 'purchase'
+              EXCEPT
+              SELECT user_id FROM e WHERE event_type = 'error')
+            ORDER BY user_id
+        """,
+        # out-of-order detection: global prefix max over arrival order
+        "events_late_arrivals": """
+            WITH w AS (
+              SELECT event_type, epoch_us(ts) AS tsi,
+                     max(epoch_us(ts)) OVER (
+                       ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS prev_max
+              FROM events)
+            SELECT event_type,
+                   count(*) FILTER (WHERE prev_max - tsi > 3600000000)::BIGINT
+                     AS n_late,
+                   count(*)::BIGINT AS n_events
+            FROM w GROUP BY 1 ORDER BY 1
+        """,
+        # TPC-H Q20 shape: nested-IN semi-join chain + HAVING
+        "potential_promotion_suppliers": """
+            WITH blue AS (
+              SELECT p_partkey FROM part WHERE p_name LIKE 'blue%'),
+            q AS (
+              SELECT l_suppkey,
+                     CAST(round(sum(l_quantity), 0) AS BIGINT) AS total_qty
+              FROM lineitem
+              WHERE l_partkey IN (SELECT p_partkey FROM blue)
+              GROUP BY 1 HAVING CAST(round(sum(l_quantity), 0) AS BIGINT) > 400)
+            SELECT s_suppkey, s_name, total_qty
+            FROM q JOIN supplier ON s_suppkey = l_suppkey
+            ORDER BY s_suppkey
         """,
         # cumulative web-corpus filter cascade (single-scan funnel)
         "filter_funnel": r"""

@@ -118,6 +118,11 @@ BENCH_QUERY_NAMES = [
     "inverted_postings",
     "incremental_inverted_postings",
     "forget_documents",
+    "part_supplier_counts",
+    "important_parts",
+    "converted_clean_users",
+    "events_late_arrivals",
+    "potential_promotion_suppliers",
     "token_frequency_spectrum",
     "label_centroids",
     "bigram_pmi_topk",

@@ -3868,3 +3868,369 @@ def events_sliding_distinct_hll(sf_dir: str,
                                                 unit="us"),
                      "n_users_est": int(round(_hll_estimate(merged)))})
     return pd.DataFrame(rows).astype({"n_users_est": "int64"})
+
+
+def part_supplier_counts(sf_dir: str) -> pd.DataFrame:
+    """(p_brand, p_type, p_size, supplier_cnt) — how many DISTINCT suppliers
+    ship each surviving part profile (TPC-H Q16 shape, re-based on lineitem
+    because the corpus has no partsupp table): part-attribute exclusions
+    (brand/type/size) plus a NOT-IN supplier exclusion, then an exact
+    count-distinct per bounded attribute group.
+
+    Scale shape: both exclusion sets are bounded catalogs — the eligible
+    partkey -> (brand, type, size) map and the excluded suppkey set each
+    broadcast ONCE via ``ray.put``; lineitem then does a map-only semi-join
+    + per-batch (group, suppkey) drop-duplicates partial, and the single
+    all-to-all is a COARSE ``suppkey % 64`` shuffle (same (group, supp)
+    pair always co-locates, so the in-group dedup is exact) emitting
+    per-bucket partial counts over the bounded brand x type x size lattice;
+    the driver folds 64 x |lattice| rows.  Lineitem never moves at full
+    width, and no per-distinct-key sort aggregate runs.
+    """
+    import pyarrow.parquet as _pq
+
+    part = _pq.read_table(
+        _t(sf_dir, "part"),
+        columns=["p_partkey", "p_brand", "p_type", "p_size"]).to_pandas()
+    elig = part[(part["p_brand"] != "Brand#1")
+                & (part["p_type"] != "PROMO")
+                & (part["p_size"].isin([1, 5, 9, 13, 17, 21, 25, 29]))]
+    pmap = {int(k): (b, t, int(s)) for k, b, t, s in zip(
+        elig["p_partkey"], elig["p_brand"], elig["p_type"], elig["p_size"])}
+    supp = _pq.read_table(
+        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_acctbal"]).to_pandas()
+    bad = set(supp.loc[supp["s_acctbal"] < 1000.0, "s_suppkey"].astype(int))
+    pmap_ref = ray.put(pmap)
+    bad_ref = ray.put(bad)
+
+    items = read_pruned(_t(sf_dir, "lineitem"), ["l_partkey", "l_suppkey"])
+
+    _PAIR_SCHEMA = pa.schema(
+        [("p_brand", pa.string()), ("p_type", pa.string()),
+         ("p_size", pa.int64()), ("supp", pa.int64()), ("bucket", pa.int32())]
+    )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        pm = ray.get(pmap_ref)
+        excl = ray.get(bad_ref)
+        df = pd.DataFrame({"pk": t["l_partkey"].to_numpy(),
+                           "supp": t["l_suppkey"].to_numpy()})
+        df = df[df["pk"].isin(pm.keys()) & ~df["supp"].isin(excl)]
+        df = df.drop_duplicates()
+        attrs = df["pk"].map(pm)
+        out = pd.DataFrame({
+            "p_brand": attrs.map(lambda a: a[0]),
+            "p_type": attrs.map(lambda a: a[1]),
+            "p_size": attrs.map(lambda a: a[2]).astype("int64"),
+            "supp": df["supp"].to_numpy(),
+        }).drop_duplicates()
+        out["bucket"] = (out["supp"].to_numpy() % N_KEY_BUCKETS).astype(np.int32)
+        return pa.Table.from_pandas(
+            out, schema=_PAIR_SCHEMA, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    _CNT_SCHEMA = pa.schema(
+        [("p_brand", pa.string()), ("p_type", pa.string()),
+         ("p_size", pa.int64()), ("supplier_cnt", pa.int64())]
+    )
+
+    def count_group(g: pd.DataFrame) -> pa.Table:
+        d = g.drop_duplicates(["p_brand", "p_type", "p_size", "supp"])
+        c = (d.groupby(["p_brand", "p_type", "p_size"], as_index=False)
+             .agg(supplier_cnt=("supp", "size")))
+        return pa.Table.from_pandas(
+            c, schema=_CNT_SCHEMA, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    parts = (
+        items.map_batches(pair_partial, batch_format="pyarrow",
+                          batch_size=262144)
+        .groupby("bucket")
+        .map_groups(count_group, batch_format="pandas")
+        .to_pandas()  # bounded: 64 buckets x brand/type/size lattice
+    )
+    out = (parts.groupby(["p_brand", "p_type", "p_size"], as_index=False)
+           ["supplier_cnt"].sum())
+    return (out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True]).reset_index(drop=True))
+
+
+def important_parts(sf_dir: str, frac_bp: int = 2) -> pd.DataFrame:
+    """(l_partkey, value) — parts whose total revenue exceeds ``frac_bp``
+    basis points of GLOBAL revenue (TPC-H Q11 shape: a HAVING clause
+    against a scalar subquery over the same aggregate).
+
+    Scale shape: one pass builds per-part revenue partials combined per
+    batch, shuffled on the COARSE ``partkey % 64`` bucket; each bucket
+    group emits (a) its per-part whole-unit-ROUNDED sums and (b) nothing
+    else — the global total is then the driver's sum of the 64 bucket
+    totals over already-rounded integers, so the threshold comparison
+    ``value * 10000 > total * frac_bp`` is pure int64 arithmetic,
+    bit-stable under any summation order, and matches the SQL twin
+    exactly.  Survivors (the point of the query: a tiny head) are the only
+    full-width rows returned.
+    """
+    items = read_pruned(
+        _t(sf_dir, "lineitem"), ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        rev = (t["l_extendedprice"].to_numpy()
+               * (1.0 - t["l_discount"].to_numpy()))
+        df = pd.DataFrame({"key": t["l_partkey"].to_numpy(), "rev": rev})
+        g = df.groupby("key", as_index=False)["rev"].sum()
+        g["bucket"] = (g["key"].to_numpy() % N_KEY_BUCKETS).astype(np.int32)
+        return _from_pandas(g)
+
+    _VAL_SCHEMA = pa.schema([("key", pa.int64()), ("value", pa.int64())])
+
+    def round_group(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby("key", as_index=False)["rev"].sum()
+        s["value"] = s["rev"].round(0).astype("int64")
+        return pa.Table.from_pandas(
+            s[["key", "value"]], schema=_VAL_SCHEMA, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    vals_ds = (
+        items.map_batches(rev_partial, batch_format="pyarrow",
+                          batch_size=262144)
+        .groupby("bucket")
+        .map_groups(round_group, batch_format="pandas")
+    )
+    # total = sum of already-rounded int64 per-part values (order-free);
+    # survivors filter runs distributed so only the head reaches the driver
+    from ray.data.aggregate import Sum as _Sum
+
+    total = int(vals_ds.aggregate(_Sum("value", alias_name="v"))["v"])
+
+    def survivors(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy()
+        return t.filter(pa.array(v * 10000 > total * frac_bp))
+
+    out = (vals_ds.map_batches(survivors, batch_format="pyarrow")
+           .to_pandas().rename(columns={"key": "l_partkey"}))
+    return (out.sort_values(["value", "l_partkey"], ascending=[False, True])
+            .reset_index(drop=True))
+
+
+def converted_clean_users(sf_dir: str, min_value: float = 99.0) -> pd.DataFrame:
+    """(user_id) — users with BOTH a high-value 'click' and a high-value
+    'purchase' event and NO high-value 'error' event (value > ``min_value``
+    on all three legs): the INTERSECT / EXCEPT set-operation shape, computed
+    as one distributed bitmask OR-fold instead of three distinct-scans and
+    two set joins.
+
+    Scale shape: the value predicate pushes into the parquet read
+    (row-group stats prune); each surviving batch ORs per-user presence
+    bits (click=1, purchase=2, error=4) into at most |users-in-batch|
+    partial rows via a sort + ``np.bitwise_or.reduceat``; ONE coarse
+    ``user_id % 64`` shuffle co-locates partials; each group ORs to the
+    final mask and filters ``mask & 3 == 3 and mask & 4 == 0`` vectorized.
+    Events never move — only (user, int8) partials do — and the three-way
+    set algebra costs a single exchange.
+    """
+    import pyarrow.dataset as pads
+
+    ds = read_pruned(_t(sf_dir, "events"), ["user_id", "event_type", "value"],
+                     filter=(pads.field("value") > min_value))
+    _BITS = {"click": 1, "purchase": 2, "error": 4}
+
+    _M_SCHEMA = pa.schema(
+        [("user_id", pa.int64()), ("mask", pa.int8()), ("bucket", pa.int32())]
+    )
+
+    def _or_by_user(users: np.ndarray, bits: np.ndarray):
+        """Vectorized per-user OR: sort once, reduceat on run boundaries."""
+        order = np.argsort(users, kind="stable")
+        u, b = users[order], bits[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        return u[starts], np.bitwise_or.reduceat(b, starts)
+
+    def mask_partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        bits = np.zeros(len(et), np.int8)
+        for name, b in _BITS.items():
+            bits[et == name] = b
+        users = t["user_id"].to_numpy()[bits != 0]
+        bits = bits[bits != 0]
+        if len(users) == 0:
+            return _M_SCHEMA.empty_table()
+        u, m = _or_by_user(users, bits)
+        return pa.table(
+            {"user_id": pa.array(u, pa.int64()),
+             "mask": pa.array(m, pa.int8()),
+             "bucket": pa.array((u % N_KEY_BUCKETS).astype(np.int32),
+                                pa.int32())},
+            schema=_M_SCHEMA)
+
+    _OUT_SCHEMA = pa.schema([("user_id", pa.int64())])
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        u, m = _or_by_user(g["user_id"].to_numpy(),
+                           g["mask"].to_numpy().astype(np.int8))
+        keep = u[(m & 3 == 3) & (m & 4 == 0)]
+        return pa.table({"user_id": pa.array(np.sort(keep), pa.int64())},
+                        schema=_OUT_SCHEMA)
+
+    out = (
+        ds.map_batches(mask_partial, batch_format="pyarrow", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({"user_id": pd.Series([], dtype="int64")})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def events_late_arrivals(sf_dir: str, late_us: int = 3_600_000_000,
+                         n_ranges: int = 64) -> pd.DataFrame:
+    """(event_type, n_late, n_events) — out-of-order (event-time vs
+    arrival-order) detection: an event is LATE when its timestamp trails
+    the running maximum timestamp of everything that arrived before it
+    (arrival order = event_id) by more than ``late_us``.  The watermark
+    primitive every streaming window needs before it can close.
+
+    Scale shape: a GLOBAL prefix-max scan, distributed as the classic
+    two-phase scan — range-partition on event_id (contiguous ranges, so
+    prefix semantics survive the split), per-range max to the driver
+    (n_ranges rows), driver exclusive-scans those offsets, then one
+    map-only pass re-reads each range with its carry-in watermark and
+    flags stragglers vectorized (np.maximum.accumulate).  Only bounded
+    (type, count) partials leave the second pass.
+    """
+    import pyarrow.dataset as pads
+
+    ds = read_pruned(_t(sf_dir, "events"), ["event_id", "ts", "event_type"])
+    hi = int(ds.max("event_id")) + 1
+
+    _R_SCHEMA = pa.schema([("rng", pa.int32()), ("mx", pa.int64())])
+
+    def range_max(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        tsi = pc.cast(t["ts"], pa.int64()).to_numpy()
+        rng = (ids * n_ranges // hi).astype(np.int32)
+        df = pd.DataFrame({"rng": rng, "mx": tsi})
+        g = df.groupby("rng", as_index=False)["mx"].max()
+        return pa.Table.from_pandas(
+            g, schema=_R_SCHEMA, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    rmax = (ds.map_batches(range_max, batch_format="pyarrow",
+                           batch_size=262144)
+            .to_pandas().groupby("rng")["mx"].max())
+    # -2^62 sentinel (NOT int64 min: ``prev - tsi`` must stay well-negative
+    # for never-seen prefixes, and int64min - ts would wrap positive)
+    _NEG = -(1 << 62)
+    carry = np.full(n_ranges, _NEG, np.int64)
+    run = _NEG
+    for r in range(n_ranges):
+        carry[r] = run
+        if r in rmax.index:
+            run = max(run, int(rmax.loc[r]))
+    carry_ref = ray.put(carry)
+
+    _P_SCHEMA = pa.schema(
+        [("rng", pa.int32()), ("event_type", pa.string()),
+         ("n_late", pa.int64()), ("n_events", pa.int64())]
+    )
+
+    def flag_group(g: pd.DataFrame) -> pa.Table:
+        cr = ray.get(carry_ref)
+        g = g.sort_values("event_id", kind="mergesort")
+        tsi = g["tsi"].to_numpy()
+        prev = np.empty(len(tsi), np.int64)
+        prev[0] = cr[int(g["rng"].iloc[0])]
+        if len(tsi) > 1:
+            prev[1:] = np.maximum.accumulate(tsi)[:-1]
+            prev[1:] = np.maximum(prev[1:], prev[0])
+        late = prev - tsi > late_us
+        out = (pd.DataFrame({"event_type": g["event_type"].to_numpy(),
+                             "late": late})
+               .groupby("event_type", as_index=False)
+               .agg(n_late=("late", "sum"), n_events=("late", "size")))
+        out.insert(0, "rng", int(g["rng"].iloc[0]))
+        return pa.Table.from_pandas(
+            out.astype({"rng": "int32", "n_late": "int64",
+                        "n_events": "int64"}),
+            schema=_P_SCHEMA, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    def add_rng(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        return pa.table({
+            "event_id": t["event_id"],
+            "tsi": pa.array(pc.cast(t["ts"], pa.int64()).to_numpy(), pa.int64()),
+            "event_type": t["event_type"],
+            "rng": pa.array((ids * n_ranges // hi).astype(np.int32), pa.int32()),
+        })
+
+    parts = (
+        ds.map_batches(add_rng, batch_format="pyarrow")
+        .groupby("rng")
+        .map_groups(flag_group, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (parts.groupby("event_type", as_index=False)
+           [["n_late", "n_events"]].sum())
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def potential_promotion_suppliers(sf_dir: str, prefix: str = "blue",
+                                  min_qty: float = 400.0) -> pd.DataFrame:
+    """(s_suppkey, s_name, total_qty) — suppliers who shipped more than
+    ``min_qty`` total quantity of parts whose name starts with ``prefix``
+    (TPC-H Q20 shape: nested IN subqueries collapsed into a semi-join
+    chain + HAVING).
+
+    Scale shape: the part-name predicate resolves against the bounded part
+    catalog and broadcasts as a partkey set; lineitem does a map-only
+    semi-join + per-batch (suppkey, qty) combine; ONE coarse
+    ``suppkey % 64`` exchange sums per supplier and applies the HAVING
+    inside the group (whole-unit-rounded so rank and filter are
+    summation-order stable); winners attach names from the bounded
+    supplier catalog on the driver.
+    """
+    import pyarrow.parquet as _pq
+
+    part = _pq.read_table(_t(sf_dir, "part"),
+                          columns=["p_partkey", "p_name"]).to_pandas()
+    keys = set(part.loc[part["p_name"].str.startswith(prefix),
+                        "p_partkey"].astype(int))
+    keys_ref = ray.put(keys)
+
+    items = read_pruned(_t(sf_dir, "lineitem"),
+                        ["l_partkey", "l_suppkey", "l_quantity"])
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        k = ray.get(keys_ref)
+        df = pd.DataFrame({"pk": t["l_partkey"].to_numpy(),
+                           "key": t["l_suppkey"].to_numpy(),
+                           "qty": t["l_quantity"].to_numpy()})
+        df = df[df["pk"].isin(k)]
+        g = df.groupby("key", as_index=False)["qty"].sum()
+        g["bucket"] = (g["key"].to_numpy() % N_KEY_BUCKETS).astype(np.int32)
+        return _from_pandas(g)
+
+    _W_SCHEMA = pa.schema([("key", pa.int64()), ("total_qty", pa.int64())])
+
+    def having(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby("key", as_index=False)["qty"].sum()
+        s["total_qty"] = s["qty"].round(0).astype("int64")
+        s = s[s["total_qty"] > min_qty]
+        return pa.Table.from_pandas(
+            s[["key", "total_qty"]], schema=_W_SCHEMA, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    winners = (
+        items.map_batches(qty_partial, batch_format="pyarrow",
+                          batch_size=262144)
+        .groupby("bucket")
+        .map_groups(having, batch_format="pandas")
+        .to_pandas()
+    )
+    supp = _pq.read_table(_t(sf_dir, "supplier"),
+                          columns=["s_suppkey", "s_name"]).to_pandas()
+    out = winners.merge(supp, left_on="key", right_on="s_suppkey")
+    out = out[["s_suppkey", "s_name", "total_qty"]]
+    return out.sort_values("s_suppkey").reset_index(drop=True)
