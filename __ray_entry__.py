@@ -366,6 +366,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "converted_clean_users": relational.converted_clean_users,
         "events_late_arrivals": relational.events_late_arrivals,
         "potential_promotion_suppliers": relational.potential_promotion_suppliers,
+        "local_supplier_revenue": relational.local_supplier_revenue,
+        "customer_yoy_revenue": relational.customer_yoy_revenue,
         "bracket_discount_revenue": relational.bracket_discount_revenue,
         "revenue_cube": relational.revenue_cube,
         "top_revenue_supplier": relational.top_revenue_supplier,
@@ -441,6 +443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": dedup.winnow_fingerprints,
         "strip_dup_spans": dedup.strip_dup_spans,
         "c4_line_dedup": dedup.c4_line_dedup,
+        "host_boilerplate_strip": dedup.host_boilerplate_strip,
         "decontaminate_ngrams": dedup.decontaminate_ngrams,
         "eval_affinity_counts": dedup.eval_affinity_counts,
         "near_dedup_cluster_stats": dedup.near_dedup_cluster_stats,
@@ -1233,6 +1236,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _lsh_oracles.winnow_fingerprints_sql(),
         "strip_dup_spans": _lsh_oracles.strip_dup_spans_sql(),
         "c4_line_dedup": _lsh_oracles.c4_line_dedup_sql(),
+        "host_boilerplate_strip": _lsh_oracles.host_boilerplate_strip_sql(),
         "bm25_topk": _lsh_oracles.bm25_topk_sql(),
         # collocations: PMI in ln-micros, the exact engine float expression
         # (same association order), ties at the cut broken by (w1, w2)
@@ -1536,6 +1540,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_suppkey, s_name, total_qty
             FROM q JOIN supplier ON s_suppkey = l_suppkey
             ORDER BY s_suppkey
+        """,
+        # TPC-H Q5 shape: same-nation customer/supplier join predicate,
+        # region + date-window prefilters; per-row integer cents
+        "local_supplier_revenue": """
+            SELECT n_name,
+                   sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                            AS BIGINT)) AS revenue_cents
+            FROM customer
+              JOIN orders   ON o_custkey = c_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN supplier ON s_suppkey = l_suppkey
+                           AND s_nationkey = c_nationkey
+              JOIN nation   ON n_nationkey = c_nationkey
+              JOIN region   ON r_regionkey = n_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate <  TIMESTAMP '1999-01-01'
+            GROUP BY n_name
+            ORDER BY revenue_cents DESC, n_name
+        """,
+        # FULL OUTER JOIN shape: two per-customer year aggregates COALESCEd
+        # over the union of key sets, churn/new/retained verdict
+        "customer_yoy_revenue": """
+            WITH a AS (
+              SELECT o_custkey, sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                         AS BIGINT)) AS rev
+              FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+                AND o_orderdate <  TIMESTAMP '2000-01-01'
+              GROUP BY 1),
+            b AS (
+              SELECT o_custkey, sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                         AS BIGINT)) AS rev
+              FROM orders
+              WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+                AND o_orderdate <  TIMESTAMP '2001-01-01'
+              GROUP BY 1)
+            SELECT COALESCE(a.o_custkey, b.o_custkey) AS c_custkey,
+                   COALESCE(a.rev, 0) AS rev_a_cents,
+                   COALESCE(b.rev, 0) AS rev_b_cents,
+                   CASE WHEN a.o_custkey IS NULL THEN 'new'
+                        WHEN b.o_custkey IS NULL THEN 'churned'
+                        ELSE 'retained' END AS status
+            FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+            ORDER BY c_custkey
         """,
         # cumulative web-corpus filter cascade (single-scan funnel)
         "filter_funnel": r"""

@@ -123,6 +123,9 @@ BENCH_QUERY_NAMES = [
     "converted_clean_users",
     "events_late_arrivals",
     "potential_promotion_suppliers",
+    "local_supplier_revenue",
+    "customer_yoy_revenue",
+    "host_boilerplate_strip",
     "token_frequency_spectrum",
     "label_centroids",
     "bigram_pmi_topk",

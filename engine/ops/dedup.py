@@ -1790,3 +1790,134 @@ def dedup_recall_report(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows).astype(
         {"method": "str", "n_pairs": "int64", "n_truth": "int64",
          "n_hit": "int64", "recall_milli": "int64", "precision_milli": "int64"})
+
+
+def host_boilerplate_strip(sf_dir: str, seg_len: int = 10,
+                           min_docs: int = 2) -> pd.DataFrame:
+    """(doc_id, text_clean, n_lines_removed) — per-SOURCE boilerplate line
+    removal in the RefinedWeb/CCNet style: a line (disjoint run of
+    ``seg_len`` tokens, the c4_line_dedup unit) whose exact text occurs in
+    at least ``min_docs`` DISTINCT documents of the SAME source is template
+    boilerplate (nav bars, footers, legal blurbs the same host stamps on
+    every page) and ALL its occurrences in that source are removed —
+    unlike :func:`c4_line_dedup`, which keeps the global first occurrence
+    of a cross-corpus duplicate.
+
+    Scale shape: identical cost model to c4_line_dedup — one narrow
+    all-to-all of (line_hash, source, doc_id, seg_no) rows bucketed by
+    line hash (same line text always co-locates, so the per-(hash, source)
+    distinct-doc count is exact in-group); only the LOSER rows go through
+    the second doc-bucket all-to-all where the text (shuffled once) is
+    rebuilt.  The boilerplate decision never touches text — hashes only.
+    """
+    ds = _docs(sf_dir, ["doc_id", "text", "source"])
+    NB = 64
+
+    _SEG_SCHEMA = pa.schema(
+        [("h", pa.int64()), ("source", pa.string()), ("doc_id", pa.int64()),
+         ("seg_no", pa.int64()), ("bucket", pa.int32())]
+    )
+
+    def seg_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        srcs = t["source"].to_pylist()
+        toks_per_doc = [s.split() for s in t["text"].to_pylist()]
+        lens = np.array([len(x) for x in toks_per_doc], dtype=np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return _SEG_SCHEMA.empty_table()
+        flat = [w for ts in toks_per_doc for w in ts]
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+        uh = np.fromiter(
+            (_token_hash(w) for w in uniques), dtype=np.uint64, count=len(uniques)
+        )
+        th = uh[codes]
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        offs = np.concatenate([np.zeros(1, np.int64), np.cumsum(lens)])[:-1]
+        pos_in_doc = np.arange(total, dtype=np.int64) - offs[doc_idx]
+        pos_in_seg = pos_in_doc % seg_len
+        contrib = th * _SEG_MULTS[pos_in_seg]
+        starts = np.flatnonzero(pos_in_seg == 0)
+        h = np.bitwise_xor.reduceat(contrib, starts)
+        h = (_mix64(h) & np.uint64((1 << 61) - 1)).astype(np.int64)
+        seg_doc_idx = doc_idx[starts]
+        return pa.table(
+            {"h": pa.array(h, pa.int64()),
+             "source": pa.array([srcs[i] for i in seg_doc_idx], pa.string()),
+             "doc_id": pa.array(np.repeat(ids, lens)[starts], pa.int64()),
+             "seg_no": pa.array((pos_in_doc // seg_len)[starts], pa.int64()),
+             "bucket": pa.array((h % NB).astype(np.int32), pa.int32())},
+            schema=_SEG_SCHEMA,
+        )
+
+    def drops(g: pd.DataFrame) -> pa.Table:
+        # distinct docs per (h, source) via a drop_duplicates count, then
+        # flag EVERY occurrence row of qualifying (h, source) pairs
+        per = (g.drop_duplicates(["h", "source", "doc_id"])
+               .groupby(["h", "source"], as_index=False)
+               .agg(nd=("doc_id", "size")))
+        bad = per[per["nd"] >= min_docs][["h", "source"]]
+        lose = g.merge(bad, on=["h", "source"], how="inner")
+        ids = lose["doc_id"].to_numpy()
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "seg_no": pa.array(lose["seg_no"].to_numpy(), pa.int64()),
+             "text": pa.nulls(len(lose), pa.string()),
+             "dbucket": pa.array((ids % NB).astype(np.int32), pa.int32())},
+            schema=_C4_UNION_SCHEMA,
+        )
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "seg_no": pa.array(np.full(len(ids), -1, np.int64), pa.int64()),
+             "text": t["text"],
+             "dbucket": pa.array((ids % NB).astype(np.int32), pa.int32())},
+            schema=_C4_UNION_SCHEMA,
+        )
+
+    def rebuild(g: pd.DataFrame) -> pa.Table:
+        seg_no = g["seg_no"].to_numpy()
+        dr = g[seg_no >= 0]
+        drop_map: dict = {}
+        for did, sn in zip(dr["doc_id"].to_numpy(), dr["seg_no"].to_numpy()):
+            drop_map.setdefault(int(did), set()).add(int(sn))
+        docs_g = g[seg_no == -1]
+        out_id, out_txt, out_n = [], [], []
+        for did, txt in zip(docs_g["doc_id"].to_numpy(), docs_g["text"]):
+            toks = txt.split()
+            segs = [" ".join(toks[i:i + seg_len])
+                    for i in range(0, len(toks), seg_len)]
+            dset = drop_map.get(int(did), ())
+            kept = [s for j, s in enumerate(segs) if j not in dset]
+            out_id.append(int(did))
+            out_txt.append(" ".join(kept))
+            out_n.append(len(segs) - len(kept))
+        return pa.table(
+            {"doc_id": pa.array(out_id, pa.int64()),
+             "text_clean": pa.array(out_txt, pa.string()),
+             "n_lines_removed": pa.array(out_n, pa.int64())},
+            schema=_C4_OUT_SCHEMA,
+        )
+
+    drops_ds = (
+        ds.map_batches(seg_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(drops, batch_format="pandas")
+    )
+    out = (
+        ds.select_columns(["doc_id", "text"])
+        .map_batches(doc_rows, batch_format="pyarrow")
+        .union(drops_ds)
+        .groupby("dbucket")
+        .map_groups(rebuild, batch_format="pandas")
+        .to_pandas()
+    )
+    if "doc_id" not in out.columns:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "text_clean": pd.Series([], dtype="object"),
+             "n_lines_removed": pd.Series([], dtype="int64")}
+        )
+    return out.sort_values("doc_id").reset_index(drop=True)

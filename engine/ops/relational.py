@@ -4234,3 +4234,188 @@ def potential_promotion_suppliers(sf_dir: str, prefix: str = "blue",
     out = winners.merge(supp, left_on="key", right_on="s_suppkey")
     out = out[["s_suppkey", "s_name", "total_qty"]]
     return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+def local_supplier_revenue(sf_dir: str, region: str = "ASIA",
+                           date_lo: str = "1995-01-01",
+                           date_hi: str = "1999-01-01") -> pd.DataFrame:
+    """(n_name, revenue_cents) — TPC-H Q5 shape: revenue from orders where
+    the CUSTOMER and the shipping SUPPLIER sit in the SAME nation of one
+    region, over a date window.  The same-key-on-both-sides join predicate
+    (``c_nationkey = s_nationkey``) is what distinguishes Q5 from a plain
+    star join.
+
+    Scale shape: nation/region are driver-side constants; the supplier and
+    customer nation maps are bounded-catalog broadcasts (``ray.put`` once,
+    region non-members dropped at broadcast build time so both fact scans
+    prefilter map-side).  The date window pushes into the orders parquet
+    read.  The ONE big x big exchange is the orderkey-bucket union join
+    (volume_shipping's idiom): order rows carry c_nat, lineitem rows carry
+    (s_nat, cents) pre-combined per batch, the in-group merge keeps
+    ``s_nat == c_nat`` rows only, and what leaves the groups is
+    nation-sized count partials.  Revenue is per-row integer CENTS before
+    any sum — order-free, hash-exact at any parallelism.
+    """
+    import pyarrow.parquet as _pq
+    import pyarrow.dataset as pads
+
+    nation = _pq.read_table(_t(sf_dir, "nation")).to_pandas()
+    reg = _pq.read_table(_t(sf_dir, "region")).to_pandas()
+    rkey = int(reg.loc[reg["r_name"] == region, "r_regionkey"].iloc[0])
+    nkeys = set(nation.loc[nation["n_regionkey"] == rkey, "n_nationkey"].astype(int))
+    n_name = {int(k): v for k, v in zip(nation["n_nationkey"], nation["n_name"])}
+
+    supp = _pq.read_table(_t(sf_dir, "supplier"),
+                          columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    snat = {int(k): int(v) for k, v in zip(supp["s_suppkey"], supp["s_nationkey"])
+            if int(v) in nkeys}
+    cust = _pq.read_table(_t(sf_dir, "customer"),
+                          columns=["c_custkey", "c_nationkey"]).to_pandas()
+    cnat = {int(k): int(v) for k, v in zip(cust["c_custkey"], cust["c_nationkey"])
+            if int(v) in nkeys}
+    snat_ref, cnat_ref = ray.put(snat), ray.put(cnat)
+
+    lo = pd.Timestamp(date_lo)
+    hi = pd.Timestamp(date_hi)
+    orders = read_pruned(
+        _t(sf_dir, "orders"), ["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=((pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi)))
+    items = read_pruned(
+        _t(sf_dir, "lineitem"),
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    NB = 32
+    _J_SCHEMA = pa.schema(
+        [("key", pa.int64()), ("side", pa.int8()), ("nat", pa.int32()),
+         ("cents", pa.int64()), ("bucket", pa.int32())]
+    )
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        cm = ray.get(cnat_ref)
+        keys = t["o_orderkey"].to_numpy()
+        nat = pd.Series(t["o_custkey"].to_numpy()).map(cm)
+        keep = nat.notna().to_numpy()
+        keys = keys[keep]
+        return pa.table(
+            {"key": pa.array(keys, pa.int64()),
+             "side": pa.array(np.zeros(len(keys), np.int8), pa.int8()),
+             "nat": pa.array(nat.to_numpy()[keep].astype(np.int32), pa.int32()),
+             "cents": pa.array(np.zeros(len(keys), np.int64), pa.int64()),
+             "bucket": pa.array((keys % NB).astype(np.int32), pa.int32())},
+            schema=_J_SCHEMA)
+
+    def item_partials(t: pa.Table) -> pa.Table:
+        sm = ray.get(snat_ref)
+        nat = pd.Series(t["l_suppkey"].to_numpy()).map(sm)
+        keep = nat.notna().to_numpy()
+        ext = t["l_extendedprice"].to_numpy()[keep]
+        dis = t["l_discount"].to_numpy()[keep]
+        cents = np.floor(ext * (1.0 - dis) * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame({"key": t["l_orderkey"].to_numpy()[keep],
+                           "nat": nat.to_numpy()[keep].astype(np.int32),
+                           "cents": cents})
+        g = df.groupby(["key", "nat"], as_index=False)["cents"].sum()
+        keys = g["key"].to_numpy()
+        return pa.table(
+            {"key": pa.array(keys, pa.int64()),
+             "side": pa.array(np.ones(len(keys), np.int8), pa.int8()),
+             "nat": pa.array(g["nat"].to_numpy(), pa.int32()),
+             "cents": pa.array(g["cents"].to_numpy(), pa.int64()),
+             "bucket": pa.array((keys % NB).astype(np.int32), pa.int32())},
+            schema=_J_SCHEMA)
+
+    _P_SCHEMA = pa.schema([("nat", pa.int32()), ("cents", pa.int64())])
+
+    def join_group(g: pd.DataFrame) -> pa.Table:
+        left = g[g["side"] == 0][["key", "nat"]].rename(columns={"nat": "c_nat"})
+        right = g[g["side"] == 1][["key", "nat", "cents"]]
+        m = right.merge(left, on="key", how="inner")
+        m = m[m["nat"] == m["c_nat"]]
+        out = m.groupby("nat", as_index=False)["cents"].sum()
+        return pa.Table.from_pandas(
+            out[["nat", "cents"]].astype({"nat": "int32", "cents": "int64"}),
+            schema=_P_SCHEMA, preserve_index=False).replace_schema_metadata(None)
+
+    parts = (
+        orders.map_batches(order_rows, batch_format="pyarrow")
+        .union(items.map_batches(item_partials, batch_format="pyarrow",
+                                 batch_size=65536))
+        .groupby("bucket")
+        .map_groups(join_group, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("nat", as_index=False)["cents"].sum()
+    out["n_name"] = out["nat"].map(n_name)
+    out = out.rename(columns={"cents": "revenue_cents"})
+    return (out[["n_name", "revenue_cents"]]
+            .sort_values(["revenue_cents", "n_name"], ascending=[False, True])
+            .reset_index(drop=True))
+
+
+def customer_yoy_revenue(sf_dir: str,
+                         year_a: int = 1999, year_b: int = 2000) -> pd.DataFrame:
+    """(c_custkey, rev_a_cents, rev_b_cents, status) — year-over-year
+    customer revenue: every customer active in EITHER year, with their
+    order-total cents in each and a churned / new / retained verdict —
+    the FULL OUTER JOIN shape (two aggregates COALESCEd over the union of
+    key sets) the join family lacked.
+
+    Scale shape: both years come out of ONE orders scan — each batch
+    vectorizes the year test into (custkey, rev_a, rev_b) integer-cent
+    partials (at most one row per distinct custkey per batch per side),
+    and the single all-to-all is the coarse ``custkey % 64`` exchange;
+    groups sum and classify vectorized, so the FULL OUTER semantics cost
+    exactly one narrow shuffle and no distinct-key sort aggregate.  Cents
+    round per ROW before any sum — order-free, hash-exact.
+    """
+    import pyarrow.dataset as pads
+
+    lo = pd.Timestamp(f"{year_a}-01-01")
+    hi = pd.Timestamp(f"{year_b + 1}-01-01")
+    mid = pd.Timestamp(f"{year_b}-01-01")
+    orders = read_pruned(
+        _t(sf_dir, "orders"), ["o_custkey", "o_totalprice", "o_orderdate"],
+        filter=((pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi)))
+    mid_us = mid.value // 1000
+
+    _P_SCHEMA = pa.schema(
+        [("key", pa.int64()), ("rev_a", pa.int64()), ("rev_b", pa.int64()),
+         ("bucket", pa.int32())]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        keys = t["o_custkey"].to_numpy()
+        cents = np.floor(t["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        in_b = pc.cast(t["o_orderdate"], pa.int64()).to_numpy() >= mid_us
+        df = pd.DataFrame({"key": keys,
+                           "rev_a": np.where(in_b, 0, cents),
+                           "rev_b": np.where(in_b, cents, 0)})
+        g = df.groupby("key", as_index=False)[["rev_a", "rev_b"]].sum()
+        g["bucket"] = (g["key"].to_numpy() % N_KEY_BUCKETS).astype(np.int32)
+        return pa.Table.from_pandas(
+            g, schema=_P_SCHEMA, preserve_index=False).replace_schema_metadata(None)
+
+    _OUT_SCHEMA = pa.schema(
+        [("c_custkey", pa.int64()), ("rev_a_cents", pa.int64()),
+         ("rev_b_cents", pa.int64()), ("status", pa.string())]
+    )
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby("key", as_index=False)[["rev_a", "rev_b"]].sum()
+        a = s["rev_a"].to_numpy()
+        b = s["rev_b"].to_numpy()
+        status = np.where(a == 0, "new", np.where(b == 0, "churned", "retained"))
+        return pa.table(
+            {"c_custkey": pa.array(s["key"].to_numpy(), pa.int64()),
+             "rev_a_cents": pa.array(a, pa.int64()),
+             "rev_b_cents": pa.array(b, pa.int64()),
+             "status": pa.array(status, pa.string())},
+            schema=_OUT_SCHEMA)
+
+    out = (
+        orders.map_batches(partials, batch_format="pyarrow", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("c_custkey").reset_index(drop=True)

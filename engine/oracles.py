@@ -638,6 +638,50 @@ def c4_line_dedup_sql(seg_len: int = 10) -> str:
             ORDER BY d.doc_id"""
 
 
+def host_boilerplate_strip_sql(seg_len: int = 10, min_docs: int = 2) -> str:
+    """Oracle for dedup.host_boilerplate_strip: same disjoint-segment unit
+    as c4_line_dedup_sql, but the drop rule is per-SOURCE template
+    boilerplate — a segment STRING occurring in >= min_docs DISTINCT
+    documents of the same source loses EVERY occurrence in that source
+    (no first-kept)."""
+    return rf"""
+            WITH tok_arr AS (
+              SELECT doc_id, source,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), tl AS (
+              SELECT doc_id, source, generate_subscripts(toks, 1) AS i,
+                     unnest(toks) AS w
+              FROM tok_arr
+            ), segs AS (
+              SELECT doc_id, source, (i - 1) // {seg_len} AS seg_no,
+                     string_agg(w, ' ' ORDER BY i) AS seg
+              FROM tl GROUP BY doc_id, source, (i - 1) // {seg_len}
+            ), per AS (
+              SELECT source, seg, count(DISTINCT doc_id) AS nd
+              FROM segs GROUP BY source, seg
+            ), kept AS (
+              SELECT s.doc_id, s.seg_no, s.seg
+              FROM segs s JOIN per p ON p.source = s.source AND p.seg = s.seg
+              WHERE p.nd < {min_docs}
+            ), agg AS (
+              SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_no) AS text_clean,
+                     count(*) AS nk
+              FROM kept GROUP BY doc_id
+            ), ns AS (
+              SELECT doc_id, count(*) AS n FROM segs GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.text_clean, '') AS text_clean,
+                   (COALESCE(ns.n, 0) - COALESCE(a.nk, 0))::BIGINT
+                     AS n_lines_removed
+            FROM documents d
+            LEFT JOIN agg a ON a.doc_id = d.doc_id
+            LEFT JOIN ns ON ns.doc_id = d.doc_id
+            ORDER BY d.doc_id"""
+
+
 def bm25_topk_sql(k: int = 10) -> str:
     """Oracle for text.bm25_topk, generated from the engine's own query set
     and constants: per-term contributions ROUND(idf * tfn * 1e6) to BIGINT

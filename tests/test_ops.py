@@ -2640,3 +2640,46 @@ def test_incremental_postings_equal_full(ray_session):
     for n_base in (0, 137, 400, 10 ** 9):
         seg = incremental_inverted_postings(SF, n_base=n_base)
         assert seg.equals(full), f"split at {n_base} diverges"
+
+
+def test_host_boilerplate_strip_planted(ray_session, tmp_path):
+    """ALL occurrences of a same-source template line go (no first-kept —
+    the contrast with c4_line_dedup), the same line across DIFFERENT
+    sources is untouched, below-threshold lines survive, empty docs kept."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tpl = [f"t{i}" for i in range(10)]            # the boilerplate line
+    u = [[f"u{d}_{i}" for i in range(10)] for d in range(4)]
+    # source A: template in docs 0 and 1 (nd=2 >= min_docs) -> both stripped
+    d0 = tpl + u[0]
+    d1 = tpl + u[1]
+    # source B: template once only (nd=1) -> untouched
+    d2 = tpl + u[2]
+    # source A: unique-line doc, untouched; plus an empty doc in A
+    d3 = u[3]
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                  "text": [" ".join(d0), " ".join(d1), " ".join(d2),
+                           " ".join(d3), ""],
+                  "source": ["A", "A", "B", "A", "A"]}),
+        str(d / "documents.parquet"),
+    )
+
+    from engine.ops.dedup import host_boilerplate_strip
+
+    got = host_boilerplate_strip(str(d), seg_len=10, min_docs=2).set_index("doc_id")
+    assert len(got) == 5
+    assert got.loc[0, "text_clean"] == " ".join(u[0])      # stripped
+    assert got.loc[0, "n_lines_removed"] == 1
+    assert got.loc[1, "text_clean"] == " ".join(u[1])      # BOTH stripped
+    assert got.loc[1, "n_lines_removed"] == 1
+    assert got.loc[2, "text_clean"] == " ".join(d2)        # other source: kept
+    assert got.loc[2, "n_lines_removed"] == 0
+    assert got.loc[3, "text_clean"] == " ".join(d3)
+    assert got.loc[3, "n_lines_removed"] == 0
+    assert got.loc[4, "text_clean"] == ""
+    assert got.loc[4, "n_lines_removed"] == 0
