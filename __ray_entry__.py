@@ -368,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "potential_promotion_suppliers": relational.potential_promotion_suppliers,
         "local_supplier_revenue": relational.local_supplier_revenue,
         "customer_yoy_revenue": relational.customer_yoy_revenue,
+        "event_path_counts": relational.event_path_counts,
         "bracket_discount_revenue": relational.bracket_discount_revenue,
         "revenue_cube": relational.revenue_cube,
         "top_revenue_supplier": relational.top_revenue_supplier,
@@ -389,6 +390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keywords_topk": text.keywords_topk,
         "tfidf_topk": text.tfidf_topk,
         "bm25_topk": text.bm25_topk,
+        "phrase_search": text.phrase_search,
         "inverted_postings": text.inverted_postings,
         "incremental_inverted_postings": text.incremental_inverted_postings,
         "token_frequency_spectrum": text.token_frequency_spectrum,
@@ -1585,6 +1587,29 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'retained' END AS status
             FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
             ORDER BY c_custkey
+        """,
+        # exact consecutive-token phrase containment (positional search)
+        "phrase_search": """
+            WITH q(query_id, p) AS (VALUES
+              (0, 'hash join'), (1, 'window sort stream'), (2, 'spark batch'))
+            SELECT query_id, doc_id
+            FROM q JOIN documents
+              ON ' ' || text || ' ' LIKE '% ' || p || ' %'
+            ORDER BY query_id, doc_id
+        """,
+        # ordered-collect shape: first-k user journey prefixes, counted
+        "event_path_counts": """
+            WITH firstk AS (
+              SELECT user_id, event_type, ts, event_id FROM events
+              QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) <= 5),
+            paths AS (
+              SELECT user_id,
+                     string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+              FROM firstk GROUP BY user_id)
+            SELECT path, count(*)::BIGINT AS n_users
+            FROM paths GROUP BY path
+            ORDER BY n_users DESC, path
         """,
         # cumulative web-corpus filter cascade (single-scan funnel)
         "filter_funnel": r"""

@@ -126,6 +126,8 @@ BENCH_QUERY_NAMES = [
     "local_supplier_revenue",
     "customer_yoy_revenue",
     "host_boilerplate_strip",
+    "phrase_search",
+    "event_path_counts",
     "token_frequency_spectrum",
     "label_centroids",
     "bigram_pmi_topk",

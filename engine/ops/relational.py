@@ -4419,3 +4419,62 @@ def customer_yoy_revenue(sf_dir: str,
         .to_pandas()
     )
     return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def event_path_counts(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """(path, n_users) — user-journey prefixes: each user's FIRST ``k``
+    events (by ts, ties by event_id) concatenated ``type>type>...``, counted
+    across users — the ordered-collect (string_agg) shape reduced to a
+    bounded frequency table, the funnel family's free-form sibling.
+
+    Scale shape: the per-user first-k is a per-batch PARTIAL top-k (each
+    batch keeps at most k narrow (user, ts, event_id, type) rows per user
+    it sees — a vectorized groupby-head over the sorted batch), so the ONE
+    coarse ``user_id % 64`` exchange carries ~k rows per user per block,
+    not the event stream; groups re-sort their <= k*blocks rows per user,
+    assemble path strings vectorized, and emit bounded (path, count)
+    partials the driver folds.
+    """
+    events = read_pruned(_t(sf_dir, "events"),
+                         ["event_id", "ts", "user_id", "event_type"])
+
+    _P_SCHEMA = pa.schema(
+        [("user_id", pa.int64()), ("tsi", pa.int64()), ("event_id", pa.int64()),
+         ("event_type", pa.string()), ("bucket", pa.int32())]
+    )
+
+    def head_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(),
+            "tsi": pc.cast(t["ts"], pa.int64()).to_numpy(),
+            "event_id": t["event_id"].to_numpy(),
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False)})
+        df = df.sort_values(["user_id", "tsi", "event_id"], kind="mergesort")
+        df = df.groupby("user_id", as_index=False, sort=False).head(k)
+        df["bucket"] = (df["user_id"].to_numpy() % N_KEY_BUCKETS).astype(np.int32)
+        return pa.Table.from_pandas(
+            df, schema=_P_SCHEMA, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    _C_SCHEMA = pa.schema([("path", pa.string()), ("n_users", pa.int64())])
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "tsi", "event_id"], kind="mergesort")
+        g = g.groupby("user_id", as_index=False, sort=False).head(k)
+        paths = g.groupby("user_id", sort=False)["event_type"].agg(">".join)
+        out = paths.value_counts().reset_index()
+        out.columns = ["path", "n_users"]
+        return pa.Table.from_pandas(
+            out.astype({"n_users": "int64"}), schema=_C_SCHEMA,
+            preserve_index=False).replace_schema_metadata(None)
+
+    parts = (
+        events.map_batches(head_partial, batch_format="pyarrow",
+                           batch_size=262144)
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("path", as_index=False)["n_users"].sum()
+    return (out.sort_values(["n_users", "path"], ascending=[False, True])
+            .reset_index(drop=True))

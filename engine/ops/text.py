@@ -2438,3 +2438,59 @@ def distinct_sketch_report(sf_dir: str) -> pd.DataFrame:
                      "err_milli": abs(est - exact) * 1000 // max(exact, 1)})
     return pd.DataFrame(rows).astype(
         {"estimate": "int64", "exact": "int64", "err_milli": "int64"})
+
+
+_PHRASE_QUERIES = ("hash join", "window sort stream", "spark batch")
+
+
+def phrase_search(sf_dir: str, phrases=None) -> pd.DataFrame:
+    """(query_id, doc_id) — documents containing each query PHRASE as
+    CONSECUTIVE whitespace tokens (the exact-phrase operator a search
+    engine layers over its inverted index; ``bm25_topk`` is the bag-of-
+    words ranking half, this is the positional half).
+
+    Scale shape: map-only — ONE corpus pass, no shuffle.  Each batch
+    tokenizes once (the shared factorize idiom), maps every phrase's words
+    to that batch's token codes, and matches consecutive-code runs with a
+    vectorized AND-chain over shifted code arrays (windows crossing
+    document boundaries masked out).  Comparison is on token CODES, not
+    hashes — exact, no collision exposure.  Output is (query, doc) pairs
+    only; at 100 TB this is the candidate-doc stream a ranker consumes.
+    """
+    qs = _PHRASE_QUERIES if phrases is None else tuple(phrases)
+    q_words = [tuple(q.split()) for q in qs]
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    _OUT = pa.schema([("query_id", pa.int64()), ("doc_id", pa.int64())])
+
+    def match(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        toks_per_doc = [s.split() for s in t["text"].to_pylist()]
+        lens = np.array([len(x) for x in toks_per_doc], dtype=np.int64)
+        total = int(lens.sum())
+        out_q, out_d = [], []
+        if total:
+            flat = [w for ts in toks_per_doc for w in ts]
+            codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+            lookup = {w: i for i, w in enumerate(uniques)}
+            doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+            for qi, words in enumerate(q_words):
+                pcodes = [lookup.get(w, -1) for w in words]
+                L = len(pcodes)
+                if min(pcodes) < 0 or total < L:
+                    continue
+                m = codes[: total - L + 1] == pcodes[0]
+                for j in range(1, L):
+                    m &= codes[j: total - L + 1 + j] == pcodes[j]
+                # window must not cross a document boundary
+                m &= doc_idx[: total - L + 1] == doc_idx[L - 1:]
+                hit_docs = np.unique(doc_idx[: total - L + 1][m])
+                out_q.extend([qi] * len(hit_docs))
+                out_d.extend(ids[hit_docs].tolist())
+        return pa.table(
+            {"query_id": pa.array(out_q, pa.int64()),
+             "doc_id": pa.array(out_d, pa.int64())},
+            schema=_OUT)
+
+    out = ds.map_batches(match, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["query_id", "doc_id"]).reset_index(drop=True)

@@ -2683,3 +2683,29 @@ def test_host_boilerplate_strip_planted(ray_session, tmp_path):
     assert got.loc[3, "n_lines_removed"] == 0
     assert got.loc[4, "text_clean"] == ""
     assert got.loc[4, "n_lines_removed"] == 0
+
+
+def test_phrase_search_planted(ray_session, tmp_path):
+    """Consecutive-token semantics: in-order adjacency matches, reversed or
+    gapped tokens don't, a phrase 'spanning' two documents doesn't, and a
+    doc matching two phrases appears under both query_ids."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                  "text": ["alpha beta gamma",       # matches 'alpha beta'
+                           "beta alpha gamma",       # reversed: no
+                           "alpha x beta",           # gapped: no
+                           "gamma delta alpha",      # ends with 'alpha'...
+                           "beta gamma delta"]}),    # ...next doc starts 'beta'
+        str(d / "documents.parquet"),
+    )
+
+    from engine.ops.text import phrase_search
+
+    got = phrase_search(str(d), phrases=("alpha beta", "gamma delta"))
+    pairs = set(zip(got["query_id"], got["doc_id"]))
+    assert pairs == {(0, 0), (1, 3), (1, 4)}
