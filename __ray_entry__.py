@@ -453,6 +453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_training_data": curate.curate_training_data,
         "source_quality_stats": curate.source_quality_stats,
         "export_training_shards": curate.export_training_shards,
+        "export_jsonl_shards": curate.export_jsonl_shards,
         "forget_documents": curate.forget_documents,
         # similarity search
         "ann_topk": ann.ann_topk_bruteforce,
@@ -1610,6 +1611,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT path, count(*)::BIGINT AS n_users
             FROM paths GROUP BY path
             ORDER BY n_users DESC, path
+        """,
+        # JSONL publish sink: manifest recomputed via a string-concat twin
+        # of the byte-deterministic line format (ASCII corpus)
+        "export_jsonl_shards": """
+            WITH lines AS (
+              SELECT doc_id % 16 AS shard,
+                     length('{"doc_id":' || doc_id || ',"lang":"' || lang ||
+                            '","source":"' || source || '","text":"' || text ||
+                            '"}') + 1 AS nb
+              FROM documents)
+            SELECT shard, count(*)::BIGINT AS n_docs,
+                   sum(nb)::BIGINT AS n_bytes
+            FROM lines GROUP BY shard ORDER BY shard
         """,
         # cumulative web-corpus filter cascade (single-scan funnel)
         "filter_funnel": r"""

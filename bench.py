@@ -128,6 +128,7 @@ BENCH_QUERY_NAMES = [
     "host_boilerplate_strip",
     "phrase_search",
     "event_path_counts",
+    "export_jsonl_shards",
     "token_frequency_spectrum",
     "label_centroids",
     "bigram_pmi_topk",

@@ -541,3 +541,110 @@ def source_quality_stats(sf_dir: str) -> pd.DataFrame:
             "n_perplexity", "n_kept", "sum_tokens"]
     stats = stats[cols].astype({c: "int64" for c in cols[1:]})
     return stats.sort_values("source").reset_index(drop=True)
+
+
+def export_jsonl_shards(sf_dir: str, out_dir: str | None = None,
+                        n_shards: int = 16) -> pd.DataFrame:
+    """(shard, n_docs, n_bytes) — publish the corpus as partitioned JSONL
+    (one ``shard=K/part.jsonl`` per ``doc_id % n_shards``), the interchange
+    format LLM training stacks actually consume; same resumable-sink
+    contract as :func:`export_training_shards` (atomic tmp+rename writes,
+    per-shard manifest, finished shards skipped on re-run by a
+    size+count manifest check — no data reread).
+
+    Line format is byte-deterministic: keys in fixed order
+    ``doc_id,lang,source,text``, compact separators, one ``\\n`` per line,
+    rows ordered by doc_id within a shard — so the manifest's byte count
+    is an exact function of the data and the DuckDB oracle recomputes it
+    with a string-concat twin (the corpus is plain ASCII, so JSON string
+    encoding is quote-wrapping — asserted per batch).
+
+    Scale shape: ONE shard-keyed all-to-all of full doc rows (text moves
+    once, the export is the point); manifest partials are shard-count
+    rows.
+    """
+    import hashlib
+    import json
+
+    import pyarrow.parquet as _pq
+
+    from .io import read_pruned
+
+    src = _os.path.join(sf_dir, "documents.parquet")
+    if out_dir is None:
+        st = _os.stat(src)
+        key = hashlib.md5(
+            f"{_os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|"
+            f"jsonl|{n_shards}".encode()
+        ).hexdigest()[:16]
+        out_dir = _os.path.join("/tmp", "engine_jsonl_shards", key)
+    _os.makedirs(out_dir, exist_ok=True)
+
+    _U_SCHEMA = pa.schema(
+        [("doc_id", pa.int64()), ("lang", pa.string()), ("source", pa.string()),
+         ("text", pa.string()), ("shard", pa.int64())]
+    )
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        return pa.table(
+            {"doc_id": t["doc_id"], "lang": t["lang"], "source": t["source"],
+             "text": t["text"],
+             "shard": pa.array(ids % n_shards, pa.int64())},
+            schema=_U_SCHEMA,
+        )
+
+    _M_SCHEMA = pa.schema(
+        [("shard", pa.int64()), ("n_docs", pa.int64()), ("n_bytes", pa.int64())]
+    )
+
+    def write_shard(g: pd.DataFrame) -> pa.Table:
+        sh = int(g["shard"].iloc[0])
+        final = _os.path.join(out_dir, f"shard={sh}")
+        fpath = _os.path.join(final, "part.jsonl")
+        mpath = _os.path.join(final, "manifest.json")
+        if _os.path.exists(mpath):           # finished shard: stat-only resume
+            with open(mpath) as f:
+                m = json.load(f)
+            try:
+                if _os.stat(fpath).st_size == m["n_bytes"]:
+                    return pa.table(
+                        {"shard": [sh], "n_docs": [m["n_docs"]],
+                         "n_bytes": [m["n_bytes"]]}, schema=_M_SCHEMA)
+            except OSError:
+                pass
+        g = g.sort_values("doc_id")
+        lines = []
+        for did, lang, srcv, txt in zip(
+                g["doc_id"].to_numpy(), g["lang"], g["source"], g["text"]):
+            # plain-ASCII corpus => JSON string encoding is quote-wrapping;
+            # assert so a future corpus with escapes fails loudly, not subtly
+            assert json.dumps(txt) == f'"{txt}"', "non-trivial JSON escape"
+            lines.append(
+                f'{{"doc_id":{int(did)},"lang":"{lang}",'
+                f'"source":"{srcv}","text":"{txt}"}}\n')
+        payload = "".join(lines).encode()
+        _os.makedirs(final, exist_ok=True)
+        tmp = fpath + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        _os.replace(tmp, fpath)
+        m = {"shard": sh, "n_docs": len(g), "n_bytes": len(payload)}
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(m, f)
+        _os.replace(mpath + ".tmp", mpath)
+        return pa.table(
+            {"shard": [sh], "n_docs": [m["n_docs"]], "n_bytes": [m["n_bytes"]]},
+            schema=_M_SCHEMA,
+        )
+
+    out = (
+        read_pruned(src, ["doc_id", "lang", "source", "text"])
+        .map_batches(doc_rows, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(write_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out[out["n_docs"] > 0]
+    return (out.sort_values("shard").reset_index(drop=True)
+            .astype({"shard": "int64", "n_docs": "int64", "n_bytes": "int64"}))

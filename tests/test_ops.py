@@ -2709,3 +2709,41 @@ def test_phrase_search_planted(ray_session, tmp_path):
     got = phrase_search(str(d), phrases=("alpha beta", "gamma delta"))
     pairs = set(zip(got["query_id"], got["doc_id"]))
     assert pairs == {(0, 0), (1, 3), (1, 4)}
+
+
+def test_export_jsonl_shards_resume_and_readback(ray_session, tmp_path):
+    """JSONL sink: read-back through ray.data.read_json equals the corpus;
+    a killed shard is rebuilt on re-run while finished shards' files are
+    untouched (mtime-identical); manifest equal across runs."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "jsonl")
+    from engine.ops.curate import export_jsonl_shards
+
+    m1 = export_jsonl_shards(sf, out_dir=out, n_shards=8)
+    assert len(m1) == 8
+
+    # read-back equivalence
+    back = rd.read_json([os.path.join(out, f"shard={s}", "part.jsonl")
+                         for s in range(8)]).to_pandas()
+    want = pq.read_table(os.path.join(sf, "documents.parquet"),
+                         columns=["doc_id", "lang", "source", "text"]).to_pandas()
+    back = back.sort_values("doc_id").reset_index(drop=True)
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    assert back[["doc_id", "lang", "source", "text"]].equals(
+        want[["doc_id", "lang", "source", "text"]])
+
+    # kill one shard; record mtimes of the others
+    shutil.rmtree(os.path.join(out, "shard=3"))
+    mtimes = {s: os.stat(os.path.join(out, f"shard={s}", "part.jsonl")).st_mtime_ns
+              for s in range(8) if s != 3}
+    m2 = export_jsonl_shards(sf, out_dir=out, n_shards=8)
+    assert m2.equals(m1)
+    for s, t in mtimes.items():
+        assert os.stat(os.path.join(out, f"shard={s}", "part.jsonl")).st_mtime_ns == t
+    assert os.path.exists(os.path.join(out, "shard=3", "part.jsonl"))
