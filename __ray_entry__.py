@@ -220,6 +220,49 @@ def crawl_recrawl(sf_dir: str):
     )
 
 
+def warc_golden_check(sf_dir: str):
+    """WARC source/sink golden check (the Common-Crawl-style interchange
+    format, engine/warc.py): serialize the synth corpus's pages into WARC
+    shards — plain AND per-record-gzip — read both back through the
+    distributed parser, and report per-(url, variant) byte-identity of the
+    html payload plus warc_ts round-trip against the source table."""
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.synth import CorpusConfig, generate_corpus
+    from engine.warc import read_warc, write_warc_shards
+
+    sf = _sf_of(sf_dir)
+    n_pages = max(200, int(sf * 20_000))
+    cfg = CorpusConfig(n_pages=n_pages, n_hosts=20, n_buckets=8)
+    corpus = generate_corpus(
+        os.path.join("/tmp", f"graft_corpus_{cfg.cache_key()}"), cfg
+    )
+    import glob as _glob
+
+    frames = []
+    for variant, gz in (("plain", False), ("gzip", True)):
+        out = write_warc_shards(corpus, n_shards=8, gz=gz)
+        paths = sorted(_glob.glob(os.path.join(out, "shard-*.warc*")))
+        got = read_warc(paths).to_pandas()
+        want = rd.read_parquet(
+            os.path.join(corpus, "pages"),
+            columns=["url", "warc_ts", "html"]).to_pandas()
+        m = got.merge(want, on="url", suffixes=("", "_want"))
+        df = pd.DataFrame({
+            "url": m["url"],
+            "variant": variant,
+            "identical": [
+                bytes(a) == bytes(b) and t1 == t2
+                for a, b, t1, t2 in zip(m["html"], m["html_want"],
+                                        m["warc_ts"], m["warc_ts_want"])],
+        })
+        assert len(got) == len(want), (len(got), len(want))
+        frames.append(df)
+    return (pd.concat(frames).sort_values(["variant", "url"])
+            .reset_index(drop=True))
+
+
 def pdf_golden_check(sf_dir: str, encoding: str = "pdf_flate"):
     """PDF-encoding twin of extract_golden_check: generate the FLATE-encoded
     pdf corpus (same content, real PDF bytes with /FlateDecode content
@@ -505,6 +548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_recrawl": crawl_recrawl,
         "extract_golden_check": extract_golden_check,
         "pdf_golden_check": pdf_golden_check,
+        "warc_golden_check": warc_golden_check,
         "pdf_xref_golden_check": pdf_xref_golden_check,
     }
 
