@@ -192,3 +192,135 @@ def read_warc(paths: list[str]):
     # one file per task: WARC's parallelism unit is the shard file
     return items.repartition(len(paths)).map_batches(
         parse, batch_format="pyarrow", batch_size=1)
+
+
+def ingest_warc_corpus(warc_dir: str, out_dir: str, n_buckets: int = 8,
+                       robots_from: str | None = None,
+                       seeds_from: str | None = None) -> str:
+    """Materialize WARC shards as a crawlable corpus: the hash-bucketed
+    ``pages/bucket=K/`` layout (bucket = url_hash64 % n_buckets — the
+    partitioning contract the crawl's fetch join relies on) plus the
+    seeds / robots / budget side tables, so a Common-Crawl-style WARC drop
+    feeds the SAME crawl pipeline as the synthetic corpus.
+
+    Scale shape: one distributed parse (a task per WARC shard file) into
+    ONE bucket-keyed all-to-all; each bucket group writes one consolidated
+    parquet file (the IVF consolidation lesson — no per-input-block
+    fragment explosion).  Side tables: copied from ``robots_from`` /
+    ``seeds_from`` when given (a recrawl of a known corpus); otherwise
+    robots is permissive over the observed hosts and seeds are each
+    host's lexicographically-first url — both derived with bounded
+    driver state (hosts are the bounded catalog, not urls).
+    """
+    import glob as _glob
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .canonicalize import url_hash64
+    from .synth import PAGES_SCHEMA, default_budget
+
+    paths = sorted(_glob.glob(os.path.join(warc_dir, "shard-*.warc*")))
+    if not paths:
+        raise FileNotFoundError(f"no WARC shards under {warc_dir}")
+    pages_dir = os.path.join(out_dir, "pages")
+    os.makedirs(pages_dir, exist_ok=True)
+
+    _B = pa.schema(
+        [("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+         ("html", pa.binary()), ("bucket", pa.int64())]
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        b = np.array([url_hash64(u) % n_buckets for u in urls], np.int64)
+        return pa.table(
+            {"url": t["url"], "warc_ts": t["warc_ts"], "html": t["html"],
+             "bucket": pa.array(b, pa.int64())}, schema=_B)
+
+    _M = pa.schema([("bucket", pa.int64()), ("n", pa.int64()),
+                    ("hosts", pa.list_(pa.string())),
+                    ("first_urls", pa.list_(pa.string()))])
+
+    def write_bucket(g: pd.DataFrame) -> pa.Table:
+        b = int(g["bucket"].iloc[0])
+        g = g.sort_values("url")
+        tbl = pa.table(
+            {"url": pa.array(g["url"], pa.string()),
+             "warc_ts": pa.array(g["warc_ts"], pa.timestamp("us")),
+             "html": pa.array([bytes(x) for x in g["html"]], pa.binary()),
+             "text": pa.array([""] * len(g), pa.string()),
+             "lang": pa.array([""] * len(g), pa.string())},
+            schema=PAGES_SCHEMA)
+        bdir = os.path.join(pages_dir, f"bucket={b}")
+        os.makedirs(bdir, exist_ok=True)
+        fp = os.path.join(bdir, "part-0.parquet")
+        pq.write_table(tbl, fp + ".tmp")
+        os.replace(fp + ".tmp", fp)
+        # bounded per-bucket host catalog + first-url-per-host for seeds
+        hosts = g["url"].str.split("/").str[2]
+        firsts = g.groupby(hosts, sort=True)["url"].min()
+        return pa.table(
+            {"bucket": pa.array([b], pa.int64()),
+             "n": pa.array([len(g)], pa.int64()),
+             "hosts": pa.array([sorted(set(hosts))], pa.list_(pa.string())),
+             "first_urls": pa.array([firsts.tolist()], pa.list_(pa.string()))},
+            schema=_M)
+
+    manifest = (
+        read_warc(paths)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(write_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    # empty buckets still need a (schema-bearing) file for the fetch join
+    present = set(manifest["bucket"].astype(int))
+    for b in range(n_buckets):
+        if b not in present:
+            bdir = os.path.join(pages_dir, f"bucket={b}")
+            os.makedirs(bdir, exist_ok=True)
+            pq.write_table(PAGES_SCHEMA.empty_table(),
+                           os.path.join(bdir, "part-empty.parquet"))
+
+    if robots_from:
+        shutil.copy(os.path.join(robots_from, "robots.parquet"),
+                    os.path.join(out_dir, "robots.parquet"))
+    else:
+        hosts = sorted({h for hs in manifest["hosts"] for h in hs})
+        pq.write_table(
+            pa.table({"host": pa.array(hosts, pa.string()),
+                      "disallow_prefixes": pa.array([[]] * len(hosts),
+                                                    pa.list_(pa.string())),
+                      "crawl_delay_ms": pa.array([0] * len(hosts), pa.int64())}),
+            os.path.join(out_dir, "robots.parquet"))
+    if seeds_from:
+        shutil.copy(os.path.join(seeds_from, "seeds.parquet"),
+                    os.path.join(out_dir, "seeds.parquet"))
+    else:
+        per_host: dict = {}
+        for urls in manifest["first_urls"]:
+            for u in urls:
+                h = u.split("/")[2]
+                per_host[h] = min(per_host.get(h, u), u)
+        seeds = [per_host[h] for h in sorted(per_host)]
+        pq.write_table(
+            pa.table({"url": pa.array(seeds, pa.string()),
+                      "priority": pa.array(list(range(len(seeds))), pa.int32())}),
+            os.path.join(out_dir, "seeds.parquet"))
+
+    budget = default_budget()
+    pq.write_table(
+        pa.table({k: pa.array([v], pa.int64() if k == "max_urls_total"
+                              else pa.int32())
+                  for k, v in budget.items()}),
+        os.path.join(out_dir, "budget.parquet"))
+
+    key = hashlib.md5(json.dumps(sorted(
+        (os.path.basename(p), os.stat(p).st_size) for p in paths
+    )).encode()).hexdigest()[:16]
+    with open(os.path.join(out_dir, "_corpus.json"), "w") as f:
+        json.dump({"cache_key": f"warc:{key}",
+                   "cfg": {"n_buckets": n_buckets}}, f)
+    return out_dir

@@ -79,3 +79,32 @@ def test_warc_shards_distributed_roundtrip(ray_session, tmp_path, gz):
     assert got["url"].tolist() == want["url"].tolist()
     assert got["warc_ts"].tolist() == want["warc_ts"].tolist()
     assert all(bytes(a) == bytes(b) for a, b in zip(got["html"], want["html"]))
+
+
+def test_warc_ingest_feeds_identical_crawl(ray_session, tmp_path):
+    """WARC as a first-class crawl source: corpus -> WARC shards ->
+    ingest_warc_corpus -> crawl reproduces the original crawl's order
+    table and counters exactly (same seeds/robots/budget)."""
+    import glob
+
+    from engine.crawl import crawl
+    from engine.synth import CorpusConfig, generate_corpus
+    from engine.warc import ingest_warc_corpus, write_warc_shards
+
+    corpus = generate_corpus(
+        str(tmp_path / "corpus"), CorpusConfig(n_pages=300, n_hosts=10,
+                                               n_buckets=4))
+    warc_dir = write_warc_shards(corpus, out_dir=str(tmp_path / "warc"),
+                                 n_shards=4, gz=True)
+    ingested = ingest_warc_corpus(
+        warc_dir, str(tmp_path / "corpus2"), n_buckets=4,
+        robots_from=corpus, seeds_from=corpus)
+
+    budget = {"max_urls_total": 200, "max_per_host_per_round": 6,
+              "max_depth": 4, "max_rounds": 12}
+    a = crawl(corpus, str(tmp_path / "ck_a"), budget)
+    b = crawl(ingested, str(tmp_path / "ck_b"), budget)
+    assert a.cumulative == b.cumulative
+    ta = a.order_table().to_pylist()
+    tb = b.order_table().to_pylist()
+    assert ta == tb
