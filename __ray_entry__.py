@@ -1545,7 +1545,8 @@ def oracle_sql() -> dict[str, str]:
                           AS BIGINT) AS value
               FROM lineitem GROUP BY 1)
             SELECT l_partkey, value FROM v
-            WHERE value * 10000 > (SELECT sum(value) FROM v) * 2
+            WHERE value * (SELECT count(*) FROM v) * 2
+                  > (SELECT sum(value) FROM v) * 3
             ORDER BY value DESC, l_partkey
         """,
         # INTERSECT / EXCEPT set-operation shape over the high-value slice

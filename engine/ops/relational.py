@@ -3956,17 +3956,18 @@ def part_supplier_counts(sf_dir: str) -> pd.DataFrame:
         ascending=[False, True, True, True]).reset_index(drop=True))
 
 
-def important_parts(sf_dir: str, frac_bp: int = 2) -> pd.DataFrame:
-    """(l_partkey, value) — parts whose total revenue exceeds ``frac_bp``
-    basis points of GLOBAL revenue (TPC-H Q11 shape: a HAVING clause
-    against a scalar subquery over the same aggregate).
+def important_parts(sf_dir: str) -> pd.DataFrame:
+    """(l_partkey, value) — parts whose total revenue exceeds 1.5x the MEAN
+    per-part revenue (TPC-H Q11 shape: a HAVING clause against a scalar
+    subquery over the same aggregate; a mean-multiple threshold is
+    scale-free where Q11's fixed fraction must be divided by SF).
 
     Scale shape: one pass builds per-part revenue partials combined per
     batch, shuffled on the COARSE ``partkey % 64`` bucket; each bucket
     group emits (a) its per-part whole-unit-ROUNDED sums and (b) nothing
-    else — the global total is then the driver's sum of the 64 bucket
-    totals over already-rounded integers, so the threshold comparison
-    ``value * 10000 > total * frac_bp`` is pure int64 arithmetic,
+    else — the global total and part count are then driver folds of the
+    bucket partials over already-rounded integers, so the threshold
+    comparison ``value * n * 2 > total * 3`` is pure int64 arithmetic,
     bit-stable under any summation order, and matches the SQL twin
     exactly.  Survivors (the point of the query: a tiny head) are the only
     full-width rows returned.
@@ -3999,16 +4000,22 @@ def important_parts(sf_dir: str, frac_bp: int = 2) -> pd.DataFrame:
     )
     # total = sum of already-rounded int64 per-part values (order-free);
     # survivors filter runs distributed so only the head reaches the driver
+    from ray.data.aggregate import Count as _Count
     from ray.data.aggregate import Sum as _Sum
 
-    total = int(vals_ds.aggregate(_Sum("value", alias_name="v"))["v"])
+    agg = vals_ds.aggregate(_Sum("value", alias_name="v"),
+                            _Count(alias_name="n"))
+    total, n_parts = int(agg["v"]), int(agg["n"])
 
     def survivors(t: pa.Table) -> pa.Table:
         v = t["value"].to_numpy()
-        return t.filter(pa.array(v * 10000 > total * frac_bp))
+        return t.filter(pa.array(v * n_parts * 2 > total * 3))
 
     out = (vals_ds.map_batches(survivors, batch_format="pyarrow")
            .to_pandas().rename(columns={"key": "l_partkey"}))
+    if "l_partkey" not in out.columns:  # no survivors in any block
+        return pd.DataFrame({"l_partkey": pd.Series([], dtype="int64"),
+                             "value": pd.Series([], dtype="int64")})
     return (out.sort_values(["value", "l_partkey"], ascending=[False, True])
             .reset_index(drop=True))
 
