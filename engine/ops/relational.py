@@ -4236,6 +4236,10 @@ def potential_promotion_suppliers(sf_dir: str, prefix: str = "blue",
         .map_groups(having, batch_format="pandas")
         .to_pandas()
     )
+    if "key" not in winners.columns:  # no supplier cleared the HAVING
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
+                             "s_name": pd.Series([], dtype="object"),
+                             "total_qty": pd.Series([], dtype="int64")})
     supp = _pq.read_table(_t(sf_dir, "supplier"),
                           columns=["s_suppkey", "s_name"]).to_pandas()
     out = winners.merge(supp, left_on="key", right_on="s_suppkey")
