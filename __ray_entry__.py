@@ -375,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_with_lineitems_bloom": relational.orders_with_lineitems_bloom,
         "events_funnel": relational.events_funnel,
         "source_mix_weighted": curate.source_mix_weighted,
+        "global_shuffle": curate.global_shuffle,
         "value_quantiles_per_type": relational.value_quantiles_per_type,
         "revenue_rollup": relational.revenue_rollup,
         "value_stats_per_type": relational.value_stats_per_type,
@@ -2065,6 +2066,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY token
         """,
         "source_mix_weighted": _lsh_oracles.source_mix_weighted_sql(),
+        "global_shuffle": _lsh_oracles.global_shuffle_sql(),
         "lm_perplexity_bucket": _lsh_oracles.lm_perplexity_bucket_sql(),
         "dsir_importance_weights": _lsh_oracles.dsir_importance_weights_sql(),
         "decontaminate_ngrams": _lsh_oracles.decontaminate_ngrams_sql(),

@@ -171,6 +171,7 @@ BENCH_QUERY_NAMES = [
     "events_sliding_distinct_hll",
     "embedding_similarity_histogram",
     "pdf_image_extract",
+    "global_shuffle",
 ]
 
 

@@ -648,3 +648,64 @@ def export_jsonl_shards(sf_dir: str, out_dir: str | None = None,
     out = out[out["n_docs"] > 0]
     return (out.sort_values("shard").reset_index(drop=True)
             .astype({"shard": "int64", "n_docs": "int64", "n_bytes": "int64"}))
+
+
+def global_shuffle(sf_dir: str, n_shards: int = 16, seed: int = 0) -> pd.DataFrame:
+    """(doc_id, shard, pos) — the deterministic seeded GLOBAL SHUFFLE that
+    fixes a training run's data order (the step between curation and the
+    shard export): every document gets a shard and a dense 0-based position
+    within it by rank of ``key = splitmix64(doc_id XOR mix(seed))``.  Pure
+    hash, no RNG state — the same seed yields the identical permutation on
+    any worker count, rerun, or the DuckDB oracle; a different seed is a
+    fresh permutation (locked by pytest).
+
+    Scale shape: doc_id is the ONLY column read; one vectorized map emits
+    (doc_id, shard, key) rows and ONE shard-keyed all-to-all ranks each
+    shard in-group (np.lexsort on (key, doc_id) — doc_id breaks the
+    ~2^-64 hash-collision tie deterministically).  Shard groups carry ids
+    only (~24 B/row); at cluster scale n_shards is chosen a few x the
+    worker count — the same knob the training job's shard count already is
+    — so each group fits one worker.  Composing the actual text movement is
+    ``export_jsonl_shards``'s one text all-to-all with ``pos`` as the
+    in-shard sort key instead of doc_id.
+    """
+    from .dedup import _mix64, _mix64_int
+    from .io import read_pruned
+
+    seed_mix = np.uint64(_mix64_int(int(seed)))
+
+    _K_SCHEMA = pa.schema(
+        [("doc_id", pa.int64()), ("shard", pa.int64()), ("k", pa.int64())]
+    )
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        h = _mix64(ids.astype(np.uint64) ^ seed_mix)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "shard": pa.array((h % np.uint64(n_shards)).astype(np.int64),
+                               pa.int64()),
+             # uint64 key bit-cast for transport; rank() restores the view
+             "k": pa.array(h.view(np.int64), pa.int64())},
+            schema=_K_SCHEMA,
+        )
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["k"].to_numpy().view(np.uint64)
+        ids = g["doc_id"].to_numpy()
+        order = np.lexsort((ids, h))
+        pos = np.empty(len(ids), np.int64)
+        pos[order] = np.arange(len(ids), dtype=np.int64)
+        return pd.DataFrame({"doc_id": ids, "shard": g["shard"].to_numpy(),
+                             "pos": pos})
+
+    out = (
+        read_pruned(_os.path.join(sf_dir, "documents.parquet"), ["doc_id"])
+        .map_batches(keyed, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(rank, batch_format="pandas")
+        .to_pandas()
+    )
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            [["doc_id", "shard", "pos"]]
+            .astype({"doc_id": "int64", "shard": "int64", "pos": "int64"}))

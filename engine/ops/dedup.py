@@ -133,6 +133,16 @@ def _mix64(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> np.uint64(31))
 
 
+def _mix64_int(x: int) -> int:
+    """Scalar splitmix64 finalizer (exact twin of :func:`_mix64`), for
+    driver-side constants (e.g. seed mixing) shared with the SQL oracles."""
+    m = (1 << 64) - 1
+    x &= m
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & m
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & m
+    return x ^ (x >> 31)
+
+
 def _shingles(text: str, k: int = 3) -> np.ndarray:
     """DISTINCT k-token-gram hashes (uint64 < 2^61), fully vectorized after
     per-token hashing: shingle hash = splitmix-mixed positional combine of

@@ -924,3 +924,24 @@ def embedding_similarity_histogram_sql(n_pairs: int = 2000,
         FROM g CROSS JOIN mm LEFT JOIN c ON c.bin = g.bin
         ORDER BY 1
     """
+
+
+def global_shuffle_sql(n_shards: int = 16, seed: int = 0) -> str:
+    """Oracle for curate.global_shuffle: the shared splitmix64 SQL builder
+    over doc_id XOR mix(seed), shard = key mod n_shards, pos = dense rank
+    within shard ordered by (key, doc_id)."""
+    seed_mix = dd._mix64_int(int(seed))
+    return rf"""
+            WITH s AS (
+              SELECT doc_id, xor(doc_id::UBIGINT, {seed_mix}::UBIGINT) AS x
+              FROM documents
+            ), h AS (
+              SELECT doc_id, {_mix64('x')} AS hv FROM s
+            )
+            SELECT doc_id,
+                   (hv % {n_shards}::UBIGINT)::BIGINT AS shard,
+                   (ROW_NUMBER() OVER (
+                      PARTITION BY hv % {n_shards}::UBIGINT
+                      ORDER BY hv, doc_id) - 1)::BIGINT AS pos
+            FROM h
+            ORDER BY doc_id"""

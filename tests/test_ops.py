@@ -2747,3 +2747,43 @@ def test_export_jsonl_shards_resume_and_readback(ray_session, tmp_path):
     for s, t in mtimes.items():
         assert os.stat(os.path.join(out, f"shard={s}", "part.jsonl")).st_mtime_ns == t
     assert os.path.exists(os.path.join(out, "shard=3", "part.jsonl"))
+
+
+# ---------------------------------------------------------------- global shuffle
+
+def test_global_shuffle_is_a_deterministic_seeded_permutation(ray_session):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from engine.ops.curate import global_shuffle
+    from engine.ops.dedup import _mix64, _mix64_int
+
+    out = global_shuffle(SF, n_shards=8, seed=0)
+    ids = pq.read_table(SF + "/documents.parquet", columns=["doc_id"])
+    all_ids = np.sort(ids["doc_id"].to_numpy())
+
+    # bijection: every doc exactly once, pos dense 0..n_k-1 per shard
+    assert np.array_equal(np.sort(out["doc_id"].to_numpy()), all_ids)
+    for sh, g in out.groupby("shard"):
+        assert np.array_equal(np.sort(g["pos"].to_numpy()),
+                              np.arange(len(g)))
+
+    # matches the sequential numpy reference exactly
+    h = _mix64(all_ids.astype(np.uint64) ^ np.uint64(_mix64_int(0)))
+    ref = pd.DataFrame({"doc_id": all_ids,
+                        "shard": (h % np.uint64(8)).astype(np.int64)})
+    order = np.lexsort((all_ids, h))
+    pos = np.empty(len(all_ids), np.int64)
+    srt = ref["shard"].to_numpy()[order]
+    for sh in range(8):
+        m = srt == sh
+        pos[order[m]] = np.arange(m.sum())
+    ref["pos"] = pos
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), ref.sort_values("doc_id").reset_index(drop=True))
+
+    # rerun identical; different seed is a different permutation
+    again = global_shuffle(SF, n_shards=8, seed=0)
+    pd.testing.assert_frame_equal(out, again)
+    other = global_shuffle(SF, n_shards=8, seed=1)
+    assert not out[["shard", "pos"]].equals(other[["shard", "pos"]])
