@@ -498,6 +498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quality_stats": curate.source_quality_stats,
         "export_training_shards": curate.export_training_shards,
         "export_jsonl_shards": curate.export_jsonl_shards,
+        "export_shuffled_shards": curate.export_shuffled_shards,
         "forget_documents": curate.forget_documents,
         # similarity search
         "ann_topk": ann.ann_topk_bruteforce,
@@ -2067,6 +2068,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "source_mix_weighted": _lsh_oracles.source_mix_weighted_sql(),
         "global_shuffle": _lsh_oracles.global_shuffle_sql(),
+        "export_shuffled_shards": _lsh_oracles.export_shuffled_shards_sql(),
         "lm_perplexity_bucket": _lsh_oracles.lm_perplexity_bucket_sql(),
         "dsir_importance_weights": _lsh_oracles.dsir_importance_weights_sql(),
         "decontaminate_ngrams": _lsh_oracles.decontaminate_ngrams_sql(),

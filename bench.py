@@ -172,6 +172,12 @@ BENCH_QUERY_NAMES = [
     "embedding_similarity_histogram",
     "pdf_image_extract",
     "global_shuffle",
+    "semdedup_pairs",
+    "semdedup_canonical",
+    "embedding_dedup_canonical",
+    "incremental_exact_dedup",
+    "langid_predict",
+    "export_shuffled_shards",
 ]
 
 

@@ -709,3 +709,128 @@ def global_shuffle(sf_dir: str, n_shards: int = 16, seed: int = 0) -> pd.DataFra
     return (out.sort_values("doc_id").reset_index(drop=True)
             [["doc_id", "shard", "pos"]]
             .astype({"doc_id": "int64", "shard": "int64", "pos": "int64"}))
+
+
+# golden-ratio constant for the order-sensitive export signature
+_SIG_GOLD = 0x9E3779B97F4A7C15
+_SIG_MASK63 = (1 << 63) - 1
+
+
+def export_shuffled_shards(sf_dir: str, out_dir: str | None = None,
+                           n_shards: int = 16, seed: int = 0) -> pd.DataFrame:
+    """(shard, n_docs, n_bytes, order_sig) — :func:`global_shuffle` APPLIED:
+    publish the corpus as partitioned JSONL in the seeded global-shuffle
+    order (shard = key % n_shards, lines ordered by in-shard key rank), the
+    exact artifact a training run streams.  Same resumable-sink contract as
+    :func:`export_jsonl_shards` (atomic tmp+rename, per-shard manifest,
+    finished shards skipped by a size+count check).
+
+    ``order_sig`` makes the manifest ORDER-SENSITIVE where byte count alone
+    is not: xor-fold of ``splitmix64(doc_id XOR (rank+1)*GOLD) & (2^63-1)``
+    over the shard's rows in written order — any reordering, drop, or swap
+    changes it, and the DuckDB oracle recomputes it exactly (ROW_NUMBER +
+    the shared splitmix64/mul64 SQL builders).
+
+    Scale shape: ONE shard-keyed all-to-all of full doc rows (text moves
+    once — the shuffle IS the export); the key is computed in the same
+    vectorized map that tags the shard, so no join back to the order op.
+    """
+    import hashlib
+    import json
+
+    from .dedup import _mix64, _mix64_int
+    from .io import read_pruned
+
+    src = _os.path.join(sf_dir, "documents.parquet")
+    if out_dir is None:
+        st = _os.stat(src)
+        key = hashlib.md5(
+            f"{_os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|"
+            f"shuffled|{n_shards}|{seed}".encode()
+        ).hexdigest()[:16]
+        out_dir = _os.path.join("/tmp", "engine_shuffled_shards", key)
+    _os.makedirs(out_dir, exist_ok=True)
+
+    seed_mix = np.uint64(_mix64_int(int(seed)))
+
+    _U_SCHEMA = pa.schema(
+        [("doc_id", pa.int64()), ("lang", pa.string()), ("source", pa.string()),
+         ("text", pa.string()), ("shard", pa.int64()), ("k", pa.int64())]
+    )
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        h = _mix64(ids.astype(np.uint64) ^ seed_mix)
+        return pa.table(
+            {"doc_id": t["doc_id"], "lang": t["lang"], "source": t["source"],
+             "text": t["text"],
+             "shard": pa.array((h % np.uint64(n_shards)).astype(np.int64),
+                               pa.int64()),
+             "k": pa.array(h.view(np.int64), pa.int64())},
+            schema=_U_SCHEMA,
+        )
+
+    _M_SCHEMA = pa.schema(
+        [("shard", pa.int64()), ("n_docs", pa.int64()),
+         ("n_bytes", pa.int64()), ("order_sig", pa.int64())]
+    )
+
+    def write_shard(g: pd.DataFrame) -> pa.Table:
+        sh = int(g["shard"].iloc[0])
+        final = _os.path.join(out_dir, f"shard={sh}")
+        fpath = _os.path.join(final, "part.jsonl")
+        mpath = _os.path.join(final, "manifest.json")
+        if _os.path.exists(mpath):           # finished shard: stat-only resume
+            with open(mpath) as f:
+                m = json.load(f)
+            try:
+                if _os.stat(fpath).st_size == m["n_bytes"]:
+                    return pa.table(
+                        {"shard": [sh], "n_docs": [m["n_docs"]],
+                         "n_bytes": [m["n_bytes"]],
+                         "order_sig": [m["order_sig"]]}, schema=_M_SCHEMA)
+            except OSError:
+                pass
+        h = g["k"].to_numpy().view(np.uint64)
+        order = np.lexsort((g["doc_id"].to_numpy(), h))
+        g = g.iloc[order]
+        ids = g["doc_id"].to_numpy().astype(np.uint64)
+        rank1 = np.arange(1, len(g) + 1, dtype=np.uint64)
+        sig = int(np.bitwise_xor.reduce(
+            _mix64(ids ^ (rank1 * np.uint64(_SIG_GOLD))))
+            & np.uint64(_SIG_MASK63)) if len(g) else 0
+        lines = []
+        for did, lang, srcv, txt in zip(
+                g["doc_id"].to_numpy(), g["lang"], g["source"], g["text"]):
+            assert json.dumps(txt) == f'"{txt}"', "non-trivial JSON escape"
+            lines.append(
+                f'{{"doc_id":{int(did)},"lang":"{lang}",'
+                f'"source":"{srcv}","text":"{txt}"}}\n')
+        payload = "".join(lines).encode()
+        _os.makedirs(final, exist_ok=True)
+        tmp = fpath + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        _os.replace(tmp, fpath)
+        m = {"shard": sh, "n_docs": len(g), "n_bytes": len(payload),
+             "order_sig": sig}
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(m, f)
+        _os.replace(mpath + ".tmp", mpath)
+        return pa.table(
+            {"shard": [sh], "n_docs": [m["n_docs"]],
+             "n_bytes": [m["n_bytes"]], "order_sig": [sig]},
+            schema=_M_SCHEMA,
+        )
+
+    out = (
+        read_pruned(src, ["doc_id", "lang", "source", "text"])
+        .map_batches(doc_rows, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(write_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out[out["n_docs"] > 0]
+    return (out.sort_values("shard").reset_index(drop=True)
+            .astype({"shard": "int64", "n_docs": "int64",
+                     "n_bytes": "int64", "order_sig": "int64"}))

@@ -945,3 +945,44 @@ def global_shuffle_sql(n_shards: int = 16, seed: int = 0) -> str:
                       ORDER BY hv, doc_id) - 1)::BIGINT AS pos
             FROM h
             ORDER BY doc_id"""
+
+
+def export_shuffled_shards_sql(n_shards: int = 16, seed: int = 0) -> str:
+    """Oracle for curate.export_shuffled_shards: the global_shuffle order
+    APPLIED to the JSONL publish.  Per shard: doc count, exact byte count
+    of the byte-deterministic line format (string-concat twin, ASCII
+    corpus), and the ORDER-SENSITIVE signature
+    ``bit_xor(splitmix64(doc_id XOR rank1*GOLD)) & (2^63-1)`` over rows in
+    written (hv, doc_id) order — xor commutes with the bitwise mask, so
+    masking per term equals the engine's mask-after-fold."""
+    from .ops.curate import _SIG_GOLD
+
+    seed_mix = dd._mix64_int(int(seed))
+    return rf"""
+            WITH s AS (
+              SELECT doc_id, lang, source, text,
+                     xor(doc_id::UBIGINT, {seed_mix}::UBIGINT) AS x
+              FROM documents
+            ), h AS (
+              SELECT doc_id, lang, source, text, {_mix64('x')} AS hv FROM s
+            ), r AS (
+              SELECT doc_id, lang, source, text,
+                     (hv % {n_shards}::UBIGINT)::BIGINT AS shard,
+                     ROW_NUMBER() OVER (
+                        PARTITION BY hv % {n_shards}::UBIGINT
+                        ORDER BY hv, doc_id)::UBIGINT AS rank1
+              FROM h
+            ), t AS (
+              SELECT shard,
+                     length('{{"doc_id":' || doc_id || ',"lang":"' || lang ||
+                            '","source":"' || source || '","text":"' || text ||
+                            '"}}') + 1 AS nb,
+                     xor(doc_id::UBIGINT, {_mul64('rank1', _SIG_GOLD)}) AS xs
+              FROM r
+            ), g AS (
+              SELECT shard, nb, {_mix64('xs')} AS sv FROM t
+            )
+            SELECT shard, count(*)::BIGINT AS n_docs,
+                   sum(nb)::BIGINT AS n_bytes,
+                   (bit_xor(sv) & {_MASK63}::UBIGINT)::BIGINT AS order_sig
+            FROM g GROUP BY shard ORDER BY shard"""

@@ -2787,3 +2787,60 @@ def test_global_shuffle_is_a_deterministic_seeded_permutation(ray_session):
     pd.testing.assert_frame_equal(out, again)
     other = global_shuffle(SF, n_shards=8, seed=1)
     assert not out[["shard", "pos"]].equals(other[["shard", "pos"]])
+
+
+def test_export_shuffled_shards_order_sig_and_resume(ray_session, tmp_path):
+    """Shuffled JSONL export: per-shard file order IS the global_shuffle
+    pos order; the manifest order_sig matches a recomputation from the
+    written file and flips under a row swap; finished shards are skipped
+    on re-run (mtime-identical)."""
+    import json
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from engine.ops.curate import (_SIG_GOLD, _SIG_MASK63,
+                                   export_shuffled_shards, global_shuffle)
+    from engine.ops.dedup import _mix64
+
+    out = str(tmp_path / "shuf")
+    m1 = export_shuffled_shards(SF, out_dir=out, n_shards=8, seed=0)
+    order = global_shuffle(SF, n_shards=8, seed=0)
+
+    for sh in m1["shard"]:
+        fpath = os.path.join(out, f"shard={sh}", "part.jsonl")
+        rows = [json.loads(line) for line in open(fpath)]
+        ids = np.array([r["doc_id"] for r in rows], np.int64)
+        # file order == the seeded permutation's in-shard pos order
+        want = (order[order["shard"] == sh].sort_values("pos")
+                ["doc_id"].to_numpy())
+        assert np.array_equal(ids, want)
+        # manifest byte count and order signature match the file exactly
+        assert os.stat(fpath).st_size == int(
+            m1.loc[m1["shard"] == sh, "n_bytes"].iloc[0])
+        rank1 = np.arange(1, len(ids) + 1, dtype=np.uint64)
+        sig = int(np.bitwise_xor.reduce(
+            _mix64(ids.astype(np.uint64) ^ (rank1 * np.uint64(_SIG_GOLD))))
+            & np.uint64(_SIG_MASK63))
+        assert sig == int(m1.loc[m1["shard"] == sh, "order_sig"].iloc[0])
+        # order sensitivity: swapping any two rows changes the signature
+        if len(ids) >= 2:
+            sw = ids.copy()
+            sw[0], sw[1] = sw[1], sw[0]
+            sig_sw = int(np.bitwise_xor.reduce(
+                _mix64(sw.astype(np.uint64)
+                       ^ (rank1 * np.uint64(_SIG_GOLD))))
+                & np.uint64(_SIG_MASK63))
+            assert sig_sw != sig
+
+    # resume: kill one shard, others untouched, manifest identical
+    shutil.rmtree(os.path.join(out, "shard=3"))
+    mtimes = {int(s): os.stat(
+        os.path.join(out, f"shard={s}", "part.jsonl")).st_mtime_ns
+        for s in m1["shard"] if int(s) != 3}
+    m2 = export_shuffled_shards(SF, out_dir=out, n_shards=8, seed=0)
+    pd.testing.assert_frame_equal(m1, m2)
+    for s, t in mtimes.items():
+        assert os.stat(
+            os.path.join(out, f"shard={s}", "part.jsonl")).st_mtime_ns == t
