@@ -332,8 +332,15 @@ def _gen_smoke_tables(dest: str, n_docs: int, n_vecs: int, dim: int = 32) -> Non
     import ray.data as rd
 
     marker = os.path.join(dest, "_done.json")
+    _SCHEMA_V = 2  # v2: documents gained lang/source (export/curate smokes)
     if os.path.exists(marker):
-        return
+        try:
+            with open(marker) as f:
+                if json.load(f).get("v") == _SCHEMA_V:
+                    return
+        except Exception:
+            pass
+        shutil.rmtree(dest, ignore_errors=True)
     os.makedirs(dest, exist_ok=True)
 
     V = 30000
@@ -355,11 +362,23 @@ def _gen_smoke_tables(dest: str, n_docs: int, n_vecs: int, dim: int = 32) -> Non
         words = vocab[idx]
         words[near, 39] = "dupmarker"
         texts = [" ".join(row) for row in words]
+        # lang/source: pure functions of the row id (web-corpus shape —
+        # ~70% en, ~1000 hosts) so reruns stay byte-stable
+        lang_tab = np.array(["en", "en", "en", "en", "en", "en", "en",
+                             "de", "fr", "es"])
+        langs = lang_tab[(ids % 10)]
+        sources = np.char.add(
+            np.char.add("host", np.char.zfill(
+                (ids % 1000).astype(str), 4)), ".example")
         return pa.table(
-            {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())}
+            {"doc_id": pa.array(ids, pa.int64()),
+             "lang": pa.array(langs, pa.string()),
+             "source": pa.array(sources, pa.string()),
+             "text": pa.array(texts, pa.string())}
         )
 
-    docs_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    docs_schema = pa.schema([("doc_id", pa.int64()), ("lang", pa.string()),
+                             ("source", pa.string()), ("text", pa.string())])
     with pq.ParquetWriter(os.path.join(dest, "documents.parquet"), docs_schema) as w:
         for b in (
             rd.range(n_docs)
@@ -412,7 +431,8 @@ def _gen_smoke_tables(dest: str, n_docs: int, n_vecs: int, dim: int = 32) -> Non
             w.write_table(b)
 
     with open(marker, "w") as f:
-        json.dump({"n_docs": n_docs, "n_vecs": n_vecs, "dim": dim}, f)
+        json.dump({"n_docs": n_docs, "n_vecs": n_vecs, "dim": dim,
+                   "v": _SCHEMA_V}, f)
 
 
 def run_dedup_smoke() -> dict:
@@ -444,6 +464,7 @@ def run_dedup_smoke() -> dict:
     gen_sec = time.time() - t0
 
     from engine.ops import ann, dedup
+    from engine.ops import curate as _cur
     from engine.ops import ml as _ml
     from engine.ops import relational as rel
     from engine.ops import text as _text_ops
@@ -581,6 +602,24 @@ def run_dedup_smoke() -> dict:
         "embedding_quantize": lambda: ann.embedding_quantize(dest),
         # multi-source BFS: max_hops narrow (node, depth) all-to-alls
         "link_bfs_depth": lambda: rel.link_bfs_depth(dest),
+        # seeded training-order permutation: doc_id-only read, one narrow
+        # shard-keyed exchange (returns the full 5M-row assignment — the
+        # driver-protocol contract, same class as strip_dup_spans' frame)
+        "global_shuffle": lambda: _cur.global_shuffle(dest),
+        # the permutation APPLIED: full text moves once into shuffled JSONL
+        # shards (manifest rows return; payload stays on disk)
+        "export_shuffled_shards": lambda: _cur.export_shuffled_shards(
+            dest, out_dir=os.path.join(dest, "shuffled_shards")),
+        # daily-ingest exact dedup: one content-hash bucket shuffle of
+        # narrow (doc_id, hash, side) rows; output |batch| rows
+        "incremental_exact_dedup": lambda: dedup.incremental_exact_dedup(
+            dest, n_base=n_docs - 100_000),
+        # n-gram-profile language ID: map-only vectorized scoring
+        "langid_predict": lambda: _text_ops.langid_predict(dest),
+        # SemDeDup within-k-means-cluster cosine pairs on the consolidated
+        # IVF cells (128 cells at 2M vectors: ~15.6k-row cell blocks)
+        "semdedup_pairs": lambda: ann.semdedup_pairs(
+            dest, threshold=0.95, n_cells=128),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")
     if only:
