@@ -1059,68 +1059,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, COALESCE(sh.simhash, 0)::BIGINT AS simhash
             FROM documents d LEFT JOIN sh USING (doc_id) ORDER BY doc_id
         """,
-        # exact token-3-gram Jaccard >= 1/2 via inverted-index join; integer
-        # cross-multiplication (3c >= n_a+n_b) keeps the hash float-free and
-        # matches engine.ops.dedup.ngram_jaccard_pairs defaults exactly
-        "ngram_jaccard_pairs": r"""
-            WITH tok AS (
-              SELECT doc_id,
-                     list_filter(string_split_regex(lower(text), '\s+'),
-                                 x -> x <> '') AS toks
-              FROM documents
-            ), pos AS (
-              SELECT doc_id, unnest(toks) AS w,
-                     generate_subscripts(toks, 1) AS i
-              FROM tok
-            ), sh AS (
-              SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
-              FROM pos a
-              JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
-              JOIN pos c ON c.doc_id = a.doc_id AND c.i = a.i + 2
-            ), sz AS (
-              SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-            ), inter AS (
-              SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
-              FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
-              GROUP BY 1, 2
-            )
-            SELECT i.doc_a, i.doc_b, i.n_common, sa.n AS n_a, sb.n AS n_b
-            FROM inter i
-            JOIN sz sa ON sa.doc_id = i.doc_a
-            JOIN sz sb ON sb.doc_id = i.doc_b
-            WHERE 3 * i.n_common >= sa.n + sb.n
-            ORDER BY doc_a, doc_b
-        """,
-        # asymmetric containment twin: same shingle CTEs, min-size predicate
-        "ngram_containment_pairs": r"""
-            WITH tok AS (
-              SELECT doc_id,
-                     list_filter(string_split_regex(lower(text), '\s+'),
-                                 x -> x <> '') AS toks
-              FROM documents
-            ), pos AS (
-              SELECT doc_id, unnest(toks) AS w,
-                     generate_subscripts(toks, 1) AS i
-              FROM tok
-            ), sh AS (
-              SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
-              FROM pos a
-              JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
-              JOIN pos c ON c.doc_id = a.doc_id AND c.i = a.i + 2
-            ), sz AS (
-              SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-            ), inter AS (
-              SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
-              FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
-              GROUP BY 1, 2
-            )
-            SELECT i.doc_a, i.doc_b, i.n_common, sa.n AS n_a, sb.n AS n_b
-            FROM inter i
-            JOIN sz sa ON sa.doc_id = i.doc_a
-            JOIN sz sb ON sb.doc_id = i.doc_b
-            WHERE 5 * i.n_common >= 4 * LEAST(sa.n, sb.n)
-            ORDER BY doc_a, doc_b
-        """,
+        # generated from the engine's own shingle-hash constants — see
+        # engine/oracles.py::ngram_overlap_pairs_sql (no short-doc branch;
+        # integer cross-multiplied predicates keep the hash float-free)
+        "ngram_jaccard_pairs": _lsh_oracles.ngram_overlap_pairs_sql(
+            3, 1, 2, "jaccard"),
+        "ngram_containment_pairs": _lsh_oracles.ngram_overlap_pairs_sql(
+            3, 4, 5, "containment"),
         "ann_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
                        WHERE vec_id < 5)

@@ -775,10 +775,14 @@ def _ngram_overlap_pairs(sf_dir: str, k: int, threshold_num: int,
 
     Shape (the PPJoin-lite inverted-index idiom):
 
-    1. map_batches: doc -> DISTINCT string shingles ``tok[i..i+k)`` joined by
-       a single space over ``text.lower().split()``; every row carries the
-       doc's distinct-shingle count ``n`` so pair sizes need no second join.
-    2. shuffle shingle rows into 64 coarse buckets by shingle crc32; within a
+    1. map_batches: doc -> DISTINCT 61-bit k-gram shingle HASHES (the shared
+       ``_shingles`` md5/splitmix ring, batch-vectorized: factorize the
+       batch's tokens, hash only the distincts, k strided XOR passes over the
+       flat token-hash array with doc-boundary masking, lexsort dedup) —
+       int64 rows through the exchange instead of k-word strings; every row
+       carries the doc's distinct-shingle count ``n`` so pair sizes need no
+       second join.
+    2. shuffle shingle rows into 64 coarse buckets by shingle hash; within a
        bucket a vectorized self-merge on the shingle emits per-shingle pair
        PARTIALS (doc_a, doc_b, n_a, n_b, c) — combined per bucket before the
        second shuffle.
@@ -786,43 +790,63 @@ def _ngram_overlap_pairs(sf_dir: str, k: int, threshold_num: int,
        ``(den+num)*c >= num*(n_a+n_b)`` (integer cross-multiplication of
        c/(n_a+n_b-c) >= num/den — float-free outputs for the oracle hash).
 
-    Exact (no LSH recall loss), so DuckDB-oracle-checkable; the cost model is
-    sum(f^2) over shingle document-frequencies f — boilerplate-heavy corpora
-    need the MinHash path instead (this op is the exactness baseline the
-    sketch is judged against).  Docs with fewer than k tokens emit no
-    shingles (mirrored by construction in the SQL oracle's position join).
+    Exact at 61-bit hash equality (no LSH recall loss; the same stance as
+    ``dup_ngram_spans``), DuckDB-oracle-checked via the generated
+    ``oracles.ngram_overlap_pairs_sql`` which reproduces the engine hash
+    ring in SQL; the cost model is sum(f^2) over shingle document
+    frequencies f — boilerplate-heavy corpora need the MinHash path instead
+    (this op is the exactness baseline the sketch is judged against).  Docs
+    with fewer than k tokens emit no shingles (mirrored in the oracle, which
+    omits the short-doc branch of the minhash shingle CTEs).
     """
-    import zlib
-
     ds = _docs(sf_dir, ["doc_id", "text"])
     N_SHUFFLE_BUCKETS = 64
 
     def shingle_rows(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy()
-        out_id: list = []
-        out_sh: list = []
-        out_n: list = []
-        for did, tx in zip(ids, t["text"].to_pylist()):
-            toks = tx.lower().split()
-            if len(toks) < k:
-                continue
-            shs = set()
-            for i in range(len(toks) - k + 1):
-                shs.add(" ".join(toks[i : i + k]))
-            n = len(shs)
-            out_id.extend([int(did)] * n)
-            out_sh.extend(shs)
-            out_n.extend([n] * n)
-        buckets = np.fromiter(
-            (zlib.crc32(s.encode()) % N_SHUFFLE_BUCKETS for s in out_sh),
-            dtype=np.int32, count=len(out_sh),
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "sh": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64()), "bucket": pa.array([], pa.int32())}
         )
+        if len(ids) == 0:
+            return empty
+        toks_per_doc = [s.lower().split() for s in t["text"].to_pylist()]
+        lens = np.array([len(x) for x in toks_per_doc], dtype=np.int64)
+        if int(lens.sum()) == 0:
+            return empty
+        flat = [w for toks in toks_per_doc for w in toks]
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+        uh = np.fromiter(
+            (_token_hash(w) for w in uniques), dtype=np.uint64, count=len(uniques)
+        )
+        th = uh[codes]
+        n_starts = len(th) - k + 1
+        if n_starts <= 0:
+            return empty
+        g_full = np.zeros(n_starts, dtype=np.uint64)
+        for j in range(k):
+            g_full ^= th[j : j + n_starts] * _POS_MULT[j]
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        offs = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        s_pos = np.arange(len(th), dtype=np.int64) - offs[doc_idx]
+        valid = (s_pos <= np.repeat(lens, lens) - k)[:n_starts]
+        g = _mix64(g_full[valid]) & np.uint64((1 << 61) - 1)
+        didx = doc_idx[:n_starts][valid]
+        # per-doc distinct: lexsort + adjacent-diff mask (vectorized set())
+        order = np.lexsort((g, didx))
+        g_s, d_s = g[order], didx[order]
+        keep = np.ones(len(g_s), dtype=bool)
+        keep[1:] = (g_s[1:] != g_s[:-1]) | (d_s[1:] != d_s[:-1])
+        g_u, d_u = g_s[keep], d_s[keep]
+        n_per_doc = np.bincount(d_u, minlength=len(lens)).astype(np.int64)
         return pa.table(
             {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "sh": pa.array(out_sh, pa.string()),
-                "n": pa.array(out_n, pa.int64()),
-                "bucket": pa.array(buckets, pa.int32()),
+                "doc_id": pa.array(ids[d_u], pa.int64()),
+                "sh": pa.array(g_u.astype(np.int64), pa.int64()),
+                "n": pa.array(n_per_doc[d_u], pa.int64()),
+                "bucket": pa.array(
+                    (g_u % np.uint64(N_SHUFFLE_BUCKETS)).astype(np.int32), pa.int32()
+                ),
             }
         )
 
@@ -905,25 +929,9 @@ def ngram_jaccard_pairs(sf_dir: str, k: int = 3,
     index (no sketching): pairs (doc_a < doc_b) whose distinct-shingle sets
     satisfy ``|A∩B| / |A∪B| >= threshold_num/threshold_den``.
 
-    Shape (the PPJoin-lite inverted-index idiom) — see
-    ``_ngram_overlap_pairs``:
-
-    1. map_batches: doc -> DISTINCT string shingles ``tok[i..i+k)`` joined by
-       a single space over ``text.lower().split()``; every row carries the
-       doc's distinct-shingle count ``n`` so pair sizes need no second join.
-    2. shuffle shingle rows into 64 coarse buckets by shingle crc32; within a
-       bucket a vectorized self-merge on the shingle emits per-shingle pair
-       PARTIALS (doc_a, doc_b, n_a, n_b, c) — combined per bucket before the
-       second shuffle.
-    3. shuffle partials by pair hash; sum c per pair and keep pairs with
-       ``(den+num)*c >= num*(n_a+n_b)`` (integer cross-multiplication of
-       c/(n_a+n_b-c) >= num/den — float-free outputs for the oracle hash).
-
-    Exact (no LSH recall loss), so DuckDB-oracle-checkable; the cost model is
-    sum(f^2) over shingle document-frequencies f — boilerplate-heavy corpora
-    need the MinHash path instead (this op is the exactness baseline the
-    sketch is judged against).  Docs with fewer than k tokens emit no
-    shingles (mirrored by construction in the SQL oracle's position join).
+    Shape, cost model and oracle strategy: see ``_ngram_overlap_pairs``
+    (shared distributed inverted-index pipeline over the engine's 61-bit
+    shingle hashes; integer cross-multiplied keep rule).
     """
     return _ngram_overlap_pairs(sf_dir, k, threshold_num, threshold_den,
                                 "jaccard")

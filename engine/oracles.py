@@ -58,10 +58,14 @@ def _pos_mult_case(var: str, k: int, base: int = 0) -> str:
     return (f"CASE ({var}) {whens} ELSE {int(dd._POS_MULT[k - 1])}::UBIGINT END")
 
 
-def _shingle_ctes(k: int) -> str:
+def _shingle_ctes(k: int, include_short: bool = True) -> str:
     """CTE chain ending in `sh(doc_id, s)` — the exact DISTINCT k-token-gram
     61-bit shingle-hash set of ``dedup._shingles`` (token md5 -> positional
-    splitmix combine), shared by the minhash and decontamination oracles."""
+    splitmix combine), shared by the minhash and decontamination oracles.
+
+    ``include_short=False`` drops the n < k single-combined-shingle branch
+    (docs shorter than k tokens emit nothing) — the exact-overlap pair ops'
+    convention."""
     win_joins = "\n".join(
         f"              JOIN th t{j} ON t{j}.doc_id = t0.doc_id"
         f" AND t{j}.i = t0.i + {j}" for j in range(1, k)
@@ -69,6 +73,24 @@ def _shingle_ctes(k: int) -> str:
     g3 = f"{_mul64('t0.h', int(dd._POS_MULT[0]))}"
     for j in range(1, k):
         g3 = f"xor({g3}, {_mul64(f't{j}.h', int(dd._POS_MULT[j]))})"
+    if not include_short:
+        return rf"""
+            tok_arr AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                         x -> x <> '') AS toks
+              FROM documents
+            ), th AS (
+              SELECT doc_id, generate_subscripts(toks, 1) AS i,
+                     ('0x' || substr(md5(unnest(toks)), 1, 16))::UBIGINT AS h
+              FROM tok_arr
+            ), g_full AS (      -- k-token windows (docs with n >= k)
+              SELECT t0.doc_id, {g3} AS g
+              FROM th t0
+{win_joins}
+            ), sh AS (          -- DISTINCT 61-bit shingle hashes per doc
+              SELECT DISTINCT doc_id, ({_mix64('g')} & {_MASK61}::UBIGINT) AS s
+              FROM g_full
+            )"""
     return rf"""
             tok_arr AS (
               SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
@@ -96,6 +118,37 @@ def _shingle_ctes(k: int) -> str:
               SELECT DISTINCT doc_id, ({_mix64('g')} & {_MASK61}::UBIGINT) AS s
               FROM g_all
             )"""
+
+
+def ngram_overlap_pairs_sql(k: int, threshold_num: int, threshold_den: int,
+                            mode: str) -> str:
+    """Oracle for dedup.ngram_jaccard_pairs / ngram_containment_pairs on the
+    exact engine 61-bit shingle hashes (no short-doc branch: docs with fewer
+    than k tokens emit nothing, mirroring the engine op).  Integer
+    cross-multiplied predicates keep the output hash float-free:
+    jaccard ``(den+num)*c >= num*(n_a+n_b)`` (c/(n_a+n_b-c) >= num/den),
+    containment ``den*c >= num*min(n_a, n_b)``."""
+    if mode == "containment":
+        pred = (f"{threshold_den} * i.n_common >= "
+                f"{threshold_num} * LEAST(sa.n, sb.n)")
+    else:
+        pred = (f"{threshold_den + threshold_num} * i.n_common >= "
+                f"{threshold_num} * (sa.n + sb.n)")
+    return (f"WITH {_shingle_ctes(k, include_short=False)},\n"
+            f"""            sz AS (
+              SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                     count(*) AS n_common
+              FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT i.doc_a, i.doc_b, i.n_common, sa.n AS n_a, sb.n AS n_b
+            FROM inter i
+            JOIN sz sa ON sa.doc_id = i.doc_a
+            JOIN sz sb ON sb.doc_id = i.doc_b
+            WHERE {pred}
+            ORDER BY doc_a, doc_b""")
 
 
 def _minhash_verified_pairs_ctes(threshold_num: int, threshold_den: int,

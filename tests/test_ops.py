@@ -1143,6 +1143,56 @@ def test_dup_ngram_spans_batched_gram_rows_equivalence(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, want_df, check_dtype=False)
 
 
+def test_ngram_overlap_batched_shingle_rows_equivalence(ray_session, tmp_path):
+    """The batch-vectorized hashed-shingle explode inside
+    _ngram_overlap_pairs must reproduce the per-doc reference (_shingles)
+    for every doc with n >= k tokens — including empty docs, docs shorter
+    than k (which emit nothing), and within-doc duplicate shingles — locked
+    end-to-end by comparing pair outputs against a direct per-doc set
+    rebuild over the same hash ring."""
+    import itertools
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from engine.ops.dedup import _shingles, ngram_containment_pairs
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> real collisions
+    texts = ["", "one", "a b", "dup dup dup dup dup"]
+    for _ in range(50):
+        n = int(rng.integers(0, 25))
+        texts.append(" ".join(rng.choice(vocab, n)))
+    df = pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts, "lang": "en",
+         "source": "s", "n_chars": [len(s) for s in texts]}
+    )
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        str(tmp_path / "documents.parquet"),
+    )
+    k, num, den = 3, 1, 3
+    got = ngram_containment_pairs(str(tmp_path), k=k,
+                                  threshold_num=num, threshold_den=den)
+
+    sets = {
+        did: set(_shingles(tx, k).tolist())
+        for did, tx in zip(df["doc_id"], df["text"])
+        if len(tx.split()) >= k
+    }
+    want = []
+    for a, b in itertools.combinations(sorted(sets), 2):
+        c = len(sets[a] & sets[b])
+        if den * c >= num * min(len(sets[a]), len(sets[b])):
+            want.append((a, b, c, len(sets[a]), len(sets[b])))
+    want_df = (
+        pd.DataFrame(want, columns=["doc_a", "doc_b", "n_common", "n_a", "n_b"])
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    got = got.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want_df, check_dtype=False)
+
+
 def test_events_family_under_hot_key_skew(ray_session, tmp_path):
     """A planted hot user owning 60% of all events (the web-corpus skew
     shape) must not change any answer: the coarse-bucket idiom routes the
