@@ -426,6 +426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention_cohorts": relational.user_retention_cohorts,
         "event_transition_counts": relational.event_transition_counts,
         "link_bfs_depth": relational.link_bfs_depth,
+        "anchor_text_topk": relational.anchor_text_topk,
         # text analysis (M11/M12/M13 + training-data ops)
         "token_count": text.token_count,
         "token_count_bpe": text.token_count_bpe,
@@ -450,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_predict": text.langid_predict,
         "fingerprint_md5": text.fingerprint_md5,
         "fingerprint_rolling": text.fingerprint_rolling,
+        "feature_hash_embed": text.feature_hash_embed,
         "hll_distinct_tokens": text.hll_distinct_tokens,
         "compression_ratio": text.compression_ratio,
         "gopher_quality_flags": text.gopher_quality_flags,
@@ -1986,6 +1988,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT indeg AS in_degree, count(*)::BIGINT AS n_nodes
             FROM ind GROUP BY indeg ORDER BY in_degree
         """,
+        # anchor-text consolidation over the deterministic link graph
+        # (doc -> (doc*31+s) % n, s in 1..3; anchors = source's first two
+        # tokens; ties to the lexicographically smaller token)
+        "anchor_text_topk": r"""
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), anc AS (
+              SELECT doc_id, unnest(toks[1:2]) AS w FROM tok
+            ), edges AS (
+              SELECT d.doc_id AS src, (d.doc_id * 31 + s.s) % nn.n AS dst
+              FROM documents d, nn, (VALUES (1), (2), (3)) AS s(s)
+            ), cnt AS (
+              SELECT e.dst AS doc_id, a.w, count(*)::BIGINT AS cnt
+              FROM edges e JOIN anc a ON a.doc_id = e.src
+              GROUP BY 1, 2
+            )
+            SELECT doc_id, w AS anchor_token, cnt FROM cnt
+            QUALIFY row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY cnt DESC, w) = 1
+            ORDER BY doc_id
+        """,
+        # generated from the engine md5 token-hash ring — see
+        # engine/oracles.py::feature_hash_embed_sql
+        "feature_hash_embed": _lsh_oracles.feature_hash_embed_sql(),
         "user_retention_cohorts": """
             WITH ud AS (
               SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),

@@ -178,6 +178,8 @@ BENCH_QUERY_NAMES = [
     "incremental_exact_dedup",
     "langid_predict",
     "export_shuffled_shards",
+    "anchor_text_topk",
+    "feature_hash_embed",
 ]
 
 

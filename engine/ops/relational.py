@@ -2021,6 +2021,84 @@ def degree_distribution(sf_dir: str) -> pd.DataFrame:
             .astype({"in_degree": "int64", "n_nodes": "int64"}))
 
 
+def anchor_text_topk(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, anchor_token, cnt) — anchor-text consolidation over the
+    deterministic doc link graph (doc -> (doc*31+s) % n, s in 1..3, the
+    PageRank/HITS edge set): each link carries the SOURCE doc's first two
+    tokens as anchor text; per target, the most frequent anchor token wins
+    (ties to the lexicographically smaller token).  The classic web-corpus
+    enrichment step — anchor text is the strongest external description of
+    a page (it's how search engines title pages that have none).
+
+    Scale shape: one narrow all-to-all.  map_batches emits per-batch
+    (target, token, cnt) COMBINED partials (<= 6 anchor rows per source doc
+    before the combine), coarse-bucketed by target; each bucket group sums
+    counts and picks its targets' argmax vectorized.  Text never shuffles —
+    only (int64, short token, int64) rows move.  Self-edges are kept (a
+    doc's own first tokens may describe it; both sides of the oracle agree
+    by construction).
+    """
+    import pyarrow.parquet as _pq
+
+    n = _pq.ParquetFile(_t(sf_dir, "documents")).metadata.num_rows
+    ds = read_pruned(_t(sf_dir, "documents"), ["doc_id", "text"])
+    N_BUCKETS = 64
+
+    _ROW = pa.schema([("node", pa.int64()), ("w", pa.string()),
+                      ("c", pa.int64()), ("bucket", pa.int32())])
+
+    def anchor_partials(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        # first two tokens only — split(None, 2) stops early
+        anchors = [s.lower().split(None, 2)[:2] for s in t["text"].to_pylist()]
+        n_anc = np.array([len(a) for a in anchors], dtype=np.int64)
+        if int(n_anc.sum()) == 0:
+            return _ROW.empty_table()
+        src_idx = np.repeat(np.arange(len(ids), dtype=np.int64), n_anc)
+        words = np.asarray([w for a in anchors for w in a], dtype=object)
+        src = ids[src_idx]
+        # 3 out-edges per source; each carries every anchor token once
+        node = np.concatenate([(src * 31 + s) % n for s in (1, 2, 3)])
+        w = np.concatenate([words, words, words])
+        g = (
+            pd.DataFrame({"node": node, "w": w})
+            .groupby(["node", "w"], sort=False).size().reset_index(name="c")
+        )
+        return pa.table(
+            {"node": pa.array(g["node"].to_numpy(), pa.int64()),
+             "w": pa.array(g["w"], pa.string()),
+             "c": pa.array(g["c"].to_numpy(), pa.int64()),
+             "bucket": pa.array(
+                 (g["node"].to_numpy() % N_BUCKETS).astype(np.int32), pa.int32())},
+            schema=_ROW)
+
+    _OUT = pa.schema([("doc_id", pa.int64()), ("anchor_token", pa.string()),
+                      ("cnt", pa.int64())])
+
+    def pick_top(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby(["node", "w"], as_index=False)["c"].sum()
+        s = s.sort_values(["node", "c", "w"],
+                          ascending=[True, False, True], kind="mergesort")
+        top = s.groupby("node", as_index=False).first()
+        return pa.table(
+            {"doc_id": pa.array(top["node"].to_numpy(), pa.int64()),
+             "anchor_token": pa.array(top["w"], pa.string()),
+             "cnt": pa.array(top["c"].to_numpy(), pa.int64())},
+            schema=_OUT)
+
+    out = (
+        ds.map_batches(anchor_partials, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pick_top, batch_format="pandas")
+        .to_pandas()
+    )
+    if "doc_id" not in out.columns:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "anchor_token": pd.Series([], dtype="str"),
+                             "cnt": pd.Series([], dtype="int64")})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def user_retention_cohorts(sf_dir: str) -> pd.DataFrame:
     """(cohort_day, day_offset, n_users) — classic cohort retention: users
     cohorted by their FIRST event's day, counted once per (cohort, day

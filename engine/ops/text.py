@@ -2494,3 +2494,48 @@ def phrase_search(sf_dir: str, phrases=None) -> pd.DataFrame:
 
     out = ds.map_batches(match, batch_format="pyarrow").to_pandas()
     return out.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+
+
+def feature_hash_embed(sf_dir: str, n_dims: int = 16) -> pd.DataFrame:
+    """(doc_id, f00..f{n_dims-1}) — signed feature-hashing doc vectors
+    (the hashing trick, Weinberger et al. 2009): every token OCCURRENCE
+    lands in dimension ``h % n_dims`` with sign ``+1`` if bit 4 of its
+    md5-ring hash is set else ``-1``; the doc vector is the integer sum.
+    The text->vector bridge of the pipeline: these vectors feed the ANN /
+    dedup embedding family without a model, and integer outputs keep the
+    driver value-hash exact.
+
+    Scale shape: map-only, one pass, no shuffle — tokens factorize per
+    batch (hash only the distincts), dims accumulate with one bincount
+    over ``doc_idx * n_dims + dim``; every doc in the batch gets a row
+    (empty docs embed as the zero vector).  The generated DuckDB oracle
+    (oracles.feature_hash_embed_sql) reproduces the same md5 ring.
+    """
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    cols = [f"f{j:02d}" for j in range(n_dims)]
+
+    def embed(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        toks_per_doc = [s.lower().split() for s in t["text"].to_pylist()]
+        lens = np.array([len(x) for x in toks_per_doc], dtype=np.int64)
+        acc = np.zeros((len(ids), n_dims), dtype=np.int64)
+        if int(lens.sum()):
+            flat = [w for ts in toks_per_doc for w in ts]
+            codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+            uh = _md5_token_hashes(uniques)
+            dim = (uh % np.uint64(n_dims)).astype(np.int64)[codes]
+            sign = np.where(
+                (uh >> np.uint64(4)) & np.uint64(1), 1, -1
+            ).astype(np.int64)[codes]
+            doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+            acc = np.bincount(
+                doc_idx * n_dims + dim, weights=sign,
+                minlength=len(ids) * n_dims,
+            ).astype(np.int64).reshape(len(ids), n_dims)
+        data = {"doc_id": pa.array(ids, pa.int64())}
+        for j, c in enumerate(cols):
+            data[c] = pa.array(acc[:, j], pa.int64())
+        return pa.table(data)
+
+    out = ds.map_batches(embed, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

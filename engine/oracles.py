@@ -151,6 +151,42 @@ def ngram_overlap_pairs_sql(k: int, threshold_num: int, threshold_den: int,
             ORDER BY doc_a, doc_b""")
 
 
+def feature_hash_embed_sql(n_dims: int = 16) -> str:
+    """Oracle for text.feature_hash_embed: signed feature-hashing doc
+    vectors on the exact engine md5 token-hash ring — dim = h % n_dims,
+    sign = +1 if bit 4 set else -1, summed over token OCCURRENCES; empty
+    docs embed as the zero vector."""
+    sums = ",\n".join(
+        f"                     SUM(CASE WHEN dim = {j} THEN s ELSE 0 END)"
+        f"::BIGINT AS f{j:02d}" for j in range(n_dims)
+    )
+    coals = ",\n".join(
+        f"                   COALESCE(a.f{j:02d}, 0)::BIGINT AS f{j:02d}"
+        for j in range(n_dims)
+    )
+    return rf"""WITH tok_arr AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                         x -> x <> '') AS toks
+              FROM documents
+            ), th AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(unnest(toks)), 1, 16))::UBIGINT AS h
+              FROM tok_arr
+            ), f AS (
+              SELECT doc_id, CAST(h % {n_dims} AS BIGINT) AS dim,
+                     CASE WHEN (h >> 4) & 1 = 1 THEN 1 ELSE -1 END AS s
+              FROM th
+            ), agg AS (
+              SELECT doc_id,
+{sums}
+              FROM f GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+{coals}
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id"""
+
+
 def _minhash_verified_pairs_ctes(threshold_num: int, threshold_den: int,
                                  k: int = 3) -> str:
     """CTE chain ending in `verified(doc_a, doc_b)` — the exact MinHash+LSH
