@@ -427,6 +427,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transition_counts": relational.event_transition_counts,
         "link_bfs_depth": relational.link_bfs_depth,
         "anchor_text_topk": relational.anchor_text_topk,
+        "order_skyline": relational.order_skyline,
+        "event_type_correlations": relational.event_type_correlations,
         # text analysis (M11/M12/M13 + training-data ops)
         "token_count": text.token_count,
         "token_count_bpe": text.token_count_bpe,
@@ -1605,6 +1607,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT path, count(*)::BIGINT AS n_users
             FROM paths GROUP BY path
             ORDER BY n_users DESC, path
+        """,
+        # 2-D skyline (Pareto frontier): maximize price cents, minimize
+        # date; equal-(price,date) duplicates all survive.  The window
+        # formulation mirrors the engine's grouped-prefix-min mask exactly.
+        "order_skyline": """
+            WITH o AS (
+              SELECT o_orderkey,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS price_cents,
+                     o_orderdate
+              FROM orders),
+            g AS (SELECT price_cents, min(o_orderdate) AS grp_min
+                  FROM o GROUP BY price_cents),
+            s AS (SELECT price_cents, grp_min,
+                         min(grp_min) OVER (ORDER BY price_cents DESC
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                                     AND 1 PRECEDING)
+                           AS prev_min
+                  FROM g)
+            SELECT o.o_orderkey, o.price_cents, o.o_orderdate
+            FROM o JOIN s USING (price_cents)
+            WHERE o.o_orderdate = s.grp_min
+              AND (s.prev_min IS NULL OR o.o_orderdate < s.prev_min)
+            ORDER BY o.price_cents DESC, o.o_orderkey
+        """,
+        # pairwise per-hour cross-moments (the sufficient statistics of
+        # Pearson r); hour universe = hours with >=1 event of ANY type,
+        # absent types count 0 via the grid LEFT JOIN
+        "event_type_correlations": """
+            WITH e AS (
+              SELECT epoch_us(ts) // 3600000000 AS hr, event_type
+              FROM events),
+            h AS (SELECT hr, event_type, count(*)::BIGINT AS c
+                  FROM e GROUP BY hr, event_type),
+            grid AS (SELECT hr, event_type
+                     FROM (SELECT DISTINCT hr FROM e)
+                     CROSS JOIN (SELECT DISTINCT event_type FROM e)),
+            m AS (SELECT g.hr, g.event_type, coalesce(h.c, 0) AS c
+                  FROM grid g
+                  LEFT JOIN h ON g.hr = h.hr AND g.event_type = h.event_type)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*)::BIGINT AS n_hours,
+                   sum(a.c)::BIGINT AS sum_a, sum(b.c)::BIGINT AS sum_b,
+                   sum(a.c * b.c)::BIGINT AS sum_ab,
+                   sum(a.c * a.c)::BIGINT AS sum_sq_a,
+                   sum(b.c * b.c)::BIGINT AS sum_sq_b
+            FROM m a JOIN m b ON a.hr = b.hr AND a.event_type < b.event_type
+            GROUP BY type_a, type_b
+            ORDER BY type_a, type_b
         """,
         # JSONL publish sink: manifest recomputed via a string-concat twin
         # of the byte-deterministic line format (ASCII corpus)

@@ -180,6 +180,8 @@ BENCH_QUERY_NAMES = [
     "export_shuffled_shards",
     "anchor_text_topk",
     "feature_hash_embed",
+    "order_skyline",
+    "event_type_correlations",
 ]
 
 

@@ -4567,3 +4567,181 @@ def event_path_counts(sf_dir: str, k: int = 5) -> pd.DataFrame:
     out = parts.groupby("path", as_index=False)["n_users"].sum()
     return (out.sort_values(["n_users", "path"], ascending=[False, True])
             .reset_index(drop=True))
+
+
+def _skyline_mask(price: np.ndarray, date: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask of the 2-D skyline (maximize price, minimize date).
+
+    A row is dominated iff some other row has (price >=, date <=) with at
+    least one strict inequality.  Vectorized: sort by (price desc, date
+    asc); a row survives iff its date is strictly below the min date of all
+    STRICTLY-higher-price rows AND equals the min date within its own price
+    group (equal (price, date) duplicates all survive — neither dominates).
+    """
+    n = len(price)
+    order = np.lexsort((date, -price))
+    p_s, d_s = price[order], date[order]
+    new_grp = np.r_[True, p_s[1:] != p_s[:-1]]
+    grp_id = np.cumsum(new_grp) - 1
+    grp_min = d_s[new_grp]                      # min date per price group
+    prev_min = np.r_[np.iinfo(np.int64).max,
+                     np.minimum.accumulate(grp_min)[:-1]]
+    kept_sorted = (d_s < prev_min[grp_id]) & (d_s == grp_min[grp_id])
+    mask = np.zeros(n, dtype=bool)
+    mask[order] = kept_sorted
+    return mask
+
+
+def order_skyline(sf_dir: str) -> pd.DataFrame:
+    """(o_orderkey, price_cents, o_orderdate) — the Pareto frontier of
+    orders: no other order has totalprice >= AND orderdate <= with a strict
+    inequality somewhere ("largest-earliest" orders).  The multi-criteria
+    shape (skyline / maximal-vector query) the top-k family can't express —
+    a different kind of extreme-point pruning than any single sort order.
+
+    Scale shape: the skyline operator is the textbook lossless-prune
+    distributed aggregate — dominance is transitive, so every block's LOCAL
+    skyline is a superset of its contribution to the global one; per-batch
+    vectorized skylines (sort + grouped prefix-min, no pairwise loop) cut
+    each block to its frontier, and one constant-bucket map_groups resolves
+    the exact global frontier over the union of the (small) local
+    frontiers.  Prices compare in exact integer cents (``floor(x*100+0.5)``,
+    the repo-wide discipline), dates as int64 epoch-us — no float anywhere
+    in the dominance test.
+    """
+    ds = read_pruned(_t(sf_dir, "orders"),
+                     ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    _ROW = pa.schema([("o_orderkey", pa.int64()), ("price_cents", pa.int64()),
+                      ("date_us", pa.int64()), ("bucket", pa.int32())])
+
+    def local_skyline(t: pa.Table) -> pa.Table:
+        cents = np.floor(t["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        dus = pc.cast(t["o_orderdate"], pa.int64()).to_numpy()
+        keep = _skyline_mask(cents, dus)
+        keys = t["o_orderkey"].to_numpy()[keep]
+        return pa.table(
+            {"o_orderkey": pa.array(keys, pa.int64()),
+             "price_cents": pa.array(cents[keep], pa.int64()),
+             "date_us": pa.array(dus[keep], pa.int64()),
+             "bucket": pa.array(np.zeros(len(keys), np.int32), pa.int32())},
+            schema=_ROW)
+
+    _OUT = pa.schema([("o_orderkey", pa.int64()), ("price_cents", pa.int64()),
+                      ("o_orderdate", pa.timestamp("us"))])
+
+    def global_skyline(g: pd.DataFrame) -> pa.Table:
+        p = g["price_cents"].to_numpy()
+        d = g["date_us"].to_numpy()
+        keep = _skyline_mask(p, d)
+        return pa.table(
+            {"o_orderkey": pa.array(g["o_orderkey"].to_numpy()[keep], pa.int64()),
+             "price_cents": pa.array(p[keep], pa.int64()),
+             "o_orderdate": pa.array(
+                 d[keep].astype("datetime64[us]"), pa.timestamp("us"))},
+            schema=_OUT)
+
+    out = (
+        ds.map_batches(local_skyline, batch_format="pyarrow", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(global_skyline, batch_format="pandas")
+        .to_pandas()
+    )
+    return (out.sort_values(["price_cents", "o_orderkey"],
+                            ascending=[False, True])
+            .reset_index(drop=True))
+
+
+def event_type_correlations(sf_dir: str) -> pd.DataFrame:
+    """(type_a, type_b, n_hours, sum_a, sum_b, sum_ab, sum_sq_a, sum_sq_b)
+    — exact integer cross-moments of the per-hour event-count time series
+    for every unordered pair of event types (the sufficient statistics of
+    Pearson correlation; the caller can form r without the engine ever
+    touching a float).  "Do purchases and clicks co-move hour by hour?" —
+    the time-series co-movement question the per-type stats family can't
+    answer.  The hour universe is every hour with >= 1 event of ANY type;
+    a type absent from an hour counts 0 there.
+
+    Scale shape: the event stream reduces per batch to (hour, type, count)
+    partials; ONE coarse hour-bucket all-to-all co-locates each hour's
+    full type vector; in-bucket the counts pivot to an (hours x types)
+    integer matrix whose C.T @ C yields all pairwise products at once —
+    every bucket emits exactly T(T-1)/2 bounded partial rows, and the
+    driver reduce is pair-count-sized.  The (tiny, bounded) type list is
+    discovered with one count groupby and broadcast in the closure.
+    """
+    HOUR_US = 3_600_000_000
+
+    types = sorted(
+        read_pruned(_t(sf_dir, "events"), ["event_type"])
+        .groupby("event_type").count().to_pandas()["event_type"]
+    )
+    t_index = {t: i for i, t in enumerate(types)}
+    T = len(types)
+    ia, ib = np.triu_indices(T, k=1)
+
+    events = read_pruned(_t(sf_dir, "events"), ["ts", "event_type"])
+
+    _P = pa.schema([("hr", pa.int64()), ("ti", pa.int8()), ("c", pa.int64()),
+                    ("bucket", pa.int32())])
+
+    def hour_partials(t: pa.Table) -> pa.Table:
+        hrs = pc.cast(t["ts"], pa.int64()).to_numpy() // HOUR_US
+        ti = pd.Categorical(
+            t["event_type"].to_pandas(), categories=types
+        ).codes.astype(np.int8)
+        key = hrs * T + ti
+        uk, cnt = np.unique(key, return_counts=True)
+        hr_u = uk // T
+        return pa.table(
+            {"hr": pa.array(hr_u, pa.int64()),
+             "ti": pa.array((uk % T).astype(np.int8), pa.int8()),
+             "c": pa.array(cnt.astype(np.int64), pa.int64()),
+             "bucket": pa.array((hr_u % N_KEY_BUCKETS).astype(np.int32),
+                                pa.int32())},
+            schema=_P)
+
+    _X = pa.schema([("pi", pa.int32()), ("n_hours", pa.int64()),
+                    ("sum_a", pa.int64()), ("sum_b", pa.int64()),
+                    ("sum_ab", pa.int64()), ("sum_sq_a", pa.int64()),
+                    ("sum_sq_b", pa.int64())])
+
+    def cross_moments(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby(["hr", "ti"], as_index=False)["c"].sum()
+        hr_codes, hr_u = pd.factorize(s["hr"].to_numpy(), sort=False)
+        C = np.zeros((len(hr_u), T), dtype=np.int64)
+        C[hr_codes, s["ti"].to_numpy()] = s["c"].to_numpy()
+        M = C.T @ C                                     # all pairwise sums
+        col = C.sum(axis=0)
+        return pa.table(
+            {"pi": pa.array(np.arange(len(ia), dtype=np.int32), pa.int32()),
+             "n_hours": pa.array(np.full(len(ia), len(hr_u), np.int64),
+                                 pa.int64()),
+             "sum_a": pa.array(col[ia], pa.int64()),
+             "sum_b": pa.array(col[ib], pa.int64()),
+             "sum_ab": pa.array(M[ia, ib], pa.int64()),
+             "sum_sq_a": pa.array(M[ia, ia], pa.int64()),
+             "sum_sq_b": pa.array(M[ib, ib], pa.int64())},
+            schema=_X)
+
+    parts = (
+        events.map_batches(hour_partials, batch_format="pyarrow",
+                           batch_size=262144)
+        .groupby("bucket")
+        .map_groups(cross_moments, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = parts.groupby("pi", as_index=False)[
+        ["n_hours", "sum_a", "sum_b", "sum_ab", "sum_sq_a", "sum_sq_b"]
+    ].sum()
+    agg = agg.sort_values("pi").reset_index(drop=True)
+    out = pd.DataFrame(
+        {"type_a": [types[i] for i in ia[agg["pi"].to_numpy()]],
+         "type_b": [types[i] for i in ib[agg["pi"].to_numpy()]],
+         "n_hours": agg["n_hours"].to_numpy(),
+         "sum_a": agg["sum_a"].to_numpy(),
+         "sum_b": agg["sum_b"].to_numpy(),
+         "sum_ab": agg["sum_ab"].to_numpy(),
+         "sum_sq_a": agg["sum_sq_a"].to_numpy(),
+         "sum_sq_b": agg["sum_sq_b"].to_numpy()})
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)

@@ -2894,3 +2894,30 @@ def test_export_shuffled_shards_order_sig_and_resume(ray_session, tmp_path):
     for s, t in mtimes.items():
         assert os.stat(
             os.path.join(out, f"shard={s}", "part.jsonl")).st_mtime_ns == t
+
+
+# ------------------------------------------------------------- skyline kernel
+
+def test_skyline_mask_matches_bruteforce():
+    from hypothesis import given, settings, strategies as st
+
+    from engine.ops.relational import _skyline_mask
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 8), st.integers(0, 8)),
+                    min_size=1, max_size=40))
+    def run(rows):
+        p = np.array([r[0] for r in rows], dtype=np.int64)
+        d = np.array([r[1] for r in rows], dtype=np.int64)
+        got = _skyline_mask(p, d)
+        # brute force: dominated iff some row has (p>=, d<=) with a strict
+        # inequality somewhere
+        want = np.array([
+            not any((p[j] >= p[i] and d[j] <= d[i]
+                     and (p[j] > p[i] or d[j] < d[i]))
+                    for j in range(len(rows)))
+            for i in range(len(rows))
+        ])
+        assert (got == want).all()
+
+    run()
