@@ -520,6 +520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_similarity_histogram": ann.embedding_similarity_histogram,
         "embedding_norm_outliers": ann.embedding_norm_outliers,
         "label_centroids": ann.label_centroids,
+        "embedding_kmeans": ann.embedding_kmeans,
         # rows-only: k-means cells aren't SQL; pytest locks a brute-force
         # within-cell reference + planted-pair membership + determinism
         "knn_graph": ann.knn_graph,
@@ -561,7 +562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from engine import oracles as _lsh_oracles
-    from engine.ops import dedup, relational, text
+    from engine.ops import ann, dedup, relational, text
     from engine.ops.text import CATEGORY_PATTERNS, STOP_WORDS
 
     stop_list = ", ".join(f"'{w}'" for w in STOP_WORDS)
@@ -1169,6 +1170,9 @@ def oracle_sql() -> dict[str, str]:
             FROM r GROUP BY 1 ORDER BY 1
         """,
         # per-label centroid sums: the embedding_moments discipline per group
+        # generated unrolled Lloyd iterations — identical integer formulas
+        # (micro rounding, truncating // update, dist/cid tie rule)
+        "embedding_kmeans": ann.embedding_kmeans_sql(),
         "label_centroids": """
             WITH e AS (
               SELECT label, unnest(embedding) AS x,

@@ -182,6 +182,7 @@ BENCH_QUERY_NAMES = [
     "feature_hash_embed",
     "order_skyline",
     "event_type_correlations",
+    "embedding_kmeans",
 ]
 
 

