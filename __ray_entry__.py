@@ -376,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": relational.events_funnel,
         "source_mix_weighted": curate.source_mix_weighted,
         "global_shuffle": curate.global_shuffle,
+        "dataset_split_assign": curate.dataset_split_assign,
         "value_quantiles_per_type": relational.value_quantiles_per_type,
         "revenue_rollup": relational.revenue_rollup,
         "value_stats_per_type": relational.value_stats_per_type,
@@ -2098,6 +2099,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "source_mix_weighted": _lsh_oracles.source_mix_weighted_sql(),
         "global_shuffle": _lsh_oracles.global_shuffle_sql(),
+        # hash-split partition: shared splitmix64 builder, stable membership
+        "dataset_split_assign": _lsh_oracles.dataset_split_assign_sql(),
         "export_shuffled_shards": _lsh_oracles.export_shuffled_shards_sql(),
         "lm_perplexity_bucket": _lsh_oracles.lm_perplexity_bucket_sql(),
         "dsir_importance_weights": _lsh_oracles.dsir_importance_weights_sql(),

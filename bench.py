@@ -183,6 +183,7 @@ BENCH_QUERY_NAMES = [
     "order_skyline",
     "event_type_correlations",
     "embedding_kmeans",
+    "dataset_split_assign",
 ]
 
 
@@ -625,6 +626,12 @@ def run_dedup_smoke() -> dict:
         # IVF cells (128 cells at 2M vectors: ~15.6k-row cell blocks)
         "semdedup_pairs": lambda: ann.semdedup_pairs(
             dest, threshold=0.95, n_cells=128),
+        # Lloyd's k-means: iters map-only passes, k×d broadcast centroids,
+        # k×(d+1) integer partials per block
+        "embedding_kmeans": lambda: ann.embedding_kmeans(dest),
+        # hash train/valid/test partition: map-only, 3 integer partial
+        # rows per block
+        "dataset_split_assign": lambda: _cur.dataset_split_assign(dest),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")
     if only:
@@ -807,6 +814,10 @@ def run_events_smoke() -> dict:
         "value_histogram": lambda: len(rel.value_histogram(dest)),
         # distributed rank selection over the per-user aggregate
         "user_value_deciles": lambda: len(rel.user_value_deciles(dest)),
+        # pairwise per-hour cross-moments: one coarse hour-bucket exchange,
+        # in-bucket pivot + one int matmul for all T(T-1)/2 pairs
+        "event_type_correlations": lambda: len(
+            rel.event_type_correlations(dest)),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")
     if only:

@@ -834,3 +834,91 @@ def export_shuffled_shards(sf_dir: str, out_dir: str | None = None,
     return (out.sort_values("shard").reset_index(drop=True)
             .astype({"shard": "int64", "n_docs": "int64",
                      "n_bytes": "int64", "order_sig": "int64"}))
+
+
+def dataset_split_assign_ds(sf_dir: str, seed: int = 0):
+    """Per-doc (doc_id, split) assignment Dataset for composition — see
+    :func:`dataset_split_assign` for the split rule."""
+    from .dedup import _mix64, _mix64_int
+    from .io import read_pruned
+
+    seed_mix = np.uint64(_mix64_int(int(seed)))
+    _S = pa.schema([("doc_id", pa.int64()), ("split", pa.string())])
+    names = np.array(["test", "valid", "train"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        b = (_mix64(ids.astype(np.uint64) ^ seed_mix)
+             % np.uint64(1000)).astype(np.int64)
+        code = np.where(b < 10, 0, np.where(b < 20, 1, 2))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "split": pa.array(names[code], pa.string())},
+                        schema=_S)
+
+    return (read_pruned(sf_dir if sf_dir.endswith(".parquet")
+                        else _os.path.join(sf_dir, "documents.parquet"),
+                        ["doc_id"])
+            .map_batches(assign, batch_format="pyarrow"))
+
+
+def dataset_split_assign(sf_dir: str, seed: int = 0) -> pd.DataFrame:
+    """(split, n_docs, n_tokens, n_chars) — the deterministic hash-based
+    train/valid/test partition every training pipeline needs before export:
+    ``bucket = splitmix64(doc_id XOR mix(seed)) mod 1000``; bucket < 10 →
+    test (1%), < 20 → valid (1%), else train.  Pure hash, no RNG state —
+    the same seed yields the identical partition at any worker count,
+    on any rerun, and in the DuckDB oracle (shared splitmix64 SQL builder);
+    a new seed is a fresh partition.  Unlike row-number splits, membership
+    is stable under corpus growth: an existing doc never migrates when new
+    docs arrive (the property that keeps eval sets honest across recrawls).
+
+    Scale shape: map-only — each block reduces to <= 3 integer partial
+    rows (doc / token / char sums per split), driver reduce is 3-row.
+    The per-doc assignment composes via :func:`dataset_split_assign_ds`.
+    """
+    import pyarrow.compute as pc
+
+    from .dedup import _mix64, _mix64_int
+    from .io import read_pruned
+
+    seed_mix = np.uint64(_mix64_int(int(seed)))
+    _P = pa.schema([("code", pa.int64()), ("n_docs", pa.int64()),
+                    ("n_tokens", pa.int64()), ("n_chars", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        if not len(ids):
+            return pa.table({"code": pa.array([], pa.int64()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "n_chars": pa.array([], pa.int64())}, schema=_P)
+        b = (_mix64(ids.astype(np.uint64) ^ seed_mix)
+             % np.uint64(1000)).astype(np.int64)
+        code = np.where(b < 10, 0, np.where(b < 20, 1, 2))
+        ntok = pc.cast(pc.count_substring_regex(t["text"], r"\S+"),
+                       pa.int64()).to_numpy()
+        nchr = pc.cast(pc.utf8_length(t["text"]), pa.int64()).to_numpy()
+        st = np.zeros(3, np.int64)
+        sc = np.zeros(3, np.int64)
+        np.add.at(st, code, ntok)  # pure int64 sums (no float weights)
+        np.add.at(sc, code, nchr)
+        return pa.table(
+            {"code": pa.array(np.arange(3, dtype=np.int64)),
+             "n_docs": pa.array(np.bincount(code, minlength=3)
+                                .astype(np.int64)),
+             "n_tokens": pa.array(st),
+             "n_chars": pa.array(sc)}, schema=_P)
+
+    red = (read_pruned(_os.path.join(sf_dir, "documents.parquet"),
+                       ["doc_id", "text"])
+           .map_batches(partial, batch_format="pyarrow")
+           .to_pandas()
+           .groupby("code", as_index=False)[["n_docs", "n_tokens", "n_chars"]]
+           .sum())
+    names = {0: "test", 1: "valid", 2: "train"}
+    red["split"] = red["code"].map(names)
+    red = red[red["n_docs"] > 0]
+    return (red[["split", "n_docs", "n_tokens", "n_chars"]]
+            .sort_values("split").reset_index(drop=True)
+            .astype({"n_docs": "int64", "n_tokens": "int64",
+                     "n_chars": "int64"}))

@@ -1075,3 +1075,29 @@ def export_shuffled_shards_sql(n_shards: int = 16, seed: int = 0) -> str:
                    sum(nb)::BIGINT AS n_bytes,
                    (bit_xor(sv) & {_MASK63}::UBIGINT)::BIGINT AS order_sig
             FROM g GROUP BY shard ORDER BY shard"""
+
+
+def dataset_split_assign_sql(seed: int = 0) -> str:
+    """Oracle for curate.dataset_split_assign: shared splitmix64 builder,
+    bucket = h mod 1000, <10 test / <20 valid / else train; per-split doc,
+    \\S+ token, and character sums."""
+    seed_mix = dd._mix64_int(int(seed))
+    return rf"""
+            WITH s AS (
+              SELECT doc_id, text,
+                     xor(doc_id::UBIGINT, {seed_mix}::UBIGINT) AS x
+              FROM documents
+            ), h AS (
+              SELECT doc_id, text,
+                     ({_mix64('x')} % (1000)::UBIGINT) AS b FROM s
+            ), a AS (
+              SELECT CASE WHEN b < 10 THEN 'test'
+                          WHEN b < 20 THEN 'valid'
+                          ELSE 'train' END AS split,
+                     len(regexp_extract_all(text, '\S+'))::BIGINT AS nt,
+                     length(text)::BIGINT AS nc
+              FROM h
+            )
+            SELECT split, count(*)::BIGINT AS n_docs,
+                   sum(nt)::BIGINT AS n_tokens, sum(nc)::BIGINT AS n_chars
+            FROM a GROUP BY split ORDER BY split"""

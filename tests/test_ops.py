@@ -2975,3 +2975,28 @@ def test_embedding_kmeans_partition_invariant(ray_session):
     a = embedding_kmeans(SF, k=4, iters=3)
     b = embedding_kmeans(SF, k=4, iters=3)
     assert a.equals(b)
+
+
+def test_dataset_split_assign_stable_and_seeded(ray_session):
+    """Splits partition the corpus; membership is growth-stable by
+    construction (pure doc_id hash); a different seed repartitions."""
+    import duckdb
+
+    from engine.ops.curate import dataset_split_assign, dataset_split_assign_ds
+
+    s0 = dataset_split_assign(SF, seed=0)
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchone()[0]
+    assert s0["n_docs"].sum() == n_docs
+    a0 = dataset_split_assign_ds(SF, seed=0).to_pandas()
+    a1 = dataset_split_assign_ds(SF, seed=1).to_pandas()
+    # per-doc assignment is a function of (doc_id, seed) only
+    m0 = dict(zip(a0["doc_id"], a0["split"]))
+    m1 = dict(zip(a1["doc_id"], a1["split"]))
+    assert set(m0) == set(m1)
+    assert any(m0[k] != m1[k] for k in m0)  # a new seed repartitions
+    # aggregate view agrees with the per-doc view
+    agg = a0.groupby("split").size()
+    got = dict(zip(s0["split"], s0["n_docs"]))
+    assert all(got.get(k, 0) == v for k, v in agg.items())
