@@ -534,6 +534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": multimodal.media_features,
         "media_decode": multimodal.media_decode,
         "media_signal_stats": multimodal.media_signal_stats,
+        "media_dominant_colors": multimodal.media_dominant_colors,
         # rows-only: codec decode isn't SQL; pytest locks cross-codec twin
         # collapse + hash invariance + determinism
         "media_phash_dedup": multimodal.media_phash_dedup,

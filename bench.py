@@ -184,6 +184,7 @@ BENCH_QUERY_NAMES = [
     "event_type_correlations",
     "embedding_kmeans",
     "dataset_split_assign",
+    "media_dominant_colors",
 ]
 
 

@@ -795,3 +795,89 @@ def pdf_image_extract(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("media_id").reset_index(drop=True)
+
+
+def _dominant_colors_px(px: np.ndarray, k: int = 4, iters: int = 4) -> list:
+    """Fixed-iteration all-integer k-means over one image's RGB pixels.
+
+    Deterministic: init = the UNIQUE colors (lexicographically sorted) at
+    spread indices ``floor(j*u/k)`` — seeding over distinct colors keeps a
+    solid-region image from collapsing every seed onto one color; argmin
+    ties to the lowest cluster id, centroid update is truncating integer
+    division, an emptied cluster keeps its centroid (the embedding_kmeans
+    rules applied to pixel space).  Returns
+    ``[(rank, r, g, b, n_pixels), ...]`` ranked by count desc then cluster
+    id — a pure function of the pixels, so any lossless re-encode agrees.
+    """
+    P = px.reshape(-1, 3).astype(np.int64)
+    U = np.unique(P, axis=0)
+    kk = min(k, len(U))
+    C = U[(np.arange(kk) * len(U)) // kk].copy()
+    cnt = np.zeros(kk, dtype=np.int64)
+    for _ in range(iters):
+        d2 = ((P[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        cnt = np.bincount(assign, minlength=kk).astype(np.int64)
+        S = np.zeros((kk, 3), dtype=np.int64)
+        np.add.at(S, assign, P)
+        q = np.abs(S) // np.maximum(cnt, 1)[:, None]
+        C = np.where(cnt[:, None] > 0, np.where(S < 0, -q, q), C)
+    order = np.lexsort((np.arange(kk), -cnt))
+    return [(r, int(C[c, 0]), int(C[c, 1]), int(C[c, 2]), int(cnt[c]))
+            for r, c in enumerate(order)]
+
+
+class DominantColorStage:
+    """Image payloads -> (media_id, rank, r, g, b, n_pixels): decode in the
+    actor (codec dispatch state per actor), per-image integer k-means per
+    batch; non-image rows pass through empty."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ranks, rs, gs, bs, ns = [], [], [], [], [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            kind = sniff(payload)
+            if kind == "bmp":
+                px = decode_bmp(payload)
+            elif kind == "png":
+                px = decode_png(payload)
+            elif kind == "jpeg":
+                px = decode_jpeg(payload)
+            elif kind == "gif":
+                px = decode_gif(payload)
+            else:
+                continue
+            for r, cr, cg, cb, np_ in _dominant_colors_px(px):
+                ids.append(mid)
+                ranks.append(r)
+                rs.append(cr)
+                gs.append(cg)
+                bs.append(cb)
+                ns.append(np_)
+        return pa.table(
+            {"media_id": pa.array(ids, pa.int64()),
+             "rank": pa.array(ranks, pa.int64()),
+             "r": pa.array(rs, pa.int64()),
+             "g": pa.array(gs, pa.int64()),
+             "b": pa.array(bs, pa.int64()),
+             "n_pixels": pa.array(ns, pa.int64())})
+
+
+def media_dominant_colors(sf_dir: str) -> pd.DataFrame:
+    """(media_id, rank, r, g, b, n_pixels) — the k=4 dominant palette of
+    every image, the thumbnail-search / content-classification signal a
+    media pipeline extracts right after decode.  Per-image fixed-iteration
+    integer k-means (the embedding_kmeans determinism rules in pixel
+    space): pure in the pixels, identical across runs, partitionings and
+    lossless transcodes (pytest-locked with the phash twins).
+
+    Scale shape: decode + cluster in the actor-pool stage; only the
+    <= 4-row integer palette per image leaves the task — pixels never
+    enter an exchange.  Rows-only (codec decode isn't SQL)."""
+    out = (
+        real_media_table(sf_dir)
+        .map_batches(DominantColorStage, batch_format="pyarrow",
+                     batch_size=64, concurrency=2)
+        .to_pandas()
+    )
+    return out.sort_values(["media_id", "rank"]).reset_index(drop=True)

@@ -3000,3 +3000,39 @@ def test_dataset_split_assign_stable_and_seeded(ray_session):
     agg = a0.groupby("split").size()
     got = dict(zip(s0["split"], s0["n_docs"]))
     assert all(got.get(k, 0) == v for k, v in agg.items())
+
+
+def test_media_dominant_colors_planted_and_transcode_invariant(ray_session):
+    """A three-region solid image recovers its exact palette with exact
+    pixel counts; a lossless PNG re-encode yields the identical palette."""
+    from engine.ops.codecs import encode_bmp, encode_png
+    from engine.ops.multimodal import DominantColorStage
+
+    px = np.zeros((12, 16, 3), np.uint8)
+    px[:, :8] = (255, 0, 0)       # 96 px red
+    px[:8, 8:] = (0, 255, 0)      # 64 px green
+    px[8:, 8:] = (0, 0, 255)      # 32 px blue
+    t = pa.table({"media_id": pa.array([1, 2], pa.int64()),
+                  "payload": pa.array([encode_bmp(px), encode_png(px)],
+                                      pa.binary())})
+    out = DominantColorStage()(t).to_pandas()
+    a = out[out["media_id"] == 1].sort_values("rank")
+    b = out[out["media_id"] == 2].sort_values("rank")
+    got = list(zip(a["r"], a["g"], a["b"], a["n_pixels"]))
+    # top three ranks are the exact planted regions (4th cluster emptied
+    # or zero-count depending on init collisions)
+    assert got[0] == (255, 0, 0, 96)
+    assert got[1] == (0, 255, 0, 64)
+    assert got[2] == (0, 0, 255, 32)
+    assert got == list(zip(b["r"], b["g"], b["b"], b["n_pixels"]))
+
+
+def test_media_dominant_colors_runs_on_sf(ray_session):
+    from engine.ops.multimodal import media_dominant_colors
+
+    out = media_dominant_colors(SF)
+    assert len(out) > 0
+    assert (out.groupby("media_id")["rank"].max() <= 3).all()
+    # counts per image sum to the image's pixel count (first rank group)
+    out2 = media_dominant_colors(SF)
+    assert out.equals(out2)
