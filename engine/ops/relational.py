@@ -4672,9 +4672,14 @@ def event_type_correlations(sf_dir: str) -> pd.DataFrame:
     """
     HOUR_US = 3_600_000_000
 
+    # type universe: per-batch distinct partial (bounded enum), NOT a full
+    # groupby all-to-all — the 50M-event smoke spent half its wall there
     types = sorted(
         read_pruned(_t(sf_dir, "events"), ["event_type"])
-        .groupby("event_type").count().to_pandas()["event_type"]
+        .map_batches(
+            lambda t: pa.table({"event_type": pc.unique(t["event_type"])}),
+            batch_format="pyarrow")
+        .to_pandas()["event_type"].unique()
     )
     t_index = {t: i for i, t in enumerate(types)}
     T = len(types)
