@@ -434,6 +434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": text.token_count,
         "token_count_bpe": text.token_count_bpe,
         "quality_score": text.quality_score,
+        "readability_score": text.readability_score,
         "classify": text.classify,
         "keywords_topk": text.keywords_topk,
         "tfidf_topk": text.tfidf_topk,
@@ -507,6 +508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forget_documents": curate.forget_documents,
         # similarity search
         "ann_topk": ann.ann_topk_bruteforce,
+        "ann_topk_filtered": ann.ann_topk_filtered,
         "ann_topk_lsh": ann.ann_topk_lsh,
         "ann_topk_ivf": ann.ann_topk_ivf,
         "ann_recall_report": ann.ann_recall_report,
@@ -528,6 +530,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only: eigendecomposition isn't SQL; the moment INPUTS are
         # oracle-checked via embedding_moments, projection pytest-locked
         "embedding_pca_project": ann.embedding_pca_project,
+        # rows-only: matrix inversion isn't SQL; the moment INPUTS are
+        # oracle-checked via embedding_moments, flagging pytest-locked
+        "embedding_mahalanobis_outliers": ann.embedding_mahalanobis_outliers,
         # multimodal plumbing
         "media_sizes": multimodal.media_sizes,
         "media_metadata": multimodal.media_metadata,
@@ -934,6 +939,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CASE {cat_case} ELSE 'General' END AS category
             FROM documents ORDER BY doc_id
         """,
+        # Flesch reading ease in pure integer micro points: floor division
+        # on non-negative counts — engine // and DuckDB // agree exactly
+        "readability_score": r"""
+            WITH c AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+                     len(regexp_extract_all(text, '[.!?]')) AS n_sentences,
+                     len(regexp_extract_all(text, '[aeiouAEIOU]+'))
+                       AS n_vowel_groups
+              FROM documents)
+            SELECT doc_id, n_words, n_sentences, n_vowel_groups,
+                   206835000
+                     - (1015000 * n_words) // greatest(n_sentences, 1)
+                     - (84600000 * n_vowel_groups) // greatest(n_words, 1)
+                     AS flesch_micro
+            FROM c ORDER BY doc_id
+        """,
         "keywords_topk": f"""
             SELECT term, count(*) AS n FROM (
               SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
@@ -1079,6 +1101,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT q.qid AS query_id, e.vec_id
             FROM q, embeddings e
             WHERE e.vec_id <> q.qid
+            QUALIFY row_number() OVER (
+              PARTITION BY q.qid
+              ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id
+            ) <= 10
+            ORDER BY query_id, vec_id
+        """,
+        # attribute-filtered vector search: candidates restricted to label=1
+        "ann_topk_filtered": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                       WHERE vec_id < 5)
+            SELECT q.qid AS query_id, e.vec_id
+            FROM q, embeddings e
+            WHERE e.vec_id <> q.qid AND e.label = 1
             QUALIFY row_number() OVER (
               PARTITION BY q.qid
               ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id

@@ -185,6 +185,9 @@ BENCH_QUERY_NAMES = [
     "embedding_kmeans",
     "dataset_split_assign",
     "media_dominant_colors",
+    "readability_score",
+    "ann_topk_filtered",
+    "embedding_mahalanobis_outliers",
 ]
 
 

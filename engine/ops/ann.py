@@ -12,6 +12,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -120,6 +121,55 @@ def ann_topk_bruteforce(sf_dir: str, n_queries: int = 5, k: int = 10) -> pd.Data
 
     cands = _emb(sf_dir).map_batches(local_topk, batch_format="pyarrow",
                                      batch_size=4096).to_pandas()
+    cands = cands.sort_values(["query_id", "sim", "vec_id"],
+                              ascending=[True, False, True], kind="mergesort")
+    out = cands.groupby("query_id", sort=True).head(k)
+    return out[["query_id", "vec_id"]].reset_index(drop=True)
+
+
+def ann_topk_filtered(sf_dir: str, n_queries: int = 5, k: int = 10,
+                      label: int = 1) -> pd.DataFrame:
+    """Attribute-FILTERED exact cosine top-k: (query_id, vec_id) restricted
+    to candidates with ``label == label`` — the filtered-vector-search shape
+    every deployed similarity service needs (search within a language /
+    source / tenant slice) that plain ann_topk can't express.
+
+    Scale shape: the label predicate is pushed INTO the parquet read
+    (row-group pruning — non-matching candidates never leave storage), the
+    query matrix is broadcast once, and each surviving batch emits only its
+    local top-k per query; the driver merges <= k * n_blocks id rows.  Same
+    ids-only output and vec_id-ascending tie rule as ann_topk.
+    """
+    qt = _first_rows(_emb_path(sf_dir), n_queries)
+    q_ids, q_mat = _to_matrix(qt)
+    q_ref = ray.put((q_ids, _normalize(q_mat)))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qids, qn = ray.get(q_ref)
+        ids, mat = _to_matrix(t)
+        sims = _normalize(mat) @ qn.T
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(qids):
+            col = sims[:, qi]
+            mask = ids != qid
+            cand_ids, cand_sims = ids[mask], col[mask]
+            if len(cand_ids) > k:
+                part = np.argpartition(-cand_sims, k)[:k]
+                cand_ids, cand_sims = cand_ids[part], cand_sims[part]
+            out_q.extend([qid] * len(cand_ids))
+            out_v.extend(cand_ids.tolist())
+            out_s.extend(cand_sims.tolist())
+        return pa.table(
+            {"query_id": pa.array(out_q, pa.int64()),
+             "vec_id": pa.array(out_v, pa.int64()),
+             "sim": pa.array(out_s, pa.float64())})
+
+    # label must stay in the pruned schema for the pushed-down filter to
+    # bind; it's an int32 per row — negligible next to the vector column
+    ds = read_pruned(_emb_path(sf_dir), ["vec_id", "embedding", "label"],
+                     filter=(pc.field("label") == label))
+    cands = ds.map_batches(local_topk, batch_format="pyarrow",
+                           batch_size=4096).to_pandas()
     cands = cands.sort_values(["query_id", "sim", "vec_id"],
                               ascending=[True, False, True], kind="mergesort")
     out = cands.groupby("query_id", sort=True).head(k)
@@ -1085,12 +1135,10 @@ def _moments_cached(sf_dir: str) -> pd.DataFrame:
     return _MOMENTS_CACHE[key]
 
 
-def _pca_basis(sf_dir: str, k: int):
-    """(mu[d], W[d,k]) from the cached exact moments: covariance assembled
-    on the driver (single-threaded float64 over exact integer sums —
-    deterministic at any parallelism), eigh, top-k by descending
-    eigenvalue, sign fixed so each component's largest-|value| entry is
-    positive (first index on ties)."""
+def _mean_cov(sf_dir: str):
+    """(mu[d], cov[d,d]) assembled on the driver from the cached EXACT
+    integer moments — single-threaded float64 over order-free integer sums,
+    so the result is deterministic at any parallelism."""
     import pyarrow.parquet as pq
 
     mom = _moments_cached(sf_dir)
@@ -1103,6 +1151,16 @@ def _pca_basis(sf_dir: str, k: int):
     S[sec["i"].to_numpy(), sec["j"].to_numpy()] = sec["sum_micro"].to_numpy()
     S = np.where(S == 0, S.T, S)  # mirror the upper triangle
     cov = S / n / 1e6 - np.outer(mu, mu)
+    return mu, cov
+
+
+def _pca_basis(sf_dir: str, k: int):
+    """(mu[d], W[d,k]) from the cached exact moments: covariance assembled
+    on the driver (single-threaded float64 over exact integer sums —
+    deterministic at any parallelism), eigh, top-k by descending
+    eigenvalue, sign fixed so each component's largest-|value| entry is
+    positive (first index on ties)."""
+    mu, cov = _mean_cov(sf_dir)
     evals, evecs = np.linalg.eigh(cov)
     order = np.argsort(evals)[::-1][:k]
     W = evecs[:, order]
@@ -1340,6 +1398,75 @@ def embedding_norm_outliers(sf_dir: str) -> pd.DataFrame:
     out = nv.map_batches(flag, batch_format="pyarrow").to_pandas()
     return (out.sort_values("vec_id").reset_index(drop=True)
             .astype({"vec_id": "int64", "norm_sq_milli": "int64"}))
+
+
+def embedding_mahalanobis_outliers(sf_dir: str) -> pd.DataFrame:
+    """(vec_id, m2_micro) — vectors whose squared Mahalanobis distance to
+    the corpus mean sits more than 2 standard deviations above the
+    corpus's OWN m2 distribution: the covariance-aware outlier detector.
+    Complements embedding_norm_outliers — an on-manifold vector with one
+    wildly off-axis coordinate has an ordinary L2 norm but an extreme
+    Mahalanobis distance.  The cutoff is data-driven (norm_outliers'
+    convention), not the textbook chi-square bound: unit-normalized
+    embeddings live on a sphere where m2 concentrates far tighter than
+    chi-square, so a Gaussianity cutoff never fires.
+
+    Determinism: mean and covariance come from the cached EXACT integer
+    moments (the embedding_moments all-reduce); the precision matrix is a
+    driver-side single-threaded ``np.linalg.inv`` (same platform-stability
+    stance as embedding_pca_project's eigh); per-vector distances round to
+    int64 micros doc-locally, and the 2-sigma test runs in exact integers —
+    flag iff ``|n*v - s| > isqrt(4*(n*ss - s^2))`` with v the vector's
+    m2_micro (arbitrary-precision driver ints, the norm_outliers bound).
+    Rows-only (matrix inversion is not SQL-expressible); pytest locks a
+    planted off-covariance outlier, partition invariance, and the
+    norm-outlier contrast.
+
+    Scale shape: the moments pass streams constant d(d+3)/2-row partials;
+    the ~d*d float precision matrix is the only broadcast; the narrow
+    (vec_id, m2) table materializes once (consumed by the moment reduce and
+    the flag pass); the driver reduce is 3 ints.  Output is outlier-sized.
+    """
+    import math
+
+    mu, cov = _mean_cov(sf_dir)
+    P = np.linalg.inv(cov)
+
+    def m2_micro(t: pa.Table) -> pa.Table:
+        ids, X = _to_matrix(t)
+        if not len(ids):
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        C = X - mu
+        v = np.round(np.einsum("ni,ij,nj->n", C, P, C) * 1e6).astype(np.int64)
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "v": pa.array(v, pa.int64())})
+
+    def mom(t: pa.Table) -> pa.Table:
+        v = t["v"].to_numpy()
+        return pa.table({"n": pa.array([len(v)], pa.int64()),
+                         "s": pa.array([int(v.sum())], pa.int64()),
+                         "ss": pa.array([int((v.astype(object) ** 2).sum())],
+                                        pa.int64())})
+
+    nv = _emb(sf_dir).map_batches(m2_micro, batch_format="pyarrow",
+                                  batch_size=65536).materialize()
+    m = nv.map_batches(mom, batch_format="pyarrow").to_pandas()
+    n, s, ss = int(m["n"].sum()), int(m["s"].sum()), int(m["ss"].sum())
+    r = math.isqrt(max(0, 4 * (n * ss - s * s)))
+
+    def flag(t: pa.Table) -> pa.Table:
+        v = t["v"].to_numpy()
+        sel = (n * v - s) > r  # one-sided: only the FAR tail is an outlier
+        return pa.table({"vec_id": t["vec_id"].filter(pa.array(sel)),
+                         "m2_micro": pa.array(v[sel], pa.int64())})
+
+    out = nv.map_batches(flag, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                             "m2_micro": pd.Series([], dtype="int64")})
+    return (out.sort_values("vec_id").reset_index(drop=True)
+            .astype({"vec_id": "int64", "m2_micro": "int64"}))
 
 
 def embedding_quantize(sf_dir: str) -> pd.DataFrame:

@@ -2271,6 +2271,50 @@ def compression_ratio(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def readability_score(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, n_words, n_sentences, n_vowel_groups, flesch_micro) — Flesch
+    reading ease (Flesch 1948: 206.835 - 1.015*(words/sentences) -
+    84.6*(syllables/word)) with the classic vowel-GROUP syllable heuristic
+    (maximal ``[aeiou]+`` runs; no silent-e adjustment — documented, both
+    sides count the same thing).  The readability member of the quality
+    family next to quality_score's ratio signals and char_entropy's
+    distribution signal.
+
+    Determinism: all three counts are integer RE2 match counts and the score
+    is pure integer arithmetic — ``206_835_000 - (1_015_000 * words) //
+    max(sents, 1) - (84_600_000 * vgroups) // max(words, 1)`` in micro
+    points; floor division on non-negative operands matches DuckDB ``//``
+    exactly, so the oracle checks it hash-exactly.
+
+    Scale shape: map-only, three vectorized RE2 count kernels per batch, no
+    shuffle; output is doc-sized.
+    """
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    _SCHEMA = pa.schema([("doc_id", pa.int64()), ("n_words", pa.int64()),
+                         ("n_sentences", pa.int64()),
+                         ("n_vowel_groups", pa.int64()),
+                         ("flesch_micro", pa.int64())])
+
+    def score(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        w = pc.cast(pc.count_substring_regex(txt, r"[A-Za-z]+"), pa.int64()).to_numpy()
+        s = pc.cast(pc.count_substring_regex(txt, r"[.!?]"), pa.int64()).to_numpy()
+        v = pc.cast(pc.count_substring_regex(txt, r"[aeiouAEIOU]+"), pa.int64()).to_numpy()
+        flesch = (206_835_000
+                  - (1_015_000 * w) // np.maximum(s, 1)
+                  - (84_600_000 * v) // np.maximum(w, 1))
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_words": pa.array(w, pa.int64()),
+             "n_sentences": pa.array(s, pa.int64()),
+             "n_vowel_groups": pa.array(v, pa.int64()),
+             "flesch_micro": pa.array(flesch.astype(np.int64), pa.int64())},
+            schema=_SCHEMA)
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 FUNNEL_CHAR_LO, FUNNEL_CHAR_HI = 100, 400
 FUNNEL_TOK_LO, FUNNEL_TOK_HI = 20, 55
 

@@ -2132,6 +2132,44 @@ def test_embedding_pca_project_matches_sequential(ray_session):
     assert (var > -1e-9).all()
 
 
+def test_mahalanobis_planted_outlier(ray_session, tmp_path):
+    """A vector that BREAKS the corpus's dominant correlation (x1 ~= x0)
+    while keeping an ordinary L2 norm is flagged by the Mahalanobis
+    detector; the flag set is deterministic and the planted vector's norm
+    sits inside the base norm range (so the L2 detector could not see it)."""
+    import pyarrow.parquet as pq
+
+    from engine.ops.ann import embedding_mahalanobis_outliers
+
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal(60)
+    base = np.stack([a, a + 0.05 * rng.standard_normal(60),
+                     rng.standard_normal(60), rng.standard_normal(60)],
+                    axis=1).astype(np.float32)
+    planted = np.array([[1.5, -1.5, 0.0, 0.0]], np.float32)  # anti-correlated
+    rows = np.vstack([base, planted])
+    ids = list(range(60)) + [999]
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([r.tolist() for r in rows], pa.list_(pa.float32())),
+    })
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(t, d / "embeddings.parquet")
+
+    out = embedding_mahalanobis_outliers(str(d))
+    assert 999 in set(out["vec_id"])
+    # ordinary norm: inside the base range — invisible to the L2 detector
+    norms = np.linalg.norm(rows.astype(np.float64), axis=1)
+    assert norms.min() < norms[-1] < norms.max()
+    # deterministic
+    assert out.equals(embedding_mahalanobis_outliers(str(d)))
+    # the sf corpus: flags are a small far-tail subset, all above the mean
+    sf_out = embedding_mahalanobis_outliers(SF)
+    assert 0 < len(sf_out) < 50
+    assert (sf_out["m2_micro"] > 64_000_000).all()  # d=64 -> mean m2 = d
+
+
 def test_knn_graph_invariants_and_reference(ray_session):
     """knn_graph: within-cell brute-force reference agreement, planted
     near-pair membership, ranking invariants, determinism."""
