@@ -356,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mktsegment_revenue": relational.mktsegment_revenue,
         "top_orders": relational.top_orders,
         "events_hourly": relational.events_hourly,
+        "events_hourly_dense": relational.events_hourly_dense,
         "sessionize_events": relational.sessionize_events,
         "events_asof_join": relational.events_asof_join,
         "events_running_sum": relational.events_running_sum,
@@ -375,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_with_lineitems_bloom": relational.orders_with_lineitems_bloom,
         "events_funnel": relational.events_funnel,
         "source_mix_weighted": curate.source_mix_weighted,
+        "cap_per_source": curate.cap_per_source,
         "global_shuffle": curate.global_shuffle,
         "dataset_split_assign": curate.dataset_split_assign,
         "value_quantiles_per_type": relational.value_quantiles_per_type,
@@ -480,8 +482,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # partition invariance
         "quality_classifier_score": ml.quality_classifier_score,
         "quality_classifier_metrics": ml.quality_classifier_metrics,
+        # rows-only: iterative model; integer PR counts pytest-locked
+        "quality_classifier_pr_curve": ml.quality_classifier_pr_curve,
         # dedup family
         "exact_dedup": dedup.exact_dedup,
+        "chunk_exact_dedup": dedup.chunk_exact_dedup,
         "incremental_exact_dedup": dedup.incremental_exact_dedup,
         "incremental_minhash_dedup": dedup.incremental_minhash_dedup,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
@@ -685,6 +690,21 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
             FROM events GROUP BY event_type, hour ORDER BY event_type, hour
+        """,
+        # dense calendar: dimension GENERATION + left join zero-fill
+        "events_hourly_dense": """
+            WITH c AS (
+              SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+              FROM events GROUP BY 1, 2),
+            b AS (SELECT min(date_trunc('hour', ts)) AS lo,
+                         max(date_trunc('hour', ts)) AS hi FROM events),
+            cal AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                      AS hour FROM b),
+            ty AS (SELECT DISTINCT event_type FROM events)
+            SELECT ty.event_type, cal.hour, coalesce(c.n, 0) AS n
+            FROM ty CROSS JOIN cal
+            LEFT JOIN c ON c.event_type = ty.event_type AND c.hour = cal.hour
+            ORDER BY ty.event_type, cal.hour
         """,
         "sessionize_events": """
             WITH o AS (
@@ -1060,6 +1080,29 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical_id
             FROM documents ORDER BY doc_id
+        """,
+        # chunk-grain exact dedup: canonical = lexicographic min
+        # (doc_id, chunk_index) among identical 350/80-token chunk strings
+        "chunk_exact_dedup": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+            idx AS (
+              SELECT doc_id, ts,
+                     unnest(range(0,
+                       CASE WHEN len(ts) <= 350 THEN 1
+                            ELSE CAST(ceil((len(ts) - 350) / 270.0) AS BIGINT) + 1
+                       END)) AS chunk_index
+              FROM toks),
+            ch AS (
+              SELECT doc_id, chunk_index,
+                     array_to_string(list_slice(ts, CAST(chunk_index * 270 + 1 AS BIGINT),
+                                                CAST(chunk_index * 270 + 350 AS BIGINT)), ' ') AS chunk
+              FROM idx)
+            SELECT doc_id, chunk_index,
+                   first_value(doc_id) OVER w AS canonical_doc_id,
+                   first_value(chunk_index) OVER w AS canonical_chunk_index
+            FROM ch
+            WINDOW w AS (PARTITION BY chunk ORDER BY doc_id, chunk_index)
+            ORDER BY doc_id, chunk_index
         """,
         "incremental_exact_dedup": f"""
             SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical_id
@@ -2134,6 +2177,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY token
         """,
         "source_mix_weighted": _lsh_oracles.source_mix_weighted_sql(),
+        "cap_per_source": _lsh_oracles.cap_per_source_sql(),
         "global_shuffle": _lsh_oracles.global_shuffle_sql(),
         # hash-split partition: shared splitmix64 builder, stable membership
         "dataset_split_assign": _lsh_oracles.dataset_split_assign_sql(),

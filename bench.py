@@ -188,6 +188,10 @@ BENCH_QUERY_NAMES = [
     "readability_score",
     "ann_topk_filtered",
     "embedding_mahalanobis_outliers",
+    "events_hourly_dense",
+    "chunk_exact_dedup",
+    "cap_per_source",
+    "quality_classifier_pr_curve",
 ]
 
 
@@ -342,7 +346,7 @@ def _gen_smoke_tables(dest: str, n_docs: int, n_vecs: int, dim: int = 32) -> Non
     import ray.data as rd
 
     marker = os.path.join(dest, "_done.json")
-    _SCHEMA_V = 2  # v2: documents gained lang/source (export/curate smokes)
+    _SCHEMA_V = 3  # v3: embeddings gained label (filtered-ANN smoke)
     if os.path.exists(marker):
         try:
             with open(marker) as f:
@@ -428,10 +432,15 @@ def _gen_smoke_tables(dest: str, n_docs: int, n_vecs: int, dim: int = 32) -> Non
                 "embedding": pa.array(
                     list(mat.astype(np.float32)), pa.list_(pa.float32())
                 ),
+                "label": pa.array(
+                    (mix64(ids.astype(np.uint64) + np.uint64(7))
+                     % np.uint64(5)).astype(np.int32), pa.int32()),
             }
         )
 
-    emb_schema = pa.schema([("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))])
+    emb_schema = pa.schema([("vec_id", pa.int64()),
+                            ("embedding", pa.list_(pa.float32())),
+                            ("label", pa.int32())])
     with pq.ParquetWriter(os.path.join(dest, "embeddings.parquet"), emb_schema) as w:
         for b in (
             rd.range(n_vecs)
@@ -636,6 +645,23 @@ def run_dedup_smoke() -> dict:
         # hash train/valid/test partition: map-only, 3 integer partial
         # rows per block
         "dataset_split_assign": lambda: _cur.dataset_split_assign(dest),
+        # anchor-text consolidation: one narrow (target, token, cnt)
+        # all-to-all over the *31 link graph; text never shuffles
+        "anchor_text_topk": lambda: rel.anchor_text_topk(dest),
+        # hashing-trick doc vectors: map-only factorized token hashing +
+        # one bincount per batch (returns the full doc-sized frame)
+        "feature_hash_embed": lambda: _text_ops.feature_hash_embed(dest),
+        # Flesch reading ease: three vectorized RE2 counts, map-only
+        "readability_score": lambda: _text_ops.readability_score(dest),
+        # covariance-aware outliers: moments all-reduce + inv + flag pass
+        "embedding_mahalanobis_outliers":
+            lambda: ann.embedding_mahalanobis_outliers(dest),
+        # filtered exact top-k: label predicate pushed into the read —
+        # only ~1/5 of row groups ever leave storage
+        "ann_topk_filtered": lambda: ann.ann_topk_filtered(dest),
+        # chunk-grain exact dedup: map-only explode+hash, one coarse
+        # hash-bucket exchange of (doc, idx, h) rows; text never shuffles
+        "chunk_exact_dedup": lambda: dedup.chunk_exact_dedup(dest),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")
     if only:
@@ -822,6 +848,9 @@ def run_events_smoke() -> dict:
         # in-bucket pivot + one int matmul for all T(T-1)/2 pairs
         "event_type_correlations": lambda: len(
             rel.event_type_correlations(dest)),
+        # dense calendar zero-fill: hourly's distributed work + a
+        # dimension-sized driver densify
+        "events_hourly_dense": lambda: len(rel.events_hourly_dense(dest)),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")
     if only:

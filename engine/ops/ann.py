@@ -1443,16 +1443,23 @@ def embedding_mahalanobis_outliers(sf_dir: str) -> pd.DataFrame:
                          "v": pa.array(v, pa.int64())})
 
     def mom(t: pa.Table) -> pa.Table:
+        # m2 micros run ~d*1e6, so sum(v^2) per batch exceeds int64 —
+        # carry the exact value as a (hi, lo) base-2^62 split (norm_outliers'
+        # milli values never needed this; Mahalanobis micros do)
         v = t["v"].to_numpy()
+        ssv = int((v.astype(object) ** 2).sum())
+        hi, lo = divmod(ssv, 1 << 62)
         return pa.table({"n": pa.array([len(v)], pa.int64()),
                          "s": pa.array([int(v.sum())], pa.int64()),
-                         "ss": pa.array([int((v.astype(object) ** 2).sum())],
-                                        pa.int64())})
+                         "ss_hi": pa.array([hi], pa.int64()),
+                         "ss_lo": pa.array([lo], pa.int64())})
 
     nv = _emb(sf_dir).map_batches(m2_micro, batch_format="pyarrow",
                                   batch_size=65536).materialize()
     m = nv.map_batches(mom, batch_format="pyarrow").to_pandas()
-    n, s, ss = int(m["n"].sum()), int(m["s"].sum()), int(m["ss"].sum())
+    n, s = int(m["n"].sum()), int(m["s"].sum())
+    # arbitrary-precision driver reduce: per-batch los can sum past int64
+    ss = (sum(int(x) for x in m["ss_hi"]) << 62) + sum(int(x) for x in m["ss_lo"])
     r = math.isqrt(max(0, 4 * (n * ss - s * s)))
 
     def flag(t: pa.Table) -> pa.Table:

@@ -922,3 +922,68 @@ def dataset_split_assign(sf_dir: str, seed: int = 0) -> pd.DataFrame:
             .sort_values("split").reset_index(drop=True)
             .astype({"n_docs": "int64", "n_tokens": "int64",
                      "n_chars": "int64"}))
+
+
+CAP_PER_SOURCE_K = 10
+
+
+def cap_per_source(sf_dir: str, k: int = CAP_PER_SOURCE_K) -> pd.DataFrame:
+    """(doc_id, source) — at most ``k`` documents KEPT per source, chosen by
+    deterministic hash priority (smallest ``splitmix64(doc_id)`` wins, ties
+    to the lower doc_id): the C4/RefinedWeb-style per-domain cap that stops
+    one boilerplate-heavy domain from dominating the training mix.  A pure
+    hash test, so any worker, any rerun, and the oracle keep the IDENTICAL
+    subset, and a grown corpus only ever evicts by priority — never
+    reshuffles survivors randomly.
+
+    Scale shape: each batch first reduces ITSELF to its local top-k per
+    source (a combinable partial — the event_path_counts idiom), so the one
+    coarse source-hash bucket exchange carries <= k rows per (block,
+    source), never the corpus; each bucket group re-ranks its sources'
+    survivors vectorized.  Works at web scale where sources are unbounded
+    domains (no driver-side source table).
+    """
+    import hashlib as _hashlib
+
+    import pyarrow.compute as pc
+
+    from .dedup import _mix64
+    from .io import read_pruned
+
+    ds = read_pruned(_os.path.join(sf_dir, "documents.parquet"),
+                     ["doc_id", "source"])
+    N_BUCKETS = 64
+
+    _ROW = pa.schema([("doc_id", pa.int64()), ("source", pa.string()),
+                      ("pr", pa.uint64()), ("bucket", pa.int32())])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        pr = _mix64(ids.astype(np.uint64))
+        d = pd.DataFrame({"doc_id": ids, "source": t["source"].to_pandas(),
+                          "pr": pr})
+        d = (d.sort_values(["source", "pr", "doc_id"], kind="mergesort")
+             .groupby("source", sort=False).head(k))
+        bucket = np.array(
+            [int.from_bytes(_hashlib.md5(s.encode()).digest()[:4], "big")
+             % N_BUCKETS for s in d["source"]], dtype=np.int32)
+        return pa.table({"doc_id": pa.array(d["doc_id"].to_numpy(), pa.int64()),
+                         "source": pa.array(d["source"], pa.string()),
+                         "pr": pa.array(d["pr"].to_numpy(), pa.uint64()),
+                         "bucket": pa.array(bucket, pa.int32())},
+                        schema=_ROW)
+
+    _OUT = pa.schema([("doc_id", pa.int64()), ("source", pa.string())])
+
+    def resolve(g: pd.DataFrame) -> pa.Table:
+        d = (g.sort_values(["source", "pr", "doc_id"], kind="mergesort")
+             .groupby("source", sort=False).head(k))
+        return pa.Table.from_pandas(
+            d[["doc_id", "source"]], schema=_OUT,
+            preserve_index=False).replace_schema_metadata(None)
+
+    out = (ds.map_batches(local_topk, batch_format="pyarrow")
+           .groupby("bucket")
+           .map_groups(resolve, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -1939,3 +1939,71 @@ def host_boilerplate_strip(sf_dir: str, seg_len: int = 10,
              "n_lines_removed": pd.Series([], dtype="int64")}
         )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def chunk_exact_dedup(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, chunk_index, canonical_doc_id, canonical_chunk_index) —
+    exact dedup at the CHUNK level: every 350/80-token window (the
+    reference app's RAG ingest unit, ``MainForm.cs:92``) canonicalized to
+    the lexicographically smallest (doc_id, chunk_index) owning an
+    identical chunk string.  Doc-level dedup misses this entirely — two
+    distinct documents sharing one boilerplate section collide only at the
+    chunk grain, and a RAG index that embeds both pays twice and retrieves
+    duplicates.
+
+    Scale shape: one map-only explode pass computes each chunk's 63-bit
+    blake2b hash IN the task and emits only (doc_id, chunk_index, hash)
+    rows — chunk text never enters the exchange (the exact_dedup stance:
+    128->63-bit hash equality treated as content identity).  One coarse
+    ``hash % 64`` bucket shuffle co-locates equal chunks; each bucket
+    resolves its canonicals in one vectorized pandas pass.  Output is
+    chunk-sized.
+    """
+    from .text import TOKEN_CHUNK_SIZE, TOKEN_CHUNK_STEP
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    N_BUCKETS = 64
+
+    def explode_hash(t: pa.Table) -> pa.Table:
+        ids, idxs, hashes = [], [], []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = s.split(" ")
+            n = len(toks)
+            n_chunks = (
+                1 if n <= TOKEN_CHUNK_SIZE
+                else -(-(n - TOKEN_CHUNK_SIZE) // TOKEN_CHUNK_STEP) + 1
+            )
+            for i in range(n_chunks):
+                chunk = " ".join(
+                    toks[i * TOKEN_CHUNK_STEP: i * TOKEN_CHUNK_STEP + TOKEN_CHUNK_SIZE])
+                ids.append(did)
+                idxs.append(i)
+                hashes.append(_text_hash64(chunk))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "chunk_index": pa.array(idxs, pa.int64()),
+             "h": pa.array(hashes, pa.int64()),
+             "bucket": pa.array([h % N_BUCKETS for h in hashes], pa.int32())})
+
+    _SCHEMA = pa.schema([("doc_id", pa.int64()), ("chunk_index", pa.int64()),
+                         ("canonical_doc_id", pa.int64()),
+                         ("canonical_chunk_index", pa.int64())])
+
+    def canonical(g: pd.DataFrame) -> pa.Table:
+        gs = g.sort_values(["h", "doc_id", "chunk_index"], kind="mergesort")
+        first = gs.groupby("h", sort=False)[["doc_id", "chunk_index"]].transform("first")
+        gs["canonical_doc_id"] = first["doc_id"].to_numpy()
+        gs["canonical_chunk_index"] = first["chunk_index"].to_numpy()
+        return pa.Table.from_pandas(
+            gs[["doc_id", "chunk_index", "canonical_doc_id",
+                "canonical_chunk_index"]],
+            schema=_SCHEMA, preserve_index=False).replace_schema_metadata(None)
+
+    out = (
+        ds.map_batches(explode_hash, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(canonical, batch_format="pandas")
+        .to_pandas()
+    )
+    return (out.sort_values(["doc_id", "chunk_index"])
+            .reset_index(drop=True))

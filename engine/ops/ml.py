@@ -332,3 +332,64 @@ def quality_classifier_metrics(sf_dir: str, n_feat: int = 1024,
     gradient discipline)."""
     _, _, metrics = _trained(sf_dir, n_feat, iters, lr)
     return metrics.copy()
+
+
+def quality_classifier_pr_curve(sf_dir: str, n_points: int = 21,
+                                n_feat: int = 1024, iters: int = 40,
+                                lr: float = 4.0) -> pd.DataFrame:
+    """(threshold_micro, tp, fp, fn, tn, precision_milli, recall_milli) —
+    the precision/recall trade-off curve of the trained quality classifier
+    at ``n_points`` integer logit thresholds spanning the corpus's own
+    [min, max] logit range: the artifact a curation team reads to PICK the
+    operating point (metrics' accuracy is one point on this curve).
+
+    Every value is an exact integer: thresholds are an integer linspace
+    over the exact micro logits (``lo + i*(hi-lo)//(n_points-1)``), counts
+    are int64 sums, and the ratios are integer milli floor-divisions — the
+    whole frame is bit-identical across runs and parallelism levels.
+    Rows-only (the model is iterative); pytest locks count conservation,
+    recall monotonicity, and the endpoint rows.
+
+    Scale shape: two map-only passes over the scored Dataset — pass 1
+    streams (min, max) logit partials, pass 2 streams n_points x 4 count
+    partials per block (thresholds broadcast in the closure); the driver
+    reduce is n_points rows.  No shuffle anywhere.
+    """
+    scores = quality_classifier_score_ds(sf_dir, n_feat, iters, lr)
+    scores = scores.materialize()  # consumed twice: range + counts
+
+    def rng(t: pa.Table) -> pa.Table:
+        z = t["logit_micro"].to_numpy()
+        return pa.table({"lo": pa.array([int(z.min())], pa.int64()),
+                         "hi": pa.array([int(z.max())], pa.int64())})
+
+    m = scores.map_batches(rng, batch_format="pyarrow").to_pandas()
+    lo, hi = int(m["lo"].min()), int(m["hi"].max())
+    ths = np.array([lo + i * (hi - lo) // (n_points - 1)
+                    for i in range(n_points)], dtype=np.int64)
+
+    def counts(t: pa.Table) -> pa.Table:
+        z = t["logit_micro"].to_numpy()
+        y = t["label_gopher"].to_numpy()
+        pred = z[None, :] >= ths[:, None]          # (n_points, batch)
+        tp = (pred & y[None, :]).sum(axis=1)
+        fp = (pred & ~y[None, :]).sum(axis=1)
+        fn = (~pred & y[None, :]).sum(axis=1)
+        tn = (~pred & ~y[None, :]).sum(axis=1)
+        return pa.table({"i": pa.array(np.arange(n_points), pa.int64()),
+                         "tp": pa.array(tp.astype(np.int64), pa.int64()),
+                         "fp": pa.array(fp.astype(np.int64), pa.int64()),
+                         "fn": pa.array(fn.astype(np.int64), pa.int64()),
+                         "tn": pa.array(tn.astype(np.int64), pa.int64())})
+
+    parts = scores.map_batches(counts, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("i", as_index=False)[["tp", "fp", "fn", "tn"]].sum()
+    agg = agg.sort_values("i").reset_index(drop=True)
+    tp, fp, fn = (agg[c].to_numpy() for c in ("tp", "fp", "fn"))
+    out = pd.DataFrame({
+        "threshold_micro": ths,
+        "tp": tp, "fp": fp, "fn": fn, "tn": agg["tn"].to_numpy(),
+        "precision_milli": 1000 * tp // np.maximum(tp + fp, 1),
+        "recall_milli": 1000 * tp // np.maximum(tp + fn, 1),
+    })
+    return out.astype({c: "int64" for c in out.columns})

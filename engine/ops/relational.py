@@ -201,6 +201,34 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def events_hourly_dense(sf_dir: str) -> pd.DataFrame:
+    """(event_type, hour, n) — events_hourly with the calendar DENSIFIED:
+    every (present event_type) × (hour in the global [min, max] hour span)
+    cell appears, zero-filled where no events landed.  The gap-filling
+    shape monitoring dashboards need (a silent hour is a SIGNAL — the
+    sparse groupby simply omits it) and the one shape the window family
+    lacked: dimension GENERATION + left join, not aggregation.
+
+    Scale shape: the distributed work is exactly events_hourly's
+    (per-batch combined partials, one coarse hour-bucket exchange); the
+    densify step runs on the DRIVER over the bounded sparse result — the
+    grid is |types| × |hours| (a bounded enum × a time-span count that
+    grows with calendar time, not event volume), never event-sized.  The
+    type universe is the types present in the data (same discovery stance
+    as event_type_correlations' map-only distinct partial).
+    """
+    sparse = events_hourly(sf_dir)
+    hours = pd.date_range(sparse["hour"].min(), sparse["hour"].max(),
+                          freq="h")
+    types = sorted(sparse["event_type"].unique())
+    grid = pd.MultiIndex.from_product(
+        [types, hours], names=["event_type", "hour"]).to_frame(index=False)
+    out = grid.merge(sparse, on=["event_type", "hour"], how="left")
+    out["n"] = out["n"].fillna(0).astype("int64")
+    return (out.sort_values(["event_type", "hour"])
+            .reset_index(drop=True))
+
+
 N_KEY_BUCKETS = 64  # coarse shuffle width for all per-user window ops
 
 

@@ -1101,3 +1101,18 @@ def dataset_split_assign_sql(seed: int = 0) -> str:
             SELECT split, count(*)::BIGINT AS n_docs,
                    sum(nt)::BIGINT AS n_tokens, sum(nc)::BIGINT AS n_chars
             FROM a GROUP BY split ORDER BY split"""
+
+
+def cap_per_source_sql(k: int = 10) -> str:
+    """Oracle for curate.cap_per_source: the engine's splitmix64 priority
+    over doc_id, per-source row_number cap."""
+    return rf"""
+            WITH s AS (
+              SELECT doc_id, source, doc_id::UBIGINT AS x FROM documents
+            ), h AS (
+              SELECT doc_id, source, {_mix64('x')} AS pr FROM s
+            )
+            SELECT doc_id, source FROM h
+            QUALIFY row_number() OVER (
+              PARTITION BY source ORDER BY pr, doc_id) <= {k}
+            ORDER BY doc_id"""

@@ -103,3 +103,29 @@ def test_quality_classifier_learns_the_gate():
     assert len(s) == m.n_docs.iloc[-1]
     # both classes are actually predicted (no majority-class collapse)
     assert 0 < s.pred_quality.sum() < len(s)
+
+
+def test_quality_classifier_pr_curve(ray_session):
+    """Count conservation (tp+fp+fn+tn = n at every threshold, tp+fn =
+    positives constant), recall monotone non-increasing in the threshold,
+    endpoint rows (lowest threshold keeps everything -> recall 1000),
+    determinism, and consistency with the scored frame at threshold lo."""
+    out = ml.quality_classifier_pr_curve(SF, n_points=11, n_feat=N_FEAT,
+                                         iters=ITERS, lr=LR)
+    scores = ml.quality_classifier_score(SF, n_feat=N_FEAT, iters=ITERS, lr=LR)
+    n, pos = len(scores), int(scores["label_gopher"].sum())
+
+    assert len(out) == 11
+    tot = out[["tp", "fp", "fn", "tn"]].sum(axis=1)
+    assert (tot == n).all()
+    assert ((out["tp"] + out["fn"]) == pos).all()
+    assert (np.diff(out["recall_milli"].to_numpy()) <= 0).all()
+    # lowest threshold = global min logit: every doc predicted positive
+    assert out.iloc[0]["tp"] == pos and out.iloc[0]["recall_milli"] == 1000
+    assert out.iloc[0]["fp"] == n - pos
+    # exact tp at the lowest threshold recomputed from the scored frame
+    th0 = int(out.iloc[0]["threshold_micro"])
+    assert out.iloc[0]["tp"] == int(
+        ((scores["logit_micro"] >= th0) & scores["label_gopher"]).sum())
+    assert out.equals(ml.quality_classifier_pr_curve(
+        SF, n_points=11, n_feat=N_FEAT, iters=ITERS, lr=LR))
