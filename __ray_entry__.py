@@ -544,6 +544,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": multimodal.media_features,
         "media_decode": multimodal.media_decode,
         "media_signal_stats": multimodal.media_signal_stats,
+        # rows-only: DFT isn't SQL; planted-tone pytest locks the peak band
+        "media_spectrogram": multimodal.media_spectrogram,
         "media_dominant_colors": multimodal.media_dominant_colors,
         # rows-only: codec decode isn't SQL; pytest locks cross-codec twin
         # collapse + hash invariance + determinism

@@ -192,6 +192,7 @@ BENCH_QUERY_NAMES = [
     "chunk_exact_dedup",
     "cap_per_source",
     "quality_classifier_pr_curve",
+    "media_spectrogram",
 ]
 
 

@@ -881,3 +881,64 @@ def media_dominant_colors(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values(["media_id", "rank"]).reset_index(drop=True)
+
+
+SPECTRO_BANDS_HZ = (220, 440, 880, 1760)
+
+
+class SpectrogramStage:
+    """WAV payloads -> per-band DFT energies (actor pool): for each audio
+    row, the single-bin discrete Fourier power at the fixed SPECTRO_BANDS_HZ
+    frequencies — energy = |sum_n x_n e^(-2*pi*i*f*n/rate)| / n, rounded to
+    int64 micros per (media, band).  One vectorized cos/sin dot product per
+    band (O(n) each, no FFT dependency); non-audio rows skip.  The basis
+    vectors depend only on (rate, n) so they build per batch, not per row."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, bands, energies = [], [], []
+        basis_cache: dict = {}
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            if sniff(payload) != "wav":
+                continue
+            samples, rate = decode_wav(payload)
+            x = samples.astype(np.float64)
+            n = len(x)
+            if n == 0:
+                continue
+            key = (rate, n)
+            if key not in basis_cache:
+                t = np.arange(n, dtype=np.float64) / rate
+                basis_cache[key] = [
+                    (np.cos(2.0 * np.pi * f * t), np.sin(2.0 * np.pi * f * t))
+                    for f in SPECTRO_BANDS_HZ]
+            for f, (cv, sv) in zip(SPECTRO_BANDS_HZ, basis_cache[key]):
+                re, im = float(x @ cv), float(x @ sv)
+                e = np.hypot(re, im) / n
+                ids.append(mid)
+                bands.append(f)
+                energies.append(int(round(e * 1e6)))
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "band_hz": pa.array(bands, pa.int64()),
+                         "energy_micro": pa.array(energies, pa.int64())})
+
+
+def media_spectrogram(sf_dir: str) -> pd.DataFrame:
+    """(media_id, band_hz, energy_micro) — single-bin DFT band energies of
+    every REAL decoded audio clip at the fixed SPECTRO_BANDS_HZ ladder: the
+    audio-feature op (tone/energy fingerprint) next to media_signal_stats'
+    time-domain RMS.  Per-(media, band) micro rounding happens doc-locally,
+    so the frame is partition-invariant; rows-only (DFT isn't SQL) with a
+    planted-tone pytest locking the peak band.
+
+    Scale shape: actor-pool map_batches over the media table, 4 integer
+    rows out per clip; decode + dot products never leave the task.
+    """
+    out = (
+        real_media_table(sf_dir)
+        .map_batches(SpectrogramStage, batch_format="pyarrow", batch_size=64,
+                     concurrency=2)
+        .to_pandas()
+    )
+    return (out.sort_values(["media_id", "band_hz"])
+            .reset_index(drop=True))

@@ -1844,6 +1844,38 @@ def test_media_signal_stats_planted(ray_session, tmp_path):
     assert set(g1["kind"]) == {"bmp", "png", "jpeg", "gif", "wav", "avi"}
 
 
+def test_media_spectrogram_planted_tone(ray_session):
+    """The single-bin DFT energy peaks at the planted tone's own band: a
+    440 Hz sine at amplitude A has band energy ~A/2 at 440 Hz and near-zero
+    at the other bands; non-audio rows are skipped; the sf frame is
+    deterministic with 4 bands per audio clip."""
+    import pyarrow as pa
+
+    from engine.ops.codecs import encode_bmp, encode_wav
+    from engine.ops.multimodal import SPECTRO_BANDS_HZ, SpectrogramStage
+
+    n, amp = 8000, 20000
+    tone = (np.sin(np.arange(n) * 2 * np.pi * 440 / 8000) * amp).astype(np.int16)
+    px = np.full((4, 4, 3), 9, dtype=np.uint8)
+    batch = pa.table(
+        {"media_id": pa.array([7, 8], pa.int64()),
+         "payload": pa.array([encode_wav(tone, 8000), encode_bmp(px)],
+                             pa.binary())})
+    out = SpectrogramStage()(batch).to_pydict()
+    assert out["media_id"] == [7] * len(SPECTRO_BANDS_HZ)  # image skipped
+    e = dict(zip(out["band_hz"], out["energy_micro"]))
+    # a full-period-aligned sine: bin energy = amp/2 exactly (micro scale)
+    assert abs(e[440] - (amp // 2) * 1_000_000) < 2_000_000
+    assert e[440] > 100 * max(e[220], e[880], e[1760])
+
+    import __ray_entry__ as ent
+
+    g1 = ent.queries()["media_spectrogram"]("/root/testdata/sf0.001")
+    g2 = ent.queries()["media_spectrogram"]("/root/testdata/sf0.001")
+    assert g1.equals(g2)
+    assert len(g1) % len(SPECTRO_BANDS_HZ) == 0 and len(g1) > 0
+
+
 def test_ann_recall_report(ray_session):
     """The recall scoreboard is deterministic and ordered as designed:
     probe-all plain IVF is exact; the PQ/LSH/partial variants sit below with
