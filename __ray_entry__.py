@@ -370,6 +370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": relational.stratified_sample,
         "distinct_users_per_type": relational.distinct_users_per_type,
         "pagerank_docs": relational.pagerank_docs,
+        "redirect_cycles": relational.redirect_cycles,
         "hits_docs": relational.hits_docs,
         "triangle_count": relational.triangle_count,
         "orders_without_lineitems": relational.orders_without_lineitems,
@@ -669,6 +670,20 @@ def oracle_sql() -> dict[str, str]:
     )
     d = {
         "pagerank_docs": pagerank_sql,
+        # permutation cycles = forward closure of the functional redirect
+        # map; cycle_id = min reachable node (includes v via LEAST)
+        "redirect_cycles": """
+            WITH RECURSIVE nn AS (SELECT count(*) AS c FROM documents),
+            r(v, u) AS (
+              SELECT doc_id, (doc_id * 31 + 1) % (SELECT c FROM nn)
+              FROM documents
+              UNION
+              SELECT r.v, (r.u * 31 + 1) % (SELECT c FROM nn)
+              FROM r WHERE r.u <> r.v
+            )
+            SELECT v AS doc_id, least(v, min(u)) AS cycle_id
+            FROM r GROUP BY v ORDER BY doc_id
+        """,
         "hits_docs": hits_sql,
         "q1_agg": """
             SELECT l_returnflag, l_linestatus,

@@ -193,6 +193,7 @@ BENCH_QUERY_NAMES = [
     "cap_per_source",
     "quality_classifier_pr_curve",
     "media_spectrogram",
+    "redirect_cycles",
 ]
 
 
@@ -663,6 +664,9 @@ def run_dedup_smoke() -> dict:
         # chunk-grain exact dedup: map-only explode+hash, one coarse
         # hash-bucket exchange of (doc, idx, h) rows; text never shuffles
         "chunk_exact_dedup": lambda: dedup.chunk_exact_dedup(dest),
+        # pointer-doubling redirect-loop detection: ceil(log2 Lmax) narrow
+        # (v, p, m) exchanges, monotone-sum convergence witness
+        "redirect_cycles": lambda: rel.redirect_cycles(dest),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")
     if only:

@@ -4778,3 +4778,106 @@ def event_type_correlations(sf_dir: str) -> pd.DataFrame:
          "sum_sq_a": agg["sum_sq_a"].to_numpy(),
          "sum_sq_b": agg["sum_sq_b"].to_numpy()})
     return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+def redirect_cycles(sf_dir: str, n_buckets: int = 64,
+                    max_rounds: int = 64) -> pd.DataFrame:
+    """(doc_id, cycle_id) — cycle structure of the FUNCTIONAL redirect
+    graph ``v -> (v*31 + 1) % n`` (every page redirects to exactly one
+    target; the affine map is a permutation whenever gcd(31, n) = 1,
+    asserted): cycle_id = the smallest doc on v's cycle.  The
+    redirect-loop detector a crawler needs — a chain of 301s that returns
+    to itself must be recognized as ONE group, and at web scale you cannot
+    walk chains sequentially.
+
+    Algorithm: pointer DOUBLING with running-min — state (v, p, m) where
+    after round k, ``p = f^(2^k)(v)`` and ``m = min over the first 2^k
+    path nodes``; each round every v fetches (p', m') from its current p
+    in ONE coarse v-bucket exchange (the CC value+request attach idiom)
+    and contracts ``p <- p'(p), m <- min(m, m(p))``.  Windows double, so
+    the longest cycle L converges in ceil(log2 L) rounds, detected by the
+    monotone-sum witness (m only ever decreases; two equal global sums =
+    every window already covers its cycle — the proof is in the CC loop's
+    docstring, adapted: while 2^k < L some node's window first reaches the
+    cycle min that round, so the sum strictly drops).  The driver holds
+    only the scalar sums; state stays a Dataset of n rows.
+
+    Oracle: recursive-CTE forward closure (the cycle IS the reachable set
+    of a permutation node) with min aggregation — exact at both sf scales.
+    """
+    import math as _math
+
+    import pyarrow.parquet as _pq
+
+    from ray.data.aggregate import Sum
+
+    n = _pq.ParquetFile(_t(sf_dir, "documents")).metadata.num_rows
+    if _math.gcd(31, n) != 1:
+        raise NotImplementedError("redirect map is a permutation only when "
+                                  "gcd(31, n) == 1")
+
+    _ST = pa.schema([("v", pa.int64()), ("p", pa.int64()), ("m", pa.int64()),
+                     ("bucket", pa.int32())])
+    _ROW = pa.schema([("k", pa.int64()), ("v", pa.int64()), ("p", pa.int64()),
+                      ("m", pa.int64()), ("side", pa.int8()),
+                      ("bucket", pa.int32())])
+
+    ds = read_pruned(_t(sf_dir, "documents"), ["doc_id"])
+
+    def init_state(t: pa.Table) -> pa.Table:
+        v = t["doc_id"].to_numpy()
+        p = (v * 31 + 1) % n
+        m = np.minimum(v, p)
+        return pa.table({"v": pa.array(v, pa.int64()),
+                         "p": pa.array(p, pa.int64()),
+                         "m": pa.array(m, pa.int64()),
+                         "bucket": pa.array((v % n_buckets).astype(np.int32),
+                                            pa.int32())}, schema=_ST)
+
+    state = ds.map_batches(init_state, batch_format="pyarrow").materialize()
+
+    def rows(t: pa.Table) -> pa.Table:
+        v = t["v"].to_numpy()
+        p = t["p"].to_numpy()
+        m = t["m"].to_numpy()
+        k = np.concatenate([v, p])                    # values keyed by self,
+        side = np.concatenate([np.ones(len(v), np.int8),   # requests by p
+                               np.zeros(len(v), np.int8)])
+        return pa.table({"k": pa.array(k, pa.int64()),
+                         "v": pa.array(np.concatenate([v, v]), pa.int64()),
+                         "p": pa.array(np.concatenate([p, p]), pa.int64()),
+                         "m": pa.array(np.concatenate([m, m]), pa.int64()),
+                         "side": pa.array(side, pa.int8()),
+                         "bucket": pa.array((k % n_buckets).astype(np.int32),
+                                            pa.int32())}, schema=_ROW)
+
+    def contract(g: pd.DataFrame) -> pa.Table:
+        vals = g[g["side"] == 1]
+        reqs = g[g["side"] == 0]
+        P = pd.Series(vals["p"].to_numpy(), index=vals["k"].to_numpy())
+        M = pd.Series(vals["m"].to_numpy(), index=vals["k"].to_numpy())
+        v = reqs["v"].to_numpy()
+        newp = reqs["k"].map(P).to_numpy()
+        newm = np.minimum(reqs["m"].to_numpy(), reqs["k"].map(M).to_numpy())
+        return pa.table({"v": pa.array(v, pa.int64()),
+                         "p": pa.array(newp.astype(np.int64), pa.int64()),
+                         "m": pa.array(newm.astype(np.int64), pa.int64()),
+                         "bucket": pa.array((v % n_buckets).astype(np.int32),
+                                            pa.int32())}, schema=_ST)
+
+    prev = None
+    for _ in range(max_rounds):
+        state = (state.map_batches(rows, batch_format="pyarrow")
+                 .groupby("bucket")
+                 .map_groups(contract, batch_format="pandas")
+                 .materialize())
+        s = int(state.aggregate(Sum("m"))["sum(m)"])
+        if s == prev:
+            break
+        prev = s
+
+    out = (state.map_batches(
+        lambda t: pa.table({"doc_id": t["v"], "cycle_id": t["m"]}),
+        batch_format="pyarrow").to_pandas())
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            .astype({"doc_id": "int64", "cycle_id": "int64"}))

@@ -3106,3 +3106,36 @@ def test_media_dominant_colors_runs_on_sf(ray_session):
     # counts per image sum to the image's pixel count (first rank group)
     out2 = media_dominant_colors(SF)
     assert out.equals(out2)
+
+
+def test_redirect_cycles_sequential_reference(ray_session, tmp_path):
+    """Pointer-doubling cycle labels equal an independent sequential
+    walker's on a corpus size the sf tables never use (closes the
+    shared-formula loophole, the BFS-test stance); determinism; and the
+    smallest doc on every cycle labels itself."""
+    import pyarrow.parquet as pq
+
+    from engine.ops.relational import redirect_cycles
+
+    n = 37  # gcd(31, 37) = 1; affine map is a permutation
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                             "text": pa.array(["x"] * n, pa.string())}),
+                   d / "documents.parquet")
+
+    out = redirect_cycles(str(d))
+
+    ref = {}
+    for v in range(n):
+        m, u = v, (v * 31 + 1) % n
+        while u != v:
+            m = min(m, u)
+            u = (u * 31 + 1) % n
+        ref[v] = m
+    got = dict(zip(out["doc_id"], out["cycle_id"]))
+    assert got == ref
+    # every cycle's minimum labels itself; labels are cycle-closed
+    for v, c in got.items():
+        assert got[c] == c
+    assert out.equals(redirect_cycles(str(d)))
