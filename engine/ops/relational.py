@@ -4780,6 +4780,9 @@ def event_type_correlations(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
 
 
+SMALL_CYCLE_ROWS = 100_000  # below this the doubling runs driver-side
+
+
 def redirect_cycles(sf_dir: str, n_buckets: int = 64,
                     max_rounds: int = 64) -> pd.DataFrame:
     """(doc_id, cycle_id) — cycle structure of the FUNCTIONAL redirect
@@ -4804,6 +4807,12 @@ def redirect_cycles(sf_dir: str, n_buckets: int = 64,
 
     Oracle: recursive-CTE forward closure (the cycle IS the reachable set
     of a permutation node) with min aggregation — exact at both sf scales.
+
+    Below SMALL_CYCLE_ROWS the same doubling runs in numpy on the driver
+    (the SMALL_FRONTIER_ROWS escape: ~10 Dataset executions of fixed
+    overhead for 500 rows is all overhead); the sequential-reference test
+    monkeypatches the threshold to 0 to pin the distributed path, and the
+    5M-doc smoke runs it for real.
     """
     import math as _math
 
@@ -4815,6 +4824,23 @@ def redirect_cycles(sf_dir: str, n_buckets: int = 64,
     if _math.gcd(31, n) != 1:
         raise NotImplementedError("redirect map is a permutation only when "
                                   "gcd(31, n) == 1")
+
+    if n <= SMALL_CYCLE_ROWS:
+        t = read_pruned(_t(sf_dir, "documents"), ["doc_id"]).to_pandas()
+        v = np.sort(t["doc_id"].to_numpy())
+        assert np.array_equal(v, np.arange(n))  # the redirect map's domain
+        P = (v * 31 + 1) % n
+        M = np.minimum(v, P)
+        prev_s = None
+        while True:
+            M = np.minimum(M, M[P])
+            P = P[P]
+            s = int(M.sum())
+            if s == prev_s:
+                break
+            prev_s = s
+        return pd.DataFrame({"doc_id": v, "cycle_id": M}).astype(
+            {"doc_id": "int64", "cycle_id": "int64"})
 
     _ST = pa.schema([("v", pa.int64()), ("p", pa.int64()), ("m", pa.int64()),
                      ("bucket", pa.int32())])

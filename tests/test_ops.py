@@ -3108,14 +3108,19 @@ def test_media_dominant_colors_runs_on_sf(ray_session):
     assert out.equals(out2)
 
 
-def test_redirect_cycles_sequential_reference(ray_session, tmp_path):
+def test_redirect_cycles_sequential_reference(ray_session, tmp_path, monkeypatch):
     """Pointer-doubling cycle labels equal an independent sequential
     walker's on a corpus size the sf tables never use (closes the
-    shared-formula loophole, the BFS-test stance); determinism; and the
-    smallest doc on every cycle labels itself."""
+    shared-formula loophole, the BFS-test stance); determinism; the
+    smallest doc on every cycle labels itself; and the DISTRIBUTED path is
+    pinned (threshold monkeypatched to 0) then cross-checked against the
+    driver-side escape."""
     import pyarrow.parquet as pq
 
+    import engine.ops.relational as _rel
     from engine.ops.relational import redirect_cycles
+
+    monkeypatch.setattr(_rel, "SMALL_CYCLE_ROWS", 0)
 
     n = 37  # gcd(31, 37) = 1; affine map is a permutation
     d = tmp_path / "docs"
@@ -3138,4 +3143,7 @@ def test_redirect_cycles_sequential_reference(ray_session, tmp_path):
     # every cycle's minimum labels itself; labels are cycle-closed
     for v, c in got.items():
         assert got[c] == c
+    assert out.equals(redirect_cycles(str(d)))
+    # the driver-side small-input escape computes the identical frame
+    monkeypatch.setattr(_rel, "SMALL_CYCLE_ROWS", 100_000)
     assert out.equals(redirect_cycles(str(d)))
