@@ -485,6 +485,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier_metrics": ml.quality_classifier_metrics,
         # rows-only: iterative model; integer PR counts pytest-locked
         "quality_classifier_pr_curve": ml.quality_classifier_pr_curve,
+        # rows-only: normal-equation solve isn't SQL; exact-integer X^T X /
+        # X^T y all-reduce, sequential-reference + planted-linear pytest
+        "hash_feature_regression": ml.hash_feature_regression,
         # dedup family
         "exact_dedup": dedup.exact_dedup,
         "chunk_exact_dedup": dedup.chunk_exact_dedup,

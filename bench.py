@@ -194,6 +194,7 @@ BENCH_QUERY_NAMES = [
     "quality_classifier_pr_curve",
     "media_spectrogram",
     "redirect_cycles",
+    "hash_feature_regression",
 ]
 
 
@@ -667,6 +668,9 @@ def run_dedup_smoke() -> dict:
         # pointer-doubling redirect-loop detection: ceil(log2 Lmax) narrow
         # (v, p, m) exchanges, monotone-sum convergence witness
         "redirect_cycles": lambda: rel.redirect_cycles(dest),
+        # closed-form regression: one map-only pass, constant (d+1)^2
+        # integer normal-equation partials, driver-sized solve
+        "hash_feature_regression": lambda: _ml.hash_feature_regression(dest),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")
     if only:

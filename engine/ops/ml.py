@@ -393,3 +393,71 @@ def quality_classifier_pr_curve(sf_dir: str, n_points: int = 21,
         "recall_milli": 1000 * tp // np.maximum(tp + fn, 1),
     })
     return out.astype({c: "int64" for c in out.columns})
+
+
+def hash_feature_regression(sf_dir: str, n_dims: int = 16) -> pd.DataFrame:
+    """(name, value) — CLOSED-FORM distributed linear regression: least
+    squares of per-doc whitespace token count on the signed feature-hash
+    vectors (text.feature_hash_batch) plus an intercept, solved from the
+    normal equations.  The one-pass all-reduce ML shape next to
+    quality_classifier's iterative AdaGrad: X^T X and X^T y are EXACT
+    integer sums of per-doc outer products, so the whole reduction is
+    order-free and partition-invariant; the (d+1)x(d+1) solve runs
+    single-threaded on the driver (lstsq — pseudo-inverse, so collinear
+    hash dims are fine), the quality_classifier platform-stability stance.
+
+    Output rows: coef_f00..coef_f{n-1} and intercept in int64 micros,
+    r2_milli (from the exact scalar sums: SSE = yy - 2 w.b + w.A w), and
+    n_docs.  Rows-only (a matrix solve is not SQL); pytest locks a
+    sequential numpy reference, a planted exactly-linear corpus (r2 =
+    1000), and determinism.
+
+    Scale shape: ONE map-only pass; each block emits a constant
+    (d+1)(d+2)/2 + d+4 integer partial row set; no shuffle anywhere.
+    """
+    from .io import read_pruned
+    from .text import feature_hash_batch
+
+    d1 = n_dims + 1  # + intercept
+    iu, ju = np.triu_indices(d1)
+
+    ds = read_pruned(os.path.join(sf_dir, "documents.parquet"),
+                     ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        _ids, X, y = feature_hash_batch(t, n_dims)
+        xa = np.concatenate([X, np.ones((len(y), 1), np.int64)], axis=1)
+        A = xa.T @ xa                     # exact int64
+        b = xa.T @ y
+        return pa.table({
+            "i": pa.array(np.concatenate([iu, np.arange(d1), [-2, -2]]),
+                          pa.int64()),
+            "j": pa.array(np.concatenate([ju, np.full(d1, -1), [0, 1]]),
+                          pa.int64()),
+            "v": pa.array(np.concatenate(
+                [A[iu, ju], b, [len(y), int(y @ y)]]), pa.int64()),
+        })
+
+    red = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+           .groupby(["i", "j"], as_index=False)["v"].sum())
+    A = np.zeros((d1, d1), np.float64)
+    sec = red[(red["i"] >= 0) & (red["j"] >= 0)]
+    A[sec["i"].to_numpy(), sec["j"].to_numpy()] = sec["v"].to_numpy()
+    A = np.where(A == 0, A.T, A)
+    bred = red[red["j"] == -1].sort_values("i")
+    b = bred["v"].to_numpy().astype(np.float64)
+    sc = red[red["i"] == -2].sort_values("j")["v"].to_numpy()
+    n, yy = int(sc[0]), int(sc[1])
+
+    w, *_ = np.linalg.lstsq(A, b, rcond=None)
+    sse = float(yy) - 2.0 * float(w @ b) + float(w @ A @ w)
+    ybar2 = (float(b[-1]) / n) ** 2 if n else 0.0  # b[-1] = sum(y)
+    sst = float(yy) - n * ybar2
+    r2_milli = int(round(1000.0 * (1.0 - sse / sst))) if sst > 0 else 1000
+
+    names = [f"coef_f{j:02d}" for j in range(n_dims)] + ["intercept"]
+    vals = [int(round(c * 1e6)) for c in w]
+    return pd.DataFrame({
+        "name": names + ["r2_milli", "n_docs"],
+        "value": np.array(vals + [r2_milli, n], dtype=np.int64),
+    })

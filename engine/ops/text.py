@@ -2559,23 +2559,7 @@ def feature_hash_embed(sf_dir: str, n_dims: int = 16) -> pd.DataFrame:
     cols = [f"f{j:02d}" for j in range(n_dims)]
 
     def embed(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy()
-        toks_per_doc = [s.lower().split() for s in t["text"].to_pylist()]
-        lens = np.array([len(x) for x in toks_per_doc], dtype=np.int64)
-        acc = np.zeros((len(ids), n_dims), dtype=np.int64)
-        if int(lens.sum()):
-            flat = [w for ts in toks_per_doc for w in ts]
-            codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
-            uh = _md5_token_hashes(uniques)
-            dim = (uh % np.uint64(n_dims)).astype(np.int64)[codes]
-            sign = np.where(
-                (uh >> np.uint64(4)) & np.uint64(1), 1, -1
-            ).astype(np.int64)[codes]
-            doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-            acc = np.bincount(
-                doc_idx * n_dims + dim, weights=sign,
-                minlength=len(ids) * n_dims,
-            ).astype(np.int64).reshape(len(ids), n_dims)
+        ids, acc, _lens = feature_hash_batch(t, n_dims)
         data = {"doc_id": pa.array(ids, pa.int64())}
         for j, c in enumerate(cols):
             data[c] = pa.array(acc[:, j], pa.int64())
@@ -2583,3 +2567,28 @@ def feature_hash_embed(sf_dir: str, n_dims: int = 16) -> pd.DataFrame:
 
     out = ds.map_batches(embed, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def feature_hash_batch(t: pa.Table, n_dims: int):
+    """Per-batch hashing-trick kernel shared by feature_hash_embed and
+    ml.hash_feature_regression: (doc_ids, n x n_dims signed int64 vectors,
+    per-doc whitespace token counts).  Tokens factorize per batch (hash
+    only the distincts), dims accumulate with one bincount."""
+    ids = t["doc_id"].to_numpy()
+    toks_per_doc = [s.lower().split() for s in t["text"].to_pylist()]
+    lens = np.array([len(x) for x in toks_per_doc], dtype=np.int64)
+    acc = np.zeros((len(ids), n_dims), dtype=np.int64)
+    if int(lens.sum()):
+        flat = [w for ts in toks_per_doc for w in ts]
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+        uh = _md5_token_hashes(uniques)
+        dim = (uh % np.uint64(n_dims)).astype(np.int64)[codes]
+        sign = np.where(
+            (uh >> np.uint64(4)) & np.uint64(1), 1, -1
+        ).astype(np.int64)[codes]
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        acc = np.bincount(
+            doc_idx * n_dims + dim, weights=sign,
+            minlength=len(ids) * n_dims,
+        ).astype(np.int64).reshape(len(ids), n_dims)
+    return ids, acc, lens

@@ -129,3 +129,43 @@ def test_quality_classifier_pr_curve(ray_session):
         ((scores["logit_micro"] >= th0) & scores["label_gopher"]).sum())
     assert out.equals(ml.quality_classifier_pr_curve(
         SF, n_points=11, n_feat=N_FEAT, iters=ITERS, lr=LR))
+
+
+def test_hash_feature_regression(ray_session, tmp_path):
+    """Closed-form regression equals a sequential numpy reference built
+    from the same exact integer normal equations; a planted exactly-linear
+    corpus (single repeated token -> y proportional to its hash dim) fits
+    with r2 = 1000; deterministic."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.ops.text import feature_hash_batch
+
+    out = ml.hash_feature_regression(SF)
+    vals = dict(zip(out["name"], out["value"]))
+    assert vals["n_docs"] == 500
+    assert 0 <= vals["r2_milli"] <= 1000
+
+    # sequential reference: same formula over the whole table at once
+    t = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "text"])
+    _ids, X, y = feature_hash_batch(t, 16)
+    xa = np.concatenate([X, np.ones((len(y), 1), np.int64)], axis=1)
+    A, b = xa.T @ xa, xa.T @ y
+    w, *_ = np.linalg.lstsq(A.astype(np.float64), b.astype(np.float64),
+                            rcond=None)
+    for j in range(16):
+        assert vals[f"coef_f{j:02d}"] == int(round(w[j] * 1e6))
+    assert vals["intercept"] == int(round(w[16] * 1e6))
+
+    # planted: docs of one repeated token — y is exactly linear in features
+    d = tmp_path / "lin"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(8), pa.int64()),
+        "text": pa.array([" ".join(["foo"] * (i + 1)) for i in range(8)],
+                         pa.string())}), d / "documents.parquet")
+    lin = ml.hash_feature_regression(str(d))
+    lv = dict(zip(lin["name"], lin["value"]))
+    assert lv["r2_milli"] == 1000
+
+    assert out.equals(ml.hash_feature_regression(SF))
