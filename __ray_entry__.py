@@ -357,6 +357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": relational.top_orders,
         "events_hourly": relational.events_hourly,
         "events_hourly_dense": relational.events_hourly_dense,
+        "session_length_histogram": relational.session_length_histogram,
         "sessionize_events": relational.sessionize_events,
         "events_asof_join": relational.events_asof_join,
         "events_running_sum": relational.events_running_sum,
@@ -746,6 +747,23 @@ def oracle_sql() -> dict[str, str]:
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'error') e
               ON s.user_id = e.user_id AND s.ts >= e.ts
             ORDER BY s.event_id
+        """,
+        # engagement-depth histogram over the 30-min-gap sessionization
+        "session_length_histogram": """
+            WITH o AS (
+              SELECT user_id, ts, event_id,
+                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+              FROM events),
+            s AS (
+              SELECT user_id, event_id,
+                sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess
+              FROM o),
+            g AS (SELECT user_id, sess, count(*) AS n_events
+                  FROM s GROUP BY user_id, sess)
+            SELECT n_events, count(*) AS n_sessions
+            FROM g GROUP BY n_events ORDER BY n_events
         """,
         "events_hopping": """
             SELECT event_type,

@@ -195,6 +195,7 @@ BENCH_QUERY_NAMES = [
     "media_spectrogram",
     "redirect_cycles",
     "hash_feature_regression",
+    "session_length_histogram",
 ]
 
 
@@ -860,6 +861,9 @@ def run_events_smoke() -> dict:
         # dense calendar zero-fill: hourly's distributed work + a
         # dimension-sized driver densify
         "events_hourly_dense": lambda: len(rel.events_hourly_dense(dest)),
+        # engagement-depth histogram streamed off the sessionizer
+        "session_length_histogram": lambda: len(
+            rel.session_length_histogram(dest)),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")
     if only:

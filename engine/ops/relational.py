@@ -4907,3 +4907,29 @@ def redirect_cycles(sf_dir: str, n_buckets: int = 64,
         batch_format="pyarrow").to_pandas())
     return (out.sort_values("doc_id").reset_index(drop=True)
             .astype({"doc_id": "int64", "cycle_id": "int64"}))
+
+
+def session_length_histogram(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """(n_events, n_sessions) — the distribution of session LENGTHS (events
+    per session) over the 30-minute-gap sessionization: the engagement-depth
+    histogram product analytics reads next to sessionize_events' raw
+    windows (the composition shape: a distributed op consumed as INPUT to a
+    second aggregation without ever collecting the intermediate).
+
+    Scale shape: session rows stream straight off _sessionize_events_ds
+    (never collected); each block emits per-batch (n_events, count)
+    combined partials — session lengths are small integers, so the partial
+    set is bounded — and the driver sums a histogram-sized frame.
+    """
+    ds = _sessionize_events_ds(sf_dir, gap_minutes)
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = t["n_events"].to_numpy()
+        vals, cnts = np.unique(n, return_counts=True)
+        return pa.table({"n_events": pa.array(vals, pa.int64()),
+                         "n_sessions": pa.array(cnts.astype(np.int64), pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("n_events", as_index=False)["n_sessions"].sum()
+    return (out.sort_values("n_events").reset_index(drop=True)
+            .astype({"n_events": "int64", "n_sessions": "int64"}))
