@@ -358,6 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "events_hourly_dense": relational.events_hourly_dense,
         "session_length_histogram": relational.session_length_histogram,
+        "zorder_layout_events": relational.zorder_layout_events,
         "sessionize_events": relational.sessionize_events,
         "events_asof_join": relational.events_asof_join,
         "events_running_sum": relational.events_running_sum,
@@ -2216,6 +2217,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "source_mix_weighted": _lsh_oracles.source_mix_weighted_sql(),
         "cap_per_source": _lsh_oracles.cap_per_source_sql(),
+        # Z-order layout manifest: generated Morton interleave, exact
+        "zorder_layout_events": _lsh_oracles.zorder_manifest_sql(),
         "global_shuffle": _lsh_oracles.global_shuffle_sql(),
         # hash-split partition: shared splitmix64 builder, stable membership
         "dataset_split_assign": _lsh_oracles.dataset_split_assign_sql(),

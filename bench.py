@@ -196,6 +196,7 @@ BENCH_QUERY_NAMES = [
     "redirect_cycles",
     "hash_feature_regression",
     "session_length_histogram",
+    "zorder_layout_events",
 ]
 
 
@@ -864,6 +865,10 @@ def run_events_smoke() -> dict:
         # engagement-depth histogram streamed off the sessionizer
         "session_length_histogram": lambda: len(
             rel.session_length_histogram(dest)),
+        # Z-order clustered rewrite: one shard-keyed all-to-all, one file
+        # per Morton cell, exact manifest
+        "zorder_layout_events": lambda: len(rel.zorder_layout_events(
+            dest, out_dir=os.path.join(dest, "zorder"))),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")
     if only:

@@ -4933,3 +4933,103 @@ def session_length_histogram(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame
     out = parts.groupby("n_events", as_index=False)["n_sessions"].sum()
     return (out.sort_values("n_events").reset_index(drop=True)
             .astype({"n_events": "int64", "n_sessions": "int64"}))
+
+
+ZORDER_BITS = 8        # per-dimension Morton resolution
+ZORDER_SHARD_BITS = 4  # shards = top 4 interleaved bits (16 files)
+
+
+def zorder_layout_events(sf_dir: str, out_dir: str | None = None) -> pd.DataFrame:
+    """(shard, n_rows, min_user, max_user, min_hour, max_hour) — the events
+    table rewritten in Z-ORDER (Morton) layout: rows cluster by the
+    interleaved bits of the scaled (user_id, hour) pair, one consolidated
+    parquet file per shard = the top ZORDER_SHARD_BITS Morton bits.  The
+    data-layout half of "prune at the read": a single-column sort prunes
+    one predicate; Z-order keeps BOTH a user-range and a time-range
+    predicate selective against the same files (each shard is a quad-tree
+    cell, so its [min,max] box is tight on both dimensions) — the
+    clustering idiom lakehouse tables use at 100 TB.
+
+    Bins are MONOTONE scaled ranks (``ub = user_id * 2^B // (max_user+1)``,
+    ``tb = (hour - min_hour) * 2^B // n_hours``) so range predicates map to
+    bin ranges and box pruning is sound.  The returned manifest is an exact
+    integer function of the data — the DuckDB oracle recomputes it from the
+    same generated Morton expression (oracles.zorder_manifest_sql), so the
+    layout's bookkeeping is hash-checked even though the files are not SQL.
+
+    Scale shape: one scalar min/max reduce, one map pass computing codes
+    vectorized (numpy bit ops), ONE shard-keyed all-to-all moving each row
+    once; each shard group writes its own file atomically (tmp + rename,
+    the export-sink convention) and emits its manifest row.  The pytest
+    additionally locks the pruning property: a joint (user, hour) box
+    predicate touches a strict subset of shards.
+    """
+    import os as _os
+
+    import pyarrow.parquet as _pq_mod
+
+    from ray.data.aggregate import Max, Min
+
+    B = ZORDER_BITS
+    ds = read_pruned(_t(sf_dir, "events"), ["event_id", "user_id", "ts", "value"])
+
+    def hour_col(t: pa.Table) -> pa.Table:
+        h = pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.int64())
+        hh = (h.to_numpy() // 3_600_000_000).astype(np.int64)  # hour index
+        return t.append_column("hour", pa.array(hh, pa.int64()))
+
+    withh = ds.map_batches(hour_col, batch_format="pyarrow").materialize()
+    agg = withh.aggregate(Max("user_id"), Min("hour"), Max("hour"))
+    max_user = int(agg["max(user_id)"])
+    min_hour, max_hour = int(agg["min(hour)"]), int(agg["max(hour)"])
+    n_hours = max_hour - min_hour + 1
+
+    if out_dir is None:
+        out_dir = _os.path.join("/tmp", "zorder_events",
+                                _os.path.abspath(sf_dir).strip("/").replace("/", "_"))
+    _os.makedirs(out_dir, exist_ok=True)
+
+    def code(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        h = t["hour"].to_numpy()
+        ub = (u * (1 << B)) // (max_user + 1)
+        tb = ((h - min_hour) * (1 << B)) // n_hours
+        m = np.zeros(len(u), np.int64)
+        for i in range(B):
+            m |= ((ub >> i) & 1) << (2 * i)
+            m |= ((tb >> i) & 1) << (2 * i + 1)
+        shard = (m >> (2 * B - ZORDER_SHARD_BITS)).astype(np.int32)
+        return pa.table({"event_id": t["event_id"], "user_id": t["user_id"],
+                         "ts": t["ts"], "value": t["value"],
+                         "hour": t["hour"], "morton": pa.array(m, pa.int64()),
+                         "shard": pa.array(shard, pa.int32())})
+
+    _MAN = pa.schema([("shard", pa.int64()), ("n_rows", pa.int64()),
+                      ("min_user", pa.int64()), ("max_user", pa.int64()),
+                      ("min_hour", pa.int64()), ("max_hour", pa.int64())])
+
+    def write_shard(g: pd.DataFrame) -> pa.Table:
+        s = int(g["shard"].iloc[0])
+        gs = g.sort_values(["morton", "event_id"], kind="mergesort")
+        path = _os.path.join(out_dir, f"shard={s:02d}.parquet")
+        tmp = path + ".tmp"
+        _pq_mod.write_table(
+            pa.Table.from_pandas(
+                gs[["event_id", "user_id", "ts", "value"]],
+                preserve_index=False).replace_schema_metadata(None), tmp)
+        _os.replace(tmp, path)
+        return pa.table(
+            {"shard": pa.array([s], pa.int64()),
+             "n_rows": pa.array([len(gs)], pa.int64()),
+             "min_user": pa.array([int(gs["user_id"].min())], pa.int64()),
+             "max_user": pa.array([int(gs["user_id"].max())], pa.int64()),
+             "min_hour": pa.array([int(gs["hour"].min())], pa.int64()),
+             "max_hour": pa.array([int(gs["hour"].max())], pa.int64())},
+            schema=_MAN)
+
+    out = (withh.map_batches(code, batch_format="pyarrow")
+           .groupby("shard")
+           .map_groups(write_shard, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values("shard").reset_index(drop=True)
+            .astype({c: "int64" for c in out.columns}))

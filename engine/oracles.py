@@ -1116,3 +1116,31 @@ def cap_per_source_sql(k: int = 10) -> str:
             QUALIFY row_number() OVER (
               PARTITION BY source ORDER BY pr, doc_id) <= {k}
             ORDER BY doc_id"""
+
+
+def zorder_manifest_sql(bits: int = 8, shard_bits: int = 4) -> str:
+    """Oracle for relational.zorder_layout_events: the same monotone scaled
+    bins and generated Morton bit-interleave, manifest aggregates grouped by
+    the top shard_bits code bits."""
+    morton = " + ".join(
+        [f"(((ub >> {i}) & 1) * {1 << (2 * i)})" for i in range(bits)]
+        + [f"(((tb >> {i}) & 1) * {1 << (2 * i + 1)})" for i in range(bits)]
+    )
+    return f"""
+            WITH e AS (
+              SELECT user_id,
+                     epoch_us(date_trunc('hour', ts)) // 3600000000 AS hour
+              FROM events),
+            s AS (SELECT max(user_id) AS mu, min(hour) AS lo, max(hour) AS hi
+                  FROM e),
+            b AS (
+              SELECT user_id, hour,
+                     (user_id * {1 << bits}) // (s.mu + 1) AS ub,
+                     ((hour - s.lo) * {1 << bits}) // (s.hi - s.lo + 1) AS tb
+              FROM e, s),
+            m AS (SELECT user_id, hour, ({morton}) AS morton FROM b)
+            SELECT (morton >> {2 * bits - shard_bits}) AS shard,
+                   count(*) AS n_rows,
+                   min(user_id) AS min_user, max(user_id) AS max_user,
+                   min(hour) AS min_hour, max(hour) AS max_hour
+            FROM m GROUP BY 1 ORDER BY shard"""

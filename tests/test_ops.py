@@ -3147,3 +3147,45 @@ def test_redirect_cycles_sequential_reference(ray_session, tmp_path, monkeypatch
     # the driver-side small-input escape computes the identical frame
     monkeypatch.setattr(_rel, "SMALL_CYCLE_ROWS", 100_000)
     assert out.equals(redirect_cycles(str(d)))
+
+
+def test_zorder_layout_pruning(ray_session, tmp_path):
+    """The Z-order layout is lossless (read-back of all shard files equals
+    the source event set), resumable-shaped (one file per shard), and
+    PRUNING-EFFECTIVE: a joint (user-range x hour-range) box predicate
+    intersects a strict subset of the shard manifests' min/max boxes, and
+    reading only those shards still returns every matching row."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from engine.ops.relational import zorder_layout_events
+
+    out_dir = str(tmp_path / "z")
+    man = zorder_layout_events(SF, out_dir=out_dir)
+    src = pq.read_table(SF + "/events.parquet",
+                        columns=["event_id", "user_id", "ts"]).to_pandas()
+
+    # lossless: every event lands in exactly one shard file
+    files = sorted(os.listdir(out_dir))
+    assert len(files) == len(man)
+    back = pd.concat([pq.read_table(os.path.join(out_dir, f)).to_pandas()
+                      for f in files])
+    assert sorted(back["event_id"]) == sorted(src["event_id"])
+    assert int(man["n_rows"].sum()) == len(src)
+
+    # pruning: a quarter-box predicate touches a strict subset of shards
+    u_hi = int(src["user_id"].max()) // 2
+    hours = (src["ts"].astype("int64") // 3_600_000_000)
+    h_hi = int(hours.min()) + (int(hours.max()) - int(hours.min())) // 2
+    touched = man[(man["min_user"] <= u_hi) & (man["min_hour"] <= h_hi)]
+    assert 0 < len(touched) < len(man)
+    # completeness of the pruned read: matching rows all live in touched shards
+    want = set(src[(src["user_id"] <= u_hi) & (hours <= h_hi)]["event_id"])
+    got = set()
+    for s in touched["shard"]:
+        t = pq.read_table(os.path.join(out_dir, f"shard={int(s):02d}.parquet")).to_pandas()
+        th = t["ts"].astype("int64") // 3_600_000_000
+        got |= set(t[(t["user_id"] <= u_hi) & (th <= h_hi)]["event_id"])
+    assert got == want
