@@ -359,6 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_dense": relational.events_hourly_dense,
         "session_length_histogram": relational.session_length_histogram,
         "zorder_layout_events": relational.zorder_layout_events,
+        "join_size_estimate": relational.join_size_estimate,
         "sessionize_events": relational.sessionize_events,
         "events_asof_join": relational.events_asof_join,
         "events_running_sum": relational.events_running_sum,
@@ -2219,6 +2220,8 @@ def oracle_sql() -> dict[str, str]:
         "cap_per_source": _lsh_oracles.cap_per_source_sql(),
         # Z-order layout manifest: generated Morton interleave, exact
         "zorder_layout_events": _lsh_oracles.zorder_manifest_sql(),
+        # CMS inner-product join-size estimate + exact count, both exact
+        "join_size_estimate": _lsh_oracles.join_size_estimate_sql(),
         "global_shuffle": _lsh_oracles.global_shuffle_sql(),
         # hash-split partition: shared splitmix64 builder, stable membership
         "dataset_split_assign": _lsh_oracles.dataset_split_assign_sql(),

@@ -197,6 +197,7 @@ BENCH_QUERY_NAMES = [
     "hash_feature_regression",
     "session_length_histogram",
     "zorder_layout_events",
+    "join_size_estimate",
 ]
 
 

@@ -5033,3 +5033,88 @@ def zorder_layout_events(sf_dir: str, out_dir: str | None = None) -> pd.DataFram
            .to_pandas())
     return (out.sort_values("shard").reset_index(drop=True)
             .astype({c: "int64" for c in out.columns}))
+
+
+JOIN_CMS_DEPTH = 4
+JOIN_CMS_WIDTH = 1024
+
+
+def join_size_estimate(sf_dir: str, depth: int = JOIN_CMS_DEPTH,
+                       width: int = JOIN_CMS_WIDTH) -> pd.DataFrame:
+    """(name, value) — the join-cardinality estimation a distributed
+    planner runs BEFORE committing to a shuffle strategy: the exact
+    |orders JOIN lineitem ON orderkey| next to its count-min-sketch
+    INNER-PRODUCT estimate (Alon-Matias-Szegedy / Cormode-Muthukrishnan:
+    join size = sum_k c_o(k) c_l(k) <= min_d sum_j A[d,j] B[d,j], an upper
+    bound that never underestimates).  Both values are exact integer
+    functions of the data — the sketch uses the engine's splitmix row
+    hashes, so DuckDB recomputes BOTH cell matrices and the estimate
+    hash-exactly (generated oracles.join_size_estimate_sql).
+
+    Scale shape: the sketch side is two map-only passes emitting constant
+    depth x width count partials per block (one 32 KB matrix per side ever
+    reaches the driver — join-size estimation without moving either fact
+    table); the exact side combines per-batch (key, n) counts and crosses
+    them in ONE coarse orderkey-bucket exchange.
+    """
+    from .dedup import _mix64
+
+    def cms_partial(col: str):
+        def f(t: pa.Table) -> pa.Table:
+            k = t[col].to_numpy().astype(np.uint64)
+            cells = np.zeros((depth, width), np.int64)
+            for d in range(depth):
+                j = (_mix64(_mix64(k) ^ np.uint64(d + 1)) % np.uint64(width)
+                     ).astype(np.int64)
+                cells[d] = np.bincount(j, minlength=width)
+            dd_, jj = np.nonzero(cells)
+            return pa.table({"d": pa.array(dd_, pa.int64()),
+                             "col": pa.array(jj, pa.int64()),
+                             "n": pa.array(cells[dd_, jj], pa.int64())})
+        return f
+
+    def cms_matrix(table: str, col: str) -> np.ndarray:
+        parts = (read_pruned(_t(sf_dir, table), [col])
+                 .map_batches(cms_partial(col), batch_format="pyarrow")
+                 .to_pandas())
+        m = np.zeros((depth, width), np.int64)
+        g = parts.groupby(["d", "col"])["n"].sum()
+        idx = np.array([list(i) for i in g.index], dtype=np.int64)
+        m[idx[:, 0], idx[:, 1]] = g.to_numpy()
+        return m
+
+    A = cms_matrix("orders", "o_orderkey")
+    B = cms_matrix("lineitem", "l_orderkey")
+    est = int(min(int(A[d] @ B[d]) for d in range(depth)))
+
+    # exact: per-batch (key, n, side) combines, one coarse key-bucket cross
+    def side_counts(col: str, side: int):
+        def f(t: pa.Table) -> pa.Table:
+            k = t[col].to_numpy()
+            vals, cnts = np.unique(k, return_counts=True)
+            return pa.table(
+                {"k": pa.array(vals, pa.int64()),
+                 "n": pa.array(cnts.astype(np.int64), pa.int64()),
+                 "side": pa.array(np.full(len(vals), side, np.int8), pa.int8()),
+                 "bucket": pa.array((vals % N_KEY_BUCKETS).astype(np.int32),
+                                    pa.int32())})
+        return f
+
+    def cross(g: pd.DataFrame) -> pa.Table:
+        o = g[g["side"] == 0].groupby("k")["n"].sum()
+        l = g[g["side"] == 1].groupby("k")["n"].sum()
+        j = o.to_frame("a").join(l.to_frame("b"), how="inner")
+        return pa.table({"s": pa.array([int((j["a"] * j["b"]).sum())],
+                                       pa.int64())})
+
+    rows = (read_pruned(_t(sf_dir, "orders"), ["o_orderkey"])
+            .map_batches(side_counts("o_orderkey", 0), batch_format="pyarrow")
+            .union(read_pruned(_t(sf_dir, "lineitem"), ["l_orderkey"])
+                   .map_batches(side_counts("l_orderkey", 1),
+                                batch_format="pyarrow")))
+    exact = int(rows.groupby("bucket")
+                .map_groups(cross, batch_format="pandas")
+                .to_pandas()["s"].sum())
+
+    return pd.DataFrame({"name": ["cms_estimate", "exact_rows"],
+                         "value": np.array([est, exact], np.int64)})

@@ -1144,3 +1144,42 @@ def zorder_manifest_sql(bits: int = 8, shard_bits: int = 4) -> str:
                    min(user_id) AS min_user, max(user_id) AS max_user,
                    min(hour) AS min_hour, max(hour) AS max_hour
             FROM m GROUP BY 1 ORDER BY shard"""
+
+
+def join_size_estimate_sql(depth: int = 4, width: int = 1024) -> str:
+    """Oracle for relational.join_size_estimate: both CMS cell matrices
+    rebuilt with the engine's splitmix row hashes, the min-over-rows inner
+    product, and the exact join count."""
+    mix_h = _mix64("kx")
+    mix_j = _mix64("hx")
+
+    def cells(table: str, col: str) -> str:
+        return f"""(
+          WITH kc AS (
+            SELECT {col}::UBIGINT AS kx, count(*)::BIGINT AS c
+            FROM {table} GROUP BY 1
+          ), h AS (
+            SELECT c, {mix_h} AS h0 FROM kc
+          ), salted AS (
+            SELECT c, d, xor(h0, (d + 1)::UBIGINT) AS hx
+            FROM h, UNNEST(generate_series(0, {depth - 1})) AS t(d)
+          )
+          SELECT d, CAST(({mix_j}) % {width}::UBIGINT AS BIGINT) AS col,
+                 SUM(c)::BIGINT AS n
+          FROM salted GROUP BY d, col
+        )"""
+
+    return f"""
+        WITH ca AS {cells('orders', 'o_orderkey')},
+        cb AS {cells('lineitem', 'l_orderkey')}
+        SELECT 'cms_estimate' AS name,
+               (SELECT min(s) FROM (
+                  SELECT a.d, SUM(a.n * b.n) AS s
+                  FROM ca a JOIN cb b ON a.d = b.d AND a.col = b.col
+                  GROUP BY a.d)) AS value
+        UNION ALL
+        SELECT 'exact_rows' AS name,
+               (SELECT count(*) FROM orders o
+                JOIN lineitem l ON o.o_orderkey = l.l_orderkey)::BIGINT
+        ORDER BY name
+    """

@@ -3189,3 +3189,22 @@ def test_zorder_layout_pruning(ray_session, tmp_path):
         th = t["ts"].astype("int64") // 3_600_000_000
         got |= set(t[(t["user_id"] <= u_hi) & (th <= h_hi)]["event_id"])
     assert got == want
+
+
+def test_join_size_estimate_guarantee(ray_session):
+    """The CMS inner-product estimate NEVER underestimates the true join
+    size (every true key pair lands in matching cells in every row; extra
+    collisions only add), and the op is deterministic.  The overshoot is
+    the textbook n_o * n_l / width collision bias — width must scale with
+    key cardinality, which the docstring documents."""
+    from engine.ops.relational import join_size_estimate
+
+    out = join_size_estimate(SF)
+    v = dict(zip(out["name"], out["value"]))
+    assert v["cms_estimate"] >= v["exact_rows"] > 0
+    # a wider sketch is tighter on this data (collision bias shrinks ~1/w)
+    wide = join_size_estimate(SF, width=8192)
+    vw = dict(zip(wide["name"], wide["value"]))
+    assert vw["exact_rows"] == v["exact_rows"]
+    assert vw["cms_estimate"] <= v["cms_estimate"]
+    assert out.equals(join_size_estimate(SF))
