@@ -360,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_length_histogram": relational.session_length_histogram,
         "zorder_layout_events": relational.zorder_layout_events,
         "join_size_estimate": relational.join_size_estimate,
+        "value_winsorized_stats": relational.value_winsorized_stats,
         "sessionize_events": relational.sessionize_events,
         "events_asof_join": relational.events_asof_join,
         "events_running_sum": relational.events_running_sum,
@@ -458,6 +459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy": text.char_entropy,
         "kmv_distinct_tokens": text.kmv_distinct_tokens,
         "lang_counts": text.lang_counts,
+        "k_anonymity_report": text.k_anonymity_report,
         "langid_predict": text.langid_predict,
         "fingerprint_md5": text.fingerprint_md5,
         "fingerprint_rolling": text.fingerprint_rolling,
@@ -1042,6 +1044,12 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id, score DESC, term
         """,
         "lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang",
+        # k-anonymity audit over the (lang, source) quasi-identifier pair
+        "k_anonymity_report": """
+            SELECT lang, source, count(*) AS n_docs,
+                   CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS at_risk
+            FROM documents GROUP BY lang, source ORDER BY lang, source
+        """,
         "langid_predict": rf"""
             WITH w AS (
               SELECT doc_id,
@@ -2222,6 +2230,26 @@ def oracle_sql() -> dict[str, str]:
         "zorder_layout_events": _lsh_oracles.zorder_manifest_sql(),
         # CMS inner-product join-size estimate + exact count, both exact
         "join_size_estimate": _lsh_oracles.join_size_estimate_sql(),
+        # winsorized mean at exact p01/p99 cent ranks (shared convention)
+        "value_winsorized_stats": """
+            WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events),
+            nn AS (SELECT count(*) AS n FROM c),
+            lo AS (SELECT cents FROM c ORDER BY cents LIMIT 1 OFFSET
+                   (SELECT CAST(ceil(0.01 * n) - 1 AS BIGINT) FROM nn)),
+            hi AS (SELECT cents FROM c ORDER BY cents LIMIT 1 OFFSET
+                   (SELECT CAST(ceil(0.99 * n) - 1 AS BIGINT) FROM nn))
+            SELECT (SELECT n FROM nn) AS n_events,
+                   (SELECT cents FROM lo) AS p01_cents,
+                   (SELECT cents FROM hi) AS p99_cents,
+                   SUM(LEAST(GREATEST(cents, (SELECT cents FROM lo)),
+                             (SELECT cents FROM hi)))::BIGINT
+                     AS winsorized_sum_cents,
+                   (1000 * SUM(LEAST(GREATEST(cents, (SELECT cents FROM lo)),
+                                     (SELECT cents FROM hi))))
+                     // (SELECT n FROM nn) AS winsorized_mean_cents_milli
+            FROM c
+        """,
         "global_shuffle": _lsh_oracles.global_shuffle_sql(),
         # hash-split partition: shared splitmix64 builder, stable membership
         "dataset_split_assign": _lsh_oracles.dataset_split_assign_sql(),

@@ -198,6 +198,8 @@ BENCH_QUERY_NAMES = [
     "session_length_histogram",
     "zorder_layout_events",
     "join_size_estimate",
+    "k_anonymity_report",
+    "value_winsorized_stats",
 ]
 
 
@@ -870,6 +872,8 @@ def run_events_smoke() -> dict:
         # per Morton cell, exact manifest
         "zorder_layout_events": lambda: len(rel.zorder_layout_events(
             dest, out_dir=os.path.join(dest, "zorder"))),
+        # winsorized mean off the bounded cents histogram (one exchange)
+        "value_winsorized_stats": lambda: len(rel.value_winsorized_stats(dest)),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")
     if only:

@@ -5118,3 +5118,62 @@ def join_size_estimate(sf_dir: str, depth: int = JOIN_CMS_DEPTH,
 
     return pd.DataFrame({"name": ["cms_estimate", "exact_rows"],
                          "value": np.array([est, exact], np.int64)})
+
+
+def value_winsorized_stats(sf_dir: str) -> pd.DataFrame:
+    """(n_events, p01_cents, p99_cents, winsorized_sum_cents,
+    winsorized_mean_cents_milli) — the winsorized mean of events.value:
+    values clipped at the EXACT global p01/p99 cent ranks (the 0-based
+    ceil(q*n)-1 convention every quantile op here shares) before summing —
+    the outlier-robust aggregate monitoring uses when a tail corrupts the
+    plain mean (the robust-stats member between value_stats' raw moments
+    and value_mad's median world).
+
+    Scale shape: values fix to integer cents and each batch emits (cents,
+    n) combined partials through ONE coarse ``cents % 64`` bucket exchange
+    (the value_quantiles machinery, ungrouped); the driver consumes the
+    bounded distinct-cents histogram — ranks AND the clipped sum both fall
+    out of one cumsum, the event stream never co-locates.  All integers;
+    the mean is 1000 * sum // n.
+    """
+    import math
+
+    ds = read_pruned(_t(sf_dir, "events"), ["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        vals, cnts = np.unique(cents, return_counts=True)
+        return pa.table(
+            {"cents": pa.array(vals, pa.int64()),
+             "n": pa.array(cnts.astype(np.int64), pa.int64()),
+             "bucket": pa.array((vals % N_KEY_BUCKETS).astype(np.int32),
+                                pa.int32())})
+
+    _H = pa.schema([("cents", pa.int64()), ("n", pa.int64())])
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby("cents", as_index=False)["n"].sum()
+        return pa.Table.from_pandas(s[["cents", "n"]], schema=_H,
+                                    preserve_index=False
+                                    ).replace_schema_metadata(None)
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow", batch_size=262144)
+            .groupby("bucket")
+            .map_groups(combine, batch_format="pandas")
+            .to_pandas().sort_values("cents"))
+    vals = hist["cents"].to_numpy()
+    cnts = hist["n"].to_numpy()
+    cum = cnts.cumsum()
+    total = int(cum[-1])
+
+    def q_disc(q: float) -> int:
+        return int(vals[np.searchsorted(cum, math.ceil(q * total) - 1 + 1)])
+
+    lo, hi = q_disc(0.01), q_disc(0.99)
+    clipped = np.clip(vals, lo, hi)
+    wsum = int((clipped * cnts).sum())
+    return pd.DataFrame({
+        "n_events": [total], "p01_cents": [lo], "p99_cents": [hi],
+        "winsorized_sum_cents": [wsum],
+        "winsorized_mean_cents_milli": [1000 * wsum // total],
+    }).astype("int64")

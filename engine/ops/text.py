@@ -2592,3 +2592,36 @@ def feature_hash_batch(t: pa.Table, n_dims: int):
             minlength=len(ids) * n_dims,
         ).astype(np.int64).reshape(len(ids), n_dims)
     return ids, acc, lens
+
+
+K_ANON_K = 5
+
+
+def k_anonymity_report(sf_dir: str, k: int = K_ANON_K) -> pd.DataFrame:
+    """(lang, source, n_docs, at_risk) — k-anonymity audit over the
+    (lang, source) quasi-identifier pair: groups smaller than ``k`` are
+    re-identification risks a release gate must flag (the governance
+    sibling of pii_redact — PII is about CONTENT, k-anonymity about
+    MEMBERSHIP).  at_risk = 1 iff n_docs < k.
+
+    Scale shape: the quasi-identifier domain is a bounded enum product, so
+    one map-only pass emits per-batch (lang, source, count) combined
+    partials and the driver sums a |langs| x |sources| frame — no shuffle
+    (the event_type_correlations discovery stance).
+    """
+    ds = _docs(sf_dir, ["lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = pd.DataFrame({"lang": t["lang"].to_pandas(),
+                          "source": t["source"].to_pandas()})
+        g = d.groupby(["lang", "source"], sort=False).size().reset_index(name="n")
+        return pa.table({"lang": pa.array(g["lang"], pa.string()),
+                         "source": pa.array(g["source"], pa.string()),
+                         "n": pa.array(g["n"].to_numpy(), pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["lang", "source"], as_index=False)["n"].sum().rename(
+        columns={"n": "n_docs"})
+    out["at_risk"] = (out["n_docs"] < k).astype("int64")
+    return (out.sort_values(["lang", "source"]).reset_index(drop=True)
+            .astype({"n_docs": "int64"}))
