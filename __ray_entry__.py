@@ -361,6 +361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_layout_events": relational.zorder_layout_events,
         "join_size_estimate": relational.join_size_estimate,
         "value_winsorized_stats": relational.value_winsorized_stats,
+        "events_global_seq": relational.events_global_seq,
         "sessionize_events": relational.sessionize_events,
         "events_asof_join": relational.events_asof_join,
         "events_running_sum": relational.events_running_sum,
@@ -2230,6 +2231,12 @@ def oracle_sql() -> dict[str, str]:
         "zorder_layout_events": _lsh_oracles.zorder_manifest_sql(),
         # CMS inner-product join-size estimate + exact count, both exact
         "join_size_estimate": _lsh_oracles.join_size_estimate_sql(),
+        # distributed zip-with-index: contiguous global (ts, id) sequence
+        "events_global_seq": """
+            SELECT event_id,
+                   row_number() OVER (ORDER BY ts, event_id) - 1 AS seq
+            FROM events ORDER BY event_id
+        """,
         # winsorized mean at exact p01/p99 cent ranks (shared convention)
         "value_winsorized_stats": """
             WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents

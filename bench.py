@@ -200,6 +200,7 @@ BENCH_QUERY_NAMES = [
     "join_size_estimate",
     "k_anonymity_report",
     "value_winsorized_stats",
+    "events_global_seq",
 ]
 
 
@@ -874,6 +875,9 @@ def run_events_smoke() -> dict:
             dest, out_dir=os.path.join(dest, "zorder"))),
         # winsorized mean off the bounded cents histogram (one exchange)
         "value_winsorized_stats": lambda: len(rel.value_winsorized_stats(dest)),
+        # distributed zip-with-index consumed as a streaming count (the
+        # 50M-row assignment never collects on the driver at smoke scale)
+        "events_global_seq": lambda: rel._events_global_seq_count(dest),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")
     if only:

@@ -5177,3 +5177,65 @@ def value_winsorized_stats(sf_dir: str) -> pd.DataFrame:
         "winsorized_sum_cents": [wsum],
         "winsorized_mean_cents_milli": [1000 * wsum // total],
     }).astype("int64")
+
+
+def _events_global_seq_ds(sf_dir: str):
+    """(event_id, seq) Dataset — a contiguous GLOBAL sequence number for every
+    event in (ts, event_id) order: distributed zip-with-index, the surrogate
+    -key / stable-global-ordering primitive (the same two-phase prefix-sum
+    shape the crawl's schedule finalize and pack_sequences run internally,
+    exposed as a first-class op).
+
+    Scale shape: pass 1 streams per-batch (hour-bucket, count) partials —
+    the hour index is an ORDERED bounded key, so the driver computes the
+    exclusive prefix offsets of every bucket from a calendar-sized frame;
+    pass 2 is ONE bucket exchange: each group sorts its own rows by
+    (ts, event_id) and adds its broadcast offset.  No global sort — the
+    all-to-all carries only (event_id, ts, bucket).
+    """
+    ds = read_pruned(_t(sf_dir, "events"), ["event_id", "ts"])
+
+    def hb(t: pa.Table) -> pa.Table:
+        h = pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.int64())
+        hh = (h.to_numpy() // 3_600_000_000).astype(np.int64)
+        return pa.table({"event_id": t["event_id"], "ts": t["ts"],
+                         "hbucket": pa.array(hh, pa.int64())})
+
+    withb = ds.map_batches(hb, batch_format="pyarrow").materialize()
+
+    def counts(t: pa.Table) -> pa.Table:
+        vals, cnts = np.unique(t["hbucket"].to_numpy(), return_counts=True)
+        return pa.table({"hbucket": pa.array(vals, pa.int64()),
+                         "n": pa.array(cnts.astype(np.int64), pa.int64())})
+
+    cdf = (withb.map_batches(counts, batch_format="pyarrow").to_pandas()
+           .groupby("hbucket", as_index=False)["n"].sum()
+           .sort_values("hbucket"))
+    offs = dict(zip(cdf["hbucket"],
+                    np.concatenate([[0], cdf["n"].cumsum().to_numpy()[:-1]])))
+
+    _OUT = pa.schema([("event_id", pa.int64()), ("seq", pa.int64())])
+
+    def rank(g: pd.DataFrame) -> pa.Table:
+        gs = g.sort_values(["ts", "event_id"], kind="mergesort")
+        base = int(offs[int(gs["hbucket"].iloc[0])])
+        return pa.table(
+            {"event_id": pa.array(gs["event_id"].to_numpy(), pa.int64()),
+             "seq": pa.array(base + np.arange(len(gs), dtype=np.int64),
+                             pa.int64())}, schema=_OUT)
+
+    return withb.groupby("hbucket").map_groups(rank, batch_format="pandas")
+
+
+def _events_global_seq_count(sf_dir: str) -> int:
+    """Smoke consumer: the 50M-row assignment streams into a count — the
+    sequence Dataset never collects on the driver."""
+    return _events_global_seq_ds(sf_dir).count()
+
+
+def events_global_seq(sf_dir: str) -> pd.DataFrame:
+    """Driver-protocol wrapper of :func:`_events_global_seq_ds` — same
+    columns, collected and event_id-sorted."""
+    out = _events_global_seq_ds(sf_dir).to_pandas()
+    return (out.sort_values("event_id").reset_index(drop=True)
+            .astype({"event_id": "int64", "seq": "int64"}))
