@@ -462,6 +462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": text.lang_counts,
         "k_anonymity_report": text.k_anonymity_report,
         "langid_predict": text.langid_predict,
+        "langid_confusion_matrix": text.langid_confusion_matrix,
         "fingerprint_md5": text.fingerprint_md5,
         "fingerprint_rolling": text.fingerprint_rolling,
         "feature_hash_embed": text.feature_hash_embed,
@@ -1063,6 +1064,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, {lang_case} AS lang_pred
             FROM c ORDER BY doc_id
+        """,
+        # confusion matrix of the same generated predictor vs stored labels
+        "langid_confusion_matrix": rf"""
+            WITH w AS (
+              SELECT doc_id, lang,
+                     list_distinct(string_split_regex(lower(text), '\s+')) AS words
+              FROM documents
+            ), c AS (
+              SELECT doc_id, lang,
+                   {lang_counts_sql}
+              FROM w
+            ), p AS (
+              SELECT lang, {lang_case} AS lang_pred FROM c
+            )
+            SELECT lang, lang_pred, count(*) AS n_docs
+            FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred
         """,
         "fingerprint_md5": "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
         # min-of-rolling-polynomial-hash (window 16, ring mod 2^64, result

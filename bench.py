@@ -201,6 +201,7 @@ BENCH_QUERY_NAMES = [
     "k_anonymity_report",
     "value_winsorized_stats",
     "events_global_seq",
+    "langid_confusion_matrix",
 ]
 
 

@@ -2625,3 +2625,39 @@ def k_anonymity_report(sf_dir: str, k: int = K_ANON_K) -> pd.DataFrame:
     out["at_risk"] = (out["n_docs"] < k).astype("int64")
     return (out.sort_values(["lang", "source"]).reset_index(drop=True)
             .astype({"n_docs": "int64"}))
+
+
+def langid_confusion_matrix(sf_dir: str) -> pd.DataFrame:
+    """(lang, lang_pred, n_docs) — the confusion matrix of the heuristic
+    language-ID against the stored labels: the evaluation artifact that
+    turns langid_predict from a column into a model you can judge (which
+    languages bleed into which, how much lands in 'und').
+
+    Scale shape: prediction is langid_predict's map-only pass with the
+    true label carried along; the (|langs|+1)^2-bounded matrix reduces via
+    per-batch combined count partials — no shuffle (the k_anonymity
+    bounded-enum stance).
+    """
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        preds = []
+        for txt in t["text"].to_pylist():
+            words = set(txt.lower().split())
+            best, best_n = "und", 0
+            for lang in sorted(_LANG_PROFILES):
+                n = len(words & _LANG_PROFILES[lang])
+                if n > best_n:
+                    best, best_n = lang, n
+            preds.append(best)
+        d = pd.DataFrame({"lang": t["lang"].to_pandas(), "lang_pred": preds})
+        g = d.groupby(["lang", "lang_pred"], sort=False).size().reset_index(name="n")
+        return pa.table({"lang": pa.array(g["lang"], pa.string()),
+                         "lang_pred": pa.array(g["lang_pred"], pa.string()),
+                         "n": pa.array(g["n"].to_numpy(), pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (parts.groupby(["lang", "lang_pred"], as_index=False)["n"].sum()
+           .rename(columns={"n": "n_docs"}))
+    return (out.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
+            .astype({"n_docs": "int64"}))
