@@ -463,6 +463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity_report": text.k_anonymity_report,
         "langid_predict": text.langid_predict,
         "langid_confusion_matrix": text.langid_confusion_matrix,
+        "typo_token_pairs": text.typo_token_pairs,
         "fingerprint_md5": text.fingerprint_md5,
         "fingerprint_rolling": text.fingerprint_rolling,
         "feature_hash_embed": text.feature_hash_embed,
@@ -1080,6 +1081,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang, lang_pred, count(*) AS n_docs
             FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+        """,
+        # SymSpell blocking's ground truth: brute-force levenshtein over
+        # (top-k queries) x vocab — the blocking must find every pair
+        "typo_token_pairs": r"""
+            WITH tok AS (
+              SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+              FROM documents),
+            v AS (SELECT w, count(*) AS c FROM tok WHERE w <> '' GROUP BY w),
+            q AS (SELECT w FROM v
+                  QUALIFY row_number() OVER (ORDER BY c DESC, w) <= 500)
+            SELECT DISTINCT least(a.w, b.w) AS tok_a,
+                            greatest(a.w, b.w) AS tok_b
+            FROM q a JOIN v b ON levenshtein(a.w, b.w) = 1
+            ORDER BY tok_a, tok_b
         """,
         "fingerprint_md5": "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
         # min-of-rolling-polynomial-hash (window 16, ring mod 2^64, result

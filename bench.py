@@ -202,6 +202,7 @@ BENCH_QUERY_NAMES = [
     "value_winsorized_stats",
     "events_global_seq",
     "langid_confusion_matrix",
+    "typo_token_pairs",
 ]
 
 
@@ -678,6 +679,8 @@ def run_dedup_smoke() -> dict:
         # closed-form regression: one map-only pass, constant (d+1)^2
         # integer normal-equation partials, driver-sized solve
         "hash_feature_regression": lambda: _ml.hash_feature_regression(dest),
+        # SymSpell deletion blocking over the corpus vocabulary
+        "typo_token_pairs": lambda: _text_ops.typo_token_pairs(dest),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")
     if only:

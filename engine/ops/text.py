@@ -2661,3 +2661,114 @@ def langid_confusion_matrix(sf_dir: str) -> pd.DataFrame:
            .rename(columns={"n": "n_docs"}))
     return (out.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
             .astype({"n_docs": "int64"}))
+
+
+TYPO_TOPK_QUERIES = 500
+
+
+def _edit_distance_is_1(a: str, b: str) -> bool:
+    """Exact distance-1 test without full DP: equal length -> exactly one
+    differing position; length diff 1 -> deletion alignment."""
+    la, lb = len(a), len(b)
+    if la == lb:
+        return sum(1 for x, y in zip(a, b) if x != y) == 1
+    if abs(la - lb) != 1:
+        return False
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def typo_token_pairs(sf_dir: str, k: int = TYPO_TOPK_QUERIES) -> pd.DataFrame:
+    """(tok_a, tok_b) — vocabulary token pairs at edit distance EXACTLY 1
+    where at least one side is a top-``k`` frequent token: the typo /
+    near-spelling detector (query-correction candidates, OCR noise, scraped
+    -text mangling) via SymSpell-style DELETION-NEIGHBORHOOD blocking
+    (Garbe 2012): two distance-1 tokens always share a key in
+    ``{token} U del1(token)``, so candidates surface from one key-bucket
+    exchange and only candidates pay the exact verify — never the vocab
+    cross product the DuckDB oracle brute-forces with levenshtein.
+
+    Scale shape: one tokenize pass -> vocabulary count exchange (vocab-
+    sized); the top-k query set broadcasts; each vocab token explodes into
+    <= len+1 deletion keys; ONE key-hash bucket exchange groups candidates;
+    in-group verification is exact (the distance-1 special case is O(len));
+    the verified pair set is result-sized and dedups on the driver.
+    """
+    import hashlib as _hashlib
+
+    ds = _docs(sf_dir, ["text"])
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        c = Counter()
+        for s in t["text"].to_pylist():
+            c.update(s.lower().split())
+        items = sorted(c.items())
+        return pa.table({"w": pa.array([w for w, _ in items], pa.string()),
+                         "n": pa.array([n for _, n in items], pa.int64()),
+                         "bucket": pa.array(
+                             [int.from_bytes(_hashlib.md5(w.encode()).digest()[:4],
+                                             "big") % 64 for w, _ in items],
+                             pa.int32())})
+
+    _V = pa.schema([("w", pa.string()), ("n", pa.int64())])
+
+    def vsum(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby("w", as_index=False)["n"].sum()
+        return pa.Table.from_pandas(s[["w", "n"]], schema=_V,
+                                    preserve_index=False
+                                    ).replace_schema_metadata(None)
+
+    vocab = (ds.map_batches(tok_counts, batch_format="pyarrow")
+             .groupby("bucket")
+             .map_groups(vsum, batch_format="pandas")
+             .materialize())
+    top = (vocab.to_pandas().sort_values(["n", "w"], ascending=[False, True])
+           .head(k)["w"])
+    import ray as _ray
+    q_ref = _ray.put(frozenset(top))
+
+    def explode_keys(t: pa.Table) -> pa.Table:
+        ws, keys = [], []
+        for w in t["w"].to_pylist():
+            for key in {w} | {w[:i] + w[i + 1:] for i in range(len(w))}:
+                ws.append(w)
+                keys.append(key)
+        return pa.table({"w": pa.array(ws, pa.string()),
+                         "key": pa.array(keys, pa.string()),
+                         "bucket": pa.array(
+                             [int.from_bytes(_hashlib.md5(x.encode()).digest()[:4],
+                                             "big") % 64 for x in keys],
+                             pa.int32())})
+
+    _P = pa.schema([("tok_a", pa.string()), ("tok_b", pa.string())])
+
+    def candidates(g: pd.DataFrame) -> pa.Table:
+        qset = _ray.get(q_ref)
+        out = set()
+        for _, grp in g.groupby("key", sort=False):
+            toks = grp["w"].unique()
+            if len(toks) < 2:
+                continue
+            for i in range(len(toks)):
+                for j in range(i + 1, len(toks)):
+                    a, b = toks[i], toks[j]
+                    if (a in qset or b in qset) and _edit_distance_is_1(a, b):
+                        out.add((min(a, b), max(a, b)))
+        pairs = sorted(out)
+        return pa.table({"tok_a": pa.array([p[0] for p in pairs], pa.string()),
+                         "tok_b": pa.array([p[1] for p in pairs], pa.string())},
+                        schema=_P)
+
+    out = (vocab.map_batches(explode_keys, batch_format="pyarrow")
+           .groupby("bucket")
+           .map_groups(candidates, batch_format="pandas")
+           .to_pandas())
+    if "tok_a" not in out.columns:  # no pair anywhere -> typed empty frame
+        return pd.DataFrame({"tok_a": pd.Series([], dtype="object"),
+                             "tok_b": pd.Series([], dtype="object")})
+    out = out.drop_duplicates()  # the same pair can surface via several keys
+    return (out.sort_values(["tok_a", "tok_b"]).reset_index(drop=True))

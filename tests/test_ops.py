@@ -3208,3 +3208,48 @@ def test_join_size_estimate_guarantee(ray_session):
     assert vw["exact_rows"] == v["exact_rows"]
     assert vw["cms_estimate"] <= v["cms_estimate"]
     assert out.equals(join_size_estimate(SF))
+
+
+def test_typo_token_pairs_planted(ray_session, tmp_path):
+    """SymSpell deletion-neighborhood blocking finds exactly the brute-force
+    distance-1 pair set on a planted typo corpus (substitution, deletion,
+    insertion, and a distance-2 decoy that must NOT pair); the sf corpus
+    (31 common English words, no distance-1 pairs) returns a typed empty
+    frame matching its brute-force oracle."""
+    import itertools
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from engine.ops.text import _edit_distance_is_1, typo_token_pairs
+
+    docs = [
+        "spelling speling",          # deletion pair
+        "spellling spelling",        # insertion pair
+        "spezling spelling",         # substitution pair
+        "spellings banana",          # insertion on the plural; decoy base
+        "bananna banana",            # insertion pair
+        "abcdef abXdYf",             # distance 2 — must NOT pair
+    ]
+    d = tmp_path / "typo"
+    d.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                             "text": pa.array(docs, pa.string())}),
+                   d / "documents.parquet")
+
+    out = typo_token_pairs(str(d))
+    got = set(zip(out["tok_a"], out["tok_b"]))
+
+    vocab = sorted({w for s in docs for w in s.lower().split()})
+    want = {(a, b) for a, b in itertools.combinations(vocab, 2)
+            if _edit_distance_is_1(a, b)}
+    assert got == want and len(want) >= 4
+    assert ("abcdef", "abxdyf") not in got
+
+    # the exact-distance-1 kernel itself
+    assert _edit_distance_is_1("banana", "bananna")
+    assert not _edit_distance_is_1("banana", "banana")
+    assert not _edit_distance_is_1("ab", "ba")
+
+    sf_out = typo_token_pairs(SF)
+    assert list(sf_out.columns) == ["tok_a", "tok_b"] and len(sf_out) == 0
