@@ -376,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_type": relational.distinct_users_per_type,
         "pagerank_docs": relational.pagerank_docs,
         "redirect_cycles": relational.redirect_cycles,
+        "link_weighted_paths": relational.link_weighted_paths,
         "hits_docs": relational.hits_docs,
         "triangle_count": relational.triangle_count,
         "orders_without_lineitems": relational.orders_without_lineitems,
@@ -2263,6 +2264,8 @@ def oracle_sql() -> dict[str, str]:
         "zorder_layout_events": _lsh_oracles.zorder_manifest_sql(),
         # CMS inner-product join-size estimate + exact count, both exact
         "join_size_estimate": _lsh_oracles.join_size_estimate_sql(),
+        # bounded-hop Bellman-Ford over generated integer edge weights
+        "link_weighted_paths": _lsh_oracles.weighted_paths_sql(),
         # distributed zip-with-index: contiguous global (ts, id) sequence
         "events_global_seq": """
             SELECT event_id,

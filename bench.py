@@ -203,6 +203,7 @@ BENCH_QUERY_NAMES = [
     "events_global_seq",
     "langid_confusion_matrix",
     "typo_token_pairs",
+    "link_weighted_paths",
 ]
 
 
@@ -681,6 +682,8 @@ def run_dedup_smoke() -> dict:
         "hash_feature_regression": lambda: _ml.hash_feature_regression(dest),
         # SymSpell deletion blocking over the corpus vocabulary
         "typo_token_pairs": lambda: _text_ops.typo_token_pairs(dest),
+        # bounded-hop Bellman-Ford: max_hops narrow (node, dist) exchanges
+        "link_weighted_paths": lambda: rel.link_weighted_paths(dest),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")
     if only:

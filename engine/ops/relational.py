@@ -5239,3 +5239,77 @@ def events_global_seq(sf_dir: str) -> pd.DataFrame:
     out = _events_global_seq_ds(sf_dir).to_pandas()
     return (out.sort_values("event_id").reset_index(drop=True)
             .astype({"event_id": "int64", "seq": "int64"}))
+
+
+def link_weighted_paths(sf_dir: str, max_hops: int = 4) -> pd.DataFrame:
+    """(doc_id, dist) — multi-source WEIGHTED shortest paths over the shared
+    link graph, edge weight ``1 + (splitmix64(u*4 + s) % 9)`` (deterministic
+    1..9 per edge), seeds ``doc_id % 100 == 0``, bounded at ``max_hops``
+    edges: level-synchronous Bellman-Ford — the weighted relaxation shape
+    BFS's unit-depth discovery can't express (a longer-hop path may be
+    CHEAPER, so rounds must re-relax every known node, not just a
+    frontier).
+
+    Scale shape: per round ONE map pass emits every known (node, dist)
+    plus all relaxation candidates (child, dist + w) — per-batch distinct-
+    combined — and a coarse ``node % 64`` bucket exchange takes the
+    vectorized min (the link_bfs_depth idiom; same no-self-union rule).
+    max_hops narrow all-to-alls; the driver never holds the state.
+
+    Oracle: max_hops unrolled relaxation CTEs over the same generated
+    weight expression (oracles.weighted_paths_sql) — exact at both scales.
+    """
+    from .dedup import _mix64
+
+    ds = read_pruned(_t(sf_dir, "documents"), ["doc_id"])
+    n = ds.count()
+
+    def seeds(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        ids = ids[ids % 100 == 0]
+        return pa.table(
+            {"node": pa.array(ids, pa.int64()),
+             "dist": pa.array(np.zeros(len(ids), np.int64), pa.int64())})
+
+    known = ds.map_batches(seeds, batch_format="pyarrow").materialize()
+
+    _K = pa.schema([("node", pa.int64()), ("dist", pa.int64())])
+
+    def min_group(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby("node", as_index=False)["dist"].min()
+        return pa.Table.from_pandas(
+            s, schema=_K, preserve_index=False).replace_schema_metadata(None)
+
+    def relax(t: pa.Table) -> pa.Table:
+        nodes = t["node"].to_numpy()
+        dists = t["dist"].to_numpy()
+        outs = [nodes]
+        ds_ = [dists]
+        for s in (1, 2, 3):
+            child = (nodes * 31 + s) % n
+            w = 1 + (_mix64((nodes.astype(np.uint64) * np.uint64(4))
+                            + np.uint64(s)) % np.uint64(9)).astype(np.int64)
+            outs.append(child)
+            ds_.append(dists + w)
+        out_n = np.concatenate(outs)
+        out_d = np.concatenate(ds_)
+        # per-batch combine: keep the min per node before the exchange
+        order = np.lexsort((out_d, out_n))
+        out_n, out_d = out_n[order], out_d[order]
+        first = np.concatenate([[True], out_n[1:] != out_n[:-1]])
+        out_n, out_d = out_n[first], out_d[first]
+        return pa.table(
+            {"node": pa.array(out_n, pa.int64()),
+             "dist": pa.array(out_d, pa.int64()),
+             "bucket": pa.array((out_n % N_KEY_BUCKETS).astype(np.int32),
+                                pa.int32())})
+
+    for _ in range(max_hops):
+        known = (known.map_batches(relax, batch_format="pyarrow")
+                 .groupby("bucket")
+                 .map_groups(min_group, batch_format="pandas")
+                 .materialize())
+
+    out = known.to_pandas().rename(columns={"node": "doc_id"})
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            .astype({"doc_id": "int64", "dist": "int64"}))

@@ -1183,3 +1183,34 @@ def join_size_estimate_sql(depth: int = 4, width: int = 1024) -> str:
                 JOIN lineitem l ON o.o_orderkey = l.l_orderkey)::BIGINT
         ORDER BY name
     """
+
+
+def weighted_paths_sql(max_hops: int = 4) -> str:
+    """Oracle for relational.link_weighted_paths: max_hops unrolled
+    Bellman-Ford relaxation CTEs over the generated edge weights
+    ``1 + (splitmix64(u*4 + s) % 9)``."""
+    mix = _mix64("ux")
+    edges = f"""
+            e AS (
+              SELECT d.doc_id AS u,
+                     (d.doc_id * 31 + t.s) % (SELECT c FROM nn) AS v,
+                     1 + CAST(({mix.replace('ux',
+                        '(d.doc_id * 4 + t.s)::UBIGINT')}) % 9::UBIGINT
+                        AS BIGINT) AS w
+              FROM documents d,
+                   UNNEST(generate_series(1, 3)) AS t(s)
+            )"""
+    ctes = ["d0 AS (SELECT doc_id AS node, 0 AS dist FROM documents "
+            "WHERE doc_id % 100 = 0)"]
+    for k in range(1, max_hops + 1):
+        ctes.append(f"""d{k} AS (
+              SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d{k - 1}
+                UNION ALL
+                SELECT e.v AS node, d{k - 1}.dist + e.w AS dist
+                FROM d{k - 1} JOIN e ON e.u = d{k - 1}.node
+              ) GROUP BY node)""")
+    return f"""
+            WITH nn AS (SELECT count(*) AS c FROM documents),{edges},
+            {', '.join(ctes)}
+            SELECT node AS doc_id, dist FROM d{max_hops} ORDER BY doc_id"""

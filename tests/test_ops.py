@@ -3253,3 +3253,46 @@ def test_typo_token_pairs_planted(ray_session, tmp_path):
 
     sf_out = typo_token_pairs(SF)
     assert list(sf_out.columns) == ["tok_a", "tok_b"] and len(sf_out) == 0
+
+
+def test_link_weighted_paths_sequential_reference(ray_session, tmp_path):
+    """Bounded-hop Bellman-Ford equals an independent sequential relaxer on
+    a corpus size the sf tables never use; weighted dist <= BFS depth * 9
+    and >= BFS depth (weights are 1..9); deterministic."""
+    import pyarrow.parquet as pq
+
+    from engine.ops.dedup import _mix64
+    from engine.ops.relational import link_bfs_depth, link_weighted_paths
+
+    n = 223
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                             "text": pa.array(["x"] * n, pa.string())}),
+                   d / "documents.parquet")
+
+    out = link_weighted_paths(str(d), max_hops=4)
+
+    INF = 1 << 60
+    dist = {v: (0 if v % 100 == 0 else INF) for v in range(n)}
+    for _ in range(4):
+        nd = dict(dist)
+        for u in range(n):
+            if dist[u] >= INF:
+                continue
+            for s in (1, 2, 3):
+                v = (u * 31 + s) % n
+                # int() BEFORE the %: np.uint64 % python-int promotes to
+                # float64 and corrupts the modulus
+                w = 1 + int(_mix64(np.array([u * 4 + s], np.uint64))[0]) % 9
+                nd[v] = min(nd[v], dist[u] + w)
+        dist = nd
+    want = {v: c for v, c in dist.items() if c < INF}
+    got = dict(zip(out["doc_id"], out["dist"]))
+    assert got == want
+
+    depth = dict(zip(*link_bfs_depth(str(d), max_hops=4).to_numpy().T))
+    for v, c in got.items():
+        assert depth[v] <= c <= depth[v] * 9 if depth[v] else c == 0
+
+    assert out.equals(link_weighted_paths(str(d), max_hops=4))
