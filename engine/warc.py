@@ -30,15 +30,43 @@ import pyarrow as pa
 _CRLF = "\r\n"
 
 
-def _warc_record(url: str, ts_us: int, html: bytes) -> bytes:
-    """One WARC/1.0 response record with an HTTP/1.1 payload."""
+def _chunked(body: bytes, size: int = 1024) -> bytes:
+    """HTTP/1.1 chunked transfer encoding of ``body`` (hex size lines,
+    terminal 0-chunk)."""
+    parts = []
+    for lo in range(0, len(body), size):
+        c = body[lo: lo + size]
+        parts.append(f"{len(c):x}".encode() + _CRLF.encode() + c + _CRLF.encode())
+    parts.append(b"0" + _CRLF.encode() * 2)
+    return b"".join(parts)
+
+
+def _warc_record(url: str, ts_us: int, html: bytes,
+                 http_encoding: str = "identity") -> bytes:
+    """One WARC/1.0 response record with an HTTP/1.1 payload.
+
+    ``http_encoding`` writes the payload the three ways real crawls see it:
+    ``identity`` (Content-Length), ``chunked`` (Transfer-Encoding), and
+    ``gzip`` (Content-Encoding + Content-Length of the compressed bytes).
+    The reader decodes all three back to the identical html.
+    """
     ts = pd.Timestamp(ts_us, unit="us").strftime("%Y-%m-%dT%H:%M:%SZ")
     rid = hashlib.sha256(url.encode()).hexdigest()[:32]
+    if http_encoding == "chunked":
+        payload = _chunked(html)
+        plines = f"Transfer-Encoding: chunked{_CRLF}{_CRLF}"
+    elif http_encoding == "gzip":
+        payload = gzip.compress(html, 6, mtime=0)
+        plines = (f"Content-Encoding: gzip{_CRLF}"
+                  f"Content-Length: {len(payload)}{_CRLF}{_CRLF}")
+    else:
+        payload = html
+        plines = f"Content-Length: {len(html)}{_CRLF}{_CRLF}"
     http = (
         f"HTTP/1.1 200 OK{_CRLF}"
         f"Content-Type: text/html{_CRLF}"
-        f"Content-Length: {len(html)}{_CRLF}{_CRLF}"
-    ).encode() + html
+        + plines
+    ).encode() + payload
     head = (
         f"WARC/1.0{_CRLF}"
         f"WARC-Type: response{_CRLF}"
@@ -160,10 +188,34 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
             headers[b"warc-date"].decode().rstrip("Z")).value // 1000)
         p_end = body.find(b"\r\n\r\n")
         plen = None
+        chunked = False
+        gzipped = False
         for line in body[:p_end].split(b"\r\n"):
-            if line.lower().startswith(b"content-length:"):
+            low = line.lower()
+            if low.startswith(b"content-length:"):
                 plen = int(line.split(b":")[1])
-        html = body[p_end + 4: p_end + 4 + plen if plen is not None else None]
+            elif (low.startswith(b"transfer-encoding:")
+                  and b"chunked" in low):
+                chunked = True
+            elif low.startswith(b"content-encoding:") and b"gzip" in low:
+                gzipped = True
+        payload = body[p_end + 4:]
+        if chunked:
+            # de-chunk: hex size lines until the terminal 0-chunk
+            html_parts = []
+            q = 0
+            while True:
+                eol = payload.find(b"\r\n", q)
+                size = int(payload[q:eol], 16)
+                if size == 0:
+                    break
+                html_parts.append(payload[eol + 2: eol + 2 + size])
+                q = eol + 2 + size + 2
+            html = b"".join(html_parts)
+        else:
+            html = payload[:plen] if plen is not None else payload
+        if gzipped:
+            html = gzip.decompress(html)
         out.append({"url": url, "ts_us": ts_us, "html": html})
     return out
 

@@ -108,3 +108,29 @@ def test_warc_ingest_feeds_identical_crawl(ray_session, tmp_path):
     ta = a.order_table().to_pylist()
     tb = b.order_table().to_pylist()
     assert ta == tb
+
+
+def test_http_payload_encodings_roundtrip():
+    """Real crawls serve all three HTTP payload framings — identity
+    Content-Length, chunked Transfer-Encoding, gzip Content-Encoding —
+    and the reader must decode each back to the identical html, including
+    a body that embeds a fake chunk-size line and CRLFs."""
+    from engine.warc import _warc_record, parse_warc_bytes
+
+    html = (b"<html>trap\r\n0\r\n\r\nContent-Length: 7\r\n" + b"x" * 3000
+            + b"</html>")
+    ts = 1_700_000_000_000_000
+    for enc in ("identity", "chunked", "gzip"):
+        rec = _warc_record("http://h/x", ts, html, http_encoding=enc)
+        got = parse_warc_bytes(rec)
+        assert len(got) == 1, enc
+        assert got[0]["html"] == html, enc
+        assert got[0]["url"] == "http://h/x" and got[0]["ts_us"] == ts
+
+    # a mixed-encoding FILE: three records, one per framing
+    data = b"".join(_warc_record(f"http://h/{i}", ts + i, html,
+                                 http_encoding=e)
+                    for i, e in enumerate(("identity", "chunked", "gzip")))
+    got = parse_warc_bytes(data)
+    assert [g["url"] for g in got] == [f"http://h/{i}" for i in range(3)]
+    assert all(g["html"] == html for g in got)
