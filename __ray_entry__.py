@@ -359,6 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_dense": relational.events_hourly_dense,
         "session_length_histogram": relational.session_length_histogram,
         "zorder_layout_events": relational.zorder_layout_events,
+        "zorder_pruned_count": relational.zorder_pruned_count,
         "join_size_estimate": relational.join_size_estimate,
         "value_winsorized_stats": relational.value_winsorized_stats,
         "events_global_seq": relational.events_global_seq,
@@ -2262,6 +2263,8 @@ def oracle_sql() -> dict[str, str]:
         "cap_per_source": _lsh_oracles.cap_per_source_sql(),
         # Z-order layout manifest: generated Morton interleave, exact
         "zorder_layout_events": _lsh_oracles.zorder_manifest_sql(),
+        # the layout's READ side: pruning must be lossless
+        "zorder_pruned_count": _lsh_oracles.zorder_pruned_count_sql(),
         # CMS inner-product join-size estimate + exact count, both exact
         "join_size_estimate": _lsh_oracles.join_size_estimate_sql(),
         # bounded-hop Bellman-Ford over generated integer edge weights

@@ -204,6 +204,7 @@ BENCH_QUERY_NAMES = [
     "langid_confusion_matrix",
     "typo_token_pairs",
     "link_weighted_paths",
+    "zorder_pruned_count",
 ]
 
 

@@ -5313,3 +5313,57 @@ def link_weighted_paths(sf_dir: str, max_hops: int = 4) -> pd.DataFrame:
     out = known.to_pandas().rename(columns={"node": "doc_id"})
     return (out.sort_values("doc_id").reset_index(drop=True)
             .astype({"doc_id": "int64", "dist": "int64"}))
+
+
+ZPRUNE_USER_HI_PCT = 50   # demo predicate: user_id <= max_user//2
+ZPRUNE_HOUR_HI_PCT = 50   # and hour <= midpoint hour
+
+
+def zorder_pruned_count(sf_dir: str) -> pd.DataFrame:
+    """(n_shards_total, n_shards_read, n_rows) — the READ side of the
+    Z-order layout: a joint (user-range x hour-range) predicate answered by
+    opening ONLY the shard files whose manifest [min, max] boxes intersect
+    the predicate box (manifest-driven pruning — the reason the layout
+    exists), then filtering the survivors exactly.  The result is the exact
+    filtered count plus the file-pruning evidence the optimizer would log.
+
+    Scale shape: the manifest is shard-count-sized (driver frame); the
+    pruned read is ``read_parquet`` over the touched files only with the
+    residual filter applied vectorized per batch; count partials reduce.
+    The oracle recomputes the exact count from the raw table (pruning must
+    be LOSSLESS, so n_rows is oracle-checkable; the shard counters are
+    exact functions of the manifest, recomputed via the same generated
+    Morton SQL).
+    """
+    import os as _os
+
+    import ray.data as _rd
+
+    out_dir = _os.path.join("/tmp", "zorder_events",
+                            _os.path.abspath(sf_dir).strip("/").replace("/", "_"))
+    man = zorder_layout_events(sf_dir, out_dir=out_dir)
+
+    # the demo predicate box, derived from the manifest's own extremes
+    u_hi = int(man["max_user"].max()) * ZPRUNE_USER_HI_PCT // 100
+    lo_h, hi_h = int(man["min_hour"].min()), int(man["max_hour"].max())
+    h_hi = lo_h + (hi_h - lo_h) * ZPRUNE_HOUR_HI_PCT // 100
+
+    touched = man[(man["min_user"] <= u_hi) & (man["min_hour"] <= h_hi)]
+    files = [_os.path.join(out_dir, f"shard={int(s):02d}.parquet")
+             for s in touched["shard"]]
+
+    def count(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        h = pc.cast(pc.floor_temporal(t["ts"], unit="hour"),
+                    pa.int64()).to_numpy() // 3_600_000_000
+        return pa.table({"n": pa.array([int(((u <= u_hi) & (h <= h_hi)).sum())],
+                                       pa.int64())})
+
+    n_rows = 0
+    if files:
+        n_rows = int(_rd.read_parquet(files, columns=["user_id", "ts"])
+                     .map_batches(count, batch_format="pyarrow")
+                     .to_pandas()["n"].sum())
+    return pd.DataFrame({"n_shards_total": [len(man)],
+                         "n_shards_read": [len(touched)],
+                         "n_rows": [n_rows]}).astype("int64")

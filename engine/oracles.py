@@ -1214,3 +1214,26 @@ def weighted_paths_sql(max_hops: int = 4) -> str:
             WITH nn AS (SELECT count(*) AS c FROM documents),{edges},
             {', '.join(ctes)}
             SELECT node AS doc_id, dist FROM d{max_hops} ORDER BY doc_id"""
+
+
+def zorder_pruned_count_sql(bits: int = 8, shard_bits: int = 4,
+                            u_pct: int = 50, h_pct: int = 50) -> str:
+    """Oracle for relational.zorder_pruned_count: the manifest CTE (same
+    generated Morton interleave), the derived predicate box, the pruned
+    shard counter, and the exact filtered row count."""
+    man = zorder_manifest_sql(bits, shard_bits).strip()
+    return f"""
+            WITH man AS ({man}),
+            box AS (
+              SELECT (max(max_user) * {u_pct}) // 100 AS u_hi,
+                     min(min_hour) + ((max(max_hour) - min(min_hour))
+                                      * {h_pct}) // 100 AS h_hi
+              FROM man)
+            SELECT (SELECT count(*) FROM man) AS n_shards_total,
+                   (SELECT count(*) FROM man, box
+                    WHERE min_user <= u_hi AND min_hour <= h_hi)
+                     AS n_shards_read,
+                   (SELECT count(*) FROM events, box
+                    WHERE user_id <= u_hi
+                      AND epoch_us(date_trunc('hour', ts)) // 3600000000
+                          <= h_hi) AS n_rows"""
