@@ -440,6 +440,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_text_topk": relational.anchor_text_topk,
         "order_skyline": relational.order_skyline,
         "event_type_correlations": relational.event_type_correlations,
+        "reciprocal_links": relational.reciprocal_links,
+        "event_value_trend": relational.event_value_trend,
         # text analysis (M11/M12/M13 + training-data ops)
         "token_count": text.token_count,
         "token_count_bpe": text.token_count_bpe,
@@ -2205,6 +2207,42 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY d.doc_id)
             SELECT indeg AS in_degree, count(*)::BIGINT AS n_nodes
             FROM ind GROUP BY indeg ORDER BY in_degree
+        """,
+        # reciprocal (mutual) directed edges over the generated hash link
+        # graph with planted partner pairs (generated SQL over the same
+        # splitmix ring — see engine.ops.relational.reciprocal_links)
+        "reciprocal_links": _lsh_oracles.reciprocal_links_sql(),
+        # per-type OLS value-vs-time trend: exact integer moment sums +
+        # floor(1e6 * cov / var) via HUGEINT with an explicit positive-mod
+        # floor adjustment (engine mirrors with Python ints)
+        "event_value_trend": """
+            WITH c AS (
+              SELECT event_type,
+                     epoch_us(date_trunc('hour', ts)) // 3600000000
+                       - 262968 AS x,
+                     CAST(round(value * 100) AS BIGINT) AS y
+              FROM events),
+            s AS (
+              SELECT event_type,
+                     CAST(count(*) AS HUGEINT) AS n,
+                     sum(CAST(x AS HUGEINT)) AS sx,
+                     sum(CAST(y AS HUGEINT)) AS sy,
+                     sum(CAST(x AS HUGEINT) * x) AS sxx,
+                     sum(CAST(x AS HUGEINT) * y) AS sxy
+              FROM c GROUP BY event_type),
+            t AS (
+              SELECT event_type, n, sx, sy,
+                     1000000 * (n * sxy - sx * sy) AS num,
+                     n * sxx - sx * sx AS den
+              FROM s)
+            SELECT event_type,
+                   CAST(n AS BIGINT) AS n_events,
+                   CAST(sx AS BIGINT) AS sum_hours,
+                   CAST(sy AS BIGINT) AS sum_cents,
+                   CAST(CASE WHEN den = 0 THEN 0
+                        ELSE (num - (((num % den) + den) % den)) // den
+                        END AS BIGINT) AS slope_micro
+            FROM t ORDER BY event_type
         """,
         # anchor-text consolidation over the deterministic link graph
         # (doc -> (doc*31+s) % n, s in 1..3; anchors = source's first two

@@ -5367,3 +5367,148 @@ def zorder_pruned_count(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n_shards_total": [len(man)],
                          "n_shards_read": [len(touched)],
                          "n_rows": [n_rows]}).astype("int64")
+
+
+def reciprocal_links(sf_dir: str) -> pd.DataFrame:
+    """(doc_a, doc_b) — RECIPROCAL link pairs over a hashed doc link graph:
+    both directed edges (a -> b) and (b -> a) exist.  The mutual-link ratio
+    is a standard web-graph structure statistic (mutual links signal
+    navigation templates / sister pages rather than endorsements, so
+    link-based ranking treats them differently).
+
+    Graph (generated; the shared affine family has provably ~zero mutual
+    edges, so this op gets the planted-signal treatment the ANN tests use):
+    three splitmix64 "random" out-edges ``u -> mix64(u*4+j) % n`` (j in
+    1..3 — noise, O(1) accidental mutuals) plus a PARTNER edge
+    ``u <-> u XOR 1`` present for both members iff
+    ``mix64((u>>1)*4) % 4 == 0`` (the gate depends only on the pair index,
+    so planted pairs are mutual by construction, ~n/8 of them).  Self-loops
+    dropped; the detector has no knowledge of which family an edge is from.
+
+    Scale shape: one narrow all-to-all.  map_batches emits one normalized
+    (a=min, b=max, dir) row per generated edge, coarse-bucketed by pair
+    hash so BOTH orientations of a pair land in the same group; each group
+    keeps pairs whose distinct orientation count is 2 (vectorized
+    drop_duplicates + group size).  Only int64 triples move; the driver
+    sees just the reciprocal pairs.  Oracle: generated SQL over the same
+    splitmix ring (oracles.reciprocal_links_sql).
+    """
+    import pyarrow.parquet as _pq
+
+    from .dedup import _mix64
+
+    n = _pq.ParquetFile(_t(sf_dir, "documents")).metadata.num_rows
+    ds = read_pruned(_t(sf_dir, "documents"), ["doc_id"])
+
+    _ROW = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                      ("d", pa.int8()), ("bucket", pa.int32())])
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        u64 = ids.astype(np.uint64)
+        hash_dst = [
+            (_mix64(u64 * np.uint64(4) + np.uint64(j)) % np.uint64(n))
+            .astype(np.int64)
+            for j in (1, 2, 3)
+        ]
+        gate = (_mix64((u64 >> np.uint64(1)) * np.uint64(4))
+                % np.uint64(4)) == 0
+        pv = ids ^ 1
+        pkeep = gate & (pv < n)
+        src = np.concatenate([ids, ids, ids, ids[pkeep]])
+        dst = np.concatenate(hash_dst + [pv[pkeep]])
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        a = np.minimum(src, dst)
+        b = np.maximum(src, dst)
+        d = (src > dst).astype(np.int8)  # orientation flag
+        return pa.table(
+            {"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64()),
+             "d": pa.array(d, pa.int8()),
+             "bucket": pa.array(
+                 ((a * np.int64(1_000_003) + b) % N_KEY_BUCKETS).astype(np.int32),
+                 pa.int32())},
+            schema=_ROW)
+
+    _OUT = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+
+    def mutual(g: pd.DataFrame) -> pa.Table:
+        u = g.drop_duplicates(["a", "b", "d"])
+        c = u.groupby(["a", "b"], as_index=False).size()
+        c = c[c["size"] == 2]
+        return pa.table(
+            {"doc_a": pa.array(c["a"].to_numpy(), pa.int64()),
+             "doc_b": pa.array(c["b"].to_numpy(), pa.int64())}, schema=_OUT)
+
+    out = (
+        ds.map_batches(edge_rows, batch_format="pyarrow", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(mutual, batch_format="pandas")
+        .to_pandas()
+    )
+    if "doc_a" not in out.columns:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64")})
+    return (out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+            .astype({"doc_a": "int64", "doc_b": "int64"}))
+
+
+_TREND_EPOCH_HOURS = 262_968  # hours from 1970-01-01 to 2000-01-01: the
+# fixed x-origin that keeps sum(x^2) partials inside int64 at smoke scale
+
+
+def event_value_trend(sf_dir: str) -> pd.DataFrame:
+    """(event_type, n_events, sum_hours, sum_cents, slope_micro) — per-type
+    ordinary-least-squares trend of event value (integer cents) against
+    event-time (integer hours since 2000-01-01): the grouped-regression
+    shape (decomposable cross-moment sums) next to value_stats_per_type's
+    plain moments.  slope_micro = floor(1e6 * (n*sxy - sx*sy) /
+    (n*sxx - sx*sx)), computed on the driver's |types|-row frame with
+    PYTHON ints (arbitrary precision, so the 1e6-scaled numerator can't
+    overflow); the oracle mirrors with HUGEINT + an explicit positive-mod
+    floor adjustment so DuckDB's truncating division lands on the same
+    value.  Degenerate groups (all events in one hour) emit slope 0.
+
+    Scale shape: map-only per-batch (n, sx, sy, sxx, sxy) int64 partials
+    per event_type (the decomposable-aggregate idiom), one |types|-sized
+    groupby.  The 2000-01-01 x-origin keeps sxx ~ n * (2.3e5)^2 inside
+    int64 up to ~1e11 rows; past that the partials would carry a base-2^62
+    hi/lo split (the embedding_mahalanobis_outliers treatment).
+    """
+    ds = read_pruned(_t(sf_dir, "events"), ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = (pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.int64())
+             .to_numpy() // 3_600_000_000) - _TREND_EPOCH_HOURS
+        y = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame({"event_type": t["event_type"].to_pandas(),
+                           "x": x, "y": y, "xx": x * x, "xy": x * y})
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxx=("xx", "sum"), sxy=("xy", "sum"))
+        return _from_pandas(g)
+
+    from ray.data.aggregate import Sum
+
+    m = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=262144)
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                   Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
+                   Sum("sxy", alias_name="sxy"))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    slopes = []
+    for _, r in m.iterrows():
+        n, sx, sy, sxx, sxy = (int(r["n"]), int(r["sx"]), int(r["sy"]),
+                               int(r["sxx"]), int(r["sxy"]))
+        den = n * sxx - sx * sx
+        slopes.append((1_000_000 * (n * sxy - sx * sy)) // den if den else 0)
+    return pd.DataFrame(
+        {"event_type": m["event_type"],
+         "n_events": m["n"].astype("int64"),
+         "sum_hours": m["sx"].astype("int64"),
+         "sum_cents": m["sy"].astype("int64"),
+         "slope_micro": pd.Series(slopes, dtype="int64")})

@@ -1237,3 +1237,36 @@ def zorder_pruned_count_sql(bits: int = 8, shard_bits: int = 4,
                     WHERE user_id <= u_hi
                       AND epoch_us(date_trunc('hour', ts)) // 3600000000
                           <= h_hi) AS n_rows"""
+
+
+def reciprocal_links_sql() -> str:
+    """Oracle for relational.reciprocal_links: the generated hash graph —
+    three splitmix out-edges ``mix64(u*4+j) % n`` plus the pair-gated
+    partner edge ``u <-> xor(u, 1)`` iff ``mix64((u>>1)*4) % 4 == 0`` —
+    and the mutual-pair self-join, sharing the engine's splitmix ring."""
+    hmix = _mix64("hin")
+    gmix = _mix64("gin")
+    return f"""
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            hi AS (
+              SELECT doc_id AS u, (doc_id * 4 + v.j)::UBIGINT AS hin
+              FROM documents, (VALUES (1), (2), (3)) v(j)),
+            he AS (
+              SELECT u, CAST(({hmix}) % (SELECT n FROM nn)::UBIGINT
+                             AS BIGINT) AS dst
+              FROM hi),
+            gi AS (
+              SELECT doc_id AS u, ((doc_id >> 1) * 4)::UBIGINT AS gin
+              FROM documents),
+            pe AS (
+              SELECT u, CAST(xor(u::UBIGINT, 1::UBIGINT) AS BIGINT) AS dst
+              FROM gi, nn
+              WHERE ({gmix}) % 4::UBIGINT = 0::UBIGINT
+                AND CAST(xor(u::UBIGINT, 1::UBIGINT) AS BIGINT) < nn.n),
+            e AS (SELECT DISTINCT u AS src, dst
+                  FROM (SELECT * FROM he UNION ALL SELECT * FROM pe)
+                  WHERE u <> dst)
+            SELECT x.src AS doc_a, x.dst AS doc_b
+            FROM e x JOIN e y ON x.src = y.dst AND x.dst = y.src
+            WHERE x.src < x.dst
+            ORDER BY doc_a, doc_b"""
