@@ -441,6 +441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_skyline": relational.order_skyline,
         "event_type_correlations": relational.event_type_correlations,
         "reciprocal_links": relational.reciprocal_links,
+        "orders_scd2_merge": relational.orders_scd2_merge,
         "event_value_trend": relational.event_value_trend,
         # text analysis (M11/M12/M13 + training-data ops)
         "token_count": text.token_count,
@@ -2207,6 +2208,34 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY d.doc_id)
             SELECT indeg AS in_degree, count(*)::BIGINT AS n_nodes
             FROM ind GROUP BY indeg ORDER BY in_degree
+        """,
+        # SCD2 MERGE INTO: deterministic CDC batch (update %10==3,
+        # delete %10==7, insert past-max %10==1) applied as validity history
+        "orders_scd2_merge": """
+            WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+            b AS (SELECT o_orderkey AS k,
+                         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                  FROM orders),
+            upd AS (SELECT k, cents + 500 AS nc FROM b WHERE k % 10 = 3),
+            del AS (SELECT k FROM b WHERE k % 10 = 7),
+            ins AS (SELECT b.k + mx.m + 1 AS k, cents + 123 AS nc
+                    FROM b, mx WHERE b.k % 10 = 1)
+            SELECT * FROM (
+              SELECT b.k AS o_orderkey, b.cents AS price_cents,
+                     CAST(0 AS BIGINT) AS valid_from,
+                     CAST(CASE WHEN u.k IS NOT NULL OR d.k IS NOT NULL
+                          THEN 1 ELSE 9999 END AS BIGINT) AS valid_to,
+                     CAST(CASE WHEN u.k IS NOT NULL OR d.k IS NOT NULL
+                          THEN 0 ELSE 1 END AS BIGINT) AS is_current
+              FROM b LEFT JOIN upd u ON b.k = u.k
+                     LEFT JOIN del d ON b.k = d.k
+              UNION ALL
+              SELECT k, nc, CAST(1 AS BIGINT), CAST(9999 AS BIGINT),
+                     CAST(1 AS BIGINT) FROM upd
+              UNION ALL
+              SELECT k, nc, CAST(1 AS BIGINT), CAST(9999 AS BIGINT),
+                     CAST(1 AS BIGINT) FROM ins
+            ) ORDER BY o_orderkey, valid_from
         """,
         # reciprocal (mutual) directed edges over the generated hash link
         # graph with planted partner pairs (generated SQL over the same

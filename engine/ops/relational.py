@@ -5512,3 +5512,94 @@ def event_value_trend(sf_dir: str) -> pd.DataFrame:
          "sum_hours": m["sx"].astype("int64"),
          "sum_cents": m["sy"].astype("int64"),
          "slope_micro": pd.Series(slopes, dtype="int64")})
+
+
+SCD2_OPEN = 9999  # open-interval sentinel version for current SCD2 rows
+
+
+def orders_scd2_merge(sf_dir: str) -> pd.DataFrame:
+    """(o_orderkey, price_cents, valid_from, valid_to, is_current) — a
+    lakehouse MERGE INTO applied as slowly-changing-dimension type 2: a
+    deterministic CDC batch (updates for o_orderkey%10==3 at +500 cents,
+    deletes for %10==7, inserts keyed past the current max for %10==1 at
+    +123 cents) merged against the orders snapshot, emitting full validity
+    history — untouched rows stay (0, OPEN, current), updated/deleted base
+    rows close at version 1, update/insert rows open at version 1.  The
+    upsert idiom every warehouse table-maintenance job runs; versions are
+    integers (OPEN = 9999) so the output is hash-exact.
+
+    Scale shape: the CDC side is derived by its own map over the snapshot
+    (in production it would be a second table — the merge below never
+    exploits the functional relationship); base and CDC rows union into
+    ONE key-bucket all-to-all, and each bucket group resolves its keys'
+    histories vectorized (left-merge + concat).  Only (key, cents, op)
+    int rows move; the driver never holds the table.  The max-key for
+    insert keying is a distributed single-column max.
+    """
+    ds = read_pruned(_t(sf_dir, "orders"), ["o_orderkey", "o_totalprice"])
+    mx = int(ds.max("o_orderkey"))
+
+    _ROW = pa.schema([("k", pa.int64()), ("cents", pa.int64()),
+                      ("op", pa.string()), ("bucket", pa.int32())])
+
+    def base_rows(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy()
+        cents = np.round(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {"k": pa.array(k, pa.int64()), "cents": pa.array(cents, pa.int64()),
+             "op": pa.array(["B"] * len(k), pa.string()),
+             "bucket": pa.array((k % N_KEY_BUCKETS).astype(np.int32), pa.int32())},
+            schema=_ROW)
+
+    def cdc_rows(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy()
+        cents = np.round(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        mu, md, mi = k % 10 == 3, k % 10 == 7, k % 10 == 1
+        ks = np.concatenate([k[mu], k[md], k[mi] + mx + 1])
+        cs = np.concatenate([cents[mu] + 500, np.zeros(md.sum(), np.int64),
+                             cents[mi] + 123])
+        ops = ["U"] * int(mu.sum()) + ["D"] * int(md.sum()) + ["I"] * int(mi.sum())
+        return pa.table(
+            {"k": pa.array(ks, pa.int64()), "cents": pa.array(cs, pa.int64()),
+             "op": pa.array(ops, pa.string()),
+             "bucket": pa.array((ks % N_KEY_BUCKETS).astype(np.int32), pa.int32())},
+            schema=_ROW)
+
+    _OUT = pa.schema([("o_orderkey", pa.int64()), ("price_cents", pa.int64()),
+                      ("valid_from", pa.int64()), ("valid_to", pa.int64()),
+                      ("is_current", pa.int64())])
+
+    def merge_group(g: pd.DataFrame) -> pa.Table:
+        base = g[g["op"] == "B"][["k", "cents"]]
+        upd = g[g["op"] == "U"][["k", "cents"]].rename(columns={"cents": "nc"})
+        dele = g[g["op"] == "D"][["k"]]
+        ins = g[g["op"] == "I"][["k", "cents"]]
+        b = base.merge(upd, on="k", how="left")
+        touched = b["nc"].notna() | b["k"].isin(dele["k"])
+        rows = [pd.DataFrame({
+            "o_orderkey": b["k"], "price_cents": b["cents"],
+            "valid_from": 0,
+            "valid_to": np.where(touched, 1, SCD2_OPEN),
+            "is_current": np.where(touched, 0, 1)})]
+        u = b[b["nc"].notna()]
+        rows.append(pd.DataFrame({
+            "o_orderkey": u["k"], "price_cents": u["nc"].astype(np.int64),
+            "valid_from": 1, "valid_to": SCD2_OPEN, "is_current": 1}))
+        rows.append(pd.DataFrame({
+            "o_orderkey": ins["k"], "price_cents": ins["cents"],
+            "valid_from": 1, "valid_to": SCD2_OPEN, "is_current": 1}))
+        out = pd.concat(rows, ignore_index=True)
+        return pa.Table.from_pandas(
+            out.astype({c: "int64" for c in out.columns}),
+            schema=_OUT, preserve_index=False).replace_schema_metadata(None)
+
+    out = (
+        ds.map_batches(base_rows, batch_format="pyarrow", batch_size=262144)
+        .union(ds.map_batches(cdc_rows, batch_format="pyarrow",
+                              batch_size=262144))
+        .groupby("bucket")
+        .map_groups(merge_group, batch_format="pandas")
+        .to_pandas()
+    )
+    return (out.sort_values(["o_orderkey", "valid_from"]).reset_index(drop=True)
+            .astype({c: "int64" for c in out.columns}))
