@@ -442,6 +442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_correlations": relational.event_type_correlations,
         "reciprocal_links": relational.reciprocal_links,
         "orders_scd2_merge": relational.orders_scd2_merge,
+        "k_core_docs": relational.k_core_docs,
         "event_value_trend": relational.event_value_trend,
         # text analysis (M11/M12/M13 + training-data ops)
         "token_count": text.token_count,
@@ -2209,6 +2210,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT indeg AS in_degree, count(*)::BIGINT AS n_nodes
             FROM ind GROUP BY indeg ORDER BY in_degree
         """,
+        # bounded-round k-core peel over the generated variable-degree
+        # graph (6 unrolled degree/survivor CTE pairs — see
+        # engine.ops.relational.k_core_docs)
+        "k_core_docs": _lsh_oracles.k_core_sql(),
         # SCD2 MERGE INTO: deterministic CDC batch (update %10==3,
         # delete %10==7, insert past-max %10==1) applied as validity history
         "orders_scd2_merge": """

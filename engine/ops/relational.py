@@ -5603,3 +5603,134 @@ def orders_scd2_merge(sf_dir: str) -> pd.DataFrame:
     )
     return (out.sort_values(["o_orderkey", "valid_from"]).reset_index(drop=True)
             .astype({c: "int64" for c in out.columns}))
+
+
+def k_core_docs(sf_dir: str, k: int = 4, rounds: int = 6) -> pd.DataFrame:
+    """(doc_id, core_degree) — bounded-round k-CORE peeling over a
+    variable-degree generated doc graph: each round removes every node
+    whose degree among the still-active nodes is < k, for ``rounds``
+    rounds (the pagerank fixed-iteration stance — at the test scales 6
+    rounds reach the fixpoint; the op is DEFINED as the bounded peel so
+    engine and oracle agree at any scale).  Output: survivors with their
+    degree restricted to the surviving set.  k-core is the standard
+    link-graph denoising step before community detection / PageRank (it
+    strips the low-degree fringe a crawler drags in).
+
+    Graph: undirected simple graph from edges ``doc -> (doc*31+s) % n``
+    for s in 1..(1 + doc%3) (VARIABLE out-degree — the shared uniform
+    family has an empty peel) plus the quadratic ``doc -> (doc^2+1) % n``
+    hub edge; self-loops dropped, parallel edges collapse (degree counts
+    DISTINCT neighbors).
+
+    Scale shape: peeling is node REMOVAL with degree recompute — the
+    iterative shape BFS's monotone frontier growth can't express.  State
+    is only the active-node Dataset; per round TWO narrow all-to-alls:
+    (1) edges generated from active nodes bucket by dst to membership-test
+    the far endpoint against marker rows (src is active by construction);
+    survivors emit both orientations re-keyed by node; (2) per-node
+    distinct-neighbor degree resolves vectorized in each node bucket and
+    emits only nodes with deg >= k.  The driver never holds the node set;
+    a final degree pass (with zero-carrier markers so isolated survivors
+    keep degree 0) produces the output.  Oracle: `rounds` unrolled
+    degree/survivor CTE pairs (oracles.k_core_sql), exact at both scales.
+    """
+    import pyarrow.parquet as _pq
+
+    n = _pq.ParquetFile(_t(sf_dir, "documents")).metadata.num_rows
+
+    _EDGE = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                       ("m", pa.int8()), ("bucket", pa.int32())])
+    _ORIENT = pa.schema([("node", pa.int64()), ("other", pa.int64()),
+                         ("bucket2", pa.int32())])
+    _NODE = pa.schema([("node", pa.int64())])
+    _OUT = pa.schema([("doc_id", pa.int64()), ("core_degree", pa.int64())])
+
+    def edges_and_markers(t: pa.Table) -> pa.Table:
+        ids = t["node"].to_numpy()
+        srcs, dsts = [], []
+        for s in (1, 2, 3):
+            sel = ids[(ids % 3) >= s - 1]
+            srcs.append(sel)
+            dsts.append((sel * 31 + s) % n)
+        srcs.append(ids)
+        dsts.append((ids * ids + 1) % n)
+        src = np.concatenate(srcs)
+        dst = np.concatenate(dsts)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        src = np.concatenate([src, ids])            # marker rows: src==dst
+        dst = np.concatenate([dst, ids])
+        m = np.concatenate([np.zeros(keep.sum(), np.int8),
+                            np.ones(len(ids), np.int8)])
+        return pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64()),
+             "m": pa.array(m, pa.int8()),
+             "bucket": pa.array((dst % N_KEY_BUCKETS).astype(np.int32),
+                                pa.int32())},
+            schema=_EDGE)
+
+    def make_orient(include_zero: bool):
+        def orient(g: pd.DataFrame) -> pa.Table:
+            mk = g["m"].to_numpy() == 1
+            act = g.loc[mk, "dst"].to_numpy()
+            e = g.loc[~mk]
+            e = e[e["dst"].isin(act)]
+            node = np.concatenate([e["src"].to_numpy(), e["dst"].to_numpy()])
+            other = np.concatenate([e["dst"].to_numpy(), e["src"].to_numpy()])
+            if include_zero:
+                node = np.concatenate([node, act])
+                other = np.concatenate([other, np.full(len(act), -1, np.int64)])
+            return pa.table(
+                {"node": pa.array(node, pa.int64()),
+                 "other": pa.array(other, pa.int64()),
+                 "bucket2": pa.array((node % N_KEY_BUCKETS).astype(np.int32),
+                                     pa.int32())},
+                schema=_ORIENT)
+        return orient
+
+    def survivors(g: pd.DataFrame) -> pa.Table:
+        e = g.drop_duplicates(["node", "other"])
+        deg = e.groupby("node").size()
+        keep = deg[deg >= k].index.to_numpy()
+        return pa.table({"node": pa.array(keep, pa.int64())}, schema=_NODE)
+
+    def final_degree(g: pd.DataFrame) -> pa.Table:
+        e = g[g["other"] >= 0].drop_duplicates(["node", "other"])
+        nodes = np.unique(g["node"].to_numpy())
+        deg = e.groupby("node").size().reindex(nodes, fill_value=0)
+        return pa.table(
+            {"doc_id": pa.array(nodes, pa.int64()),
+             "core_degree": pa.array(deg.to_numpy().astype(np.int64),
+                                     pa.int64())},
+            schema=_OUT)
+
+    def all_nodes(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["doc_id"]}, schema=_NODE)
+
+    active = (read_pruned(_t(sf_dir, "documents"), ["doc_id"])
+              .map_batches(all_nodes, batch_format="pyarrow")
+              .materialize())
+    for _ in range(rounds):
+        active = (
+            active.map_batches(edges_and_markers, batch_format="pyarrow",
+                               batch_size=262144)
+            .groupby("bucket")
+            .map_groups(make_orient(False), batch_format="pandas")
+            .groupby("bucket2")
+            .map_groups(survivors, batch_format="pandas")
+            .materialize()
+        )
+        if active.count() == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "core_degree": pd.Series([], dtype="int64")})
+    out = (
+        active.map_batches(edges_and_markers, batch_format="pyarrow",
+                           batch_size=262144)
+        .groupby("bucket")
+        .map_groups(make_orient(True), batch_format="pandas")
+        .groupby("bucket2")
+        .map_groups(final_degree, batch_format="pandas")
+        .to_pandas()
+    )
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            .astype({"doc_id": "int64", "core_degree": "int64"}))

@@ -1270,3 +1270,41 @@ def reciprocal_links_sql() -> str:
             FROM e x JOIN e y ON x.src = y.dst AND x.dst = y.src
             WHERE x.src < x.dst
             ORDER BY doc_a, doc_b"""
+
+
+def k_core_sql(k: int = 4, rounds: int = 6) -> str:
+    """Oracle for relational.k_core_docs: `rounds` unrolled degree/survivor
+    CTE pairs over the generated variable-out-degree + quadratic edge set,
+    then the final restricted-degree output with zero-degree survivors."""
+    def deg_cte(i: int, prev: str) -> str:
+        return f"""d{i} AS MATERIALIZED (
+              SELECT node, count(*)::BIGINT AS deg FROM (
+                SELECT e.a AS node FROM e
+                  JOIN {prev} x ON e.a = x.node JOIN {prev} y ON e.b = y.node
+                UNION ALL
+                SELECT e.b FROM e
+                  JOIN {prev} x ON e.a = x.node JOIN {prev} y ON e.b = y.node
+              ) GROUP BY node)"""
+    ctes = ["""e0 AS (
+              SELECT doc_id AS u,
+                     (doc_id * 31 + v.s) % (SELECT n FROM nn) AS w
+              FROM documents, (VALUES (1), (2), (3)) v(s)
+              WHERE (doc_id % 3) >= v.s - 1
+              UNION ALL
+              SELECT doc_id, (doc_id * doc_id + 1) % (SELECT n FROM nn)
+              FROM documents)""",
+            "e AS MATERIALIZED (SELECT DISTINCT least(u, w) AS a, "
+            "greatest(u, w) AS b FROM e0 WHERE u <> w)",
+            "a0 AS MATERIALIZED (SELECT doc_id AS node FROM documents)"]
+    for i in range(1, rounds + 1):
+        ctes.append(deg_cte(i, f"a{i-1}"))
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {k})")
+    ctes.append(deg_cte(rounds + 1, f"a{rounds}"))
+    return f"""
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            {', '.join(ctes)}
+            SELECT x.node AS doc_id,
+                   coalesce(d.deg, 0)::BIGINT AS core_degree
+            FROM a{rounds} x LEFT JOIN d{rounds + 1} d ON d.node = x.node
+            ORDER BY doc_id"""

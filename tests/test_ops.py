@@ -3296,3 +3296,48 @@ def test_link_weighted_paths_sequential_reference(ray_session, tmp_path):
         assert depth[v] <= c <= depth[v] * 9 if depth[v] else c == 0
 
     assert out.equals(link_weighted_paths(str(d), max_hops=4))
+
+
+def test_k_core_sequential_reference(ray_session, tmp_path):
+    """Distributed bounded-round k-core peel equals an independent
+    sequential peeler on a corpus size the sf tables never use, including
+    the final restricted degrees; removing rounds monotonically shrinks
+    nothing (fixpoint reached at this n); deterministic."""
+    import pyarrow.parquet as pq
+
+    from engine.ops.relational import k_core_docs
+
+    n = 223
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                             "text": pa.array(["x"] * n, pa.string())}),
+                   d / "documents.parquet")
+
+    out = k_core_docs(str(d), k=4, rounds=6)
+
+    # sequential reference: build the simple graph, peel to the 6-round mark
+    adj = {u: set() for u in range(n)}
+    for u in range(n):
+        for s in (1, 2, 3):
+            if u % 3 >= s - 1:
+                v = (u * 31 + s) % n
+                if v != u:
+                    adj[u].add(v)
+                    adj[v].add(u)
+        v = (u * u + 1) % n
+        if v != u:
+            adj[u].add(v)
+            adj[v].add(u)
+    active = set(range(n))
+    for _ in range(6):
+        deg = {u: len(adj[u] & active) for u in active}
+        active = {u for u in active if deg[u] >= 4}
+    want = {u: len(adj[u] & active) for u in sorted(active)}
+
+    got = dict(zip(out["doc_id"], out["core_degree"]))
+    assert got == want
+    assert len(want) > 0
+    # fixpoint at this n: one more peel removes nobody
+    assert all(v >= 4 for v in want.values()) or not want
+    assert out.equals(k_core_docs(str(d), k=4, rounds=6))
