@@ -512,6 +512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": dedup.simhash_signatures,
         "simhash_near_pairs": dedup.simhash_near_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "ppjoin_pairs": dedup.ppjoin_pairs,
         "ngram_containment_pairs": dedup.ngram_containment_pairs,
         "dedup_recall_report": dedup.dedup_recall_report,
         "dup_ngram_spans": dedup.dup_ngram_spans,
@@ -1222,6 +1223,10 @@ def oracle_sql() -> dict[str, str]:
         # engine/oracles.py::ngram_overlap_pairs_sql (no short-doc branch;
         # integer cross-multiplied predicates keep the hash float-free)
         "ngram_jaccard_pairs": _lsh_oracles.ngram_overlap_pairs_sql(
+            3, 1, 2, "jaccard"),
+        # PPJoin returns the SAME exact-Jaccard pair set as the inverted
+        # index (prefix filtering is lossless) — it shares that oracle
+        "ppjoin_pairs": _lsh_oracles.ngram_overlap_pairs_sql(
             3, 1, 2, "jaccard"),
         "ngram_containment_pairs": _lsh_oracles.ngram_overlap_pairs_sql(
             3, 4, 5, "containment"),

@@ -767,6 +767,61 @@ def near_dedup_canonical_ds(sf_dir: str, threshold: float = 0.5):
 # ---------------------------------------------------------------------------
 
 
+def _distinct_shingle_rows(t: pa.Table, k: int, n_buckets: int) -> pa.Table:
+    """Batch-vectorized distinct-shingle explode shared by the inverted-index
+    overlap family and PPJoin: (doc_id, sh, n, bucket=sh % n_buckets) rows,
+    one per DISTINCT 61-bit k-gram shingle hash per doc, each carrying the
+    doc's distinct-shingle count ``n`` (factorized token hashing, k strided
+    XOR passes with doc-boundary masking, lexsort dedup — the shared
+    ``_shingles`` md5/splitmix ring, no short-doc branch)."""
+    ids = t["doc_id"].to_numpy()
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "sh": pa.array([], pa.int64()),
+         "n": pa.array([], pa.int64()), "bucket": pa.array([], pa.int32())}
+    )
+    if len(ids) == 0:
+        return empty
+    toks_per_doc = [s.lower().split() for s in t["text"].to_pylist()]
+    lens = np.array([len(x) for x in toks_per_doc], dtype=np.int64)
+    if int(lens.sum()) == 0:
+        return empty
+    flat = [w for toks in toks_per_doc for w in toks]
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+    uh = np.fromiter(
+        (_token_hash(w) for w in uniques), dtype=np.uint64, count=len(uniques)
+    )
+    th = uh[codes]
+    n_starts = len(th) - k + 1
+    if n_starts <= 0:
+        return empty
+    g_full = np.zeros(n_starts, dtype=np.uint64)
+    for j in range(k):
+        g_full ^= th[j : j + n_starts] * _POS_MULT[j]
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    offs = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    s_pos = np.arange(len(th), dtype=np.int64) - offs[doc_idx]
+    valid = (s_pos <= np.repeat(lens, lens) - k)[:n_starts]
+    g = _mix64(g_full[valid]) & np.uint64((1 << 61) - 1)
+    didx = doc_idx[:n_starts][valid]
+    # per-doc distinct: lexsort + adjacent-diff mask (vectorized set())
+    order = np.lexsort((g, didx))
+    g_s, d_s = g[order], didx[order]
+    keep = np.ones(len(g_s), dtype=bool)
+    keep[1:] = (g_s[1:] != g_s[:-1]) | (d_s[1:] != d_s[:-1])
+    g_u, d_u = g_s[keep], d_s[keep]
+    n_per_doc = np.bincount(d_u, minlength=len(lens)).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[d_u], pa.int64()),
+            "sh": pa.array(g_u.astype(np.int64), pa.int64()),
+            "n": pa.array(n_per_doc[d_u], pa.int64()),
+            "bucket": pa.array(
+                (g_u % np.uint64(n_buckets)).astype(np.int32), pa.int32()
+            ),
+        }
+    )
+
+
 def _ngram_overlap_pairs(sf_dir: str, k: int, threshold_num: int,
                          threshold_den: int, mode: str) -> pd.DataFrame:
     """EXACT token-k-gram Jaccard near-dup pairs via a distributed inverted
@@ -803,52 +858,7 @@ def _ngram_overlap_pairs(sf_dir: str, k: int, threshold_num: int,
     N_SHUFFLE_BUCKETS = 64
 
     def shingle_rows(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy()
-        empty = pa.table(
-            {"doc_id": pa.array([], pa.int64()), "sh": pa.array([], pa.int64()),
-             "n": pa.array([], pa.int64()), "bucket": pa.array([], pa.int32())}
-        )
-        if len(ids) == 0:
-            return empty
-        toks_per_doc = [s.lower().split() for s in t["text"].to_pylist()]
-        lens = np.array([len(x) for x in toks_per_doc], dtype=np.int64)
-        if int(lens.sum()) == 0:
-            return empty
-        flat = [w for toks in toks_per_doc for w in toks]
-        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
-        uh = np.fromiter(
-            (_token_hash(w) for w in uniques), dtype=np.uint64, count=len(uniques)
-        )
-        th = uh[codes]
-        n_starts = len(th) - k + 1
-        if n_starts <= 0:
-            return empty
-        g_full = np.zeros(n_starts, dtype=np.uint64)
-        for j in range(k):
-            g_full ^= th[j : j + n_starts] * _POS_MULT[j]
-        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-        offs = np.concatenate([[0], np.cumsum(lens)])[:-1]
-        s_pos = np.arange(len(th), dtype=np.int64) - offs[doc_idx]
-        valid = (s_pos <= np.repeat(lens, lens) - k)[:n_starts]
-        g = _mix64(g_full[valid]) & np.uint64((1 << 61) - 1)
-        didx = doc_idx[:n_starts][valid]
-        # per-doc distinct: lexsort + adjacent-diff mask (vectorized set())
-        order = np.lexsort((g, didx))
-        g_s, d_s = g[order], didx[order]
-        keep = np.ones(len(g_s), dtype=bool)
-        keep[1:] = (g_s[1:] != g_s[:-1]) | (d_s[1:] != d_s[:-1])
-        g_u, d_u = g_s[keep], d_s[keep]
-        n_per_doc = np.bincount(d_u, minlength=len(lens)).astype(np.int64)
-        return pa.table(
-            {
-                "doc_id": pa.array(ids[d_u], pa.int64()),
-                "sh": pa.array(g_u.astype(np.int64), pa.int64()),
-                "n": pa.array(n_per_doc[d_u], pa.int64()),
-                "bucket": pa.array(
-                    (g_u % np.uint64(N_SHUFFLE_BUCKETS)).astype(np.int32), pa.int32()
-                ),
-            }
-        )
+        return _distinct_shingle_rows(t, k, N_SHUFFLE_BUCKETS)
 
     PAIR_PARTIAL_SCHEMA = pa.schema(
         [("doc_a", pa.int64()), ("doc_b", pa.int64()),
@@ -954,6 +964,192 @@ def ngram_containment_pairs(sf_dir: str, k: int = 3,
     """
     return _ngram_overlap_pairs(sf_dir, k, threshold_num, threshold_den,
                                 "containment")
+
+
+# ---------------------------------------------------------------------------
+# PPJoin: prefix-filtered exact set-similarity join (Xiao et al. 2008)
+# ---------------------------------------------------------------------------
+
+
+def _ppjoin_candidates_ds(sf_dir: str, k: int, threshold_num: int,
+                          threshold_den: int):
+    """Candidate (doc_a < doc_b) pairs from PREFIX FILTERING (the AllPairs/
+    PPJoin principle, Xiao et al. 2008 "Efficient Similarity Joins for
+    Near Duplicate Detection"): order every doc's distinct shingles by
+    (document frequency asc, hash asc) — one consistent global order — and
+    index only each doc's first ``p = n - ceil(t*n) + 1`` shingles.  Any
+    pair with Jaccard >= t = num/den shares >= ceil(t*n) shingles, and at
+    most ``n - p = ceil(t*n) - 1`` of a doc's shingles lie outside its
+    prefix, so every qualifying pair collides on some prefix shingle (no
+    false negatives); a df-1 shingle may occupy a prefix slot but generates
+    no candidates, which the theorem tolerates.  The length filter
+    ``den*n_min >= num*n_max`` prunes further.
+
+    Scale shape — three narrow all-to-alls over int64 rows (text never
+    moves), versus the plain inverted index's sum(f^2) pair explosion over
+    EVERY shingle:
+
+    1. shingle-bucket exchange: per-shingle document frequency resolves
+       in-group (rows are distinct (doc, sh), so df = group size) and rides
+       each surviving (df >= 2) row; df-1 rows die here and only their
+       per-doc COUNT ``m`` is reconstructed from the carried ``n``.
+    2. doc-bucket exchange: each doc sorts its surviving shingles by
+       (df, sh) vectorized (lexsort + cumcount) and keeps ranks
+       ``< p - m`` (global prefix position = m + rank).
+    3. prefix-shingle-bucket exchange: per-shingle np.unique + triu pair
+       generation with the integer length filter; prefix shingles are by
+       construction the RAREST, so groups stay small.
+
+    Candidates then flow through the shared distributed pair-dedup.
+    """
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    N_SHUFFLE_BUCKETS = 64
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        return _distinct_shingle_rows(t, k, N_SHUFFLE_BUCKETS)
+
+    _DF_ROW = pa.schema(
+        [("doc_id", pa.int64()), ("sh", pa.int64()), ("n", pa.int64()),
+         ("df", pa.int64()), ("dbucket", pa.int32())]
+    )
+
+    def attach_df(g: pd.DataFrame) -> pa.Table:
+        df = g.groupby("sh")["sh"].transform("size")
+        g = g[df >= 2]
+        df = df[df >= 2]
+        d = g["doc_id"].to_numpy()
+        return pa.table(
+            {"doc_id": pa.array(d, pa.int64()),
+             "sh": pa.array(g["sh"].to_numpy(), pa.int64()),
+             "n": pa.array(g["n"].to_numpy(), pa.int64()),
+             "df": pa.array(df.to_numpy(), pa.int64()),
+             "dbucket": pa.array((d % N_SHUFFLE_BUCKETS).astype(np.int32),
+                                 pa.int32())},
+            schema=_DF_ROW)
+
+    _PREFIX_ROW = pa.schema(
+        [("sh", pa.int64()), ("doc_id", pa.int64()), ("n", pa.int64()),
+         ("sbucket", pa.int32())]
+    )
+
+    def prefix_rows(g: pd.DataFrame) -> pa.Table:
+        d = g["doc_id"].to_numpy()
+        sh = g["sh"].to_numpy()
+        df = g["df"].to_numpy()
+        n = g["n"].to_numpy()
+        order = np.lexsort((sh, df, d))
+        d, sh, df, n = d[order], sh[order], df[order], n[order]
+        first = np.concatenate([[True], d[1:] != d[:-1]])
+        # rank within doc among surviving (df>=2) shingles, in (df, sh) order
+        grp_start = np.flatnonzero(first)
+        sizes = np.diff(np.concatenate([grp_start, [len(d)]]))
+        rank = np.arange(len(d)) - np.repeat(grp_start, sizes)
+        m = n - np.repeat(sizes, sizes)          # per-doc df-1 shingle count
+        p = n - (threshold_num * n + threshold_den - 1) // threshold_den + 1
+        keep = (m + rank) < p
+        sh, d, n = sh[keep], d[keep], n[keep]
+        return pa.table(
+            {"sh": pa.array(sh, pa.int64()), "doc_id": pa.array(d, pa.int64()),
+             "n": pa.array(n, pa.int64()),
+             "sbucket": pa.array((sh % N_SHUFFLE_BUCKETS).astype(np.int32),
+                                 pa.int32())},
+            schema=_PREFIX_ROW)
+
+    def candidate_pairs(g: pd.DataFrame) -> pa.Table:
+        g = g[g.groupby("sh")["sh"].transform("size") >= 2]
+        out_a, out_b = [], []
+        for _, sub in g.groupby("sh", sort=False):
+            u = sub.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = u["doc_id"].to_numpy()
+            ns = u["n"].to_numpy()
+            if len(ids) < 2:
+                continue
+            iu, ju = np.triu_indices(len(ids), k=1)
+            na, nb = ns[iu], ns[ju]
+            ok = threshold_den * np.minimum(na, nb) >= (
+                threshold_num * np.maximum(na, nb))
+            out_a.append(ids[iu][ok])
+            out_b.append(ids[ju][ok])
+        a = np.concatenate(out_a) if out_a else np.zeros(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.zeros(0, np.int64)
+        return pa.table({"doc_a": pa.array(a, pa.int64()),
+                         "doc_b": pa.array(b, pa.int64())}, schema=_PAIR_SCHEMA)
+
+    cands = (
+        ds.map_batches(shingle_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(attach_df, batch_format="pandas")
+        .groupby("dbucket")
+        .map_groups(prefix_rows, batch_format="pandas")
+        .groupby("sbucket")
+        .map_groups(candidate_pairs, batch_format="pandas")
+    )
+    return _pair_dedup_ds(cands)
+
+
+def ppjoin_pairs(sf_dir: str, k: int = 3, threshold_num: int = 1,
+                 threshold_den: int = 2) -> pd.DataFrame:
+    """EXACT token-k-gram Jaccard near-dup pairs via PREFIX-FILTERED
+    candidate generation (PPJoin) + exact shingle-set verification — the
+    same result set as ``ngram_jaccard_pairs`` (it shares that op's
+    generated DuckDB oracle) from a candidate set bounded by prefix
+    collisions on the corpus's RAREST shingles instead of the inverted
+    index's sum(f^2) over all shingles.  Columns: (doc_a, doc_b, n_common,
+    n_a, n_b), integer-only.
+
+    Verify reads each candidate chunk's texts from the shared one-time
+    ``bucket=K/`` docs copy (the minhash verify idiom), recomputes both
+    distinct-shingle sets, and applies the integer cross-multiplied rule
+    ``(den+num)*c >= num*(n_a+n_b)``.  Equivalence to the inverted-index
+    op is additionally pytest-locked (same pairs at sf0.001, plus a
+    planted-near-dup corpus where the prefix filter provably prunes).
+    """
+    from .io import bucketed_copy, read_bucket_ids
+
+    cands = _ppjoin_candidates_ds(sf_dir, k, threshold_num, threshold_den)
+    docs_bucketed = bucketed_copy(
+        os.path.join(sf_dir, "documents.parquet"), "doc_id",
+        ["doc_id", "text"], N_VERIFY_BUCKETS,
+    )
+
+    OUT_SCHEMA = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+         ("n_common", pa.int64()), ("n_a", pa.int64()), ("n_b", pa.int64())]
+    )
+
+    def verify_chunk(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_pylist()
+        b = t["doc_b"].to_pylist()
+        if not a:
+            return OUT_SCHEMA.empty_table()
+        need = sorted(set(a) | set(b))
+        tex = read_bucket_ids(
+            docs_bucketed, "doc_id", ["doc_id", "text"], need, N_VERIFY_BUCKETS
+        )
+        texts = dict(zip(tex["doc_id"].to_pylist(), tex["text"].to_pylist()))
+        sh = {d: set(np.unique(_gram_hashes_positional(texts[d], k)).tolist())
+              for d in need}
+        rows = {c: [] for c in ("doc_a", "doc_b", "n_common", "n_a", "n_b")}
+        for x, y in zip(a, b):
+            c = len(sh[x] & sh[y])
+            na, nb = len(sh[x]), len(sh[y])
+            if (threshold_den + threshold_num) * c >= threshold_num * (na + nb):
+                rows["doc_a"].append(x)
+                rows["doc_b"].append(y)
+                rows["n_common"].append(c)
+                rows["n_a"].append(na)
+                rows["n_b"].append(nb)
+        return pa.table({c: pa.array(v, pa.int64()) for c, v in rows.items()},
+                        schema=OUT_SCHEMA)
+
+    out = cands.map_batches(verify_chunk, batch_format="pyarrow",
+                            batch_size=2048).to_pandas()
+    if "doc_a" not in out.columns:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("doc_a", "doc_b", "n_common", "n_a", "n_b")}
+        )
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------

@@ -3341,3 +3341,51 @@ def test_k_core_sequential_reference(ray_session, tmp_path):
     # fixpoint at this n: one more peel removes nobody
     assert all(v >= 4 for v in want.values()) or not want
     assert out.equals(k_core_docs(str(d), k=4, rounds=6))
+
+
+def test_ppjoin_equals_inverted_index_and_prunes(ray_session, tmp_path):
+    """PPJoin returns exactly the inverted-index exact-Jaccard pair set
+    (prefix filtering is lossless), and on a boilerplate-heavy planted
+    corpus its candidate count is strictly below the number of pairs
+    sharing ANY shingle (the inverted index's pair universe)."""
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    from engine.ops.dedup import (_gram_hashes_positional,
+                                  _ppjoin_candidates_ds, ngram_jaccard_pairs,
+                                  ppjoin_pairs)
+
+    # planted corpus: shared boilerplate prefix (frequent shingles) + a few
+    # true near-dup pairs + unique tails
+    boiler = "terms of service apply"
+    docs = []
+    for i in range(30):
+        tail = " ".join(f"w{i}x{j}" for j in range(24))
+        docs.append(f"{boiler} {tail}")
+    for i in (0, 2, 4):  # plant near-dups of docs 0/2/4
+        docs.append(docs[i] + " x")
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())}),
+        d / "documents.parquet")
+
+    got = ppjoin_pairs(str(d))
+    want = ngram_jaccard_pairs(str(d))
+    assert got.equals(want)
+    assert len(got) >= 3  # the planted pairs are found
+
+    # pruning: candidates << pairs sharing any shingle
+    n_cands = _ppjoin_candidates_ds(str(d), 3, 1, 2).count()
+    sh = [set(np.unique(_gram_hashes_positional(t.lower(), 3)).tolist())
+          for t in docs]
+    n_share = sum(1 for a, b in itertools.combinations(range(len(docs)), 2)
+                  if sh[a] & sh[b])
+    assert n_cands < n_share
+    assert n_cands >= len(want)
+
+    # sf-corpus equality too (different df landscape)
+    sf = "/root/testdata/sf0.001"
+    assert ppjoin_pairs(sf).equals(ngram_jaccard_pairs(sf))
