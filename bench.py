@@ -205,6 +205,11 @@ BENCH_QUERY_NAMES = [
     "typo_token_pairs",
     "link_weighted_paths",
     "zorder_pruned_count",
+    "reciprocal_links",
+    "event_value_trend",
+    "orders_scd2_merge",
+    "k_core_docs",
+    "ppjoin_pairs",
 ]
 
 
@@ -685,6 +690,13 @@ def run_dedup_smoke() -> dict:
         "typo_token_pairs": lambda: _text_ops.typo_token_pairs(dest),
         # bounded-hop Bellman-Ford: max_hops narrow (node, dist) exchanges
         "link_weighted_paths": lambda: rel.link_weighted_paths(dest),
+        # prefix-filtered exact similarity join (PPJoin): three narrow
+        # int64 all-to-alls + bucketed-read verify
+        "ppjoin_pairs": lambda: dedup.ppjoin_pairs(dest),
+        # bounded-round k-core peel: two narrow all-to-alls per round
+        "k_core_docs": lambda: rel.k_core_docs(dest),
+        # mutual-edge detection: one pair-bucket all-to-all
+        "reciprocal_links": lambda: rel.reciprocal_links(dest),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")
     if only:
@@ -886,6 +898,8 @@ def run_events_smoke() -> dict:
         # distributed zip-with-index consumed as a streaming count (the
         # 50M-row assignment never collects on the driver at smoke scale)
         "events_global_seq": lambda: rel._events_global_seq_count(dest),
+        # per-type OLS trend: map-only int64 moment partials, |types| rows
+        "event_value_trend": lambda: len(rel.event_value_trend(dest)),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")
     if only:
