@@ -357,6 +357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": relational.top_orders,
         "events_hourly": relational.events_hourly,
         "events_hourly_dense": relational.events_hourly_dense,
+        "incremental_events_hourly": relational.incremental_events_hourly,
         "session_length_histogram": relational.session_length_histogram,
         "zorder_layout_events": relational.zorder_layout_events,
         "zorder_pruned_count": relational.zorder_pruned_count,
@@ -443,6 +444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reciprocal_links": relational.reciprocal_links,
         "orders_scd2_merge": relational.orders_scd2_merge,
         "k_core_docs": relational.k_core_docs,
+        "butterfly_count_events": relational.butterfly_count_events,
         "event_value_trend": relational.event_value_trend,
         # text analysis (M11/M12/M13 + training-data ops)
         "token_count": text.token_count,
@@ -471,6 +473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_confusion_matrix": text.langid_confusion_matrix,
         "typo_token_pairs": text.typo_token_pairs,
         "fingerprint_md5": text.fingerprint_md5,
+        "median_doc_hash": text.median_doc_hash,
         "fingerprint_rolling": text.fingerprint_rolling,
         "feature_hash_embed": text.feature_hash_embed,
         "hll_distinct_tokens": text.hll_distinct_tokens,
@@ -517,6 +520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_recall_report": dedup.dedup_recall_report,
         "dup_ngram_spans": dedup.dup_ngram_spans,
         "winnow_fingerprints": dedup.winnow_fingerprints,
+        "winnow_overlap_pairs": dedup.winnow_overlap_pairs,
         "strip_dup_spans": dedup.strip_dup_spans,
         "c4_line_dedup": dedup.c4_line_dedup,
         "host_boilerplate_strip": dedup.host_boilerplate_strip,
@@ -723,6 +727,11 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
         """,
         "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+            FROM events GROUP BY event_type, hour ORDER BY event_type, hour
+        """,
+        # incremental view maintenance must reproduce the full recompute
+        "incremental_events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
             FROM events GROUP BY event_type, hour ORDER BY event_type, hour
         """,
@@ -1408,6 +1417,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_minhash_dedup": _lsh_oracles.incremental_minhash_dedup_sql(),
         "dup_ngram_spans": _lsh_oracles.dup_ngram_spans_sql(),
         "winnow_fingerprints": _lsh_oracles.winnow_fingerprints_sql(),
+        "winnow_overlap_pairs": _lsh_oracles.winnow_overlap_pairs_sql(),
         "strip_dup_spans": _lsh_oracles.strip_dup_spans_sql(),
         "c4_line_dedup": _lsh_oracles.c4_line_dedup_sql(),
         "host_boilerplate_strip": _lsh_oracles.host_boilerplate_strip_sql(),
@@ -2214,6 +2224,31 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY d.doc_id)
             SELECT indeg AS in_degree, count(*)::BIGINT AS n_nodes
             FROM ind GROUP BY indeg ORDER BY in_degree
+        """,
+        # sort-free exact median of the 63-bit md5 doc fingerprint
+        "median_doc_hash": """
+            WITH h AS (
+              SELECT CAST(('0x' || substr(md5(text), 1, 16))::UBIGINT
+                          & 9223372036854775807::UBIGINT AS BIGINT) AS v
+              FROM documents)
+            SELECT (SELECT count(*) FROM h)::BIGINT AS n_docs,
+                   (SELECT v FROM h ORDER BY v
+                    LIMIT 1 OFFSET ((SELECT count(*) FROM h) - 1) // 2)
+                     AS median_hash
+        """,
+        # bipartite butterfly (2x2 biclique) counts per type pair
+        "butterfly_count_events": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+            p AS (
+              SELECT a.event_type AS type_a, b.event_type AS type_b,
+                     count(*)::BIGINT AS n_users
+              FROM ut a JOIN ut b
+                ON a.user_id = b.user_id AND a.event_type < b.event_type
+              GROUP BY 1, 2)
+            SELECT type_a, type_b, n_users,
+                   CAST(n_users * (n_users - 1) // 2 AS BIGINT)
+                     AS n_butterflies
+            FROM p ORDER BY type_a, type_b
         """,
         # bounded-round k-core peel over the generated variable-degree
         # graph (6 unrolled degree/survivor CTE pairs — see

@@ -210,6 +210,10 @@ BENCH_QUERY_NAMES = [
     "orders_scd2_merge",
     "k_core_docs",
     "ppjoin_pairs",
+    "butterfly_count_events",
+    "median_doc_hash",
+    "incremental_events_hourly",
+    "winnow_overlap_pairs",
 ]
 
 
@@ -697,6 +701,11 @@ def run_dedup_smoke() -> dict:
         "k_core_docs": lambda: rel.k_core_docs(dest),
         # mutual-edge detection: one pair-bucket all-to-all
         "reciprocal_links": lambda: rel.reciprocal_links(dest),
+        # sort-free exact median: two 4096-bin histogram passes + one
+        # prefix-bin collect (n/2^24 values)
+        "median_doc_hash": lambda: len(_text_ops.median_doc_hash(dest)),
+        # MOSS pair report over the winnowed sketch: two narrow exchanges
+        "winnow_overlap_pairs": lambda: dedup.winnow_overlap_pairs(dest),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")
     if only:
@@ -900,6 +909,12 @@ def run_events_smoke() -> dict:
         "events_global_seq": lambda: rel._events_global_seq_count(dest),
         # per-type OLS trend: map-only int64 moment partials, |types| rows
         "event_value_trend": lambda: len(rel.event_value_trend(dest)),
+        # bipartite butterfly counts: one user-bucket all-to-all of
+        # distinct (user, type) partials, pair-count-sized reduce
+        "butterfly_count_events": lambda: len(rel.butterfly_count_events(dest)),
+        # incremental view maintenance: delta-only scan + stored-view merge
+        "incremental_events_hourly": lambda: len(
+            rel.incremental_events_hourly(dest)),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")
     if only:

@@ -2203,3 +2203,90 @@ def chunk_exact_dedup(sf_dir: str) -> pd.DataFrame:
     )
     return (out.sort_values(["doc_id", "chunk_index"])
             .reset_index(drop=True))
+
+
+def winnow_overlap_pairs(sf_dir: str, k: int = 3, w: int = 4,
+                         min_shared: int = 2) -> pd.DataFrame:
+    """(doc_a, doc_b, n_shared) — the MOSS REPORT step over the winnowing
+    sketch: document pairs sharing at least ``min_shared`` distinct
+    winnowed fingerprints, with the shared-fingerprint count (Schleimer et
+    al. 2003 §5 — MOSS ranks submission pairs by exactly this).  Winnowing
+    guarantees any shared run of >= w + k - 1 tokens contributes a shared
+    fingerprint, so this is the cheap near-copy screen: the sketch is
+    ~2/(w+1) of gram positions, so both exchanges move that fraction of
+    dup_ngram_spans' gram volume.
+
+    Scale shape: the map-only winnow sketch feeds a fingerprint-bucket
+    exchange (global per-(doc, fp) dedup + per-fingerprint np.unique/triu
+    pair partials — the inverted-index idiom) and a pair-bucket exchange
+    sums partials and applies the min_shared cut.  Cost model is
+    sum(f^2) over WINNOWED fingerprint frequencies — the boilerplate
+    caveat of ngram_jaccard_pairs applies at w+k-1-token granularity.
+
+    Oracle: the winnow_fingerprints SQL nested as a CTE + self-join
+    (oracles.winnow_overlap_pairs_sql), exact at both sf scales.
+    """
+    rows = winnow_fingerprints_ds(sf_dir, k, w)
+    N_SHUFFLE_BUCKETS = 64
+
+    _ROW = pa.schema([("doc_id", pa.int64()), ("fp", pa.int64()),
+                      ("bucket", pa.int32())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"doc_id": t["doc_id"].to_numpy(),
+                           "fp": t["fp"].to_numpy()}).drop_duplicates()
+        f = df["fp"].to_numpy()
+        return pa.table(
+            {"doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+             "fp": pa.array(f, pa.int64()),
+             "bucket": pa.array((f % N_SHUFFLE_BUCKETS).astype(np.int32),
+                                pa.int32())},
+            schema=_ROW)
+
+    _P = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                    ("c", pa.int64()), ("pbucket", pa.int32())])
+
+    def fp_pair_partials(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(["doc_id", "fp"])
+        g = g[g.groupby("fp")["fp"].transform("size") >= 2]
+        if len(g) == 0:
+            return _P.empty_table()
+        m = g.merge(g, on="fp")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        c = (m.groupby(["doc_id_x", "doc_id_y"], as_index=False)
+             .size().rename(columns={"size": "c"}))
+        a = c["doc_id_x"].to_numpy()
+        b = c["doc_id_y"].to_numpy()
+        return pa.table(
+            {"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64()),
+             "c": pa.array(c["c"].to_numpy(), pa.int64()),
+             "pbucket": pa.array(
+                 ((a * np.int64(1_000_003) + b) % N_SHUFFLE_BUCKETS)
+                 .astype(np.int32), pa.int32())},
+            schema=_P)
+
+    _OUT = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                      ("n_shared", pa.int64())])
+
+    def sum_and_cut(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby(["doc_a", "doc_b"], as_index=False)["c"].sum()
+        s = s[s["c"] >= min_shared]
+        return pa.table(
+            {"doc_a": pa.array(s["doc_a"].to_numpy(), pa.int64()),
+             "doc_b": pa.array(s["doc_b"].to_numpy(), pa.int64()),
+             "n_shared": pa.array(s["c"].to_numpy(), pa.int64())},
+            schema=_OUT)
+
+    out = (
+        rows.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fp_pair_partials, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(sum_and_cut, batch_format="pandas")
+        .to_pandas()
+    )
+    if "doc_a" not in out.columns:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("doc_a", "doc_b", "n_shared")})
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

@@ -5734,3 +5734,158 @@ def k_core_docs(sf_dir: str, k: int = 4, rounds: int = 6) -> pd.DataFrame:
     )
     return (out.sort_values("doc_id").reset_index(drop=True)
             .astype({"doc_id": "int64", "core_degree": "int64"}))
+
+
+def butterfly_count_events(sf_dir: str) -> pd.DataFrame:
+    """(type_a, type_b, n_users, n_butterflies) — bipartite BUTTERFLY
+    (2x2 biclique) counting over the user x event_type graph (edge = user
+    emitted that type at least once): for every type pair, the number of
+    users adjacent to both, and C(n_users, 2) butterflies through that
+    pair.  The butterfly is the bipartite analog of the triangle — the
+    standard cohesion motif for user-item / host-resource graphs (Sanei-
+    Mehri et al. 2018), counted here per wedge pair exactly.
+
+    Scale shape: per-batch DISTINCT (user, type) partials, ONE user-bucket
+    all-to-all; each bucket group re-distincts (global per-user dedup —
+    all copies of a user land in one group) and self-merges its users'
+    bounded type sets (type vocabulary is a small enum, so <= C(|T|,2)
+    pair rows per user) into per-group (type_a, type_b, cnt) partials; the
+    driver reduce is pair-count-sized.  Butterfly counts are exact
+    integers — C(n,2) = n*(n-1)//2.
+    """
+    ds = read_pruned(_t(sf_dir, "events"), ["user_id", "event_type"])
+
+    _ROW = pa.schema([("user_id", pa.int64()), ("event_type", pa.string()),
+                      ("bucket", pa.int32())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"user_id": t["user_id"].to_numpy(),
+                           "event_type": t["event_type"].to_pandas()})
+        df = df.drop_duplicates()
+        u = df["user_id"].to_numpy()
+        return pa.table(
+            {"user_id": pa.array(u, pa.int64()),
+             "event_type": pa.array(df["event_type"].to_numpy(), pa.string()),
+             "bucket": pa.array((u % N_KEY_BUCKETS).astype(np.int32),
+                                pa.int32())},
+            schema=_ROW)
+
+    _P = pa.schema([("type_a", pa.string()), ("type_b", pa.string()),
+                    ("cnt", pa.int64())])
+
+    def pair_partial(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(["user_id", "event_type"])
+        m = g.merge(g, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        c = (m.groupby(["event_type_x", "event_type_y"], as_index=False)
+             .size().rename(columns={"size": "cnt"}))
+        return pa.table(
+            {"type_a": pa.array(c["event_type_x"].to_numpy(), pa.string()),
+             "type_b": pa.array(c["event_type_y"].to_numpy(), pa.string()),
+             "cnt": pa.array(c["cnt"].to_numpy().astype(np.int64), pa.int64())},
+            schema=_P)
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(pair_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    if "type_a" not in parts.columns or len(parts) == 0:
+        return pd.DataFrame({"type_a": pd.Series([], dtype="object"),
+                             "type_b": pd.Series([], dtype="object"),
+                             "n_users": pd.Series([], dtype="int64"),
+                             "n_butterflies": pd.Series([], dtype="int64")})
+    s = parts.groupby(["type_a", "type_b"], as_index=False)["cnt"].sum()
+    n = s["cnt"].to_numpy()
+    return (pd.DataFrame({"type_a": s["type_a"], "type_b": s["type_b"],
+                          "n_users": n.astype(np.int64),
+                          "n_butterflies": (n * (n - 1) // 2).astype(np.int64)})
+            .sort_values(["type_a", "type_b"]).reset_index(drop=True))
+
+
+IVM_DELTA_MOD = 20   # event_id % 20 == IVM_DELTA_RES rows form the "late
+IVM_DELTA_RES = 3    # batch" the incremental maintenance pass absorbs
+
+
+def _hourly_slice_partials(sf_dir: str, which: str) -> pd.DataFrame:
+    """(event_type, hour_us, n) combined partials over one side of the
+    deterministic base/delta split (``event_id % IVM_DELTA_MOD ==
+    IVM_DELTA_RES`` is the delta) — the events_hourly pipeline with the
+    slice predicate applied inside the map."""
+    ds = read_pruned(_t(sf_dir, "events"), ["event_id", "event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        m = (eid % IVM_DELTA_MOD) == IVM_DELTA_RES
+        if which == "base":
+            m = ~m
+        df = pd.DataFrame(
+            {"event_type": t["event_type"].to_pandas()[m],
+             "hour_us": pc.cast(pc.floor_temporal(t["ts"], unit="hour"),
+                                pa.int64()).to_pandas()[m]})
+        g = df.groupby(["event_type", "hour_us"], as_index=False).size().rename(
+            columns={"size": "n"})
+        g["bucket"] = (g["hour_us"].to_numpy() % N_KEY_BUCKETS).astype(np.int32)
+        return _from_pandas(g)
+
+    _H = pa.schema([("event_type", pa.string()), ("hour_us", pa.int64()),
+                    ("n", pa.int64())])
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby(["event_type", "hour_us"], as_index=False)["n"].sum()
+        return pa.Table.from_pandas(
+            s, schema=_H, preserve_index=False).replace_schema_metadata(None)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def incremental_events_hourly(sf_dir: str) -> pd.DataFrame:
+    """(event_type, hour, n) — the hourly-counts aggregate maintained
+    INCREMENTALLY (classic incremental view maintenance): the base slice's
+    aggregate is computed once and STORED (/tmp cache keyed on the events
+    file's (mtime, size), atomic rename — the materialized view); at query
+    time only the DELTA slice (event_id % 20 == 3, the "late batch" —
+    in production its own ingest table) is scanned and aggregated, and the
+    two aggregate frames merge by +.  Counts are decomposable, so the
+    merge is exact; the checked property is that maintenance reproduces
+    the FULL recompute (the oracle aggregates everything from scratch).
+
+    Scale shape: the delta aggregation is the events_hourly pipeline
+    (per-batch combined partials, one coarse hour-bucket exchange); the
+    stored view and the merge are aggregate-sized (|types| x |hours|),
+    never event-sized.  A production run would also persist the merged
+    view back — elided here so the query stays read-only and rerunnable.
+    """
+    import hashlib as _hl
+
+    import pyarrow.parquet as _pq
+
+    path = _t(sf_dir, "events")
+    st = os.stat(path)
+    key = _hl.md5(
+        f"{os.path.abspath(path)}|{st.st_mtime_ns}|{st.st_size}|ivm_hourly_v1"
+        .encode()).hexdigest()[:16]
+    cache_dir = os.path.join("/tmp", "engine_ivm_cache", key)
+    base_file = os.path.join(cache_dir, "base_hourly.parquet")
+    if not os.path.exists(base_file):
+        base = _hourly_slice_partials(sf_dir, "base")
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = base_file + ".tmp"
+        _pq.write_table(
+            pa.Table.from_pandas(base, preserve_index=False)
+            .replace_schema_metadata(None), tmp)
+        os.replace(tmp, base_file)
+    base = pd.read_parquet(base_file)
+    delta = _hourly_slice_partials(sf_dir, "delta")
+    out = (pd.concat([base, delta], ignore_index=True)
+           .groupby(["event_type", "hour_us"], as_index=False)["n"].sum())
+    out["hour"] = pd.to_datetime(out["hour_us"], unit="us")
+    out["n"] = out["n"].astype("int64")
+    return (out[["event_type", "hour", "n"]]
+            .sort_values(["event_type", "hour"]).reset_index(drop=True))

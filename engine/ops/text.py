@@ -2772,3 +2772,69 @@ def typo_token_pairs(sf_dir: str, k: int = TYPO_TOPK_QUERIES) -> pd.DataFrame:
                              "tok_b": pd.Series([], dtype="object")})
     out = out.drop_duplicates()  # the same pair can surface via several keys
     return (out.sort_values(["tok_a", "tok_b"]).reset_index(drop=True))
+
+
+def median_doc_hash(sf_dir: str) -> pd.DataFrame:
+    """(n_docs, median_hash) — EXACT lower median (0-based rank (n-1)//2)
+    of the 63-bit md5 content fingerprint, found WITHOUT a global sort:
+    two map-only 4096-bin histogram passes narrow the median to one
+    24-bit prefix bin, then a third pass collects only that bin's values
+    (expected n / 2^24 rows — ~60k values even at 10^12 docs) for the
+    exact in-bin rank.  The sort-free distributed order-statistic shape
+    for UNBOUNDED domains — the complement of the bounded-cents histogram
+    quantiles and the sort-based ``_values_at_ranks``: total data moved is
+    two 4096-row histograms per block plus one tiny value collect, versus
+    a full all-to-all range exchange.
+
+    The hash domain is the DuckDB-expressible md5 prefix (the simhash
+    idiom): ``int(md5(text)[:8]) & (2^63 - 1)``.
+    """
+    ds = _docs(sf_dir, ["text"])
+
+    def hashes(t: pa.Table) -> np.ndarray:
+        return np.array(
+            [int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+             & ((1 << 63) - 1) for s in t["text"].to_pylist()],
+            dtype=np.int64)
+
+    _H = pa.schema([("b", pa.int64()), ("c", pa.int64())])
+
+    def hist_pass(shift: int, prefix_shift: int | None, prefix: int):
+        def f(t: pa.Table) -> pa.Table:
+            h = hashes(t)
+            if prefix_shift is not None:
+                h = h[(h >> prefix_shift) == prefix]
+            cnt = np.bincount((h >> shift) & 4095, minlength=4096)
+            nz = np.flatnonzero(cnt)
+            return pa.table({"b": pa.array(nz, pa.int64()),
+                             "c": pa.array(cnt[nz], pa.int64())}, schema=_H)
+        return f
+
+    def winning_bin(parts: pd.DataFrame, rank: int) -> tuple[int, int]:
+        s = parts.groupby("b")["c"].sum().sort_index()
+        cum = s.cumsum().to_numpy()
+        i = int(np.searchsorted(cum, rank + 1))
+        before = int(cum[i - 1]) if i else 0
+        return int(s.index[i]), rank - before
+
+    n = ds.count()
+    if n == 0:
+        return pd.DataFrame({"n_docs": pd.Series([0], dtype="int64"),
+                             "median_hash": pd.Series([0], dtype="int64")})
+    rank = (n - 1) // 2
+    p1 = ds.map_batches(hist_pass(51, None, 0), batch_format="pyarrow").to_pandas()
+    w1, rank = winning_bin(p1, rank)
+    p2 = ds.map_batches(hist_pass(39, 51, w1), batch_format="pyarrow").to_pandas()
+    w2, rank = winning_bin(p2, rank)
+    pref = (w1 << 12) | w2
+
+    def collect(t: pa.Table) -> pa.Table:
+        h = hashes(t)
+        h = h[(h >> 39) == pref]
+        return pa.table({"v": pa.array(h, pa.int64())})
+
+    vals = np.sort(ds.map_batches(collect, batch_format="pyarrow")
+                   .to_pandas()["v"].to_numpy())
+    return pd.DataFrame({"n_docs": pd.Series([n], dtype="int64"),
+                         "median_hash": pd.Series([int(vals[rank])],
+                                                  dtype="int64")})

@@ -1308,3 +1308,21 @@ def k_core_sql(k: int = 4, rounds: int = 6) -> str:
                    coalesce(d.deg, 0)::BIGINT AS core_degree
             FROM a{rounds} x LEFT JOIN d{rounds + 1} d ON d.node = x.node
             ORDER BY doc_id"""
+
+
+def winnow_overlap_pairs_sql(k: int = 3, w: int = 4,
+                             min_shared: int = 2) -> str:
+    """Oracle for dedup.winnow_overlap_pairs: the winnow_fingerprints query
+    nested as a CTE, distinct (doc, fp), fingerprint self-join, count cut."""
+    inner = winnow_fingerprints_sql(k, w)
+    return f"""
+            WITH wf AS ({inner}),
+            d AS (SELECT DISTINCT doc_id, fp FROM wf),
+            p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*)::BIGINT AS n_shared
+              FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b, n_shared FROM p
+            WHERE n_shared >= {min_shared}
+            ORDER BY doc_a, doc_b"""
