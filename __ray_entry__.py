@@ -446,6 +446,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_core_docs": relational.k_core_docs,
         "butterfly_count_events": relational.butterfly_count_events,
         "event_value_trend": relational.event_value_trend,
+        "daily_order_ship_balance": relational.daily_order_ship_balance,
+        "concurrent_sessions_peak": relational.concurrent_sessions_peak,
         # text analysis (M11/M12/M13 + training-data ops)
         "token_count": text.token_count,
         "token_count_bpe": text.token_count_bpe,
@@ -2235,6 +2237,47 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT v FROM h ORDER BY v
                     LIMIT 1 OFFSET ((SELECT count(*) FROM h) - 1) // 2)
                      AS median_hash
+        """,
+        # FULL OUTER join verb: orders placed vs lineitems shipped per day
+        "daily_order_ship_balance": """
+            WITH o AS (SELECT o_orderdate AS day, count(*)::BIGINT AS n_orders,
+                              sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                                ::BIGINT AS order_cents
+                       FROM orders GROUP BY 1),
+                 l AS (SELECT l_shipdate AS day, count(*)::BIGINT AS n_ship,
+                              sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                                ::BIGINT AS ship_cents
+                       FROM lineitem GROUP BY 1)
+            SELECT COALESCE(o.day, l.day) AS day,
+                   COALESCE(n_orders, 0)::BIGINT AS n_orders,
+                   COALESCE(order_cents, 0)::BIGINT AS order_cents,
+                   COALESCE(n_ship, 0)::BIGINT AS n_ship,
+                   COALESCE(ship_cents, 0)::BIGINT AS ship_cents
+            FROM o FULL OUTER JOIN l ON o.day = l.day ORDER BY day
+        """,
+        # sweep-line peak session concurrency (closed intervals: +1 sorts
+        # before -1 at equal ts, matching the engine's (ts, delta DESC))
+        "concurrent_sessions_peak": """
+            WITH o AS (
+              SELECT user_id, ts, event_id,
+                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+              FROM events),
+            s AS (
+              SELECT user_id, ts,
+                sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess
+              FROM o),
+            sess AS (SELECT user_id, sess, min(ts) AS st, max(ts) AS en
+                     FROM s GROUP BY user_id, sess),
+            b AS (SELECT epoch_us(st) AS ts, 1 AS delta FROM sess
+                  UNION ALL SELECT epoch_us(en), -1 FROM sess),
+            c AS (SELECT sum(delta) OVER (ORDER BY ts, delta DESC
+                                          ROWS UNBOUNDED PRECEDING) AS run
+                  FROM b)
+            SELECT (SELECT max(run) FROM c)::BIGINT AS peak_concurrency,
+                   (SELECT count(*) FROM sess)::BIGINT AS n_sessions
         """,
         # bipartite butterfly (2x2 biclique) counts per type pair
         "butterfly_count_events": """

@@ -5889,3 +5889,155 @@ def incremental_events_hourly(sf_dir: str) -> pd.DataFrame:
     out["n"] = out["n"].astype("int64")
     return (out[["event_type", "hour", "n"]]
             .sort_values(["event_type", "hour"]).reset_index(drop=True))
+
+
+def daily_order_ship_balance(sf_dir: str) -> pd.DataFrame:
+    """(day, n_orders, order_cents, n_ship, ship_cents) — the FULL OUTER
+    join verb: orders placed per day merged against lineitems shipped per
+    day.  Ship dates run past the last order date (and may miss early
+    days), so both outer sides are genuinely non-empty — the
+    reconciliation shape (ledger vs fulfillment) where a missing side must
+    surface as an explicit zero row, which inner/left joins silently drop.
+
+    Scale shape: each side is pre-aggregated per batch (one row per day
+    per batch, exact integer cents), the two partial streams UNION tagged
+    by side, and ONE coarse day-bucket all-to-all resolves the outer merge
+    per bucket (all copies of a day, from either side, land in the same
+    group) — neither fact table is ever joined row-to-row.  The driver
+    sees only |days| rows.
+    """
+    orders = read_pruned(_t(sf_dir, "orders"), ["o_orderdate", "o_totalprice"])
+    line = read_pruned(_t(sf_dir, "lineitem"), ["l_shipdate", "l_extendedprice"])
+
+    _P = pa.schema([("day", pa.int64()), ("side", pa.int8()),
+                    ("n", pa.int64()), ("cents", pa.int64()),
+                    ("bucket", pa.int32())])
+    _DAY_US = 86_400_000_000
+
+    def _partial(date_col: str, price_col: str, side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            days = pc.cast(t[date_col], pa.int64()).to_numpy()  # midnight us
+            cents = np.round(t[price_col].to_numpy() * 100).astype(np.int64)
+            df = pd.DataFrame({"day": days, "cents": cents})
+            g = df.groupby("day", as_index=False).agg(
+                n=("cents", "size"), cents=("cents", "sum"))
+            return pa.table(
+                {"day": pa.array(g["day"].to_numpy(), pa.int64()),
+                 "side": pa.array(np.full(len(g), side, np.int8), pa.int8()),
+                 "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+                 "cents": pa.array(g["cents"].to_numpy(), pa.int64()),
+                 "bucket": pa.array(
+                     ((g["day"].to_numpy() // _DAY_US) % N_KEY_BUCKETS)
+                     .astype(np.int32), pa.int32())},
+                schema=_P)
+        return fn
+
+    _OUT = pa.schema([("day", pa.int64()),
+                      ("n_orders", pa.int64()), ("order_cents", pa.int64()),
+                      ("n_ship", pa.int64()), ("ship_cents", pa.int64())])
+
+    def outer_merge(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby(["day", "side"], as_index=False)[["n", "cents"]].sum()
+        o = s[s["side"] == 0].set_index("day")
+        sh = s[s["side"] == 1].set_index("day")
+        days = o.index.union(sh.index)  # the outer merge: either side keeps
+        out = pd.DataFrame({
+            "day": days.to_numpy().astype(np.int64),
+            "n_orders": o["n"].reindex(days, fill_value=0).to_numpy(),
+            "order_cents": o["cents"].reindex(days, fill_value=0).to_numpy(),
+            "n_ship": sh["n"].reindex(days, fill_value=0).to_numpy(),
+            "ship_cents": sh["cents"].reindex(days, fill_value=0).to_numpy(),
+        })
+        return pa.Table.from_pandas(
+            out, schema=_OUT, preserve_index=False).replace_schema_metadata(None)
+
+    parts = (
+        orders.map_batches(_partial("o_orderdate", "o_totalprice", 0),
+                           batch_format="pyarrow", batch_size=262144)
+        .union(line.map_batches(_partial("l_shipdate", "l_extendedprice", 1),
+                                batch_format="pyarrow", batch_size=262144))
+        .groupby("bucket")
+        .map_groups(outer_merge, batch_format="pandas")
+        .to_pandas()
+    )
+    parts["day"] = pd.to_datetime(parts["day"].to_numpy().astype(np.int64),
+                                  unit="us")
+    for c in ("n_orders", "order_cents", "n_ship", "ship_cents"):
+        parts[c] = parts[c].astype("int64")
+    return parts.sort_values("day").reset_index(drop=True)
+
+
+_SWEEP_CELL_US = 3_600_000_000  # hour-grid cell for the sweep-line exchange
+
+
+def concurrent_sessions_peak(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """(peak_concurrency, n_sessions) — the SWEEP-LINE shape: the maximum
+    number of user sessions (30-min-gap sessionization, closed intervals
+    [first_ts, last_ts]) simultaneously open at any instant — the
+    capacity-planning statistic (peak simultaneous connections) that no
+    per-key window can express because the running sum crosses ALL keys.
+
+    Scale shape: sessions form in the per-user-bucket groups (the
+    sessionizer's own exchange) and leave as ±1 BOUNDARY rows on an hour
+    grid; one boundary exchange on the coarse cell bucket lets each cell
+    sort its own boundaries ((ts, +1-before--1) — closed intervals:
+    a session starting exactly when another ends overlaps it) and emit
+    (cell, net_delta, local_running_max, n_starts); the driver's reduce is
+    cells-sized — an exclusive prefix sum of net deltas re-bases each
+    cell's local max (the events_global_seq two-phase idiom applied to a
+    running MAX).  No global sort, no event-sized collect.
+    """
+    ds = read_pruned(_t(sf_dir, "events"), ["user_id", "ts", "event_id"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    _B = pa.schema([("ts", pa.int64()), ("delta", pa.int8()),
+                    ("cell", pa.int64()), ("bucket", pa.int32())])
+
+    def boundaries(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        sess = (new_user | (g["ts"].diff() > gap)).cumsum()
+        agg = g.groupby(sess)["ts"].agg(["min", "max"])
+        st = agg["min"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        en = agg["max"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        ts = np.concatenate([st, en])
+        delta = np.concatenate([np.ones(len(st), np.int8),
+                                np.full(len(en), -1, np.int8)])
+        cell = ts // _SWEEP_CELL_US
+        return pa.table(
+            {"ts": pa.array(ts, pa.int64()), "delta": pa.array(delta, pa.int8()),
+             "cell": pa.array(cell, pa.int64()),
+             "bucket": pa.array((cell % N_KEY_BUCKETS).astype(np.int32),
+                                pa.int32())},
+            schema=_B)
+
+    _C = pa.schema([("cell", pa.int64()), ("net", pa.int64()),
+                    ("local_max", pa.int64()), ("n_starts", pa.int64())])
+
+    def cell_partial(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["cell", "ts", "delta"],
+                          ascending=[True, True, False], kind="mergesort")
+        run = g.groupby("cell")["delta"].cumsum()
+        out = pd.DataFrame({
+            "cell": g["cell"], "run": run, "delta": g["delta"].astype("int64")})
+        agg = out.groupby("cell").agg(
+            net=("delta", "sum"), local_max=("run", "max"),
+            n_starts=("delta", lambda d: int((d > 0).sum())))
+        return pa.Table.from_pandas(
+            agg.reset_index(), schema=_C, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    cells = (
+        ds.map_batches(_bucket_by("user_id"), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(boundaries, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(cell_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    cells = cells.sort_values("cell").reset_index(drop=True)
+    offsets = cells["net"].cumsum().shift(fill_value=0).to_numpy()
+    peak = int((cells["local_max"].to_numpy() + offsets).max())
+    return pd.DataFrame({"peak_concurrency": pd.Series([peak], dtype="int64"),
+                         "n_sessions": pd.Series([int(cells["n_starts"].sum())],
+                                                 dtype="int64")})
