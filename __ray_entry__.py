@@ -448,6 +448,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_trend": relational.event_value_trend,
         "daily_order_ship_balance": relational.daily_order_ship_balance,
         "concurrent_sessions_peak": relational.concurrent_sessions_peak,
+        "link_prediction_ra": relational.link_prediction_ra,
+        "robots_gate": relational.robots_gate,
         # text analysis (M11/M12/M13 + training-data ops)
         "token_count": text.token_count,
         "token_count_bpe": text.token_count_bpe,
@@ -2329,6 +2331,10 @@ def oracle_sql() -> dict[str, str]:
         # graph with planted partner pairs (generated SQL over the same
         # splitmix ring — see engine.ops.relational.reciprocal_links)
         "reciprocal_links": _lsh_oracles.reciprocal_links_sql(),
+        # resource-allocation link prediction over the same generated graph
+        "link_prediction_ra": _lsh_oracles.link_prediction_ra_sql(),
+        # robots.txt longest-prefix-match gate over generated per-host rules
+        "robots_gate": _lsh_oracles.robots_gate_sql(),
         # per-type OLS value-vs-time trend: exact integer moment sums +
         # floor(1e6 * cov / var) via HUGEINT with an explicit positive-mod
         # floor adjustment (engine mirrors with Python ints)

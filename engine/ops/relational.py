@@ -5369,6 +5369,30 @@ def zorder_pruned_count(sf_dir: str) -> pd.DataFrame:
                          "n_rows": [n_rows]}).astype("int64")
 
 
+def _recip_edge_arrays(ids: np.ndarray, n: int):
+    """Directed edges of the planted-partner hash link graph shared by
+    reciprocal_links and link_prediction_ra: three splitmix64 out-edges
+    ``u -> mix64(u*4+j) % n`` (j in 1..3) plus the pair-gated partner edge
+    ``u <-> u XOR 1`` iff ``mix64((u>>1)*4) % 4 == 0``; self-loops
+    dropped.  Returns (src, dst) int64 arrays."""
+    from .dedup import _mix64
+
+    u64 = ids.astype(np.uint64)
+    hash_dst = [
+        (_mix64(u64 * np.uint64(4) + np.uint64(j)) % np.uint64(n))
+        .astype(np.int64)
+        for j in (1, 2, 3)
+    ]
+    gate = (_mix64((u64 >> np.uint64(1)) * np.uint64(4))
+            % np.uint64(4)) == 0
+    pv = ids ^ 1
+    pkeep = gate & (pv < n)
+    src = np.concatenate([ids, ids, ids, ids[pkeep]])
+    dst = np.concatenate(hash_dst + [pv[pkeep]])
+    keep = src != dst
+    return src[keep], dst[keep]
+
+
 def reciprocal_links(sf_dir: str) -> pd.DataFrame:
     """(doc_a, doc_b) — RECIPROCAL link pairs over a hashed doc link graph:
     both directed edges (a -> b) and (b -> a) exist.  The mutual-link ratio
@@ -5395,8 +5419,6 @@ def reciprocal_links(sf_dir: str) -> pd.DataFrame:
     """
     import pyarrow.parquet as _pq
 
-    from .dedup import _mix64
-
     n = _pq.ParquetFile(_t(sf_dir, "documents")).metadata.num_rows
     ds = read_pruned(_t(sf_dir, "documents"), ["doc_id"])
 
@@ -5404,21 +5426,7 @@ def reciprocal_links(sf_dir: str) -> pd.DataFrame:
                       ("d", pa.int8()), ("bucket", pa.int32())])
 
     def edge_rows(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy()
-        u64 = ids.astype(np.uint64)
-        hash_dst = [
-            (_mix64(u64 * np.uint64(4) + np.uint64(j)) % np.uint64(n))
-            .astype(np.int64)
-            for j in (1, 2, 3)
-        ]
-        gate = (_mix64((u64 >> np.uint64(1)) * np.uint64(4))
-                % np.uint64(4)) == 0
-        pv = ids ^ 1
-        pkeep = gate & (pv < n)
-        src = np.concatenate([ids, ids, ids, ids[pkeep]])
-        dst = np.concatenate(hash_dst + [pv[pkeep]])
-        keep = src != dst
-        src, dst = src[keep], dst[keep]
+        src, dst = _recip_edge_arrays(t["doc_id"].to_numpy(), n)
         a = np.minimum(src, dst)
         b = np.maximum(src, dst)
         d = (src > dst).astype(np.int8)  # orientation flag
@@ -6041,3 +6049,193 @@ def concurrent_sessions_peak(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame
     return pd.DataFrame({"peak_concurrency": pd.Series([peak], dtype="int64"),
                          "n_sessions": pd.Series([int(cells["n_starts"].sum())],
                                                  dtype="int64")})
+
+
+def link_prediction_ra(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """(doc_a, doc_b, ra_score) — LINK PREDICTION by the resource-allocation
+    index (Zhou et al. 2009): for every NON-adjacent pair with at least one
+    common neighbor, score = sum over common neighbors z of
+    ``2^20 // deg(z)`` (the all-integer RA variant — exact in SQL's
+    truncating division too, unlike Adamic-Adar's 1/log), top-k by
+    (score DESC, doc_a, doc_b).  The "suggest missing links" primitive a
+    crawl graph feeds to a recommender; runs on the shared planted-partner
+    hash graph (_recip_edge_arrays).
+
+    Scale shape: wedge enumeration is CENTER-local — one node-bucket
+    all-to-all co-locates every (node, neighbor) row of a center, each
+    group resolves exact degrees and explodes its wedges vectorized
+    (merge-on-center), emitting per-group combined (u, v, score) partials;
+    edge-marker rows union into the ONE pair-bucket exchange where
+    adjacency kills candidate pairs and each group keeps only its own
+    top-k (a pair's global rank can't beat its in-group rank), so the
+    driver sees <= 64*k rows.  Hub centers cost deg^2 — the generated
+    graph's degrees are Poisson(~6); a power-law corpus would cap or
+    sample hub wedges (documented trade, same as triangle_count).
+    """
+    import pyarrow.parquet as _pq
+
+    n = _pq.ParquetFile(_t(sf_dir, "documents")).metadata.num_rows
+    ds = read_pruned(_t(sf_dir, "documents"), ["doc_id"])
+
+    _NB = pa.schema([("node", pa.int64()), ("nbr", pa.int64()),
+                     ("bucket", pa.int32())])
+
+    def nbr_rows(t: pa.Table) -> pa.Table:
+        src, dst = _recip_edge_arrays(t["doc_id"].to_numpy(), n)
+        node = np.concatenate([src, dst])
+        nbr = np.concatenate([dst, src])
+        return pa.table(
+            {"node": pa.array(node, pa.int64()),
+             "nbr": pa.array(nbr, pa.int64()),
+             "bucket": pa.array((node % N_KEY_BUCKETS).astype(np.int32),
+                                pa.int32())},
+            schema=_NB)
+
+    _PAIR = pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                       ("score", pa.int64()), ("is_edge", pa.int8()),
+                       ("bucket", pa.int32())])
+
+    def _pair_bucket(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+        return ((u * np.int64(1_000_003) + v) % N_KEY_BUCKETS).astype(np.int32)
+
+    def edge_markers(t: pa.Table) -> pa.Table:
+        src, dst = _recip_edge_arrays(t["doc_id"].to_numpy(), n)
+        a, b = np.minimum(src, dst), np.maximum(src, dst)
+        df = pd.DataFrame({"u": a, "v": b}).drop_duplicates()
+        u, v = df["u"].to_numpy(), df["v"].to_numpy()
+        return pa.table(
+            {"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64()),
+             "score": pa.array(np.zeros(len(u), np.int64), pa.int64()),
+             "is_edge": pa.array(np.ones(len(u), np.int8), pa.int8()),
+             "bucket": pa.array(_pair_bucket(u, v), pa.int32())},
+            schema=_PAIR)
+
+    def wedges(g: pd.DataFrame) -> pa.Table:
+        nb = g.drop_duplicates(["node", "nbr"])  # exact degree: all copies
+        # of a center land here, so the distinct neighbor set is global
+        deg = nb.groupby("node")["nbr"].size().rename("d")
+        m = nb.merge(nb, on="node")
+        m = m[m["nbr_x"] < m["nbr_y"]]
+        if m.empty:
+            return _PAIR.empty_table()
+        sc = (np.int64(1 << 20)
+              // deg.reindex(m["node"]).to_numpy().astype(np.int64))
+        p = (pd.DataFrame({"u": m["nbr_x"].to_numpy(),
+                           "v": m["nbr_y"].to_numpy(), "score": sc})
+             .groupby(["u", "v"], as_index=False)["score"].sum())
+        u, v = p["u"].to_numpy(), p["v"].to_numpy()
+        return pa.table(
+            {"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64()),
+             "score": pa.array(p["score"].to_numpy(), pa.int64()),
+             "is_edge": pa.array(np.zeros(len(u), np.int8), pa.int8()),
+             "bucket": pa.array(_pair_bucket(u, v), pa.int32())},
+            schema=_PAIR)
+
+    _OUT = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                      ("ra_score", pa.int64())])
+
+    def topk_partial(g: pd.DataFrame) -> pa.Table:
+        dead = g[g["is_edge"] == 1][["u", "v"]].drop_duplicates()
+        s = (g[g["is_edge"] == 0]
+             .groupby(["u", "v"], as_index=False)["score"].sum()
+             .merge(dead, on=["u", "v"], how="left", indicator=True))
+        s = s[s["_merge"] == "left_only"]
+        s = s.sort_values(["score", "u", "v"],
+                          ascending=[False, True, True]).head(k)
+        return pa.table(
+            {"doc_a": pa.array(s["u"].to_numpy(), pa.int64()),
+             "doc_b": pa.array(s["v"].to_numpy(), pa.int64()),
+             "ra_score": pa.array(s["score"].to_numpy(), pa.int64())},
+            schema=_OUT)
+
+    out = (
+        ds.map_batches(nbr_rows, batch_format="pyarrow", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(wedges, batch_format="pandas")
+        .union(ds.map_batches(edge_markers, batch_format="pyarrow",
+                              batch_size=262144))
+        .groupby("bucket")
+        .map_groups(topk_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    return (out.sort_values(["ra_score", "doc_a", "doc_b"],
+                            ascending=[False, True, True])
+            .head(k).reset_index(drop=True)
+            .astype({"doc_a": "int64", "doc_b": "int64", "ra_score": "int64"}))
+
+
+ROBOTS_S_MOD = 7    # first path segment: /s{doc_id % 7}
+ROBOTS_T_MOD = 13   # second path segment: /t{doc_id % 13}
+_ROBOTS_H_MASK = (1 << 60) - 1  # keep h*8+7 inside 63 bits on both sides
+
+
+def _robots_rules_for(sources) -> pd.DataFrame:
+    """The generated per-host robots.txt rule table (source, depth, s_val,
+    t_val, allow): four rules per host derived from the host's md5-60
+    hash — r in {0,1} are segment-1 rules (prefix /s{s_val}), r in {2,3}
+    segment-2 rules (prefix /s{s_val}/t{t_val}); allow is bit 32 of the
+    same mix.  A pure function of the source string, so every batch can
+    rebuild its own sources' rules — nothing is broadcast."""
+    import hashlib as _hl
+
+    from .dedup import _mix64_int
+
+    rows = []
+    for src in sources:
+        h = int(_hl.md5(str(src).encode()).hexdigest()[:16], 16) & _ROBOTS_H_MASK
+        for r in range(4):
+            m1 = _mix64_int(h * 8 + r)
+            depth = 1 if r < 2 else 2
+            t_val = (_mix64_int(h * 8 + 4 + r) % ROBOTS_T_MOD) if r >= 2 else -1
+            rows.append((src, depth, m1 % ROBOTS_S_MOD, t_val,
+                         (m1 >> 32) & 1))
+    return pd.DataFrame(rows, columns=["source", "depth", "s_val", "t_val",
+                                       "allow"])
+
+
+def robots_gate(sf_dir: str) -> pd.DataFrame:
+    """(source, n_allowed, n_denied) — the LONGEST-PREFIX-MATCH routing
+    shape (robots.txt semantics, RFC 9309 §2.2.2: the most specific
+    matching rule wins, ties break to disallow): each document's URL path
+    ``/s{id%7}/t{id%13}/d{id}`` is gated by its host's generated rule
+    table; segment-2 rules beat segment-1 rules regardless of allow/deny,
+    unmatched paths default to allow.
+
+    Scale shape: rules are a pure hash function of the source, so the op
+    is ONE map-only pass — each batch rebuilds rules for its own distinct
+    sources (bounded enum), resolves every doc's best rule vectorized
+    (merge-explode by at most 4 rules, sort by (doc, depth DESC, allow),
+    first row per doc), and emits per-source count partials; the driver
+    reduce is |sources|-sized.  No shuffle, no broadcast.
+    """
+    ds = read_pruned(_t(sf_dir, "documents"), ["doc_id", "source"])
+
+    _P = pa.schema([("source", pa.string()), ("n_allowed", pa.int64()),
+                    ("n_denied", pa.int64())])
+
+    def decide(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"doc_id": t["doc_id"].to_numpy(),
+                           "source": t["source"].to_pandas()})
+        rules = _robots_rules_for(df["source"].unique())
+        m = df.merge(rules, on="source")
+        match = (m["s_val"].to_numpy() == m["doc_id"].to_numpy() % ROBOTS_S_MOD) & (
+            (m["depth"].to_numpy() == 1)
+            | (m["t_val"].to_numpy() == m["doc_id"].to_numpy() % ROBOTS_T_MOD))
+        best = (m[match]
+                .sort_values(["doc_id", "depth", "allow"],
+                             ascending=[True, False, True], kind="mergesort")
+                .drop_duplicates("doc_id")
+                .set_index("doc_id")["allow"])
+        df["allow"] = best.reindex(df["doc_id"]).fillna(1).to_numpy().astype(np.int64)
+        g = df.groupby("source").agg(n_allowed=("allow", "sum"),
+                                     n_denied=("allow", lambda a: int((a == 0).sum())))
+        return pa.Table.from_pandas(
+            g.reset_index(), schema=_P, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    parts = ds.map_batches(decide, batch_format="pyarrow",
+                           batch_size=262144).to_pandas()
+    out = parts.groupby("source", as_index=False)[["n_allowed", "n_denied"]].sum()
+    for c in ("n_allowed", "n_denied"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)

@@ -1239,15 +1239,15 @@ def zorder_pruned_count_sql(bits: int = 8, shard_bits: int = 4,
                           <= h_hi) AS n_rows"""
 
 
-def reciprocal_links_sql() -> str:
-    """Oracle for relational.reciprocal_links: the generated hash graph —
-    three splitmix out-edges ``mix64(u*4+j) % n`` plus the pair-gated
-    partner edge ``u <-> xor(u, 1)`` iff ``mix64((u>>1)*4) % 4 == 0`` —
-    and the mutual-pair self-join, sharing the engine's splitmix ring."""
+def _recip_edges_cte() -> str:
+    """Shared WITH-body building the planted-partner hash graph's distinct
+    directed edge set ``e(src, dst)`` — mirrors
+    relational._recip_edge_arrays (three splitmix out-edges
+    ``mix64(u*4+j) % n`` plus the pair-gated partner edge ``u <-> xor(u,1)``
+    iff ``mix64((u>>1)*4) % 4 == 0``, self-loops dropped)."""
     hmix = _mix64("hin")
     gmix = _mix64("gin")
-    return f"""
-            WITH nn AS (SELECT count(*) AS n FROM documents),
+    return f"""nn AS (SELECT count(*) AS n FROM documents),
             hi AS (
               SELECT doc_id AS u, (doc_id * 4 + v.j)::UBIGINT AS hin
               FROM documents, (VALUES (1), (2), (3)) v(j)),
@@ -1265,11 +1265,88 @@ def reciprocal_links_sql() -> str:
                 AND CAST(xor(u::UBIGINT, 1::UBIGINT) AS BIGINT) < nn.n),
             e AS (SELECT DISTINCT u AS src, dst
                   FROM (SELECT * FROM he UNION ALL SELECT * FROM pe)
-                  WHERE u <> dst)
+                  WHERE u <> dst)"""
+
+
+def reciprocal_links_sql() -> str:
+    """Oracle for relational.reciprocal_links: the generated hash graph
+    (_recip_edges_cte) and the mutual-pair self-join."""
+    return f"""
+            WITH {_recip_edges_cte()}
             SELECT x.src AS doc_a, x.dst AS doc_b
             FROM e x JOIN e y ON x.src = y.dst AND x.dst = y.src
             WHERE x.src < x.dst
             ORDER BY doc_a, doc_b"""
+
+
+def robots_gate_sql() -> str:
+    """Oracle for relational.robots_gate: rebuild the generated per-host
+    rule table (md5-60 host hash -> four splitmix rules) and resolve each
+    doc's longest-prefix match (max depth, ties to disallow via min(allow)),
+    defaulting unmatched docs to allow."""
+    m1 = _mix64("i1")
+    m2 = _mix64("i2")
+    mask = (1 << 60) - 1
+    return f"""
+            WITH src AS (SELECT DISTINCT source FROM documents),
+            h AS (SELECT source,
+                         ('0x' || substr(md5(source), 1, 16))::UBIGINT
+                           & {mask}::UBIGINT AS hv
+                  FROM src),
+            ri AS (SELECT source, r,
+                          (hv * 8::UBIGINT + r::UBIGINT)::UBIGINT AS i1,
+                          (hv * 8::UBIGINT + 4::UBIGINT
+                             + r::UBIGINT)::UBIGINT AS i2
+                   FROM h, (VALUES (0), (1), (2), (3)) v(r)),
+            mx AS (SELECT source, r, CAST(({m1}) AS UBIGINT) AS m1,
+                          CAST(({m2}) AS UBIGINT) AS m2 FROM ri),
+            rules AS (SELECT source,
+                             CASE WHEN r >= 2 THEN 2 ELSE 1 END AS depth,
+                             CAST(m1 % 7::UBIGINT AS BIGINT) AS s_val,
+                             CAST(CASE WHEN r >= 2 THEN m2 % 13::UBIGINT
+                                  ELSE 0::UBIGINT END AS BIGINT)
+                               - CASE WHEN r >= 2 THEN 0 ELSE 1 END AS t_val,
+                             CAST((m1 >> 32) & 1::UBIGINT AS BIGINT) AS allow
+                      FROM mx),
+            mm AS (SELECT d.doc_id, d.source, ru.depth, ru.allow
+                   FROM documents d LEFT JOIN rules ru
+                     ON d.source = ru.source
+                    AND ru.s_val = d.doc_id % 7
+                    AND (ru.depth = 1 OR ru.t_val = d.doc_id % 13)),
+            w AS (SELECT doc_id, source, depth, allow,
+                         max(depth) OVER (PARTITION BY doc_id) AS md
+                  FROM mm),
+            dec AS (SELECT doc_id, any_value(source) AS source,
+                           COALESCE(min(CASE WHEN depth = md THEN allow END),
+                                    1) AS a
+                    FROM w GROUP BY doc_id)
+            SELECT source, sum(a)::BIGINT AS n_allowed,
+                   (count(*) - sum(a))::BIGINT AS n_denied
+            FROM dec GROUP BY source ORDER BY source"""
+
+
+def link_prediction_ra_sql(k: int = 50) -> str:
+    """Oracle for relational.link_prediction_ra: undirected-ize the shared
+    generated edge set, wedge self-join through each center with the
+    all-integer resource-allocation weight ``2^20 // deg(center)``, drop
+    adjacent pairs, top-k by (score DESC, doc_a, doc_b)."""
+    return f"""
+            WITH {_recip_edges_cte()},
+            ue AS (SELECT DISTINCT least(src, dst) AS a,
+                                   greatest(src, dst) AS b FROM e),
+            adj AS (SELECT a AS node, b AS nbr FROM ue
+                    UNION ALL SELECT b, a FROM ue),
+            deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node),
+            w AS (SELECT x.nbr AS u, y.nbr AS v,
+                         (1048576 // deg.d)::BIGINT AS sc
+                  FROM adj x JOIN adj y ON x.node = y.node AND x.nbr < y.nbr
+                  JOIN deg ON deg.node = x.node),
+            p AS (SELECT u, v, sum(sc)::BIGINT AS ra_score
+                  FROM w GROUP BY u, v),
+            np AS (SELECT p.* FROM p
+                   ANTI JOIN ue ON p.u = ue.a AND p.v = ue.b)
+            SELECT u AS doc_a, v AS doc_b, ra_score FROM np
+            ORDER BY ra_score DESC, doc_a, doc_b LIMIT {k}"""
 
 
 def k_core_sql(k: int = 4, rounds: int = 6) -> str:

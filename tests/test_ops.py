@@ -3389,3 +3389,100 @@ def test_ppjoin_equals_inverted_index_and_prunes(ray_session, tmp_path):
     # sf-corpus equality too (different df landscape)
     sf = "/root/testdata/sf0.001"
     assert ppjoin_pairs(sf).equals(ngram_jaccard_pairs(sf))
+
+
+def test_link_prediction_ra_sequential_reference(ray_session, tmp_path):
+    """Distributed RA link prediction equals an independent sequential
+    wedge counter on a corpus size the sf tables never use: undirected-ize
+    the generated edges, score non-adjacent pairs by sum(2^20 // deg(z))
+    over common neighbors z, top-k by (score DESC, a, b); deterministic."""
+    import pyarrow.parquet as pq
+
+    from engine.ops.relational import _recip_edge_arrays, link_prediction_ra
+
+    n = 223
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                             "text": pa.array(["x"] * n, pa.string())}),
+                   d / "documents.parquet")
+
+    out = link_prediction_ra(str(d), k=30)
+
+    src, dst = _recip_edge_arrays(np.arange(n, dtype=np.int64), n)
+    edges = {(min(a, b), max(a, b)) for a, b in zip(src.tolist(), dst.tolist())}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    scores = {}
+    for z, nbrs in adj.items():
+        w = (1 << 20) // len(nbrs)
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                p = (ns[i], ns[j])
+                if p not in edges:
+                    scores[p] = scores.get(p, 0) + w
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    got = [((a, b), s) for a, b, s in
+           zip(out["doc_a"], out["doc_b"], out["ra_score"])]
+    assert got == want
+    assert out.equals(link_prediction_ra(str(d), k=30))
+
+
+def test_robots_gate_sequential_reference(ray_session, tmp_path):
+    """The vectorized longest-prefix-match decision equals an independent
+    sequential resolver (max depth wins, ties to disallow, default allow)
+    over many hosts x ids — including hosts the sf tables never use — and
+    both rule depths demonstrably fire somewhere."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from engine.ops.dedup import _mix64_int
+    from engine.ops.relational import (ROBOTS_S_MOD, ROBOTS_T_MOD,
+                                       _ROBOTS_H_MASK, robots_gate)
+
+    n, hosts = 1000, [f"h{i}.example" for i in range(11)]
+    d = tmp_path / "docs"
+    d.mkdir()
+    ids = list(range(n))
+    src = [hosts[i % len(hosts)] for i in ids]
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "source": pa.array(src, pa.string()),
+                             "text": pa.array(["x"] * n, pa.string())}),
+                   d / "documents.parquet")
+
+    out = robots_gate(str(d))
+
+    def decide(doc_id: int, source: str) -> int:
+        h = int(hashlib.md5(source.encode()).hexdigest()[:16], 16) & _ROBOTS_H_MASK
+        best = None  # (depth, allow)
+        for r in range(4):
+            m1 = _mix64_int(h * 8 + r)
+            depth = 1 if r < 2 else 2
+            if m1 % ROBOTS_S_MOD != doc_id % ROBOTS_S_MOD:
+                continue
+            if depth == 2 and (_mix64_int(h * 8 + 4 + r) % ROBOTS_T_MOD
+                               != doc_id % ROBOTS_T_MOD):
+                continue
+            cand = (depth, (m1 >> 32) & 1)
+            if best is None or cand[0] > best[0] or (
+                    cand[0] == best[0] and cand[1] < best[1]):
+                best = cand
+        return 1 if best is None else best[1]
+
+    import collections
+    want = collections.Counter()
+    depth_hits = collections.Counter()
+    for i, s in zip(ids, src):
+        a = decide(i, s)
+        want[(s, "allow" if a else "deny")] += 1
+    got = {(r.source, "allow"): r.n_allowed for r in out.itertuples()}
+    got.update({(r.source, "deny"): r.n_denied for r in out.itertuples()})
+    for key in set(want) | {k for k in got if got[k]}:
+        assert got.get(key, 0) == want.get(key, 0), key
+    # the generated rule family actually exercises both outcomes
+    assert sum(v for (s, k), v in want.items() if k == "deny") > 0
+    assert sum(v for (s, k), v in want.items() if k == "allow") > 0
