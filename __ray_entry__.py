@@ -450,6 +450,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "concurrent_sessions_peak": relational.concurrent_sessions_peak,
         "link_prediction_ra": relational.link_prediction_ra,
         "robots_gate": relational.robots_gate,
+        "folder_rollup_docs": relational.folder_rollup_docs,
+        "supplier_ship_coverage": relational.supplier_ship_coverage,
         # text analysis (M11/M12/M13 + training-data ops)
         "token_count": text.token_count,
         "token_count_bpe": text.token_count_bpe,
@@ -2335,6 +2337,38 @@ def oracle_sql() -> dict[str, str]:
         "link_prediction_ra": _lsh_oracles.link_prediction_ra_sql(),
         # robots.txt longest-prefix-match gate over generated per-host rules
         "robots_gate": _lsh_oracles.robots_gate_sql(),
+        # interval union / island detection: per-supplier merged 30-day
+        # shipment windows (coverage days exact in integer microseconds)
+        "supplier_ship_coverage": """
+            WITH w AS (SELECT l_suppkey AS s, epoch_us(l_shipdate) AS a,
+                              epoch_us(l_shipdate) + 2592000000000 AS b
+                       FROM lineitem),
+            o AS (SELECT s, a, b,
+                         max(b) OVER (PARTITION BY s ORDER BY a, b
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS pm
+                  FROM w),
+            g AS (SELECT s, a, b,
+                         sum(CASE WHEN pm IS NULL OR a > pm THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY s ORDER BY a, b
+                                 ROWS UNBOUNDED PRECEDING) AS isl
+                  FROM o),
+            i AS (SELECT s, isl, min(a) AS st, max(b) AS en
+                  FROM g GROUP BY s, isl)
+            SELECT s AS l_suppkey, count(*)::BIGINT AS n_islands,
+                   (sum(en - st) // 86400000000)::BIGINT AS covered_days
+            FROM i GROUP BY s ORDER BY l_suppkey
+        """,
+        # inclusive subtree rollup over the implicit ternary folder tree
+        "folder_rollup_docs": """
+            WITH RECURSIVE anc AS (
+              SELECT doc_id AS node, doc_id AS a, n_chars FROM documents
+              UNION ALL
+              SELECT node, (a - 1) // 3, n_chars FROM anc WHERE a > 0)
+            SELECT a AS doc_id, count(*)::BIGINT AS n_desc,
+                   sum(n_chars)::BIGINT AS sum_chars
+            FROM anc GROUP BY a ORDER BY doc_id
+        """,
         # per-type OLS value-vs-time trend: exact integer moment sums +
         # floor(1e6 * cov / var) via HUGEINT with an explicit positive-mod
         # floor adjustment (engine mirrors with Python ints)

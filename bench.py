@@ -214,6 +214,12 @@ BENCH_QUERY_NAMES = [
     "median_doc_hash",
     "incremental_events_hourly",
     "winnow_overlap_pairs",
+    "daily_order_ship_balance",
+    "concurrent_sessions_peak",
+    "link_prediction_ra",
+    "robots_gate",
+    "folder_rollup_docs",
+    "supplier_ship_coverage",
 ]
 
 
@@ -706,6 +712,12 @@ def run_dedup_smoke() -> dict:
         "median_doc_hash": lambda: len(_text_ops.median_doc_hash(dest)),
         # MOSS pair report over the winnowed sketch: two narrow exchanges
         "winnow_overlap_pairs": lambda: dedup.winnow_overlap_pairs(dest),
+        # RA link prediction: center-local wedge explode + pair exchange
+        "link_prediction_ra": lambda: rel.link_prediction_ra(dest),
+        # longest-prefix-match robots gate: one map-only pass, no shuffle
+        "robots_gate": lambda: rel.robots_gate(dest),
+        # inclusive subtree rollup: map-only log-depth walk + one exchange
+        "folder_rollup_docs": lambda: rel.folder_rollup_docs(dest),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")
     if only:
@@ -915,6 +927,9 @@ def run_events_smoke() -> dict:
         # incremental view maintenance: delta-only scan + stored-view merge
         "incremental_events_hourly": lambda: len(
             rel.incremental_events_hourly(dest)),
+        # sweep-line peak session concurrency: boundary rows + cell exchange
+        "concurrent_sessions_peak": lambda: int(
+            rel.concurrent_sessions_peak(dest)["peak_concurrency"][0]),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")
     if only:

@@ -6239,3 +6239,152 @@ def robots_gate(sf_dir: str) -> pd.DataFrame:
     for c in ("n_allowed", "n_denied"):
         out[c] = out[c].astype("int64")
     return out.sort_values("source").reset_index(drop=True)
+
+
+def folder_rollup_docs(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, n_desc, sum_chars) — HIERARCHY ROLLUP: every node of the
+    implicit ternary folder tree (parent(v) = (v-1)//3, root 0) gets its
+    INCLUSIVE subtree totals (descendant count incl. self, char sum) — the
+    folder-size listing a SharePoint-style library shows per folder
+    (SharePointClient.cs walks exactly this shape one folder at a time;
+    here the whole forest resolves at once).
+
+    Scale shape: the ancestor chain of a node is a pure function of its id
+    (depth = O(log3 n)), so the explode is MAP-ONLY — each batch walks all
+    its ids up the tree vectorized (one array op per level), combines
+    per-batch (ancestors near the root collapse immediately), and ONE
+    node-bucket exchange sums the partials.  No recursion crosses tasks,
+    no frontier: the log-depth walk rides inside the map the way the
+    oracle's recursive CTE rides inside one scan.
+    """
+    import pyarrow.parquet as _pq
+
+    # corpora without a stored n_chars (the smoke table) weigh by text length
+    has_chars = "n_chars" in _pq.read_schema(_t(sf_dir, "documents")).names
+    ds = read_pruned(_t(sf_dir, "documents"),
+                     ["doc_id", "n_chars" if has_chars else "text"])
+
+    _P = pa.schema([("node", pa.int64()), ("n", pa.int64()),
+                    ("w", pa.int64()), ("bucket", pa.int32())])
+
+    def ancestors(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        if has_chars:
+            w = t["n_chars"].to_numpy().astype(np.int64)
+        else:
+            w = pc.cast(pc.utf8_length(t["text"]), pa.int64()).to_numpy()
+        nodes, weights = [ids], [w]
+        cur, cw = ids, w
+        while (cur > 0).any():
+            m = cur > 0
+            cur = (cur[m] - 1) // 3
+            cw = cw[m]
+            nodes.append(cur)
+            weights.append(cw)
+        df = pd.DataFrame({"node": np.concatenate(nodes),
+                           "w": np.concatenate(weights)})
+        g = df.groupby("node", as_index=False).agg(n=("w", "size"),
+                                                   w=("w", "sum"))
+        return pa.table(
+            {"node": pa.array(g["node"].to_numpy(), pa.int64()),
+             "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+             "w": pa.array(g["w"].to_numpy(), pa.int64()),
+             "bucket": pa.array(
+                 (g["node"].to_numpy() % N_KEY_BUCKETS).astype(np.int32),
+                 pa.int32())},
+            schema=_P)
+
+    _OUT = pa.schema([("doc_id", pa.int64()), ("n_desc", pa.int64()),
+                      ("sum_chars", pa.int64())])
+
+    def reduce(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby("node", as_index=False)[["n", "w"]].sum()
+        return pa.table(
+            {"doc_id": pa.array(s["node"].to_numpy(), pa.int64()),
+             "n_desc": pa.array(s["n"].to_numpy(), pa.int64()),
+             "sum_chars": pa.array(s["w"].to_numpy(), pa.int64())},
+            schema=_OUT)
+
+    out = (
+        ds.map_batches(ancestors, batch_format="pyarrow", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(reduce, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True).astype(
+        {"doc_id": "int64", "n_desc": "int64", "sum_chars": "int64"})
+
+
+_SHIP_WINDOW_US = 30 * 86_400_000_000  # each shipment keeps a supplier
+# "active" for 30 days — the interval whose per-supplier UNION we measure
+
+
+def supplier_ship_coverage(sf_dir: str) -> pd.DataFrame:
+    """(l_suppkey, n_islands, covered_days) — INTERVAL UNION / island
+    detection: each lineitem opens a 30-day active window at its ship
+    date; per supplier, merge the overlapping windows into maximal islands
+    and report how many islands and how many days at least one shipment
+    window covers — the utilization/uptime verb (SLA coverage, sensor
+    on-time) that plain aggregation can't express because adjacent rows
+    interact.
+
+    Scale shape: interval union is ASSOCIATIVE on merged sets, so each
+    batch pre-merges its own (supplier, window) islands vectorized (sort,
+    per-supplier shifted running max of ends, island cumsum) — boilerplate
+    suppliers collapse before the exchange — and ONE supplier-bucket
+    all-to-all re-merges the partial islands with the same kernel.  All
+    arithmetic in integer microseconds; 30-day windows start and end on
+    day boundaries, so covered_days is an exact integer.
+    """
+    ds = read_pruned(_t(sf_dir, "lineitem"), ["l_suppkey", "l_shipdate"])
+
+    _I = pa.schema([("s", pa.int64()), ("a", pa.int64()), ("b", pa.int64()),
+                    ("bucket", pa.int32())])
+
+    def _merge_islands(df: pd.DataFrame) -> pd.DataFrame:
+        """(s, a, b) intervals -> maximal per-s islands, vectorized."""
+        df = df.sort_values(["s", "a", "b"], kind="mergesort")
+        prev_max = df.groupby("s")["b"].cummax().shift()
+        new_s = df["s"].ne(df["s"].shift())
+        isl = (new_s | (df["a"] > prev_max)).cumsum()
+        g = df.groupby(isl).agg(s=("s", "first"), a=("a", "min"),
+                                b=("b", "max"))
+        return g.reset_index(drop=True)
+
+    def partial(t: pa.Table) -> pa.Table:
+        a = pc.cast(t["l_shipdate"], pa.int64()).to_numpy()
+        df = pd.DataFrame({"s": t["l_suppkey"].to_numpy(), "a": a,
+                           "b": a + _SHIP_WINDOW_US})
+        m = _merge_islands(df)
+        return pa.table(
+            {"s": pa.array(m["s"].to_numpy(), pa.int64()),
+             "a": pa.array(m["a"].to_numpy(), pa.int64()),
+             "b": pa.array(m["b"].to_numpy(), pa.int64()),
+             "bucket": pa.array((m["s"].to_numpy() % N_KEY_BUCKETS)
+                                .astype(np.int32), pa.int32())},
+            schema=_I)
+
+    _OUT = pa.schema([("l_suppkey", pa.int64()), ("n_islands", pa.int64()),
+                      ("covered_days", pa.int64())])
+
+    def finalize(g: pd.DataFrame) -> pa.Table:
+        m = _merge_islands(g[["s", "a", "b"]])
+        r = m.assign(d=(m["b"] - m["a"])).groupby("s", as_index=False).agg(
+            n_islands=("d", "size"), covered=("d", "sum"))
+        return pa.table(
+            {"l_suppkey": pa.array(r["s"].to_numpy(), pa.int64()),
+             "n_islands": pa.array(r["n_islands"].to_numpy().astype(np.int64),
+                                   pa.int64()),
+             "covered_days": pa.array(
+                 (r["covered"].to_numpy() // 86_400_000_000).astype(np.int64),
+                 pa.int64())},
+            schema=_OUT)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=262144)
+        .groupby("bucket")
+        .map_groups(finalize, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("l_suppkey").reset_index(drop=True).astype(
+        {"l_suppkey": "int64", "n_islands": "int64", "covered_days": "int64"})

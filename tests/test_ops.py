@@ -3486,3 +3486,46 @@ def test_robots_gate_sequential_reference(ray_session, tmp_path):
     # the generated rule family actually exercises both outcomes
     assert sum(v for (s, k), v in want.items() if k == "deny") > 0
     assert sum(v for (s, k), v in want.items() if k == "allow") > 0
+
+
+def test_supplier_ship_coverage_bruteforce(ray_session, tmp_path):
+    """Interval-union islands equal a brute-force covered-day-set reference
+    on a planted sparse/overlapping/duplicate mix (gaps > and < the 30-day
+    window, exact-touch boundaries, duplicate ship dates)."""
+    import pyarrow.parquet as pq
+
+    from engine.ops.relational import supplier_ship_coverage
+
+    day = np.timedelta64(1, "D")
+    base = np.datetime64("1995-01-01")
+    rows = [  # (suppkey, ship-day offset)
+        (1, 0), (1, 10), (1, 100),          # overlap + far gap -> 2 islands
+        (2, 0), (2, 30),                     # exact touch (a == prev end):
+        # window [0,30) then [30,60) — a > pm is False at equality, merged
+        (3, 0), (3, 0), (3, 5),              # duplicates collapse
+        (4, 0), (4, 31),                     # 1-day gap -> 2 islands
+    ]
+    d = tmp_path / "li"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "l_suppkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_shipdate": pa.array(
+            np.array([base + r[1] * day for r in rows],
+                     dtype="datetime64[us]"), pa.timestamp("us")),
+    }), d / "lineitem.parquet")
+
+    out = supplier_ship_coverage(str(d))
+
+    ref = {}
+    for s, off in rows:
+        cov, _ = ref.setdefault(s, (set(), None))
+        cov.update(range(off, off + 30))
+    want = {}
+    for s, (cov, _) in ref.items():
+        days = sorted(cov)
+        islands = 1 + sum(1 for x, y in zip(days, days[1:]) if y > x + 1)
+        want[s] = (islands, len(days))
+    got = {r.l_suppkey: (r.n_islands, r.covered_days) for r in out.itertuples()}
+    assert got == want
+    assert got[1] == (2, 70) and got[2] == (1, 60) and got[3] == (1, 35)
+    assert got[4] == (2, 60)
