@@ -452,6 +452,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_gate": relational.robots_gate,
         "folder_rollup_docs": relational.folder_rollup_docs,
         "supplier_ship_coverage": relational.supplier_ship_coverage,
+        "event_pattern_counts": relational.event_pattern_counts,
+        "orders_scd2_asof": relational.orders_scd2_asof,
         # text analysis (M11/M12/M13 + training-data ops)
         "token_count": text.token_count,
         "token_count_bpe": text.token_count_bpe,
@@ -575,6 +577,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_signal_stats": multimodal.media_signal_stats,
         # rows-only: DFT isn't SQL; planted-tone pytest locks the peak band
         "media_spectrogram": multimodal.media_spectrogram,
+        # rows-only: 2:1 integer box decimation + writer-twin re-encode;
+        # planted pytest locks tone preservation + Nyquist cancellation
+        "media_audio_resample": multimodal.media_audio_resample,
         "media_dominant_colors": multimodal.media_dominant_colors,
         # rows-only: codec decode isn't SQL; pytest locks cross-codec twin
         # collapse + hash invariance + determinism
@@ -2337,6 +2342,54 @@ def oracle_sql() -> dict[str, str]:
         "link_prediction_ra": _lsh_oracles.link_prediction_ra_sql(),
         # robots.txt longest-prefix-match gate over generated per-host rules
         "robots_gate": _lsh_oracles.robots_gate_sql(),
+        # time-travel AS OF reads: snapshots at versions 0 and 1
+        # reconstructed through the same SCD2 validity history
+        "orders_scd2_asof": """
+            WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+            b AS (SELECT o_orderkey AS k,
+                         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                  FROM orders),
+            upd AS (SELECT k, cents + 500 AS nc FROM b WHERE k % 10 = 3),
+            del AS (SELECT k FROM b WHERE k % 10 = 7),
+            ins AS (SELECT b.k + mx.m + 1 AS k, cents + 123 AS nc
+                    FROM b, mx WHERE b.k % 10 = 1),
+            hist AS (
+              SELECT b.k AS o_orderkey, b.cents AS price_cents,
+                     CAST(0 AS BIGINT) AS valid_from,
+                     CAST(CASE WHEN u.k IS NOT NULL OR d.k IS NOT NULL
+                          THEN 1 ELSE 9999 END AS BIGINT) AS valid_to
+              FROM b LEFT JOIN upd u ON b.k = u.k
+                     LEFT JOIN del d ON b.k = d.k
+              UNION ALL
+              SELECT k, nc, CAST(1 AS BIGINT), CAST(9999 AS BIGINT) FROM upd
+              UNION ALL
+              SELECT k, nc, CAST(1 AS BIGINT), CAST(9999 AS BIGINT) FROM ins),
+            v(ver) AS (VALUES (0), (1))
+            SELECT ver::BIGINT AS version, count(*)::BIGINT AS n_rows,
+                   sum(price_cents)::BIGINT AS sum_cents
+            FROM hist, v WHERE valid_from <= ver AND ver < valid_to
+            GROUP BY ver ORDER BY version
+        """,
+        # MATCH_RECOGNIZE-style row-pattern counts: non-overlapping
+        # contiguous s[cv]*p runs per user's ordered event-type string
+        "event_pattern_counts": """
+            WITH o AS (
+              SELECT user_id, ts, event_id,
+                CASE event_type WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
+                     WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                     ELSE 'v' END AS ch
+              FROM events),
+            seq AS (SELECT user_id,
+                           string_agg(ch, '' ORDER BY ts, event_id) AS s
+                    FROM o GROUP BY user_id),
+            m AS (SELECT user_id,
+                         len(regexp_extract_all(s, 's[cv]*p')) AS n
+                  FROM seq)
+            SELECT sum(n)::BIGINT AS n_matches,
+                   sum(CASE WHEN n > 0 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_users_matched
+            FROM m
+        """,
         # interval union / island detection: per-supplier merged 30-day
         # shipment windows (coverage days exact in integer microseconds)
         "supplier_ship_coverage": """

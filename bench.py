@@ -220,6 +220,8 @@ BENCH_QUERY_NAMES = [
     "robots_gate",
     "folder_rollup_docs",
     "supplier_ship_coverage",
+    "event_pattern_counts",
+    "orders_scd2_asof",
 ]
 
 

@@ -942,3 +942,67 @@ def media_spectrogram(sf_dir: str) -> pd.DataFrame:
     )
     return (out.sort_values(["media_id", "band_hz"])
             .reset_index(drop=True))
+
+
+class ResampleStage:
+    """WAV payloads -> 2:1 decimated WAV + integrity stats (actor pool):
+    anti-alias with the exact 2-tap box ``y_i = (x_2i + x_2i+1) // 2``
+    (pure int16 arithmetic — deterministic on any platform), emit the
+    re-ENCODED half-rate WAV through the writer twin plus integer stats
+    (n_in, n_out, rate_in, rate_out, rms_milli of the output).  A tone at
+    the input Nyquist limit cancels to ~0 under the box — the aliasing
+    guard the planted pytest locks.  Non-audio rows skip."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .codecs import decode_wav, encode_wav, sniff
+
+        ids, rates_in, rates_out = [], [], []
+        n_ins, n_outs, rms, payloads = [], [], [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            if sniff(payload) != "wav":
+                continue
+            x, rate = decode_wav(payload)
+            n = len(x) - (len(x) % 2)
+            y = ((x[:n:2].astype(np.int32) + x[1:n:2].astype(np.int32))
+                 // 2).astype(np.int16)
+            out_rate = rate // 2
+            ids.append(mid)
+            rates_in.append(rate)
+            rates_out.append(out_rate)
+            n_ins.append(len(x))
+            n_outs.append(len(y))
+            e = float(np.sqrt(np.mean(y.astype(np.float64) ** 2))) if len(y) else 0.0
+            rms.append(int(round(e * 1000)))
+            payloads.append(encode_wav(y, rate=out_rate))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "rate_in": pa.array(rates_in, pa.int64()),
+            "rate_out": pa.array(rates_out, pa.int64()),
+            "n_in": pa.array(n_ins, pa.int64()),
+            "n_out": pa.array(n_outs, pa.int64()),
+            "rms_milli": pa.array(rms, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+
+def media_audio_resample(sf_dir: str) -> pd.DataFrame:
+    """(media_id, rate_in, rate_out, n_in, n_out, rms_milli) — 2:1 audio
+    RESAMPLING of every real WAV clip (exact integer 2-tap box decimator,
+    re-encoded through the writer twin): the sample-rate-normalization
+    stage an audio training pipeline runs before feature extraction.
+    Rows-only (signal processing isn't SQL); the planted pytest locks tone
+    preservation, Nyquist-tone cancellation, and re-decode round-trip.
+
+    Scale shape: actor-pool map_batches; decode, filter and re-encode
+    never leave the task — only the integer stat row (payload dropped
+    here; a production sink would write the resampled shards instead).
+    """
+    out = (
+        real_media_table(sf_dir)
+        .map_batches(ResampleStage, batch_format="pyarrow", batch_size=64,
+                     concurrency=2)
+        .drop_columns(["payload"])
+        .to_pandas()
+    )
+    return out.sort_values("media_id").reset_index(drop=True)

@@ -5525,25 +5525,33 @@ def event_value_trend(sf_dir: str) -> pd.DataFrame:
 SCD2_OPEN = 9999  # open-interval sentinel version for current SCD2 rows
 
 
-def orders_scd2_merge(sf_dir: str) -> pd.DataFrame:
-    """(o_orderkey, price_cents, valid_from, valid_to, is_current) — a
-    lakehouse MERGE INTO applied as slowly-changing-dimension type 2: a
-    deterministic CDC batch (updates for o_orderkey%10==3 at +500 cents,
-    deletes for %10==7, inserts keyed past the current max for %10==1 at
-    +123 cents) merged against the orders snapshot, emitting full validity
-    history — untouched rows stay (0, OPEN, current), updated/deleted base
-    rows close at version 1, update/insert rows open at version 1.  The
-    upsert idiom every warehouse table-maintenance job runs; versions are
-    integers (OPEN = 9999) so the output is hash-exact.
+def _scd2_history(g: pd.DataFrame) -> pd.DataFrame:
+    """Resolve one key-bucket group's (k, cents, op) base+CDC rows into the
+    SCD2 validity history (shared by orders_scd2_merge and the AS-OF read)."""
+    base = g[g["op"] == "B"][["k", "cents"]]
+    upd = g[g["op"] == "U"][["k", "cents"]].rename(columns={"cents": "nc"})
+    dele = g[g["op"] == "D"][["k"]]
+    ins = g[g["op"] == "I"][["k", "cents"]]
+    b = base.merge(upd, on="k", how="left")
+    touched = b["nc"].notna() | b["k"].isin(dele["k"])
+    rows = [pd.DataFrame({
+        "o_orderkey": b["k"], "price_cents": b["cents"],
+        "valid_from": 0,
+        "valid_to": np.where(touched, 1, SCD2_OPEN),
+        "is_current": np.where(touched, 0, 1)})]
+    u = b[b["nc"].notna()]
+    rows.append(pd.DataFrame({
+        "o_orderkey": u["k"], "price_cents": u["nc"].astype(np.int64),
+        "valid_from": 1, "valid_to": SCD2_OPEN, "is_current": 1}))
+    rows.append(pd.DataFrame({
+        "o_orderkey": ins["k"], "price_cents": ins["cents"],
+        "valid_from": 1, "valid_to": SCD2_OPEN, "is_current": 1}))
+    return pd.concat(rows, ignore_index=True)
 
-    Scale shape: the CDC side is derived by its own map over the snapshot
-    (in production it would be a second table — the merge below never
-    exploits the functional relationship); base and CDC rows union into
-    ONE key-bucket all-to-all, and each bucket group resolves its keys'
-    histories vectorized (left-merge + concat).  Only (key, cents, op)
-    int rows move; the driver never holds the table.  The max-key for
-    insert keying is a distributed single-column max.
-    """
+
+def _scd2_rows_ds(sf_dir: str):
+    """The bucketed base+CDC (k, cents, op) row union orders_scd2_merge and
+    orders_scd2_asof both group — the MERGE INTO input exchange."""
     ds = read_pruned(_t(sf_dir, "orders"), ["o_orderkey", "o_totalprice"])
     mx = int(ds.max("o_orderkey"))
 
@@ -5573,39 +5581,44 @@ def orders_scd2_merge(sf_dir: str) -> pd.DataFrame:
              "bucket": pa.array((ks % N_KEY_BUCKETS).astype(np.int32), pa.int32())},
             schema=_ROW)
 
+    return (ds.map_batches(base_rows, batch_format="pyarrow", batch_size=262144)
+            .union(ds.map_batches(cdc_rows, batch_format="pyarrow",
+                                  batch_size=262144)))
+
+
+def orders_scd2_merge(sf_dir: str) -> pd.DataFrame:
+    """(o_orderkey, price_cents, valid_from, valid_to, is_current) — a
+    lakehouse MERGE INTO applied as slowly-changing-dimension type 2: a
+    deterministic CDC batch (updates for o_orderkey%10==3 at +500 cents,
+    deletes for %10==7, inserts keyed past the current max for %10==1 at
+    +123 cents) merged against the orders snapshot, emitting full validity
+    history — untouched rows stay (0, OPEN, current), updated/deleted base
+    rows close at version 1, update/insert rows open at version 1.  The
+    upsert idiom every warehouse table-maintenance job runs; versions are
+    integers (OPEN = 9999) so the output is hash-exact.
+
+    Scale shape: the CDC side is derived by its own map over the snapshot
+    (in production it would be a second table — the merge below never
+    exploits the functional relationship); base and CDC rows union into
+    ONE key-bucket all-to-all, and each bucket group resolves its keys'
+    histories vectorized (left-merge + concat).  Only (key, cents, op)
+    int rows move; the driver never holds the table.  The max-key for
+    insert keying is a distributed single-column max.
+    """
+    rows_ds = _scd2_rows_ds(sf_dir)
+
     _OUT = pa.schema([("o_orderkey", pa.int64()), ("price_cents", pa.int64()),
                       ("valid_from", pa.int64()), ("valid_to", pa.int64()),
                       ("is_current", pa.int64())])
 
     def merge_group(g: pd.DataFrame) -> pa.Table:
-        base = g[g["op"] == "B"][["k", "cents"]]
-        upd = g[g["op"] == "U"][["k", "cents"]].rename(columns={"cents": "nc"})
-        dele = g[g["op"] == "D"][["k"]]
-        ins = g[g["op"] == "I"][["k", "cents"]]
-        b = base.merge(upd, on="k", how="left")
-        touched = b["nc"].notna() | b["k"].isin(dele["k"])
-        rows = [pd.DataFrame({
-            "o_orderkey": b["k"], "price_cents": b["cents"],
-            "valid_from": 0,
-            "valid_to": np.where(touched, 1, SCD2_OPEN),
-            "is_current": np.where(touched, 0, 1)})]
-        u = b[b["nc"].notna()]
-        rows.append(pd.DataFrame({
-            "o_orderkey": u["k"], "price_cents": u["nc"].astype(np.int64),
-            "valid_from": 1, "valid_to": SCD2_OPEN, "is_current": 1}))
-        rows.append(pd.DataFrame({
-            "o_orderkey": ins["k"], "price_cents": ins["cents"],
-            "valid_from": 1, "valid_to": SCD2_OPEN, "is_current": 1}))
-        out = pd.concat(rows, ignore_index=True)
+        out = _scd2_history(g)
         return pa.Table.from_pandas(
             out.astype({c: "int64" for c in out.columns}),
             schema=_OUT, preserve_index=False).replace_schema_metadata(None)
 
     out = (
-        ds.map_batches(base_rows, batch_format="pyarrow", batch_size=262144)
-        .union(ds.map_batches(cdc_rows, batch_format="pyarrow",
-                              batch_size=262144))
-        .groupby("bucket")
+        rows_ds.groupby("bucket")
         .map_groups(merge_group, batch_format="pandas")
         .to_pandas()
     )
@@ -6388,3 +6401,101 @@ def supplier_ship_coverage(sf_dir: str) -> pd.DataFrame:
     )
     return out.sort_values("l_suppkey").reset_index(drop=True).astype(
         {"l_suppkey": "int64", "n_islands": "int64", "covered_days": "int64"})
+
+
+_PATTERN_CHARS = {"click": "c", "error": "e", "purchase": "p",
+                  "signup": "s", "view": "v"}
+_EVENT_PATTERN = "s[cv]*p"  # signup, any clicks/views, then purchase —
+# contiguous in the user's event sequence (stricter than the funnel's
+# "eventually"): an intervening error breaks the run
+
+
+def event_pattern_counts(sf_dir: str) -> pd.DataFrame:
+    """(n_matches, n_users_matched) — MATCH_RECOGNIZE-style SEQUENCE
+    PATTERN matching: non-overlapping occurrences of the contiguous regex
+    ``s[cv]*p`` over each user's (ts, event_id)-ordered event-type string.
+    The row-pattern verb (SQL:2016 MATCH_RECOGNIZE / CEP engines) that
+    aggregates and windows can't express: the match length is data-
+    dependent and an intervening non-matching event resets it.
+
+    Scale shape: one user-bucket all-to-all (the sessionizer's exchange);
+    each group materializes its users' sequences as ONE contiguous byte
+    buffer sliced by offsets (no per-event Python), counts matches with a
+    compiled regex per user string, and emits two int partials; the
+    driver reduce is bucket-count-sized.  Matching cost is O(sequence
+    bytes) per user — RE2/sre both run this pattern without backtracking
+    blowup since [cv]* and the anchors are disjoint.
+    """
+    import re
+
+    ds = read_pruned(_t(sf_dir, "events"), ["user_id", "ts", "event_id",
+                                            "event_type"])
+    pat = re.compile(_EVENT_PATTERN)
+
+    _P = pa.schema([("n_matches", pa.int64()), ("n_users", pa.int64())])
+
+    def count_group(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        chars = g["event_type"].map(_PATTERN_CHARS).to_numpy()
+        buf = "".join(chars)  # one contiguous string for the whole group
+        ulens = g.groupby("user_id", sort=False).size().to_numpy()
+        offs = np.concatenate([[0], np.cumsum(ulens)])
+        total = 0
+        matched = 0
+        for i in range(len(ulens)):
+            n = len(pat.findall(buf[offs[i]:offs[i + 1]]))
+            total += n
+            matched += n > 0
+        return pa.table({"n_matches": pa.array([total], pa.int64()),
+                         "n_users": pa.array([matched], pa.int64())},
+                        schema=_P)
+
+    parts = (
+        ds.map_batches(_bucket_by("user_id"), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(count_group, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {"n_matches": pd.Series([int(parts["n_matches"].sum())], dtype="int64"),
+         "n_users_matched": pd.Series([int(parts["n_users"].sum())],
+                                      dtype="int64")})
+
+
+def orders_scd2_asof(sf_dir: str) -> pd.DataFrame:
+    """(version, n_rows, sum_cents) — TIME-TRAVEL (AS OF) reads over the
+    SCD2 history: the orders snapshot reconstructed at version 0 (pre-
+    merge) and version 1 (post-merge), each reduced to exact row count +
+    integer cent sum — the lakehouse "SELECT ... FOR VERSION AS OF" verb
+    that completes orders_scd2_merge's write side.
+
+    Scale shape: the same ONE key-bucket exchange as the merge; each group
+    resolves its keys' histories (shared _scd2_history kernel), applies
+    the validity predicate ``valid_from <= v < valid_to`` for both
+    versions, and emits <= 2 aggregate partial rows — the driver reduce is
+    (buckets x versions)-sized, never table-sized.
+    """
+    rows_ds = _scd2_rows_ds(sf_dir)
+
+    _P = pa.schema([("version", pa.int64()), ("n_rows", pa.int64()),
+                    ("sum_cents", pa.int64())])
+
+    def snapshot_partial(g: pd.DataFrame) -> pa.Table:
+        h = _scd2_history(g)
+        parts = []
+        for v in (0, 1):
+            live = h[(h["valid_from"] <= v) & (v < h["valid_to"])]
+            parts.append((v, len(live), int(live["price_cents"].sum())))
+        df = pd.DataFrame(parts, columns=["version", "n_rows", "sum_cents"])
+        return pa.Table.from_pandas(
+            df.astype("int64"), schema=_P, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    parts = (
+        rows_ds.groupby("bucket")
+        .map_groups(snapshot_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("version", as_index=False)[["n_rows", "sum_cents"]].sum()
+    return out.sort_values("version").reset_index(drop=True).astype(
+        {c: "int64" for c in out.columns})

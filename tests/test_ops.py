@@ -3529,3 +3529,42 @@ def test_supplier_ship_coverage_bruteforce(ray_session, tmp_path):
     assert got == want
     assert got[1] == (2, 70) and got[2] == (1, 60) and got[3] == (1, 35)
     assert got[4] == (2, 60)
+
+
+def test_media_audio_resample_planted(ray_session):
+    """2:1 box decimation: a 440 Hz tone survives (RMS ~amp/sqrt2 at the
+    half rate, sample count halved), a Nyquist tone (+A,-A,+A,...) cancels
+    to ~0, the re-encoded payload round-trips through decode_wav, and
+    non-audio rows skip; the sf frame is deterministic."""
+    import pyarrow as pa
+
+    from engine.ops.codecs import decode_wav, encode_bmp, encode_wav
+    from engine.ops.multimodal import ResampleStage
+
+    n, amp, rate = 8000, 20000, 8000
+    tone = (np.sin(np.arange(n) * 2 * np.pi * 440 / rate) * amp).astype(np.int16)
+    nyq = np.tile(np.array([amp, -amp], np.int16), n // 2)
+    px = np.full((4, 4, 3), 9, dtype=np.uint8)
+    batch = pa.table(
+        {"media_id": pa.array([1, 2, 3], pa.int64()),
+         "payload": pa.array([encode_wav(tone, rate), encode_wav(nyq, rate),
+                              encode_bmp(px)], pa.binary())})
+    out = ResampleStage()(batch)
+    d = out.to_pydict()
+    assert d["media_id"] == [1, 2]  # image skipped
+    assert d["rate_out"] == [rate // 2] * 2
+    assert d["n_out"] == [n // 2] * 2
+    # the audible tone keeps its energy (sine RMS = amp/sqrt2 ~ 14142)
+    assert abs(d["rms_milli"][0] - 14_142_000) < 300_000
+    # the Nyquist tone cancels under the 2-tap box (|avg| <= 1 from the
+    # floor division)
+    assert d["rms_milli"][1] <= 1000
+    y, r2 = decode_wav(d["payload"][1])
+    assert r2 == rate // 2 and len(y) == n // 2
+
+    import __ray_entry__ as ent
+
+    g1 = ent.queries()["media_audio_resample"]("/root/testdata/sf0.001")
+    g2 = ent.queries()["media_audio_resample"]("/root/testdata/sf0.001")
+    assert g1.equals(g2) and len(g1) > 0
+    assert (g1["rate_out"].to_numpy() * 2 == g1["rate_in"].to_numpy()).all()
