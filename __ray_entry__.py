@@ -454,6 +454,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_ship_coverage": relational.supplier_ship_coverage,
         "event_pattern_counts": relational.event_pattern_counts,
         "orders_scd2_asof": relational.orders_scd2_asof,
+        "multi_touch_attribution": relational.multi_touch_attribution,
+        "table_checksums": relational.table_checksums,
         # text analysis (M11/M12/M13 + training-data ops)
         "token_count": text.token_count,
         "token_count_bpe": text.token_count_bpe,
@@ -2342,6 +2344,66 @@ def oracle_sql() -> dict[str, str]:
         "link_prediction_ra": _lsh_oracles.link_prediction_ra_sql(),
         # robots.txt longest-prefix-match gate over generated per-host rules
         "robots_gate": _lsh_oracles.robots_gate_sql(),
+        # order-invariant replication checksums (sum of row md5-64 mod 2^63)
+        "table_checksums": """
+            WITH o AS (
+              SELECT ('0x' || substr(md5(o_orderkey::VARCHAR || '|' ||
+                       CAST(round(o_totalprice * 100) AS BIGINT)::VARCHAR),
+                       1, 16))::UBIGINT
+                     % 9223372036854775808::UBIGINT AS h
+              FROM orders),
+            d AS (
+              SELECT ('0x' || substr(md5(doc_id::VARCHAR || '|' ||
+                       md5(text)), 1, 16))::UBIGINT
+                     % 9223372036854775808::UBIGINT AS h
+              FROM documents)
+            SELECT * FROM (
+              SELECT 'documents' AS table_name, count(*)::BIGINT AS n_rows,
+                     CAST(sum(h::HUGEINT)
+                          % 9223372036854775808::HUGEINT AS BIGINT)
+                       AS checksum
+              FROM d
+              UNION ALL
+              SELECT 'orders', count(*)::BIGINT,
+                     CAST(sum(h::HUGEINT)
+                          % 9223372036854775808::HUGEINT AS BIGINT)
+              FROM o
+            ) ORDER BY table_name
+        """,
+        # linear multi-touch attribution: 10^6 micro-credits per purchase
+        # floor-split across trailing-24h click/view touches, flooring
+        # remainder reported as its own row
+        "multi_touch_attribution": """
+            WITH conv AS (SELECT user_id, ts, event_id FROM events
+                          WHERE event_type = 'purchase'),
+            t AS (SELECT user_id, ts, event_type FROM events
+                  WHERE event_type IN ('click', 'view')),
+            j AS (SELECT c.event_id,
+                         sum(CASE WHEN t.event_type = 'click'
+                             THEN 1 ELSE 0 END) AS nc,
+                         sum(CASE WHEN t.event_type = 'view'
+                             THEN 1 ELSE 0 END) AS nv
+                  FROM conv c LEFT JOIN t ON t.user_id = c.user_id
+                    AND t.ts >= c.ts - INTERVAL 24 HOUR AND t.ts < c.ts
+                  GROUP BY c.event_id),
+            a AS (SELECT nc, nv, nc + nv AS n FROM j)
+            SELECT * FROM (
+              SELECT 'click' AS kind, sum(nc)::BIGINT AS n,
+                     COALESCE(sum(nc * 1000000 // n)
+                              FILTER (WHERE n > 0), 0)::BIGINT
+                       AS credit_micro FROM a
+              UNION ALL
+              SELECT 'unattributed',
+                     sum(CASE WHEN n > 0 THEN 1 ELSE 0 END)::BIGINT,
+                     COALESCE(sum(1000000 - nc * 1000000 // n
+                                  - nv * 1000000 // n)
+                              FILTER (WHERE n > 0), 0)::BIGINT FROM a
+              UNION ALL
+              SELECT 'view', sum(nv)::BIGINT,
+                     COALESCE(sum(nv * 1000000 // n)
+                              FILTER (WHERE n > 0), 0)::BIGINT FROM a
+            ) ORDER BY kind
+        """,
         # time-travel AS OF reads: snapshots at versions 0 and 1
         # reconstructed through the same SCD2 validity history
         "orders_scd2_asof": """

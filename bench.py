@@ -222,6 +222,8 @@ BENCH_QUERY_NAMES = [
     "supplier_ship_coverage",
     "event_pattern_counts",
     "orders_scd2_asof",
+    "multi_touch_attribution",
+    "table_checksums",
 ]
 
 

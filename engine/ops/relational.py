@@ -6499,3 +6499,154 @@ def orders_scd2_asof(sf_dir: str) -> pd.DataFrame:
     out = parts.groupby("version", as_index=False)[["n_rows", "sum_cents"]].sum()
     return out.sort_values("version").reset_index(drop=True).astype(
         {c: "int64" for c in out.columns})
+
+
+_ATTR_WINDOW_US = 24 * 3_600_000_000  # touches inside (conv-24h, conv)
+
+
+def multi_touch_attribution(sf_dir: str) -> pd.DataFrame:
+    """(kind, n, credit_micro) — LINEAR multi-touch attribution: every
+    purchase distributes 10^6 micro-credits equally across its click/view
+    touchpoints in the trailing 24h window (``ts >= conv-24h AND ts <
+    conv``), floor-divided per type so the output is exact integers; the
+    per-conversion flooring remainder is reported as its own
+    'unattributed' row (n = attributed conversions) instead of being
+    shoved onto an arbitrary touch.  The marketing journey-credit verb
+    next to campaign_attribution's calendar lookup — credit depends on
+    how many OTHER events share the window, which no per-event map can
+    see.
+
+    Scale shape: only purchase/click/view narrow rows enter ONE
+    user-bucket all-to-all; each group resolves per-conversion per-type
+    window counts with two merge_asof passes per type over per-user
+    inclusive cumulative ranks (all vectorized), and emits 3 partial rows;
+    the driver reduce is bucket-count-sized.
+    """
+    ds = read_pruned(_t(sf_dir, "events"),
+                     ["user_id", "ts", "event_id", "event_type"])
+    _TYPES = pa.array(["purchase", "click", "view"], pa.string())
+
+    def narrow(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"], value_set=_TYPES))
+        u = t["user_id"].to_numpy()
+        return pa.table(
+            {"user_id": t["user_id"], "ts": t["ts"],
+             "event_id": t["event_id"], "event_type": t["event_type"],
+             "bucket": pa.array((u % N_KEY_BUCKETS).astype(np.int32),
+                                pa.int32())})
+
+    _P = pa.schema([("kind", pa.string()), ("n", pa.int64()),
+                    ("credit_micro", pa.int64())])
+
+    def attribute(g: pd.DataFrame) -> pa.Table:
+        g = g.copy()
+        g["ts_us"] = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        conv = (g[g["event_type"] == "purchase"][["user_id", "ts_us"]]
+                .sort_values("ts_us", kind="mergesort"))
+        if conv.empty:
+            return pa.table({"kind": pa.array(["click", "view", "unattributed"]),
+                             "n": pa.array([0, 0, 0], pa.int64()),
+                             "credit_micro": pa.array([0, 0, 0], pa.int64())},
+                            schema=_P)
+        counts = {}
+        for typ in ("click", "view"):
+            tt = (g[g["event_type"] == typ][["user_id", "ts_us"]]
+                  .sort_values(["ts_us", "user_id"], kind="mergesort"))
+            tt["r"] = tt.groupby("user_id").cumcount() + 1
+            res = []
+            for off in (1, _ATTR_WINDOW_US + 1):  # hi: ts < conv;
+                # lo: ts <= conv - 24h - 1us is OUT of the window
+                q = conv.assign(key=conv["ts_us"] - off).sort_values(
+                    "key", kind="mergesort")
+                if tt.empty:
+                    res.append(np.zeros(len(q), np.int64))
+                    continue
+                m = pd.merge_asof(q, tt.rename(columns={"ts_us": "key"}),
+                                  on="key", by="user_id",
+                                  direction="backward")
+                res.append(m["r"].fillna(0).to_numpy().astype(np.int64))
+            counts[typ] = res[0] - res[1]
+        nc, nv = counts["click"], counts["view"]
+        n = nc + nv
+        m = n > 0
+        cc = int((nc[m] * 1_000_000 // n[m]).sum())
+        cv = int((nv[m] * 1_000_000 // n[m]).sum())
+        rem = int(m.sum()) * 1_000_000 - cc - cv
+        return pa.table(
+            {"kind": pa.array(["click", "view", "unattributed"]),
+             "n": pa.array([int(nc.sum()), int(nv.sum()), int(m.sum())],
+                           pa.int64()),
+             "credit_micro": pa.array([cc, cv, rem], pa.int64())},
+            schema=_P)
+
+    parts = (
+        ds.map_batches(narrow, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(attribute, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("kind", as_index=False)[["n", "credit_micro"]].sum()
+    return out.sort_values("kind").reset_index(drop=True).astype(
+        {"n": "int64", "credit_micro": "int64"})
+
+
+def table_checksums(sf_dir: str) -> pd.DataFrame:
+    """(table_name, n_rows, checksum) — ORDER-INVARIANT content checksums
+    (sum of per-row md5-64 over a canonical key|value string, mod 2^63 so
+    the BIGINT twin is exact): the replication/migration integrity verb —
+    two copies of a table match iff (n_rows, checksum) match, regardless
+    of row order, partitioning, or file layout.  Covers orders (key|cents)
+    and documents (id|md5(text)).
+
+    Scale shape: MAP-ONLY — each batch hashes its rows and emits one
+    (table, count, partial-sum) row; addition is commutative so any
+    partitioning reduces to the same value; the driver reduce is
+    2 rows.  Hashing is hashlib-per-row (md5 has no vectorized kernel
+    here) — the same honest cost fingerprint_md5 pays, and it never
+    crosses the wire.
+    """
+    import hashlib as _hl
+
+    MOD = 1 << 63
+
+    def _md5_64(s: str) -> int:
+        return int(_hl.md5(s.encode()).hexdigest()[:16], 16) % MOD
+
+    _P = pa.schema([("table_name", pa.string()), ("n_rows", pa.int64()),
+                    ("checksum", pa.int64())])
+
+    def orders_part(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy()
+        cents = np.round(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        acc = 0
+        for a, b in zip(k.tolist(), cents.tolist()):
+            acc = (acc + _md5_64(f"{a}|{b}")) % MOD
+        return pa.table({"table_name": pa.array(["orders"]),
+                         "n_rows": pa.array([len(k)], pa.int64()),
+                         "checksum": pa.array([acc], pa.int64())}, schema=_P)
+
+    def docs_part(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        acc = 0
+        for i, s in zip(ids.tolist(), t["text"].to_pylist()):
+            acc = (acc + _md5_64(f"{i}|{_hl.md5(s.encode()).hexdigest()}")) % MOD
+        return pa.table({"table_name": pa.array(["documents"]),
+                         "n_rows": pa.array([len(ids)], pa.int64()),
+                         "checksum": pa.array([acc], pa.int64())}, schema=_P)
+
+    parts = pd.concat([
+        read_pruned(_t(sf_dir, "orders"), ["o_orderkey", "o_totalprice"])
+        .map_batches(orders_part, batch_format="pyarrow",
+                     batch_size=262144).to_pandas(),
+        read_pruned(_t(sf_dir, "documents"), ["doc_id", "text"])
+        .map_batches(docs_part, batch_format="pyarrow",
+                     batch_size=262144).to_pandas(),
+    ], ignore_index=True)
+    rows = []
+    for name, g in parts.groupby("table_name"):
+        # Python-int reduce: two partials near 2^63 would overflow int64
+        acc = sum(int(v) for v in g["checksum"]) % MOD
+        rows.append((name, int(g["n_rows"].sum()), acc))
+    return pd.DataFrame(rows, columns=["table_name", "n_rows", "checksum"]
+                        ).astype({"n_rows": "int64", "checksum": "int64"}
+                                 ).sort_values("table_name").reset_index(drop=True)
