@@ -456,6 +456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_scd2_asof": relational.orders_scd2_asof,
         "multi_touch_attribution": relational.multi_touch_attribution,
         "table_checksums": relational.table_checksums,
+        "conversion_delay_quantiles": relational.conversion_delay_quantiles,
         # text analysis (M11/M12/M13 + training-data ops)
         "token_count": text.token_count,
         "token_count_bpe": text.token_count_bpe,
@@ -2344,6 +2345,27 @@ def oracle_sql() -> dict[str, str]:
         "link_prediction_ra": _lsh_oracles.link_prediction_ra_sql(),
         # robots.txt longest-prefix-match gate over generated per-host rules
         "robots_gate": _lsh_oracles.robots_gate_sql(),
+        # funnel latency: exact p50/p90 of first-signup -> first-later-
+        # purchase delay at integer ceil(qn) ranks
+        "conversion_delay_quantiles": """
+            WITH s0 AS (SELECT user_id, min(ts) AS st FROM events
+                        WHERE event_type = 'signup' GROUP BY user_id),
+            p0 AS (SELECT s.user_id, min(e.ts) AS pt FROM s0 s
+                   JOIN events e ON e.user_id = s.user_id
+                     AND e.event_type = 'purchase' AND e.ts > s.st
+                   GROUP BY s.user_id),
+            d AS (SELECT (epoch_us(p0.pt) - epoch_us(s0.st)) // 1000000
+                           AS delay_s
+                  FROM p0 JOIN s0 USING (user_id)),
+            n AS (SELECT count(*) AS c FROM d),
+            q AS (SELECT delay_s, row_number() OVER (ORDER BY delay_s) AS rn
+                  FROM d)
+            SELECT (SELECT c FROM n)::BIGINT AS n_converted,
+                   (SELECT delay_s FROM q, n
+                    WHERE rn = (c + 1) // 2)::BIGINT AS p50_s,
+                   (SELECT delay_s FROM q, n
+                    WHERE rn = (9 * c + 9) // 10)::BIGINT AS p90_s
+        """,
         # order-invariant replication checksums (sum of row md5-64 mod 2^63)
         "table_checksums": """
             WITH o AS (

@@ -224,6 +224,7 @@ BENCH_QUERY_NAMES = [
     "orders_scd2_asof",
     "multi_touch_attribution",
     "table_checksums",
+    "conversion_delay_quantiles",
 ]
 
 

@@ -6650,3 +6650,74 @@ def table_checksums(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["table_name", "n_rows", "checksum"]
                         ).astype({"n_rows": "int64", "checksum": "int64"}
                                  ).sort_values("table_name").reset_index(drop=True)
+
+
+def conversion_delay_quantiles(sf_dir: str) -> pd.DataFrame:
+    """(n_converted, p50_s, p90_s) — funnel LATENCY order statistics: per
+    user, the delay in whole seconds from the FIRST signup to the first
+    strictly-later purchase; exact p50/p90 at integer ranks
+    ``ceil(q*n)`` (1-based — the repo's shared rank convention, integer
+    formulas ``(n+1)//2`` and ``(9n+9)//10`` so no float rounding can
+    straddle a rank).  The time-to-convert metric product analytics pairs
+    with events_funnel's conversion counts.
+
+    Scale shape: only signup/purchase narrow rows enter ONE user-bucket
+    all-to-all; each group resolves first-signup -> first-later-purchase
+    per user vectorized (groupby-min + forward merge_asof, exact-match
+    excluded) and emits one int64 delay row per converted user; the exact
+    ranks resolve via _values_at_ranks (sort + per-block row counts +
+    fetch only the rank-holding block — the driver never holds the delay
+    set).
+    """
+    from .text import _values_at_ranks
+
+    ds = read_pruned(_t(sf_dir, "events"),
+                     ["user_id", "ts", "event_id", "event_type"])
+    _TYPES = pa.array(["signup", "purchase"], pa.string())
+
+    def narrow(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"], value_set=_TYPES))
+        u = t["user_id"].to_numpy()
+        return pa.table(
+            {"user_id": t["user_id"], "ts": t["ts"],
+             "is_signup": pc.cast(pc.equal(t["event_type"], "signup"),
+                                  pa.int8()),
+             "bucket": pa.array((u % N_KEY_BUCKETS).astype(np.int32),
+                                pa.int32())})
+
+    _D = pa.schema([("delay_s", pa.int64())])
+
+    def delays(g: pd.DataFrame) -> pa.Table:
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g = g.assign(ts_us=ts)
+        s0 = (g[g["is_signup"] == 1].groupby("user_id", as_index=False)
+              ["ts_us"].min().sort_values("ts_us", kind="mergesort"))
+        pp = (g[g["is_signup"] == 0][["user_id", "ts_us"]]
+              .sort_values("ts_us", kind="mergesort"))
+        if s0.empty or pp.empty:
+            return _D.empty_table()
+        m = pd.merge_asof(s0, pp.rename(columns={"ts_us": "pt"}),
+                          left_on="ts_us", right_on="pt", by="user_id",
+                          direction="forward", allow_exact_matches=False)
+        m = m.dropna(subset=["pt"])
+        d = ((m["pt"].to_numpy().astype(np.int64) - m["ts_us"].to_numpy())
+             // 1_000_000)
+        return pa.table({"delay_s": pa.array(d, pa.int64())}, schema=_D)
+
+    dds = (
+        ds.map_batches(narrow, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(delays, batch_format="pandas")
+        .materialize()  # consumed twice: count + rank selection; size is
+        # <= one row per converted user, not per event
+    )
+    n = dds.count()
+    if n == 0:
+        return pd.DataFrame({"n_converted": pd.Series([0], dtype="int64"),
+                             "p50_s": pd.Series([0], dtype="int64"),
+                             "p90_s": pd.Series([0], dtype="int64")})
+    r50, r90 = (n + 1) // 2 - 1, (9 * n + 9) // 10 - 1
+    v50, v90 = _values_at_ranks(dds, "delay_s", [r50, r90])
+    return pd.DataFrame({"n_converted": pd.Series([n], dtype="int64"),
+                         "p50_s": pd.Series([int(v50)], dtype="int64"),
+                         "p90_s": pd.Series([int(v90)], dtype="int64")})
