@@ -457,6 +457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_touch_attribution": relational.multi_touch_attribution,
         "table_checksums": relational.table_checksums,
         "conversion_delay_quantiles": relational.conversion_delay_quantiles,
+        "catalog_stats_collect": relational.catalog_stats_collect,
         # text analysis (M11/M12/M13 + training-data ops)
         "token_count": text.token_count,
         "token_count_bpe": text.token_count_bpe,
@@ -478,6 +479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_pmi_topk": text.bigram_pmi_topk,
         "char_entropy": text.char_entropy,
         "kmv_distinct_tokens": text.kmv_distinct_tokens,
+        "kmv_token_overlap": text.kmv_token_overlap,
         "lang_counts": text.lang_counts,
         "k_anonymity_report": text.k_anonymity_report,
         "langid_predict": text.langid_predict,
@@ -1524,6 +1526,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY token, doc_id
         """,
         "kmv_distinct_tokens": _lsh_oracles.kmv_distinct_tokens_sql(),
+        # KMV sketch set ops: en-vs-rest distinct-token union/intersection
+        "kmv_token_overlap": _lsh_oracles.kmv_token_overlap_sql(),
         "cms_sketch_tokens": _lsh_oracles.cms_sketch_tokens_sql(),
         # Q17 shape: correlated subquery decorrelated; threshold is the same
         # IEEE expression both sides (0.2*avg over integral quantities),
@@ -2345,6 +2349,36 @@ def oracle_sql() -> dict[str, str]:
         "link_prediction_ra": _lsh_oracles.link_prediction_ra_sql(),
         # robots.txt longest-prefix-match gate over generated per-host rules
         "robots_gate": _lsh_oracles.robots_gate_sql(),
+        # ANALYZE: exact planner stats for the bounded-enum string columns
+        "catalog_stats_collect": """
+            SELECT * FROM (
+              SELECT 'documents' AS table_name, 'lang' AS column_name,
+                     count(*)::BIGINT AS n_rows,
+                     (count(*) - count(lang))::BIGINT AS n_nulls,
+                     count(DISTINCT lang)::BIGINT AS ndv,
+                     min(lang) AS min_v, max(lang) AS max_v FROM documents
+              UNION ALL
+              SELECT 'documents', 'source', count(*)::BIGINT,
+                     (count(*) - count(source))::BIGINT,
+                     count(DISTINCT source)::BIGINT,
+                     min(source), max(source) FROM documents
+              UNION ALL
+              SELECT 'orders', 'o_orderpriority', count(*)::BIGINT,
+                     (count(*) - count(o_orderpriority))::BIGINT,
+                     count(DISTINCT o_orderpriority)::BIGINT,
+                     min(o_orderpriority), max(o_orderpriority) FROM orders
+              UNION ALL
+              SELECT 'orders', 'o_orderstatus', count(*)::BIGINT,
+                     (count(*) - count(o_orderstatus))::BIGINT,
+                     count(DISTINCT o_orderstatus)::BIGINT,
+                     min(o_orderstatus), max(o_orderstatus) FROM orders
+              UNION ALL
+              SELECT 'events', 'event_type', count(*)::BIGINT,
+                     (count(*) - count(event_type))::BIGINT,
+                     count(DISTINCT event_type)::BIGINT,
+                     min(event_type), max(event_type) FROM events
+            ) ORDER BY table_name, column_name
+        """,
         # funnel latency: exact p50/p90 of first-signup -> first-later-
         # purchase delay at integer ceil(qn) ranks
         "conversion_delay_quantiles": """

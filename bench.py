@@ -225,6 +225,8 @@ BENCH_QUERY_NAMES = [
     "multi_touch_attribution",
     "table_checksums",
     "conversion_delay_quantiles",
+    "catalog_stats_collect",
+    "kmv_token_overlap",
 ]
 
 

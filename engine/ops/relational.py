@@ -6721,3 +6721,59 @@ def conversion_delay_quantiles(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n_converted": pd.Series([n], dtype="int64"),
                          "p50_s": pd.Series([int(v50)], dtype="int64"),
                          "p90_s": pd.Series([int(v90)], dtype="int64")})
+
+
+_CATALOG_COLS = [("documents", "lang"), ("documents", "source"),
+                 ("orders", "o_orderpriority"), ("orders", "o_orderstatus"),
+                 ("events", "event_type")]
+
+
+def catalog_stats_collect(sf_dir: str) -> pd.DataFrame:
+    """(table_name, column_name, n_rows, n_nulls, ndv, min_v, max_v) — the
+    ANALYZE verb: planner catalog statistics for the bounded-enum string
+    columns (exact row/null counts, exact distinct counts, lexicographic
+    min/max) — what a cost-based optimizer collects before choosing the
+    join orders the rest of this repo hand-tunes.
+
+    Scale shape: MAP-ONLY per column — each batch emits one partial row
+    per distinct value it saw ((value, n, nulls) — bounded by the enum's
+    cardinality, not the batch), and the driver folds |values|-sized
+    frames.  Exact NDV without a shuffle is only claimed for enum columns;
+    a high-cardinality column would ride the KMV/HLL sketches instead
+    (kmv_distinct_tokens / hll_distinct_tokens).
+    """
+    frames = []
+    for tbl, col in _CATALOG_COLS:
+        ds = read_pruned(_t(sf_dir, tbl), [col])
+
+        _S = pa.schema([("v", pa.string()), ("n", pa.int64()),
+                        ("nulls", pa.int64())])
+
+        def partial(t: pa.Table, col=col) -> pa.Table:
+            a = t[col]
+            nulls = int(a.null_count)
+            vc = pc.value_counts(pc.drop_null(a))
+            if len(vc) == 0:
+                return pa.table({"v": pa.array([None], pa.string()),
+                                 "n": pa.array([0], pa.int64()),
+                                 "nulls": pa.array([nulls], pa.int64())},
+                                schema=_S)
+            return pa.table(
+                {"v": pc.cast(vc.field("values"), pa.string()),
+                 "n": pc.cast(vc.field("counts"), pa.int64()),
+                 "nulls": pa.array([nulls] + [0] * (len(vc) - 1), pa.int64())},
+                schema=_S)
+
+        p = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=262144).to_pandas()
+        g = p.dropna(subset=["v"]).groupby("v")["n"].sum()
+        frames.append(pd.DataFrame({
+            "table_name": [tbl], "column_name": [col],
+            "n_rows": [int(p["n"].sum() + p["nulls"].sum())],
+            "n_nulls": [int(p["nulls"].sum())],
+            "ndv": [int(g.size)],
+            "min_v": [str(g.index.min())], "max_v": [str(g.index.max())]}))
+    out = pd.concat(frames, ignore_index=True)
+    for c in ("n_rows", "n_nulls", "ndv"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["table_name", "column_name"]).reset_index(drop=True)

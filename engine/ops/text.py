@@ -2838,3 +2838,66 @@ def median_doc_hash(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n_docs": pd.Series([n], dtype="int64"),
                          "median_hash": pd.Series([int(vals[rank])],
                                                   dtype="int64")})
+
+
+def kmv_token_overlap(sf_dir: str, k: int = 16) -> pd.DataFrame:
+    """(k, kth_union, est_union, matches, est_intersection) — KMV sketch
+    SET OPERATIONS (the Theta-sketch union/intersection algebra, Dasgupta
+    et al. 2016, on the deterministic KMV base kmv_distinct_tokens
+    oracles): distinct-token overlap between the 'en' corpus slice and the
+    rest.  Union sketch = k smallest of the two side sketches' union;
+    intersection estimate = |unionK ∩ A ∩ B| * est_union // k — pure
+    integer arithmetic on sketches that are exact functions of the data,
+    so DuckDB recomputes every value.  When the union is unsaturated
+    (< k distinct hashes total) the sketches ARE the sets and both
+    estimates are exact counts.
+
+    Scale shape: one map pass emits per-batch per-side k-min distinct
+    hashes (<= 2k rows per batch, no shuffle, no token leaves its batch);
+    the driver folds constant-size sketches.
+    """
+    ds = _docs(sf_dir, ["text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sides, hs = [], []
+        is_en = pc.equal(t["lang"], "en")
+        for side, mask in (("a", is_en), ("b", pc.invert(is_en))):
+            txt = t.filter(mask)["text"]
+            if len(txt) == 0:
+                continue
+            toks = pc.split_pattern_regex(pc.utf8_lower(txt), r"\s+")
+            flat = pc.list_flatten(toks)
+            flat = flat.filter(pc.not_equal(flat, ""))
+            uniq = pc.unique(flat).to_pylist()
+            if not uniq:
+                continue
+            h = np.unique(_md5_token_hashes(uniq) >> np.uint64(1))
+            if len(h) > k:
+                h = np.partition(h, k - 1)[:k]
+            sides.extend([side] * len(h))
+            hs.append(h.astype(np.int64))
+        return pa.table({"side": pa.array(sides, pa.string()),
+                         "h": pa.array(
+                             np.concatenate(hs) if hs
+                             else np.array([], np.int64), pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=4096).to_pandas()
+    sk = {}
+    for side in ("a", "b"):
+        h = np.unique(parts[parts["side"] == side]["h"].to_numpy())
+        sk[side] = h[:k]  # np.unique sorts: the k smallest distinct
+    union_all = np.unique(np.concatenate([sk["a"], sk["b"]]))
+    saturated = len(union_all) >= k
+    u = union_all[:k]
+    kth = int(u[-1]) if len(u) else 0
+    est_union = ((k - 1) * (1 << 63) // kth if saturated
+                 else int(len(union_all)))
+    matches = int(np.isin(u, sk["a"]).__and__(np.isin(u, sk["b"])).sum())
+    est_inter = (matches * est_union // k) if saturated else matches
+    return pd.DataFrame(
+        {"k": pd.Series([k], dtype="int64"),
+         "kth_union": pd.Series([kth], dtype="int64"),
+         "est_union": pd.Series([int(est_union)], dtype="int64"),
+         "matches": pd.Series([matches], dtype="int64"),
+         "est_intersection": pd.Series([int(est_inter)], dtype="int64")})

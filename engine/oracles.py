@@ -1403,3 +1403,39 @@ def winnow_overlap_pairs_sql(k: int = 3, w: int = 4,
             SELECT doc_a, doc_b, n_shared FROM p
             WHERE n_shared >= {min_shared}
             ORDER BY doc_a, doc_b"""
+
+
+def kmv_token_overlap_sql(k: int = 16) -> str:
+    """Oracle for text.kmv_token_overlap: per-side k-min distinct token
+    hashes (lang = 'en' vs the rest), KMV union sketch, and the integer
+    Theta-style intersection estimate — every value recomputed exactly."""
+    def side_cte(name: str, pred: str) -> str:
+        return rf"""{name}h AS (
+              SELECT DISTINCT
+                (('0x' || substr(md5(unnest(list_filter(
+                    string_split_regex(lower(text), '\s+'),
+                    x -> x <> ''))), 1, 16))::UBIGINT >> 1)::BIGINT AS h
+              FROM documents WHERE {pred}
+            ), {name}k AS (SELECT h FROM {name}h ORDER BY h LIMIT {k})"""
+
+    return rf"""
+            WITH {side_cte('a', "lang = 'en'")},
+            {side_cte('b', "lang <> 'en'")},
+            uall AS (SELECT h FROM ak UNION SELECT h FROM bk),
+            nu AS (SELECT count(*)::BIGINT AS n FROM uall),
+            u AS (SELECT h FROM uall ORDER BY h LIMIT {k}),
+            agg AS (SELECT COALESCE(max(h), 0)::BIGINT AS kth FROM u),
+            mm AS (SELECT count(*)::BIGINT AS matches FROM u
+                   WHERE h IN (SELECT h FROM ak)
+                     AND h IN (SELECT h FROM bk)),
+            eu AS (SELECT CASE WHEN nu.n >= {k} THEN
+                     (({k - 1}::UHUGEINT * 9223372036854775808::UHUGEINT)
+                      / agg.kth::UHUGEINT)::BIGINT
+                   ELSE nu.n END AS est FROM nu, agg)
+            SELECT {k}::BIGINT AS k, agg.kth AS kth_union,
+                   eu.est::BIGINT AS est_union, mm.matches,
+                   (CASE WHEN nu.n >= {k} THEN
+                      ((mm.matches::UHUGEINT * eu.est::UHUGEINT)
+                       / {k}::UHUGEINT)::BIGINT
+                    ELSE mm.matches END)::BIGINT AS est_intersection
+            FROM agg, mm, eu, nu"""

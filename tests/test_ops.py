@@ -3568,3 +3568,31 @@ def test_media_audio_resample_planted(ray_session):
     g2 = ent.queries()["media_audio_resample"]("/root/testdata/sf0.001")
     assert g1.equals(g2) and len(g1) > 0
     assert (g1["rate_out"].to_numpy() * 2 == g1["rate_in"].to_numpy()).all()
+
+
+def test_catalog_stats_null_handling(ray_session, tmp_path, monkeypatch):
+    """ANALYZE stats count nulls exactly and exclude them from ndv/min/max
+    (a planted nullable enum column the sf tables never exercise)."""
+    import pyarrow.parquet as pq
+
+    from engine.ops import relational as rel
+
+    d = tmp_path / "cat"
+    d.mkdir()
+    langs = ["en", None, "de", "en", None, "fr", "de", "en"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(langs)), pa.int64()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(["s"] * len(langs), pa.string()),
+        "text": pa.array(["x"] * len(langs), pa.string()),
+    }), d / "documents.parquet")
+    monkeypatch.setattr(rel, "_CATALOG_COLS",
+                        [("documents", "lang"), ("documents", "source")])
+
+    out = rel.catalog_stats_collect(str(d))
+    r = {t.column_name: t for t in out.itertuples()}
+    lang = r["lang"]
+    assert (lang.n_rows, lang.n_nulls, lang.ndv) == (8, 2, 3)
+    assert (lang.min_v, lang.max_v) == ("de", "fr")
+    src = r["source"]
+    assert (src.n_rows, src.n_nulls, src.ndv) == (8, 0, 1)
