@@ -458,6 +458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_checksums": relational.table_checksums,
         "conversion_delay_quantiles": relational.conversion_delay_quantiles,
         "catalog_stats_collect": relational.catalog_stats_collect,
+        "link_parity_conflicts": relational.link_parity_conflicts,
         # text analysis (M11/M12/M13 + training-data ops)
         "token_count": text.token_count,
         "token_count_bpe": text.token_count_bpe,
@@ -1947,6 +1948,39 @@ def oracle_sql() -> dict[str, str]:
                   UNION ALL SELECT * FROM h4)
             SELECT node AS doc_id, min(depth) AS depth
             FROM a GROUP BY 1 ORDER BY 1
+        """,
+        # bipartiteness testing: odd-cycle witness edges (equal BFS-depth
+        # parity at both reached endpoints) over the shared link graph
+        "link_parity_conflicts": """
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            e(s) AS (VALUES (1), (2), (3)),
+            h0 AS (SELECT doc_id AS node, CAST(0 AS BIGINT) AS depth
+                   FROM documents WHERE doc_id % 100 = 0),
+            h1 AS (SELECT DISTINCT (node * 31 + s) % (SELECT n FROM nn)
+                            AS node, CAST(1 AS BIGINT) AS depth
+                   FROM h0 CROSS JOIN e),
+            h2 AS (SELECT DISTINCT (node * 31 + s) % (SELECT n FROM nn)
+                            AS node, CAST(2 AS BIGINT) AS depth
+                   FROM h1 CROSS JOIN e),
+            h3 AS (SELECT DISTINCT (node * 31 + s) % (SELECT n FROM nn)
+                            AS node, CAST(3 AS BIGINT) AS depth
+                   FROM h2 CROSS JOIN e),
+            h4 AS (SELECT DISTINCT (node * 31 + s) % (SELECT n FROM nn)
+                            AS node, CAST(4 AS BIGINT) AS depth
+                   FROM h3 CROSS JOIN e),
+            a AS (SELECT * FROM h0 UNION ALL SELECT * FROM h1
+                  UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3
+                  UNION ALL SELECT * FROM h4),
+            d AS (SELECT node, min(depth) AS depth FROM a GROUP BY 1),
+            ed AS (SELECT du.node AS u,
+                          (du.node * 31 + s) % (SELECT n FROM nn) AS v,
+                          du.depth AS du_d
+                   FROM d du CROSS JOIN e)
+            SELECT (SELECT count(*) FROM d)::BIGINT AS n_reached,
+                   count(*)::BIGINT AS n_edges,
+                   sum(CASE WHEN (ed.du_d + dv.depth) % 2 = 0
+                       THEN 1 ELSE 0 END)::BIGINT AS n_conflicts
+            FROM ed JOIN d dv ON ed.v = dv.node
         """,
         # per-customer MAX consecutive-order gap (churn analytic)
         "customer_order_gaps": """

@@ -3411,8 +3411,8 @@ def event_transition_counts(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
-def link_bfs_depth(sf_dir: str, max_hops: int = 4) -> pd.DataFrame:
-    """(doc_id, depth) — multi-source BFS over the shared synthetic link
+def _bfs_known_ds(sf_dir: str, max_hops: int = 4):
+    """((node, depth) Dataset, n) — multi-source BFS over the shared link
     graph (every doc links to ``(doc_id*31 + s) % n`` for s in 1..3) from
     the seed set ``doc_id % 100 == 0``, bounded at ``max_hops``: the
     minimum hop count at which each reachable node is first discovered.
@@ -3480,6 +3480,11 @@ def link_bfs_depth(sf_dir: str, max_hops: int = 4) -> pd.DataFrame:
             .materialize()
         )
 
+    return known, n
+
+
+def link_bfs_depth(sf_dir: str, max_hops: int = 4) -> pd.DataFrame:
+    known, _ = _bfs_known_ds(sf_dir, max_hops)
     out = known.to_pandas().rename(columns={"node": "doc_id"})
     out = out.astype({"doc_id": "int64", "depth": "int64"})
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -6777,3 +6782,62 @@ def catalog_stats_collect(sf_dir: str) -> pd.DataFrame:
     for c in ("n_rows", "n_nulls", "ndv"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["table_name", "column_name"]).reset_index(drop=True)
+
+
+def link_parity_conflicts(sf_dir: str, max_hops: int = 4) -> pd.DataFrame:
+    """(n_reached, n_edges_reached, n_conflicts) — BIPARTITENESS testing by
+    parity BFS: over the nodes the bounded multi-source BFS reaches, count
+    graph edges whose endpoints' min-depths share a parity — each is an
+    odd-cycle WITNESS (a graph is bipartite iff layered BFS yields none).
+    The property-verification verb next to the BFS/CC/peel family: the
+    answer is a certificate count, not a labeling.
+
+    Scale shape: rides the shared _bfs_known_ds frontier loop, then ONE
+    dst-bucket all-to-all — each known node ships its 3 out-edges keyed by
+    destination plus one marker row carrying its own parity; every group
+    joins edge rows to marker rows vectorized and emits 3 count partials.
+    The driver never holds the reached set.
+    """
+    known, n = _bfs_known_ds(sf_dir, max_hops)
+
+    _R = pa.schema([("v", pa.int64()), ("pu", pa.int8()), ("is_marker", pa.int8()),
+                    ("bucket", pa.int32())])
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        nodes = t["node"].to_numpy()
+        par = (t["depth"].to_numpy() % 2).astype(np.int8)
+        vs = [(nodes * 31 + s) % n for s in (1, 2, 3)]
+        v = np.concatenate(vs + [nodes])
+        pu = np.concatenate([par, par, par, par])
+        marker = np.concatenate([np.zeros(3 * len(nodes), np.int8),
+                                 np.ones(len(nodes), np.int8)])
+        return pa.table(
+            {"v": pa.array(v, pa.int64()), "pu": pa.array(pu, pa.int8()),
+             "is_marker": pa.array(marker, pa.int8()),
+             "bucket": pa.array((v % N_KEY_BUCKETS).astype(np.int32),
+                                pa.int32())},
+            schema=_R)
+
+    _P = pa.schema([("n_reached", pa.int64()), ("n_edges", pa.int64()),
+                    ("n_conflicts", pa.int64())])
+
+    def resolve(g: pd.DataFrame) -> pa.Table:
+        mk = (g[g["is_marker"] == 1].drop_duplicates("v")
+              .set_index("v")["pu"])
+        e = g[g["is_marker"] == 0]
+        pv = mk.reindex(e["v"]).to_numpy()
+        hit = ~pd.isna(pv)
+        conflicts = int((pv[hit] == e["pu"].to_numpy()[hit]).sum())
+        return pa.table({"n_reached": pa.array([int(len(mk))], pa.int64()),
+                         "n_edges": pa.array([int(hit.sum())], pa.int64()),
+                         "n_conflicts": pa.array([conflicts], pa.int64())},
+                        schema=_P)
+
+    parts = (
+        known.map_batches(edge_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame({c: pd.Series([int(parts[c].sum())], dtype="int64")
+                         for c in ("n_reached", "n_edges", "n_conflicts")})
