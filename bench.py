@@ -227,6 +227,7 @@ BENCH_QUERY_NAMES = [
     "conversion_delay_quantiles",
     "catalog_stats_collect",
     "kmv_token_overlap",
+    "link_parity_conflicts",
 ]
 
 
