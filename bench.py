@@ -726,6 +726,10 @@ def run_dedup_smoke() -> dict:
         "robots_gate": lambda: rel.robots_gate(dest),
         # inclusive subtree rollup: map-only log-depth walk + one exchange
         "folder_rollup_docs": lambda: rel.folder_rollup_docs(dest),
+        # KMV sketch set ops: constant per-batch per-side k-min partials
+        "kmv_token_overlap": lambda: _text_ops.kmv_token_overlap(dest),
+        # parity BFS bipartiteness witnesses: BFS loop + one marker join
+        "link_parity_conflicts": lambda: rel.link_parity_conflicts(dest),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")
     if only:
