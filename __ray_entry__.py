@@ -481,6 +481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy": text.char_entropy,
         "kmv_distinct_tokens": text.kmv_distinct_tokens,
         "kmv_token_overlap": text.kmv_token_overlap,
+        "source_lang_chi2": text.source_lang_chi2,
         "lang_counts": text.lang_counts,
         "k_anonymity_report": text.k_anonymity_report,
         "langid_predict": text.langid_predict,
@@ -1529,6 +1530,30 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct_tokens": _lsh_oracles.kmv_distinct_tokens_sql(),
         # KMV sketch set ops: en-vs-rest distinct-token union/intersection
         "kmv_token_overlap": _lsh_oracles.kmv_token_overlap_sql(),
+        # Pearson chi-square independence audit of (source, lang): exact
+        # integer per-cell floor terms, HUGEINT intermediates
+        "source_lang_chi2": """
+            WITH c AS (SELECT source, lang, count(*)::BIGINT AS o
+                       FROM documents GROUP BY 1, 2),
+            r AS (SELECT source, sum(o)::BIGINT AS rt FROM c GROUP BY 1),
+            l AS (SELECT lang, sum(o)::BIGINT AS ct FROM c GROUP BY 1),
+            n AS (SELECT sum(o)::BIGINT AS nn FROM c),
+            grid AS (SELECT r.rt, l.ct, COALESCE(c.o, 0)::BIGINT AS o
+                     FROM r CROSS JOIN l
+                     LEFT JOIN c ON c.source = r.source AND c.lang = l.lang),
+            t AS (SELECT ((o::HUGEINT * nn::HUGEINT
+                           - rt::HUGEINT * ct::HUGEINT)
+                          * (o::HUGEINT * nn::HUGEINT
+                             - rt::HUGEINT * ct::HUGEINT)
+                          * 1000000::HUGEINT)
+                         // (nn::HUGEINT * rt::HUGEINT * ct::HUGEINT)
+                           AS term
+                  FROM grid, n)
+            SELECT (SELECT count(*) FROM grid)::BIGINT AS n_cells,
+                   ((SELECT count(*) FROM r) - 1)::BIGINT
+                     * ((SELECT count(*) FROM l) - 1)::BIGINT AS dof,
+                   (SELECT sum(term) FROM t)::BIGINT AS chi2_micro
+        """,
         "cms_sketch_tokens": _lsh_oracles.cms_sketch_tokens_sql(),
         # Q17 shape: correlated subquery decorrelated; threshold is the same
         # IEEE expression both sides (0.2*avg over integral quantities),

@@ -228,6 +228,7 @@ BENCH_QUERY_NAMES = [
     "catalog_stats_collect",
     "kmv_token_overlap",
     "link_parity_conflicts",
+    "source_lang_chi2",
 ]
 
 
@@ -730,6 +731,8 @@ def run_dedup_smoke() -> dict:
         "kmv_token_overlap": lambda: _text_ops.kmv_token_overlap(dest),
         # parity BFS bipartiteness witnesses: BFS loop + one marker join
         "link_parity_conflicts": lambda: rel.link_parity_conflicts(dest),
+        # chi-square (source, lang) independence: map-only enum partials
+        "source_lang_chi2": lambda: _text_ops.source_lang_chi2(dest),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")
     if only:

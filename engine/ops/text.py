@@ -2901,3 +2901,47 @@ def kmv_token_overlap(sf_dir: str, k: int = 16) -> pd.DataFrame:
          "est_union": pd.Series([int(est_union)], dtype="int64"),
          "matches": pd.Series([matches], dtype="int64"),
          "est_intersection": pd.Series([int(est_inter)], dtype="int64")})
+
+
+def source_lang_chi2(sf_dir: str) -> pd.DataFrame:
+    """(n_cells, dof, chi2_micro) — Pearson chi-square INDEPENDENCE audit
+    of the (source, lang) contingency table: is language mix uniform
+    across hosts?  (The drift gate a multilingual-corpus curator runs per
+    crawl; source_drift_ks is the one-dimensional sibling.)  Each cell
+    contributes ``floor(1e6 * (o*n - r*c)^2 / (n * r * c))`` — the
+    chi-square term scaled so every value is an exact integer function of
+    the counts (per-cell floor BEFORE the sum, the repo's micro-rounding
+    idiom); intermediates reach ~n^4 so the driver uses Python ints and
+    the oracle HUGEINT.
+
+    Scale shape: MAP-ONLY — per-batch (source, lang) count partials are
+    bounded by the enum product, not the batch; the driver folds a
+    |sources x langs| frame.  No shuffle.
+    """
+    ds = _docs(sf_dir, ["source", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (t.group_by(["source", "lang"])
+             .aggregate([("source", "count")])
+             .rename_columns(["source", "lang", "cnt"]))
+        return g.set_column(2, "cnt", pc.cast(g["cnt"], pa.int64()))
+
+    p = ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=262144).to_pandas()
+    cells = p.groupby(["source", "lang"], as_index=False)["cnt"].sum()
+    n = int(cells["cnt"].sum())
+    rows = cells.groupby("source")["cnt"].sum()
+    cols = cells.groupby("lang")["cnt"].sum()
+    chi2 = 0
+    # the full r x c lattice: absent observed cells still contribute
+    # (0*n - r*c)^2 / (n*r*c) = r*c/n terms
+    obs = {(s, l): int(c) for s, l, c in cells.itertuples(index=False)}
+    for s, r in rows.items():
+        for l, c in cols.items():
+            o = obs.get((s, l), 0)
+            num = (o * n - int(r) * int(c)) ** 2 * 1_000_000
+            chi2 += num // (n * int(r) * int(c))
+    return pd.DataFrame(
+        {"n_cells": pd.Series([len(rows) * len(cols)], dtype="int64"),
+         "dof": pd.Series([(len(rows) - 1) * (len(cols) - 1)], dtype="int64"),
+         "chi2_micro": pd.Series([chi2], dtype="int64")})
