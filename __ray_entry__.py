@@ -2838,4 +2838,46 @@ def oracle_sql() -> dict[str, str]:
                sum(t.n)::BIGINT AS sum_tokens
         FROM tok t JOIN cur c ON c.doc_id = t.doc_id
         GROUP BY t.source ORDER BY t.source"""
-    return d
+    return _normalize_oracle_dtypes(d)
+
+
+# DuckDB dtype skews vs the engine's (correct) outputs: SUM(BIGINT) returns
+# HUGEINT which pandas renders as float64 while the engine emits int64;
+# DATE_TRUNC/TIMESTAMP columns come back as timestamp[us] while the engine's
+# pandas pipelines emit datetime64[ns]; a couple of DuckDB expressions return
+# INT32 where the engine emits int64.  The values are identical — only the
+# physical dtype differs — but the driver's hash is dtype-sensitive, so we
+# wrap the affected oracle columns in explicit CASTs (VERDICT r4 "What's
+# wrong #1": the 3 driver-red rows plus the 15 latent ones found by sweep).
+_ORACLE_DTYPE_FIXES: dict[str, dict[str, str]] = {
+    "events_hourly": {"hour": "TIMESTAMP_NS"},
+    "events_hourly_dense": {"hour": "TIMESTAMP_NS"},
+    "incremental_events_hourly": {"hour": "TIMESTAMP_NS"},
+    "events_hourly_anomalies": {"hour": "TIMESTAMP_NS"},
+    "events_hopping": {"window_start": "TIMESTAMP_NS"},
+    "events_sliding_distinct_users": {"window_end": "TIMESTAMP_NS"},
+    "promo_revenue_share": {"ship_month": "TIMESTAMP_NS"},
+    "event_type_day_pivot": {"day": "TIMESTAMP_NS"},
+    "user_retention_cohorts": {"cohort_day": "TIMESTAMP_NS"},
+    "daily_order_ship_balance": {"day": "TIMESTAMP_NS"},
+    "join_size_estimate": {"value": "BIGINT"},
+    "value_winsorized_stats": {"winsorized_mean_cents_milli": "BIGINT"},
+    "small_quantity_revenue": {"sum_cents": "BIGINT"},
+    "local_supplier_revenue": {"revenue_cents": "BIGINT"},
+    "customer_yoy_revenue": {"rev_a_cents": "BIGINT", "rev_b_cents": "BIGINT"},
+    "user_value_deciles": {"boundary_cents": "BIGINT"},
+    "phrase_search": {"query_id": "BIGINT"},
+    "k_anonymity_report": {"at_risk": "BIGINT"},
+    "embedding_moments": {"sum_micro": "BIGINT"},
+    "embedding_similarity_histogram": {"hi_micro": "BIGINT", "lo_micro": "BIGINT"},
+    "embedding_norm_outliers": {"norm_sq_milli": "BIGINT"},
+    "label_centroids": {"sum_micro": "BIGINT"},
+}
+
+
+def _normalize_oracle_dtypes(sqls: dict[str, str]) -> dict[str, str]:
+    for name, cols in _ORACLE_DTYPE_FIXES.items():
+        if name in sqls:
+            rep = ", ".join(f'CAST("{c}" AS {t}) AS "{c}"' for c, t in cols.items())
+            sqls[name] = f"SELECT * REPLACE ({rep}) FROM ({sqls[name]})"
+    return sqls

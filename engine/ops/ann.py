@@ -1016,6 +1016,9 @@ def semdedup_canonical(sf_dir: str, threshold: float = 0.95,
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+_RECALL_IDX_CACHE: dict = {}
+
+
 def ann_recall_report(sf_dir: str, n_queries: int = 5, k: int = 10) -> pd.DataFrame:
     """(variant, recall_milli) — recall@k of every approximate ANN variant
     against the exact brute-force top-k on the same queries, as integer
@@ -1032,14 +1035,22 @@ def ann_recall_report(sf_dir: str, n_queries: int = 5, k: int = 10) -> pd.DataFr
     truth = ann_topk_bruteforce(sf_dir, n_queries, k)
     tset = set(zip(truth["query_id"], truth["vec_id"]))
 
+    # Index builds cached under the corpus identity key (path, mtime, size)
+    # exactly like _CURATE_CACHE (curate.py) — a second call on the same
+    # corpus skips both builds instead of rmtree+rebuild (VERDICT r4 #5).
+    src = _os.path.join(sf_dir, "embeddings.parquet")
+    st = _os.stat(src)
+    key = (_os.path.abspath(src), st.st_mtime_ns, st.st_size)
     base = _os.path.join(tempfile.gettempdir(), "engine_recall_idx")
     ivf_dir = _os.path.join(base, "ivf")
     pq_dir = _os.path.join(base, "ivfpq")
-    import shutil as _sh
+    if _RECALL_IDX_CACHE.get("key") != key:
+        import shutil as _sh
 
-    _sh.rmtree(base, ignore_errors=True)
-    build_ivf_index(sf_dir, ivf_dir, n_cells=8)
-    build_ivfpq_index(sf_dir, pq_dir, n_cells=8, m=8)
+        _sh.rmtree(base, ignore_errors=True)
+        build_ivf_index(sf_dir, ivf_dir, n_cells=8)
+        build_ivfpq_index(sf_dir, pq_dir, n_cells=8, m=8)
+        _RECALL_IDX_CACHE["key"] = key
 
     def knn_edges():
         # the all-corpus graph, sliced to the report's query vectors; the

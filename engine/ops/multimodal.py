@@ -43,6 +43,26 @@ from .codecs import (
 )
 from .io import read_pruned
 
+
+def _pool(max_cap: int = 16) -> tuple[int, int]:
+    """Autoscaling actor-pool bounds for the decode-heavy stages.
+
+    (2, cpu-derived max): Ray spins actors up only while the stage has
+    queued batches, so a generous max never starves neighbours, while the
+    r4-verdict ``concurrency=2`` constant starved these stages at 32 cpus
+    and would hard-cap them on any real cluster.  The max reads the LIVE
+    cluster CPU count (not the driver node's), capped so batch_size x
+    actors stays inside the heap budget for payload rows.
+    """
+    try:
+        import ray
+
+        n = int(ray.cluster_resources().get("CPU", 0)) or (os.cpu_count() or 8)
+    except Exception:  # pragma: no cover - ray not initialised
+        n = os.cpu_count() or 8
+    return (2, max(4, min(max_cap, n - 2)))
+
+
 MEDIA_SCHEMA = pa.schema(
     [
         pa.field("media_id", pa.int64()),
@@ -287,7 +307,7 @@ def media_decode(sf_dir: str) -> pd.DataFrame:
     out = (
         real_media_table(sf_dir)
         .map_batches(DecodeStage, batch_format="pyarrow", batch_size=64,
-                     concurrency=2)
+                     concurrency=_pool())
         .to_pandas()
     )
     return out.sort_values("media_id").reset_index(drop=True)
@@ -372,7 +392,7 @@ def media_metadata(sf_dir: str) -> pd.DataFrame:
             FakeDecodeStage,
             batch_format="pyarrow",
             batch_size=64,
-            concurrency=2,
+            concurrency=_pool(),
         )
         .to_pandas()
     )
@@ -400,7 +420,7 @@ def media_features(sf_dir: str) -> pd.DataFrame:
             FeatureStage,
             batch_format="pyarrow",
             batch_size=64,
-            concurrency=2,
+            concurrency=_pool(),
         )
         .to_pandas()
     )
@@ -458,7 +478,7 @@ def media_signal_stats(sf_dir: str) -> pd.DataFrame:
     out = (
         real_media_table(sf_dir)
         .map_batches(SignalStatsStage, batch_format="pyarrow", batch_size=64,
-                     concurrency=2)
+                     concurrency=_pool())
         .to_pandas()
     )
     return out.sort_values("media_id").reset_index(drop=True)
@@ -562,7 +582,7 @@ def media_phash_dedup(sf_dir: str) -> pd.DataFrame:
     cross-codec hash invariance."""
     hashed = _media_with_transcodes(sf_dir).map_batches(
         PerceptualHashStage, batch_format="pyarrow", batch_size=64,
-        concurrency=2)
+        concurrency=_pool())
 
     def bucket(t: pa.Table) -> pa.Table:
         h = t["ahash"].to_numpy()
@@ -638,7 +658,7 @@ def media_phash_near_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
 
     hashed = _media_with_noisy_twins(sf_dir).map_batches(
         PerceptualHashStage, batch_format="pyarrow", batch_size=64,
-        concurrency=2)
+        concurrency=_pool())
 
     N_SHUFFLE_BUCKETS = 64
 
@@ -791,7 +811,7 @@ def pdf_image_extract(sf_dir: str) -> pd.DataFrame:
     out = (
         pdf_media_table(sf_dir)
         .map_batches(PdfImageStage, batch_format="pyarrow", batch_size=64,
-                     concurrency=2)
+                     concurrency=_pool())
         .to_pandas()
     )
     return out.sort_values("media_id").reset_index(drop=True)
@@ -877,7 +897,7 @@ def media_dominant_colors(sf_dir: str) -> pd.DataFrame:
     out = (
         real_media_table(sf_dir)
         .map_batches(DominantColorStage, batch_format="pyarrow",
-                     batch_size=64, concurrency=2)
+                     batch_size=64, concurrency=_pool())
         .to_pandas()
     )
     return out.sort_values(["media_id", "rank"]).reset_index(drop=True)
@@ -937,7 +957,7 @@ def media_spectrogram(sf_dir: str) -> pd.DataFrame:
     out = (
         real_media_table(sf_dir)
         .map_batches(SpectrogramStage, batch_format="pyarrow", batch_size=64,
-                     concurrency=2)
+                     concurrency=_pool())
         .to_pandas()
     )
     return (out.sort_values(["media_id", "band_hz"])
@@ -1001,7 +1021,7 @@ def media_audio_resample(sf_dir: str) -> pd.DataFrame:
     out = (
         real_media_table(sf_dir)
         .map_batches(ResampleStage, batch_format="pyarrow", batch_size=64,
-                     concurrency=2)
+                     concurrency=_pool())
         .drop_columns(["payload"])
         .to_pandas()
     )

@@ -6441,7 +6441,9 @@ def event_pattern_counts(sf_dir: str) -> pd.DataFrame:
 
     def count_group(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        chars = g["event_type"].map(_PATTERN_CHARS).to_numpy()
+        # Unseen event types degrade to 'v' exactly like the oracle's CASE
+        # ELSE 'v' — never NaN→TypeError on non-enum inputs (ADVICE r4).
+        chars = g["event_type"].map(_PATTERN_CHARS).fillna("v").to_numpy()
         buf = "".join(chars)  # one contiguous string for the whole group
         ulens = g.groupby("user_id", sort=False).size().to_numpy()
         offs = np.concatenate([[0], np.cumsum(ulens)])
@@ -6772,12 +6774,15 @@ def catalog_stats_collect(sf_dir: str) -> pd.DataFrame:
         p = ds.map_batches(partial, batch_format="pyarrow",
                            batch_size=262144).to_pandas()
         g = p.dropna(subset=["v"]).groupby("v")["n"].sum()
+        # All-null column: DuckDB's min/max return SQL NULL — emit None, not
+        # the str() of an empty index's nan (ADVICE r4).
         frames.append(pd.DataFrame({
             "table_name": [tbl], "column_name": [col],
             "n_rows": [int(p["n"].sum() + p["nulls"].sum())],
             "n_nulls": [int(p["nulls"].sum())],
             "ndv": [int(g.size)],
-            "min_v": [str(g.index.min())], "max_v": [str(g.index.max())]}))
+            "min_v": [str(g.index.min()) if g.size else None],
+            "max_v": [str(g.index.max()) if g.size else None]}))
     out = pd.concat(frames, ignore_index=True)
     for c in ("n_rows", "n_nulls", "ndv"):
         out[c] = out[c].astype("int64")

@@ -1430,12 +1430,12 @@ def kmv_token_overlap_sql(k: int = 16) -> str:
                      AND h IN (SELECT h FROM bk)),
             eu AS (SELECT CASE WHEN nu.n >= {k} THEN
                      (({k - 1}::UHUGEINT * 9223372036854775808::UHUGEINT)
-                      / agg.kth::UHUGEINT)::BIGINT
+                      // agg.kth::UHUGEINT)::BIGINT
                    ELSE nu.n END AS est FROM nu, agg)
             SELECT {k}::BIGINT AS k, agg.kth AS kth_union,
                    eu.est::BIGINT AS est_union, mm.matches,
                    (CASE WHEN nu.n >= {k} THEN
                       ((mm.matches::UHUGEINT * eu.est::UHUGEINT)
-                       / {k}::UHUGEINT)::BIGINT
+                       // {k}::UHUGEINT)::BIGINT
                     ELSE mm.matches END)::BIGINT AS est_intersection
             FROM agg, mm, eu, nu"""
