@@ -312,6 +312,18 @@ def pdf_xref_golden_check(sf_dir: str):
     return pdf_golden_check(sf_dir, encoding="pdf_xrefstream")
 
 
+def pdf_encrypted_golden_check(sf_dir: str):
+    """ENCRYPTED twin of pdf_golden_check (VERDICT r4 next-round #3): the
+    corpus pages are standard-security-handler PDFs with an EMPTY user
+    password — the protected-but-readable corporate file the reference's
+    PdfPig opens transparently (PdfToMarkdownConverter.cs:81-113).  The
+    cipher cycles rc4-40 / rc4-128 / aes-128 and the layout alternates
+    classic-Flate / ObjStm-packed xref-stream per row, so every
+    (cipher x layout) decrypt path (``engine.pdfcrypt`` +
+    ``engine.pdf._crypt_body``) must produce byte-identical text."""
+    return pdf_golden_check(sf_dir, encoding="pdf_encrypted")
+
+
 def extract_golden_check(sf_dir: str):
     """Re-extract every page via map_batches; per-url byte-identity vs golden."""
     import pyarrow as pa
@@ -612,6 +624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_golden_check": pdf_golden_check,
         "warc_golden_check": warc_golden_check,
         "pdf_xref_golden_check": pdf_xref_golden_check,
+        "pdf_encrypted_golden_check": pdf_encrypted_golden_check,
     }
 
 

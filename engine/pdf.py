@@ -95,7 +95,7 @@ def _parse_objstm(body: bytes) -> dict:
     return out
 
 
-def _xref_chain_objects(data: bytes) -> dict:
+def _xref_chain_objects(data: bytes, crypt=None) -> dict:
     """PDF 1.5+ path: walk the cross-reference STREAM chain from the trailing
     ``startxref`` (ISO 32000 §7.5.8) and resolve every live object — type-1
     entries parse at their byte offset, type-2 entries inflate out of their
@@ -138,6 +138,8 @@ def _xref_chain_objects(data: bytes) -> dict:
         if t == 1:
             _n, body = _object_at(data, f2)
             if body is not None:
+                if crypt is not None and objnum != crypt.encrypt_objnum:
+                    body = _crypt_body(crypt, objnum, body, encrypt=False)
                 objs[objnum] = body
     objstm_cache: dict = {}
     for objnum, (t, f2, f3) in entries.items():
@@ -151,18 +153,30 @@ def _xref_chain_objects(data: bytes) -> dict:
     return objs
 
 
-def _objects(data: bytes) -> dict:
+def _objects(data: bytes, crypt=None) -> dict:
     """Object map for the whole file.  Primary: the xref-STREAM walk (PDF
     1.5+, where most objects hide inside compressed /ObjStm containers and
     the classic scan cannot see them).  Fallback/augment: the classic
     ``N 0 obj`` full-file scan, plus inflation of any /ObjStm containers the
-    scan itself finds (covers hybrid and damaged files)."""
+    scan itself finds (covers hybrid and damaged files).  With ``crypt``,
+    every body is decrypted on the way in (except the encrypt dict and XRef
+    streams); /ObjStm children come out of an already-decrypted container
+    and are plaintext by construction (ISO 32000 §7.6.2)."""
     try:
-        objs = _xref_chain_objects(data)
+        objs = _xref_chain_objects(data, crypt)
     except Exception:
         objs = {}
     for m in _OBJ_RE.finditer(data):
-        objs.setdefault(int(m.group(1)), m.group(2))
+        num = int(m.group(1))
+        if num in objs:
+            continue
+        body = m.group(2)
+        if crypt is not None and num != crypt.encrypt_objnum:
+            try:
+                body = _crypt_body(crypt, num, body, encrypt=False)
+            except Exception:
+                pass  # damaged object: keep the raw body, scanner found it
+        objs[num] = body
     for body in list(objs.values()):
         if re.search(rb"/Type\s*/ObjStm\b", body):
             try:
@@ -178,7 +192,7 @@ def _dict_value_ref(body: bytes, key: bytes):
     return int(m.group(1)) if m else None
 
 
-def _unescape_pdf_string(raw: bytes) -> str:
+def _unescape_pdf_bytes(raw: bytes) -> bytes:
     out = bytearray()
     i = 0
     n = len(raw)
@@ -208,7 +222,11 @@ def _unescape_pdf_string(raw: bytes) -> str:
         else:
             out.append(c)
             i += 1
-    return out.decode("utf-8", errors="replace")
+    return bytes(out)
+
+
+def _unescape_pdf_string(raw: bytes) -> str:
+    return _unescape_pdf_bytes(raw).decode("utf-8", errors="replace")
 
 
 def _escape_pdf_string(s: str) -> bytes:
@@ -255,6 +273,152 @@ def _read_hex_string(data: bytes, i: int):
     if len(digits) % 2:
         digits += b"0"
     return bytes.fromhex(digits.decode("ascii")).decode("utf-8", errors="replace"), j + 1
+
+
+# ---------------------------------------------------------------------------
+# Encryption (ISO 32000 §7.6, standard security handler with an empty user
+# password — the protected-but-readable corporate PDF PdfPig opens
+# transparently, PdfToMarkdownConverter.cs:81-113).  Crypto primitives and
+# key derivation live in engine.pdfcrypt; this section is the file plumbing:
+# find the /Encrypt dict, decrypt each object's strings + stream payload
+# BEFORE filter decode (file layout is Encrypt(Filter(data))), leave /Type
+# /XRef streams and the encrypt dict itself alone.
+# ---------------------------------------------------------------------------
+
+
+def _read_literal_string_bytes(data: bytes, i: int) -> tuple[bytes, int]:
+    """data[i] == '(' -> (raw unescaped BYTES, index after closing paren) —
+    the binary twin of _read_literal_string for encrypted-string payloads."""
+    assert data[i : i + 1] == b"("
+    depth = 0
+    j = i
+    raw = bytearray()
+    while j < len(data):
+        c = data[j]
+        if c == 0x5C:
+            raw += data[j : j + 2]
+            j += 2
+            continue
+        if c == 0x28:
+            depth += 1
+            if depth > 1:
+                raw.append(c)
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return _unescape_pdf_bytes(bytes(raw)), j + 1
+            raw.append(c)
+        else:
+            raw.append(c)
+        j += 1
+    raise ValueError("unterminated PDF string")
+
+
+def _encryption_handler(data: bytes):
+    """Build a StandardSecurityHandler from the file's trailer, or None for
+    unencrypted files.  The /Encrypt reference and /ID live in the classic
+    trailer dict or the XRef stream dict; the newest (last) wins.  The
+    encrypt dictionary object itself is never encrypted and never packed in
+    an /ObjStm, so a direct header scan finds it."""
+    matches = list(re.finditer(rb"/Encrypt\s+(\d+)\s+\d+\s+R", data))
+    if not matches:
+        return None
+    from .pdfcrypt import StandardSecurityHandler
+
+    enc_num = int(matches[-1].group(1))
+    ids = list(re.finditer(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>", data))
+    file_id = (bytes.fromhex(re.sub(rb"\s+", b"", ids[-1].group(1)).decode("ascii"))
+               if ids else b"")
+    body = None
+    for m in re.finditer(rb"(?m)^%d\s+\d+\s+obj\b" % enc_num, data):
+        # dict-only object: take the balanced << .. >> directly — _object_at
+        # would misread the dict's own /Length 128 (KEY BITS) as a stream
+        # length and overrun
+        span = _dict_span(data[m.end() : m.end() + 8192])
+        if span.startswith(b"<<"):
+            body = span
+            break
+    if body is None:
+        return None
+    crypt = StandardSecurityHandler.from_encrypt_dict(body, file_id)
+    crypt.encrypt_objnum = enc_num
+    return crypt
+
+
+def _dict_span(body: bytes) -> bytes:
+    """The balanced ``<< .. >>`` slice of an object body — _object_at's
+    /Length-based jump can overshoot past a dict-only object into its
+    neighbour, and the encrypt-dict parser must not read the neighbour's
+    /Length or /R keys."""
+    i = body.find(b"<<")
+    if i < 0:
+        return body
+    depth, j = 0, i
+    while j < len(body) - 1:
+        if body[j : j + 2] == b"<<":
+            depth += 1
+            j += 2
+        elif body[j : j + 2] == b">>":
+            depth -= 1
+            j += 2
+            if depth == 0:
+                return body[i:j]
+        else:
+            j += 1
+    return body[i:]
+
+
+def _crypt_strings(crypt, num: int, head: bytes, encrypt: bool) -> bytes:
+    """Transform every string token in a dict/body region through the
+    handler, re-emitting each as a hex string (binary-safe either way)."""
+    op = crypt.encrypt if encrypt else crypt.decrypt
+    out = bytearray()
+    i, n = 0, len(head)
+    while i < n:
+        c = head[i]
+        if c == 0x28:  # literal string
+            raw, j = _read_literal_string_bytes(head, i)
+            out += b"<" + op(num, 0, raw).hex().encode("ascii") + b">"
+            i = j
+        elif c == 0x3C and head[i + 1 : i + 2] == b"<":  # dict open
+            out += b"<<"
+            i += 2
+        elif c == 0x3C:  # hex string
+            j = head.index(b">", i)
+            digits = re.sub(rb"\s+", b"", head[i + 1 : j])
+            if len(digits) % 2:
+                digits += b"0"
+            raw = bytes.fromhex(digits.decode("ascii"))
+            out += b"<" + op(num, 0, raw).hex().encode("ascii") + b">"
+            i = j + 1
+        else:
+            out.append(c)
+            i += 1
+    return bytes(out)
+
+
+_LENGTH_DIRECT_RE = re.compile(rb"/Length\s+\d+(?!\s+\d+\s+R)")
+
+
+def _crypt_body(crypt, num: int, body: bytes, encrypt: bool) -> bytes:
+    """Decrypt (or encrypt) one object body: stream payload first (the file
+    stores Encrypt(Filter(data)), so decryption precedes _decode_stream),
+    then every string outside the stream; /Length is rewritten because AES
+    adds IV + padding.  XRef streams pass through untouched (never
+    encrypted, ISO 32000 §7.5.8.2)."""
+    if re.search(rb"/Type\s*/XRef\b", body):
+        return body
+    sm = re.search(rb"\bstream\r?\n", body)
+    if not sm:
+        return _crypt_strings(crypt, num, body, encrypt)
+    head = body[: sm.start()]
+    raw = _extract_stream(body)
+    if raw is None:
+        return _crypt_strings(crypt, num, body, encrypt)
+    payload = (crypt.encrypt if encrypt else crypt.decrypt)(num, 0, raw)
+    head = _crypt_strings(crypt, num, head, encrypt)
+    head = _LENGTH_DIRECT_RE.sub(b"/Length %d" % len(payload), head, count=1)
+    return head + b"stream\n" + payload + b"\nendstream"
 
 
 # ---------------------------------------------------------------------------
@@ -698,7 +862,7 @@ def parse_pdf_layout(data: bytes) -> tuple[list, list]:
     """
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF: missing %PDF- header")
-    objs = _objects(data)
+    objs = _objects(data, _encryption_handler(data))
     catalog = next(
         (b for b in objs.values() if b"/Type" in b and b"/Catalog" in b), None
     )
@@ -771,7 +935,7 @@ PAGE_WIDTH = 612.0
 def render_pdf_page_bytes(
     word_pages: list, hrefs: list, compress: bool = False,
     stream_filter: str | None = None, xref_stream: bool = False,
-    images: list | None = None,
+    images: list | None = None, encrypt: str | None = None,
 ) -> bytes:
     """[(page_no, height, [(x, y, word)])] + hrefs -> a valid PDF.
 
@@ -790,6 +954,16 @@ def render_pdf_page_bytes(
     as classic objects, and a /Type /XRef cross-reference STREAM (W [1 4 2],
     type-2 entries for the packed objects) as the trailer — the writer twin
     of ``_xref_chain_objects``/``_parse_objstm``.
+
+    ``encrypt`` ∈ {"rc4-40", "rc4-128", "aes-128"} emits the standard
+    security handler with an EMPTY user password (the corporate
+    protected-but-readable file PdfPig opens silently): every string and
+    stream is encrypted under the Algorithm-1 per-object key, the /Encrypt
+    dict + /ID land in the trailer, and — in the xref_stream layout — the
+    /ObjStm container is encrypted as one stream while the XRef stream
+    stays plaintext (ISO 32000 §7.5.8.2).  The writer twin of
+    ``_encryption_handler``/``_crypt_body``; the file ID is deterministic
+    (MD5 of the plaintext bodies) so goldens stay byte-stable.
     """
     if compress and stream_filter is None:
         stream_filter = "FlateDecode"
@@ -874,9 +1048,30 @@ def render_pdf_page_bytes(
         objects.append((img_obj[j],
                         idict + b"\nstream\n" + payload + b"\nendstream"))
 
+    crypt = None
+    trailer_extra = b""
+    if encrypt is not None:
+        import hashlib as _hl
+
+        from .pdfcrypt import StandardSecurityHandler
+
+        fid = _hl.md5(b"".join(b for _n, b in objects)).digest()
+        crypt = StandardSecurityHandler.for_writing(encrypt, fid)
+        enc_num = max(n for n, _ in objects) + 1 + (2 if xref_stream else 0)
+        crypt.encrypt_objnum = enc_num
+        trailer_extra = (b" /Encrypt %d 0 R /ID [<%s> <%s>]"
+                         % (enc_num, fid.hex().encode("ascii"),
+                            fid.hex().encode("ascii")))
+
     if xref_stream:
         return _assemble_xref_stream_pdf(
-            objects, set(content_obj) | set(img_obj))
+            objects, set(content_obj) | set(img_obj),
+            crypt=crypt, trailer_extra=trailer_extra)
+
+    if crypt is not None:
+        objects = [(n, _crypt_body(crypt, n, b, encrypt=True))
+                   for n, b in objects]
+        objects.append((crypt.encrypt_objnum, crypt.encrypt_dict_body()))
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = {}
@@ -890,17 +1085,26 @@ def render_pdf_page_bytes(
     for num in range(1, max_obj + 1):
         out += b"%010d 00000 n \n" % offsets.get(num, 0)
     out += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (max_obj + 1, xref_pos)
+        b"trailer\n<< /Size %d /Root 1 0 R" % (max_obj + 1) + trailer_extra
+        + b" >>\nstartxref\n%d\n%%%%EOF\n" % xref_pos
     )
     return bytes(out)
 
 
-def _assemble_xref_stream_pdf(objects: list, stream_obj_nums: set) -> bytes:
+def _assemble_xref_stream_pdf(objects: list, stream_obj_nums: set,
+                              crypt=None, trailer_extra: bytes = b"") -> bytes:
     """PDF 1.5 assembly: non-stream objects packed into one /ObjStm, stream
-    objects classic, a /Type /XRef stream as the only trailer."""
+    objects classic, a /Type /XRef stream as the only trailer.  With
+    ``crypt``: classic stream objects are encrypted individually, the
+    /ObjStm container is encrypted as ONE stream under its own object key
+    (its packed children are thereby covered and carry no per-object
+    crypto, ISO 32000 §7.6.2), the encrypt dict rides as a classic
+    plaintext object, and the XRef stream stays plaintext."""
     packable = [(n, b) for n, b in objects if n not in stream_obj_nums]
     classic = [(n, b) for n, b in objects if n in stream_obj_nums]
+    if crypt is not None:
+        classic = [(n, _crypt_body(crypt, n, b, encrypt=True))
+                   for n, b in classic]
 
     pairs, bodies, off = [], [], 0
     for num, body in packable:
@@ -913,6 +1117,10 @@ def _assemble_xref_stream_pdf(objects: list, stream_obj_nums: set) -> bytes:
 
     objstm_num = max(n for n, _ in objects) + 1
     xref_num = objstm_num + 1
+    if crypt is not None:
+        # file layout is Encrypt(Filter(data)): compress, THEN encrypt
+        payload = crypt.encrypt(objstm_num, 0, payload)
+        classic.append((crypt.encrypt_objnum, crypt.encrypt_dict_body()))
     objstm_body = (
         b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >>"
         b"\nstream\n" % (len(packable), len(header), len(payload))
@@ -928,7 +1136,9 @@ def _assemble_xref_stream_pdf(objects: list, stream_obj_nums: set) -> bytes:
         out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
 
     xref_pos = len(out)
-    size = xref_num + 1
+    size = (max(offsets) if offsets else xref_num) + 1
+    if xref_num >= size:
+        size = xref_num + 1
     packed_index = {num: i for i, (num, _b) in enumerate(packable)}
     rows = bytearray()
 
@@ -946,9 +1156,9 @@ def _assemble_xref_stream_pdf(objects: list, stream_obj_nums: set) -> bytes:
             row(1, offsets[num], 0)
     xpayload = zlib.compress(bytes(rows), 9)
     out += (
-        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R "
-        b"/Length %d /Filter /FlateDecode >>\nstream\n"
-        % (xref_num, size, len(xpayload))
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R"
+        % (xref_num, size) + trailer_extra
+        + b" /Length %d /Filter /FlateDecode >>\nstream\n" % len(xpayload)
         + xpayload + b"\nendstream\nendobj\nstartxref\n%d\n%%%%EOF\n" % xref_pos
     )
     return bytes(out)
@@ -967,7 +1177,7 @@ def extract_pdf_images(data: bytes) -> list:
     ``IPdfImage.RawBytes`` surface (UglyToad.PdfPig.Content.IPdfImage).
     """
     out = []
-    for num, body in sorted(_objects(data).items()):
+    for num, body in sorted(_objects(data, _encryption_handler(data)).items()):
         send = body.find(b"stream")
         dpart = body if send < 0 else body[:send]
         if not re.search(rb"/Subtype\s*/Image\b", dpart):

@@ -83,7 +83,9 @@ class CorpusConfig:
     encoding: str = "html"    # page payload encoding: "html" | "pdf" |
     #                           "pdf_flate" (FlateDecode content streams) |
     #                           "pdf_xrefstream" (PDF 1.5 ObjStm + xref
-    #                           stream layout) — same content either way
+    #                           stream layout) | "pdf_encrypted" (standard
+    #                           security handler, rc4-40/rc4-128/aes-128
+    #                           cycling per row) — same content either way
     #                           (build_page_content); extraction output is
     #                           byte-identical
 
@@ -399,18 +401,36 @@ def build_page_html(row_id: int, cfg: CorpusConfig, assign: dict) -> str:
 
 
 def build_page_pdf(row_id: int, cfg: CorpusConfig, assign: dict,
-                   compress: bool = False, xref_stream: bool = False) -> bytes:
+                   compress: bool = False, xref_stream: bool = False,
+                   encrypt: str | None = None) -> bytes:
     """The SAME page as build_page_html, encoded as a real PDF (content
     streams + link annotations; ``engine.pdf``); ``compress=True`` emits
     FlateDecode streams, ``xref_stream=True`` the PDF 1.5 ObjStm + xref
-    stream layout.  Extraction output is byte-identical across all
-    encodings."""
+    stream layout, ``encrypt`` the standard-security-handler modes.
+    Extraction output is byte-identical across all encodings."""
     from .pdf import render_pdf_page_bytes
 
     _title, doc_pages, hrefs = build_page_content(row_id, cfg, assign)
     return render_pdf_page_bytes(
         layout_word_boxes(doc_pages), hrefs, compress=compress,
-        xref_stream=xref_stream,
+        xref_stream=xref_stream, encrypt=encrypt,
+    )
+
+
+_ENCRYPT_MODES = ("rc4-40", "rc4-128", "aes-128")
+
+
+def build_page_pdf_encrypted(row_id: int, cfg: CorpusConfig, assign: dict) -> bytes:
+    """Encrypted-corpus variant: the mode cycles rc4-40 / rc4-128 / aes-128
+    and the layout alternates classic-Flate / xref-stream per row id, so one
+    corpus exercises every (cipher x layout) decrypt path — the
+    protected-but-readable files PdfPig opens silently
+    (PdfToMarkdownConverter.cs:81-113)."""
+    return build_page_pdf(
+        row_id, cfg, assign,
+        compress=(row_id % 2 == 0),
+        xref_stream=(row_id % 2 == 1),
+        encrypt=_ENCRYPT_MODES[row_id % 3],
     )
 
 
@@ -433,6 +453,8 @@ def gen_rows(ids, cfg: CorpusConfig, assign: dict) -> pa.Table:
             html = build_page_pdf(rid, cfg, assign, compress=True)
         elif cfg.encoding == "pdf_xrefstream":
             html = build_page_pdf(rid, cfg, assign, xref_stream=True)
+        elif cfg.encoding == "pdf_encrypted":
+            html = build_page_pdf_encrypted(rid, cfg, assign)
         else:
             html = build_page_html(rid, cfg, assign).encode("utf-8")
         urls.append(u)

@@ -533,3 +533,106 @@ def test_pdf_image_extract_op(ray_session):
     assert (raw["img_filter"] == "raw").all()
     assert (out[out["media_id"] % 3 != 0]["img_filter"] == "DCTDecode").all()
     assert out["mean_milli"].between(0, 255000).all()
+
+
+# ---------------------------------------------------------------------------
+# Encryption (standard security handler, ISO 32000 §7.6 — engine.pdfcrypt)
+# ---------------------------------------------------------------------------
+
+
+def test_aes128_fips197_vector():
+    from engine.pdfcrypt import _decrypt_block, _encrypt_block, _expand_key
+
+    key = bytes(range(16))
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = _encrypt_block(pt, _expand_key(key))
+    assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"  # FIPS-197 C.1
+    assert _decrypt_block(ct, _expand_key(key)) == pt
+
+
+def test_rc4_known_vectors():
+    from engine.pdfcrypt import rc4
+
+    assert rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+    assert rc4(b"Wiki", b"pedia").hex() == "1021bf0420"
+    # involution: rc4(k, rc4(k, m)) == m
+    assert rc4(b"k", rc4(b"k", b"message")) == b"message"
+
+
+def test_aes_cbc_roundtrip_all_lengths():
+    from engine.pdfcrypt import aes128_cbc_decrypt, aes128_cbc_encrypt
+
+    key, iv = b"0123456789abcdef", b"\xab" * 16
+    for n in (0, 1, 15, 16, 17, 31, 32, 100):
+        data = bytes(range(256))[: n or 0]
+        assert aes128_cbc_decrypt(key, aes128_cbc_encrypt(key, iv, data)) == data
+
+
+def test_handler_o_u_roundtrip_all_modes():
+    from engine.pdfcrypt import StandardSecurityHandler
+
+    fid = bytes(range(16))
+    for mode in ("rc4-40", "rc4-128", "aes-128"):
+        h = StandardSecurityHandler.for_writing(mode, fid)
+        h2 = StandardSecurityHandler.from_encrypt_dict(h.encrypt_dict_body(), fid)
+        assert h2.key == h.key and h2.r == h.r and h2.aes == h.aes
+        msg = b"per-object payload"
+        assert h2.decrypt(7, 0, h.encrypt(7, 0, msg)) == msg
+        # a different object number must NOT decrypt (Algorithm 1 key differs)
+        if mode != "aes-128":  # AES raises on padding instead
+            assert h2.decrypt(8, 0, h.encrypt(7, 0, msg)) != msg
+
+
+def test_nonempty_user_password_raises():
+    import pytest
+
+    from engine.pdfcrypt import (
+        StandardSecurityHandler, compute_o, compute_u, file_key)
+
+    fid = b"\x11" * 16
+    o = compute_o(b"owner", b"secret", 3, 16)
+    key = file_key(b"secret", o, -44, fid, 3, 16)
+    u = compute_u(key, fid, 3)
+    body = (b"<< /Filter /Standard /V 2 /R 3 /Length 128 /O <"
+            + o.hex().encode() + b"> /U <" + u.hex().encode() + b"> /P -44 >>")
+    with pytest.raises(NotImplementedError, match="user password"):
+        StandardSecurityHandler.from_encrypt_dict(body, fid)
+
+
+def test_encrypted_pdf_layout_identical_all_modes():
+    """Every (cipher x layout x filter) encrypted variant parses to exactly
+    the plaintext layout, and the writer is byte-deterministic."""
+    from engine.pdf import parse_pdf_layout, render_pdf_page_bytes
+
+    pages = [(1, 792.0, [(72.0, 700.0, "Hello"), (120.0, 700.0, "World")]),
+             (2, 792.0, [(72.0, 650.0, "Twin"), (150.0, 650.0, "Doc")])]
+    hrefs = ["https://example.com/a", "https://example.com/b(c)"]
+    plain = parse_pdf_layout(render_pdf_page_bytes(pages, hrefs))
+    for mode in ("rc4-40", "rc4-128", "aes-128"):
+        for xs in (False, True):
+            for filt in (None, "FlateDecode"):
+                data = render_pdf_page_bytes(
+                    pages, hrefs, stream_filter=filt, xref_stream=xs,
+                    encrypt=mode)
+                assert parse_pdf_layout(data) == plain, (mode, xs, filt)
+                assert data == render_pdf_page_bytes(
+                    pages, hrefs, stream_filter=filt, xref_stream=xs,
+                    encrypt=mode)
+
+
+def test_encrypted_corpus_golden_byte_identical():
+    """The pdf_encrypted corpus (cipher+layout cycling per row) extracts
+    byte-identically to the plain-HTML golden for the same rows."""
+    from engine.extract import extract_document
+    from engine.synth import (
+        CorpusConfig, build_assignment, build_page_html,
+        build_page_pdf_encrypted, url_of)
+
+    cfg = CorpusConfig(n_pages=30, n_hosts=5, n_buckets=4)
+    assign = build_assignment(cfg)
+    for rid in range(12):
+        u = url_of(rid, assign)
+        want = extract_document(build_page_html(rid, cfg, assign).encode(), u)
+        got = extract_document(build_page_pdf_encrypted(rid, cfg, assign), u)
+        assert got["markdown"] == want["markdown"], rid
+        assert got["hrefs"] == want["hrefs"], rid
