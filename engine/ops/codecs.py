@@ -1627,3 +1627,265 @@ def decode_gif(data: bytes) -> np.ndarray:
         else:
             raise ValueError(f"gif: unexpected block 0x{b:02x}")
     raise ValueError("gif: no image data")
+
+
+# ---------------------------------------------------------------------------
+# CCITT Group 4 (ITU-T T.6 2-D MMR) — the dominant scanned-document encoding
+# inside PDFs (/CCITTFaxDecode with /K < 0).  The reference's PdfPig decodes
+# these transparently; this is the from-scratch twin (VERDICT r4 next-round
+# #4).  Pure bit-level Python: T.4 MH run-length tables for horizontal mode,
+# vertical/pass mode codes, EOFB termination.  Internal convention: bit 1 =
+# BLACK run; the PDF-facing wrapper applies /BlackIs1 (default false: sample
+# 0 = black) at the boundary.
+# ---------------------------------------------------------------------------
+
+_T4_WHITE_TERM = [
+    "00110101", "000111", "0111", "1000", "1011", "1100", "1110", "1111",
+    "10011", "10100", "00111", "01000", "001000", "000011", "110100",
+    "110101", "101010", "101011", "0100111", "0001100", "0001000", "0010111",
+    "0000011", "0000100", "0101000", "0101011", "0010011", "0100100",
+    "0011000", "00000010", "00000011", "00011010", "00011011", "00010010",
+    "00010011", "00010100", "00010101", "00010110", "00010111", "00101000",
+    "00101001", "00101010", "00101011", "00101100", "00101101", "00000100",
+    "00000101", "00001010", "00001011", "01010010", "01010011", "01010100",
+    "01010101", "00100100", "00100101", "01011000", "01011001", "01011010",
+    "01011011", "01001010", "01001011", "00110010", "00110011", "00110100",
+]
+_T4_WHITE_MAKEUP = {
+    64: "11011", 128: "10010", 192: "010111", 256: "0110111",
+    320: "00110110", 384: "00110111", 448: "01100100", 512: "01100101",
+    576: "01101000", 640: "01100111", 704: "011001100", 768: "011001101",
+    832: "011010010", 896: "011010011", 960: "011010100", 1024: "011010101",
+    1088: "011010110", 1152: "011010111", 1216: "011011000",
+    1280: "011011001", 1344: "011011010", 1408: "011011011",
+    1472: "010011000", 1536: "010011001", 1600: "010011010", 1664: "011000",
+    1728: "010011011",
+}
+_T4_BLACK_TERM = [
+    "0000110111", "010", "11", "10", "011", "0011", "0010", "00011",
+    "000101", "000100", "0000100", "0000101", "0000111", "00000100",
+    "00000111", "000011000", "0000010111", "0000011000", "0000001000",
+    "00001100111", "00001101000", "00001101100", "00000110111",
+    "00000101000", "00000010111", "00000011000", "000011001010",
+    "000011001011", "000011001100", "000011001101", "000001101000",
+    "000001101001", "000001101010", "000001101011", "000011010010",
+    "000011010011", "000011010100", "000011010101", "000011010110",
+    "000011010111", "000001101100", "000001101101", "000011011010",
+    "000011011011", "000001010100", "000001010101", "000001010110",
+    "000001010111", "000001100100", "000001100101", "000001010010",
+    "000001010011", "000000100100", "000000110111", "000000111000",
+    "000000100111", "000000101000", "000001011000", "000001011001",
+    "000000101011", "000000101100", "000001011010", "000001100110",
+    "000001100111",
+]
+_T4_BLACK_MAKEUP = {
+    64: "0000001111", 128: "000011001000", 192: "000011001001",
+    256: "000001011011", 320: "000000110011", 384: "000000110100",
+    448: "000000110101", 512: "0000001101100", 576: "0000001101101",
+    640: "0000001001010", 704: "0000001001011", 768: "0000001001100",
+    832: "0000001001101", 896: "0000001110010", 960: "0000001110011",
+    1024: "0000001110100", 1088: "0000001110101", 1152: "0000001110110",
+    1216: "0000001110111", 1280: "0000001010010", 1344: "0000001010011",
+    1408: "0000001010100", 1472: "0000001010101", 1536: "0000001011010",
+    1600: "0000001011011", 1664: "0000001100100", 1728: "0000001100101",
+}
+_T4_EXT_MAKEUP = {  # shared by both colors (T.4 §4.2.1.3)
+    1792: "00000001000", 1856: "00000001100", 1920: "00000001101",
+    1984: "000000010010", 2048: "000000010011", 2112: "000000010100",
+    2176: "000000010101", 2240: "000000010110", 2304: "000000010111",
+    2368: "000000011100", 2432: "000000011101", 2496: "000000011110",
+    2560: "000000011111",
+}
+
+
+def _run_decode_table(term: list, makeup: dict) -> dict:
+    t = {}
+    for run, code in enumerate(term):
+        t[(len(code), int(code, 2))] = run
+    for run, code in makeup.items():
+        t[(len(code), int(code, 2))] = run
+    for run, code in _T4_EXT_MAKEUP.items():
+        t[(len(code), int(code, 2))] = run
+    return t
+
+
+_WHITE_DECODE = _run_decode_table(_T4_WHITE_TERM, _T4_WHITE_MAKEUP)
+_BLACK_DECODE = _run_decode_table(_T4_BLACK_TERM, _T4_BLACK_MAKEUP)
+
+_EOFB = "000000000001" * 2
+
+
+class _CcittBitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def bit(self) -> int:
+        i = self.pos
+        if i >= 8 * len(self.data):
+            raise ValueError("ccitt: bit stream exhausted")
+        self.pos = i + 1
+        return (self.data[i >> 3] >> (7 - (i & 7))) & 1
+
+    def run(self, black: bool) -> int:
+        """One complete run length: makeup codes (>= 64) accumulate until a
+        terminating code (< 64) closes the run (T.4 §4.1.3)."""
+        table = _BLACK_DECODE if black else _WHITE_DECODE
+        total = 0
+        while True:
+            code = 0
+            n = 0
+            while n < 14:
+                code = (code << 1) | self.bit()
+                n += 1
+                r = table.get((n, code))
+                if r is not None:
+                    total += r
+                    if r < 64:
+                        return total
+                    break  # makeup: continue with the next code
+            else:
+                raise ValueError("ccitt: bad run-length code")
+
+
+def _emit_run(out: list, run: int, black: bool) -> None:
+    term = _T4_BLACK_TERM if black else _T4_WHITE_TERM
+    makeup = _T4_BLACK_MAKEUP if black else _T4_WHITE_MAKEUP
+    while run >= 64:
+        if run >= 2624:
+            m = 2560
+        else:
+            m = (run // 64) * 64
+        out.append(_T4_EXT_MAKEUP[m] if m > 1728 else makeup[m])
+        run -= m
+    out.append(term[run])
+
+
+def _line_transitions(bits: "np.ndarray") -> list:
+    """Row of 0/1 (1 = black) -> positions where the color changes, starting
+    from an imaginary white pixel before position 0."""
+    d = np.flatnonzero(np.diff(np.concatenate(([0], bits.astype(np.int8)))))
+    return d.tolist()
+
+
+def encode_ccitt_g4(bits: "np.ndarray") -> bytes:
+    """(H, W) array of 0/1 (1 = BLACK) -> T.6 MMR bytes with EOFB.
+
+    The writer twin of decode_ccitt_g4; byte-deterministic (vertical mode
+    preferred when |a1-b1| <= 3, else horizontal, pass when b2 < a1 — the
+    canonical coder).
+    """
+    h, w = bits.shape
+    out: list = []
+    ref: list = []  # imaginary all-white first reference line
+    for y in range(h):
+        cur = _line_transitions(bits[y])
+        a0, color, ci = -1, 0, 0  # position, current color, index into cur
+        while a0 < w:
+            # a1: next transition of the coding line after a0 (to !color)
+            while ci < len(cur) and (cur[ci] <= a0 or (ci & 1) != color):
+                ci += 1
+            a1 = cur[ci] if ci < len(cur) else w
+            # b1: first ref transition > a0 with transition-to-!color parity
+            bi = 0
+            while bi < len(ref) and (ref[bi] <= a0 or (bi & 1) != color):
+                bi += 1
+            b1 = ref[bi] if bi < len(ref) else w
+            b2 = ref[bi + 1] if bi + 1 < len(ref) else w
+            if b2 < a1:
+                out.append("0001")  # pass
+                a0 = b2
+            elif abs(a1 - b1) <= 3:
+                out.append({0: "1", 1: "011", 2: "000011", 3: "0000011",
+                            -1: "010", -2: "000010", -3: "0000010"}[a1 - b1])
+                a0, color = a1, 1 - color
+            else:
+                # horizontal: runs a0..a1 (color) and a1..a2 (!color)
+                ci2 = ci
+                while ci2 < len(cur) and (cur[ci2] <= a1 or (ci2 & 1) == color):
+                    ci2 += 1
+                a2 = cur[ci2] if ci2 < len(cur) else w
+                start = 0 if a0 < 0 else a0
+                out.append("001")
+                _emit_run(out, a1 - start, black=bool(color))
+                _emit_run(out, a2 - a1, black=not color)
+                a0 = a2
+        ref = cur
+    out.append(_EOFB)
+    s = "".join(out)
+    s += "0" * (-len(s) % 8)
+    return int(s, 2).to_bytes(len(s) // 8, "big") if s else b""
+
+
+def decode_ccitt_g4(data: bytes, columns: int, rows: int | None = None,
+                    black_is_1: bool = False) -> "np.ndarray":
+    """T.6 MMR bytes -> (rows, columns) uint8 samples.
+
+    PDF semantics (/CCITTFaxDecode, /K < 0): with the default
+    ``black_is_1=False`` a 0 sample is BLACK (DeviceGray); ``black_is_1``
+    flips that.  Decoding stops at EOFB or after ``rows`` lines.
+    """
+    br = _CcittBitReader(data)
+    lines = []
+    ref: list = []
+    total_bits = 8 * len(data)
+    while rows is None or len(lines) < rows:
+        if br.pos >= total_bits:
+            break
+        cur: list = []
+        a0, color = -1, 0
+        eofb = False
+        while a0 < columns:
+            # read one mode code
+            code = ""
+            while True:
+                code += str(br.bit())
+                if code in ("1", "011", "010", "001", "0001", "000011",
+                            "000010", "0000011", "0000010"):
+                    break
+                if len(code) >= 7 and "1" not in code:
+                    # run of zeros: EOL/EOFB prefix — consume to EOFB
+                    eofb = True
+                    break
+                if len(code) > 7:
+                    raise ValueError(f"ccitt: bad mode code {code}")
+            if eofb:
+                break
+            bi = 0
+            while bi < len(ref) and (ref[bi] <= a0 or (bi & 1) != color):
+                bi += 1
+            b1 = ref[bi] if bi < len(ref) else columns
+            b2 = ref[bi + 1] if bi + 1 < len(ref) else columns
+            if code == "0001":  # pass
+                a0 = b2
+            elif code == "001":  # horizontal
+                start = 0 if a0 < 0 else a0
+                r1 = br.run(black=bool(color))
+                r2 = br.run(black=not color)
+                a1 = start + r1
+                a2 = a1 + r2
+                cur.extend((min(a1, columns), min(a2, columns)))
+                a0 = a2
+            else:  # vertical
+                d = {"1": 0, "011": 1, "000011": 2, "0000011": 3,
+                     "010": -1, "000010": -2, "0000010": -3}[code]
+                a1 = b1 + d
+                cur.append(min(max(a1, 0), columns))
+                a0, color = a1, 1 - color
+        if eofb and not cur:
+            break
+        # transitions -> bits
+        row = np.zeros(columns, np.uint8)
+        for i in range(0, len(cur) - 1, 2):
+            row[cur[i]: cur[i + 1]] = 1
+        if len(cur) % 2:
+            row[cur[-1]:] = 1
+        lines.append(row)
+        ref = cur
+        if eofb:
+            break
+    if rows is not None and len(lines) < rows:
+        raise ValueError(f"ccitt: expected {rows} rows, decoded {len(lines)}")
+    bitmap = (np.vstack(lines) if lines
+              else np.zeros((0, columns), np.uint8))
+    return bitmap if black_is_1 else (1 - bitmap)

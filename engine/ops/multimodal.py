@@ -726,15 +726,17 @@ def media_phash_near_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
 
 def pdf_media_table(sf_dir: str):
     """Deterministic one-page PDFs with an embedded image XObject per doc:
-    doc_id % 3 == 0 embeds FLATE raw RGB samples, else a REAL JPEG from
-    the from-scratch encoder; every second doc uses the PDF 1.5
-    xref-STREAM layout so the ObjStm walk is exercised too.  Pure in
-    doc_id — byte-stable across runs and partitionings."""
+    doc_id % 3 == 0 embeds FLATE raw RGB samples, % 3 == 2 a CCITT Group 4
+    fax scan (1-bit DeviceGray + /DecodeParms /K -1 — the dominant
+    scanned-document encoding), else a REAL JPEG from the from-scratch
+    encoder; every second doc uses the PDF 1.5 xref-STREAM layout so the
+    ObjStm walk is exercised too.  Pure in doc_id — byte-stable across runs
+    and partitionings."""
     import zlib
 
     from engine.pdf import render_pdf_page_bytes
 
-    from .codecs import encode_jpeg
+    from .codecs import encode_ccitt_g4, encode_jpeg
 
     ds = read_pruned(os.path.join(sf_dir, "documents.parquet"), ["doc_id"])
 
@@ -747,6 +749,12 @@ def pdf_media_table(sf_dir: str):
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             if i % 3 == 0:
                 img = (0, w, h, "FlateDecode", zlib.compress(px.tobytes(), 9))
+            elif i % 3 == 2:
+                bits = (rng.random((h, w)) < 0.3).astype(np.uint8)
+                img = (0, w, h, "CCITTFaxDecode", encode_ccitt_g4(bits),
+                       b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+                       b"/DecodeParms << /K -1 /Columns %d /Rows %d >>"
+                       % (w, h))
             else:
                 img = (0, w, h, "DCTDecode", encode_jpeg(px))
             words = [(72.0, 700.0, f"doc{i}"), (130.0, 700.0, "body")]
@@ -769,9 +777,11 @@ class PdfImageStage:
     payloads).  Stateless decode dispatch held per actor."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import re as _re
+
         from engine.pdf import extract_pdf_images, parse_pdf_layout
 
-        from .codecs import decode_jpeg
+        from .codecs import decode_ccitt_g4, decode_jpeg
 
         ids, filts, ws, hs, means, nwords = [], [], [], [], [], []
         for mid, payload in zip(batch["media_id"].to_pylist(),
@@ -781,6 +791,16 @@ class PdfImageStage:
             for img in extract_pdf_images(payload):
                 if img["filter"] == "DCTDecode":
                     px = decode_jpeg(img["payload"])
+                elif img["filter"] == "CCITTFaxDecode":
+                    d = img.get("dict", b"")
+                    cm = _re.search(rb"/Columns\s+(\d+)", d)
+                    rm = _re.search(rb"/Rows\s+(\d+)", d)
+                    cols = int(cm.group(1)) if cm else img["width"]
+                    rows = int(rm.group(1)) if rm else img["height"]
+                    samples = decode_ccitt_g4(
+                        img["payload"], cols, rows,
+                        black_is_1=bool(_re.search(rb"/BlackIs1\s+true", d)))
+                    px = samples * np.uint8(255)  # 1-bit DeviceGray -> 0/255
                 elif img["filter"] is None:
                     px = np.frombuffer(img["payload"], np.uint8).reshape(
                         img["height"], img["width"], 3)

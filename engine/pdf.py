@@ -985,7 +985,7 @@ def render_pdf_page_bytes(
     first_img = first_annot + len(hrefs)
     img_obj = [first_img + i for i in range(len(images))]
     imgs_on_page: dict = {}
-    for j, (pidx, _w, _h, _f, _p) in enumerate(images):
+    for j, (pidx, *_rest) in enumerate(images):
         imgs_on_page.setdefault(pidx, []).append(j)
 
     objects.append((1, b"<< /Type /Catalog /Pages 2 0 R >>"))
@@ -1000,7 +1000,7 @@ def render_pdf_page_bytes(
             )
         parts.append(b"ET")
         for j in imgs_on_page.get(i, ()):
-            _pi, iw, ih, _f, _p = images[j]
+            _pi, iw, ih = images[j][:3]
             parts.append(b"q %d 0 0 %d 36 36 cm /Im%d Do Q" % (iw, ih, j))
         content = b"\n".join(parts)
         page = (
@@ -1039,9 +1039,17 @@ def render_pdf_page_bytes(
             )
         )
 
-    for j, (_pidx, iw, ih, fname, payload) in enumerate(images):
-        idict = (b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
-                 b"/ColorSpace /DeviceRGB /BitsPerComponent 8" % (iw, ih))
+    for j, img in enumerate(images):
+        _pidx, iw, ih, fname, payload = img[:5]
+        extra = img[5] if len(img) > 5 else None
+        if extra is None:
+            idict = (b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                     b"/ColorSpace /DeviceRGB /BitsPerComponent 8" % (iw, ih))
+        else:
+            # caller-specified sample layout (e.g. CCITT: 1-bit DeviceGray +
+            # /DecodeParms), appended verbatim after Width/Height
+            idict = (b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                     % (iw, ih)) + extra
         if fname is not None:
             idict += b" /Filter /" + fname.encode("ascii")
         idict += b" /Length %d >>" % len(payload)
@@ -1203,5 +1211,5 @@ def extract_pdf_images(data: bytes) -> list:
             payload = dec(payload)
         out.append({"obj": num, "width": int(wm.group(1)),
                     "height": int(hm.group(1)), "filter": img_filter,
-                    "payload": payload})
+                    "payload": payload, "dict": dpart})
     return out

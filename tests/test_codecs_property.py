@@ -333,3 +333,62 @@ def test_gif_roundtrip_property():
         idx = rng.integers(0, 16, size=shape, dtype=np.uint8)
         assert (decode_gif(encode_gif(idx, pal, interlace=True))
                 == pal[idx]).all()
+
+
+# ---------------------------------------------------------------------------
+# CCITT Group 4 (T.6 MMR) — engine.ops.codecs.encode/decode_ccitt_g4
+# ---------------------------------------------------------------------------
+
+
+def test_ccitt_g4_known_bit_vectors():
+    """Hand-derived T.6 encodings (external anchor, not a round-trip):
+    an all-white 1x8 row codes as V0 + EOFB; a 3-white/2-black/3-white row
+    as Horizontal + white-term-3 '1000' + black-term-2 '11' + V0 + EOFB."""
+    import numpy as np
+
+    from engine.ops.codecs import encode_ccitt_g4
+
+    bits = "".join(f"{b:08b}" for b in encode_ccitt_g4(np.zeros((1, 8), np.uint8)))
+    assert bits.startswith("1" + "000000000001" * 2)
+    row = np.array([[0, 0, 0, 1, 1, 0, 0, 0]], np.uint8)
+    bits = "".join(f"{b:08b}" for b in encode_ccitt_g4(row))
+    assert bits.startswith("001" + "1000" + "11" + "1" + "000000000001" * 2)
+
+
+def test_ccitt_g4_roundtrip_property():
+    import numpy as np
+
+    from engine.ops.codecs import decode_ccitt_g4, encode_ccitt_g4
+
+    rng = np.random.default_rng(7)
+    for trial in range(25):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 90))
+        if trial % 3 == 0:
+            bits = (rng.random((h, w)) < 0.5).astype(np.uint8)  # noise
+        else:
+            bits = np.zeros((h, w), np.uint8)  # scanned-doc-like runs
+            for _ in range(int(rng.integers(0, 10))):
+                y = int(rng.integers(0, h))
+                x0 = int(rng.integers(0, w))
+                bits[y, x0 : min(w, x0 + int(rng.integers(1, 30)))] = 1
+        dec = decode_ccitt_g4(encode_ccitt_g4(bits), w, h, black_is_1=True)
+        assert (dec == bits).all(), (trial, h, w)
+    # /BlackIs1 default false: samples are INVERTED (0 = black)
+    pat = np.eye(6, 9, dtype=np.uint8)
+    assert (decode_ccitt_g4(encode_ccitt_g4(pat), 9, 6) == 1 - pat).all()
+
+
+def test_ccitt_g4_long_runs_makeup_codes():
+    import numpy as np
+
+    from engine.ops.codecs import decode_ccitt_g4, encode_ccitt_g4
+
+    # exercise makeup codes incl. the shared >1728 extensions
+    for w in (64, 65, 1728, 1729, 2560, 2561, 3000):
+        row = np.ones((1, w), np.uint8)
+        assert (decode_ccitt_g4(encode_ccitt_g4(row), w, 1, black_is_1=True)
+                == row).all()
+        half = np.zeros((2, w), np.uint8)
+        half[:, w // 2 :] = 1
+        assert (decode_ccitt_g4(encode_ccitt_g4(half), w, 2, black_is_1=True)
+                == half).all()

@@ -529,9 +529,10 @@ def test_pdf_image_extract_op(ray_session):
     n = pq.read_metadata("/root/testdata/sf0.001/documents.parquet").num_rows
     assert len(out) == n
     assert (out["n_words"] == 2).all()
-    raw = out[out["media_id"] % 3 == 0]
-    assert (raw["img_filter"] == "raw").all()
-    assert (out[out["media_id"] % 3 != 0]["img_filter"] == "DCTDecode").all()
+    assert (out[out["media_id"] % 3 == 0]["img_filter"] == "raw").all()
+    assert (out[out["media_id"] % 3 == 1]["img_filter"] == "DCTDecode").all()
+    assert (out[out["media_id"] % 3 == 2]["img_filter"]
+            == "CCITTFaxDecode").all()
     assert out["mean_milli"].between(0, 255000).all()
 
 
