@@ -229,6 +229,7 @@ BENCH_QUERY_NAMES = [
     "kmv_token_overlap",
     "link_parity_conflicts",
     "source_lang_chi2",
+    "pdf_encrypted_golden_check",
 ]
 
 
