@@ -620,18 +620,20 @@ _IMAGE_FILTERS = frozenset((b"DCTDecode", b"CCITTFaxDecode", b"JBIG2Decode", b"J
 
 def _decode_stream(dict_part: bytes, raw: bytes, skip_images: bool = False):
     """Apply the stream dict's /Filter chain.  Flate/LZW/AHx/A85/RL are
-    implemented; image/crypt filters keep the honest boundary and raise —
-    except under ``skip_images=True`` (the TEXT extractor's mode, VERDICT r3
-    next-round #7), where image-class filters (DCT/CCITT/JBIG2/JPX) return
-    None so one embedded picture can't abort a whole document's text.
-    LZW EarlyChange=0 (non-default, vanishingly rare) also raises."""
+    implemented (LZW with either /EarlyChange variant); image/crypt filters
+    keep the honest boundary and raise — except under ``skip_images=True``
+    (the TEXT extractor's mode, VERDICT r3 next-round #7), where image-class
+    filters (DCT/CCITT/JBIG2/JPX) return None so one embedded picture can't
+    abort a whole document's text."""
     fm = re.search(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)", dict_part)
     if not fm:
         return raw
-    if re.search(rb"/EarlyChange\s+0", dict_part):
-        raise NotImplementedError("LZW EarlyChange=0 is not supported")
+    lzw_early = 0 if re.search(rb"/EarlyChange\s+0", dict_part) else 1
     filters = re.findall(rb"/([A-Za-z0-9]+)", fm.group(1))
     for f in filters:
+        if f == b"LZWDecode":
+            raw = decode_lzw(raw, early=lzw_early)
+            continue
         dec = _STREAM_DECODERS.get(f)
         if dec is None:
             if skip_images and f in _IMAGE_FILTERS:

@@ -637,3 +637,16 @@ def test_encrypted_corpus_golden_byte_identical():
         got = extract_document(build_page_pdf_encrypted(rid, cfg, assign), u)
         assert got["markdown"] == want["markdown"], rid
         assert got["hrefs"] == want["hrefs"], rid
+
+
+def test_lzw_earlychange0_stream():
+    """/DecodeParms /EarlyChange 0 (the non-default TIFF variant) decodes
+    instead of raising — the last LZW boundary closed (r4 diagnostic)."""
+    from engine.pdf import _decode_stream, decode_lzw, encode_lzw
+
+    content = b"BT /F1 12 Tf (word) Tj ET\n" * 200
+    for early in (0, 1):
+        raw = encode_lzw(content, early=early)
+        dp = b"<< /Length %d /Filter /LZWDecode /DecodeParms << /EarlyChange %d >> >>" % (len(raw), early)
+        assert _decode_stream(dp, raw) == content
+        assert decode_lzw(raw, early=early) == content
