@@ -317,7 +317,8 @@ def pdf_encrypted_golden_check(sf_dir: str):
     corpus pages are standard-security-handler PDFs with an EMPTY user
     password — the protected-but-readable corporate file the reference's
     PdfPig opens transparently (PdfToMarkdownConverter.cs:81-113).  The
-    cipher cycles rc4-40 / rc4-128 / aes-128 and the layout alternates
+    cipher cycles rc4-40 / rc4-128 / aes-128 / aes-256(R6, the Acrobat X+
+    default with the Algorithm-2.B hardened hash) and the layout alternates
     classic-Flate / ObjStm-packed xref-stream per row, so every
     (cipher x layout) decrypt path (``engine.pdfcrypt`` +
     ``engine.pdf._crypt_body``) must produce byte-identical text."""

@@ -11,15 +11,19 @@ every such file:
 - **RC4-40**  (V1 / R2) — the PDF 1.1 default,
 - **RC4-128** (V2 / R3, /Length 128) — the Acrobat 5 default,
 - **AES-128** (V4 / R4, crypt filter /AESV2, CBC with a 16-byte prepended
-  IV and PKCS#5 padding) — the Acrobat 7 default.
+  IV and PKCS#5 padding) — the Acrobat 7 default,
+- **AES-256** (V5 / R6, /AESV3, ISO 32000-2 §7.6.4 with the Algorithm-2.B
+  hardened SHA-2 hash and UE-wrapped file key) — the Acrobat X+ default.
 
-Everything is pure Python: RC4 is the classic KSA/PRGA, AES-128 is a direct
-FIPS-197 implementation (S-box, key schedule, 10 rounds), and the key
-derivation is Algorithms 2/3/4/5 from ISO 32000-1 §7.6.3.  Per-object keys
-are Algorithm 1 (MD5 over file key + objnum/gen LE bytes, + the ``sAlT``
-suffix for AES).  The writer twin (``engine.pdf.render_pdf_page_bytes``
-``encrypt=`` modes) emits /O and /U values this handler verifies, so every
-reader path has an in-repo encrypted corpus.
+Everything is pure Python: RC4 is the classic KSA/PRGA, AES-128/256 is a
+direct FIPS-197 implementation (S-box, key schedule, 10/14 rounds), and the
+key derivation is Algorithms 2/3/4/5 from ISO 32000-1 §7.6.3 plus
+Algorithms 2.A/2.B/8/9 from ISO 32000-2.  Per-object keys are Algorithm 1
+(MD5 over file key + objnum/gen LE bytes, + the ``sAlT`` suffix for AES);
+V5 uses the file key directly.  The writer twin
+(``engine.pdf.render_pdf_page_bytes`` ``encrypt=`` modes) emits /O /U (/OE
+/UE /Perms for V5) values this handler verifies, so every reader path has
+an in-repo encrypted corpus.
 """
 
 from __future__ import annotations
@@ -110,16 +114,21 @@ _MUL14 = [_MUL2[_MUL2[_MUL2[x]]] ^ _MUL2[_MUL2[x]] ^ _MUL2[x] for x in range(256
 
 
 def _expand_key(key: bytes) -> list:
-    """128-bit key -> 11 round keys of 16 bytes each (44 words)."""
-    words = [list(key[i : i + 4]) for i in range(0, 16, 4)]
-    for i in range(4, 44):
+    """FIPS-197 key schedule: 128-bit key -> 11 round keys, 256-bit -> 15
+    (Nk=8 adds the extra SubWord at i % Nk == 4)."""
+    nk = len(key) // 4
+    nr = nk + 6
+    words = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
+    for i in range(nk, 4 * (nr + 1)):
         t = list(words[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]
             t = [_SBOX[b] for b in t]
-            t[0] ^= _RCON[i // 4 - 1]
-        words.append([a ^ b for a, b in zip(words[i - 4], t)])
-    return [bytes(sum(words[4 * r : 4 * r + 4], [])) for r in range(11)]
+            t[0] ^= _RCON[i // nk - 1]
+        elif nk > 6 and i % nk == 4:
+            t = [_SBOX[b] for b in t]
+        words.append([a ^ b for a, b in zip(words[i - nk], t)])
+    return [bytes(sum(words[4 * r : 4 * r + 4], [])) for r in range(nr + 1)]
 
 
 def _add_round_key(s: list, rk: bytes) -> None:
@@ -134,7 +143,7 @@ _INV_SHIFT = [0, 13, 10, 7, 4, 1, 14, 11, 8, 5, 2, 15, 12, 9, 6, 3]
 def _encrypt_block(block: bytes, rks: list) -> bytes:
     s = list(block)
     _add_round_key(s, rks[0])
-    for rnd in range(1, 10):
+    for rnd in range(1, len(rks) - 1):
         s = [_SBOX[s[i]] for i in _SHIFT]
         t = []
         for c in range(4):
@@ -148,14 +157,14 @@ def _encrypt_block(block: bytes, rks: list) -> bytes:
         s = t
         _add_round_key(s, rks[rnd])
     s = [_SBOX[s[i]] for i in _SHIFT]
-    _add_round_key(s, rks[10])
+    _add_round_key(s, rks[-1])
     return bytes(s)
 
 
 def _decrypt_block(block: bytes, rks: list) -> bytes:
     s = list(block)
-    _add_round_key(s, rks[10])
-    for rnd in range(9, 0, -1):
+    _add_round_key(s, rks[-1])
+    for rnd in range(len(rks) - 2, 0, -1):
         s = [_INV_SBOX[s[i]] for i in _INV_SHIFT]
         _add_round_key(s, rks[rnd])
         t = []
@@ -171,6 +180,30 @@ def _decrypt_block(block: bytes, rks: list) -> bytes:
     s = [_INV_SBOX[s[i]] for i in _INV_SHIFT]
     _add_round_key(s, rks[0])
     return bytes(s)
+
+
+def _cbc_encrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC encrypt with NO padding and NO IV prepend (len(data) % 16 == 0) —
+    the form Algorithms 2.B / 8 / 9 of ISO 32000-2 use."""
+    rks = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        prev = _encrypt_block(blk, rks)
+        out += prev
+    return bytes(out)
+
+
+def _cbc_decrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
+    rks = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = data[i : i + 16]
+        out += bytes(a ^ b for a, b in zip(_decrypt_block(blk, rks), prev))
+        prev = blk
+    return bytes(out)
 
 
 def aes128_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
@@ -203,6 +236,28 @@ def aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     if not 1 <= pad <= 16:
         raise ValueError("bad AES padding")
     return bytes(out[:-pad])
+
+
+# ---------------------------------------------------------------------------
+# AES-256 revision 6 (ISO 32000-2 §7.6.4 — the Acrobat X+ default)
+# ---------------------------------------------------------------------------
+
+
+def hash_2b(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """Algorithm 2.B: the hardened SHA-2 hash — iterate (repeat x64 →
+    AES-128-CBC with the running hash as key/iv → pick SHA-256/384/512 by
+    the ciphertext's first-16-byte sum mod 3) until round >= 64 and the
+    last ciphertext byte <= round - 32."""
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pwd + k + udata) * 64
+        e = _cbc_encrypt_raw(k[:16], k[16:32], k1)
+        mod = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
 
 
 # ---------------------------------------------------------------------------
@@ -275,6 +330,7 @@ class StandardSecurityHandler:
         "rc4-40": (1, 2, 5, False),
         "rc4-128": (2, 3, 16, False),
         "aes-128": (4, 4, 16, True),
+        "aes-256": (5, 6, 32, True),
     }
 
     def __init__(self, v: int, r: int, key_bytes: int, aes: bool,
@@ -290,6 +346,25 @@ class StandardSecurityHandler:
     def for_writing(cls, mode: str, file_id: bytes, p: int = -44,
                     owner_pwd: bytes = b"owner") -> "StandardSecurityHandler":
         v, r, kb, aes = cls.MODES[mode]
+        if v == 5:
+            # ISO 32000-2 Algorithms 8/9/10 with an empty user password;
+            # salts + file key derived from file_id so goldens stay
+            # byte-stable (a random key would break writer determinism)
+            fk = hashlib.sha256(b"filekey" + file_id).digest()
+            vs = hashlib.md5(b"uvs" + file_id).digest()[:8]
+            ks = hashlib.md5(b"uks" + file_id).digest()[:8]
+            u = hash_2b(b"", vs) + vs + ks
+            ue = _cbc_encrypt_raw(hash_2b(b"", ks), b"\x00" * 16, fk)
+            ovs = hashlib.md5(b"ovs" + file_id).digest()[:8]
+            oks = hashlib.md5(b"oks" + file_id).digest()[:8]
+            o = hash_2b(owner_pwd, ovs, u) + ovs + oks
+            oe = _cbc_encrypt_raw(hash_2b(owner_pwd, oks, u), b"\x00" * 16, fk)
+            h = cls(v, r, kb, aes, fk, o, u, p, file_id)
+            h.ue, h.oe = ue, oe
+            perms_blk = (struct.pack("<i", p) + b"\xff\xff\xff\xff" + b"Tadb"
+                         + hashlib.md5(b"prnd" + file_id).digest()[:4])
+            h.perms = _encrypt_block(perms_blk, _expand_key(fk))
+            return h
         o = compute_o(owner_pwd, b"", r, kb)
         key = file_key(b"", o, p, file_id, r, kb)
         u = compute_u(key, file_id, r)
@@ -308,6 +383,22 @@ class StandardSecurityHandler:
         length = re.search(rb"/Length\s+(\d+)", body)
         kb = (int(length.group(1)) // 8) if length else 5
         aes = False
+        if v == 5:
+            # AES-256 R6 (ISO 32000-2 §7.6.4): validate the empty user
+            # password against U's hash+validation salt (Algorithm 2.A),
+            # then unwrap the file key from UE under the key-salt hash
+            if not re.search(rb"/CFM\s*/AESV3\b", body):
+                raise NotImplementedError("V5 crypt filter other than AESV3")
+            u = _grab_string(body, b"/U")[:48]
+            ue = _grab_string(body, b"/UE")[:32]
+            if hash_2b(b"", u[32:40]) != u[:32]:
+                raise NotImplementedError(
+                    "encrypted PDF requires a non-empty user password")
+            fk = _cbc_decrypt_raw(hash_2b(b"", u[40:48]), b"\x00" * 16, ue)
+            o = _grab_string(body, b"/O")
+            h = cls(5, r, 32, True, fk, o, u, p, file_id)
+            h.ue = ue
+            return h
         if v == 4:
             kb = 16
             if re.search(rb"/CFM\s*/AESV2\b", body):
@@ -334,17 +425,21 @@ class StandardSecurityHandler:
     # -- data transforms ---------------------------------------------------
 
     def decrypt(self, objnum: int, gen: int, data: bytes) -> bytes:
+        if self.v == 5:  # AES-256: the FILE key directly, no Algorithm 1
+            return aes128_cbc_decrypt(self.key, data)
         k = object_key(self.key, objnum, gen, self.aes)
         if self.aes:
             return aes128_cbc_decrypt(k, data)
         return rc4(k, data)
 
     def encrypt(self, objnum: int, gen: int, data: bytes) -> bytes:
+        # deterministic IV (writer determinism contract): derived from the
+        # object identity — unique per object, which is all CBC needs here
+        iv = hashlib.md5(b"iv" + struct.pack("<IH", objnum, gen)).digest()
+        if self.v == 5:
+            return aes128_cbc_encrypt(self.key, iv, data)
         k = object_key(self.key, objnum, gen, self.aes)
         if self.aes:
-            # deterministic IV (writer determinism contract): derived from the
-            # object identity — unique per object, which is all CBC needs here
-            iv = hashlib.md5(b"iv" + struct.pack("<IH", objnum, gen)).digest()
             return aes128_cbc_encrypt(k, iv, data)
         return rc4(k, data)
 
@@ -352,6 +447,16 @@ class StandardSecurityHandler:
         """The /Encrypt dictionary body the writer emits (hex-string O/U)."""
         o_hex = self.o.hex().encode("ascii")
         u_hex = self.u.hex().encode("ascii")
+        if self.v == 5:
+            return (
+                b"<< /Filter /Standard /V 5 /R 6 /Length 256"
+                b" /CF << /StdCF << /CFM /AESV3 /Length 32 >> >>"
+                b" /StmF /StdCF /StrF /StdCF"
+                b" /O <" + o_hex + b"> /OE <" + self.oe.hex().encode("ascii")
+                + b"> /U <" + u_hex + b"> /UE <" + self.ue.hex().encode("ascii")
+                + b"> /Perms <" + self.perms.hex().encode("ascii")
+                + b"> /P %d >>" % self.p
+            )
         if self.v == 4:
             return (
                 b"<< /Filter /Standard /V 4 /R 4 /Length 128"

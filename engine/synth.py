@@ -417,20 +417,20 @@ def build_page_pdf(row_id: int, cfg: CorpusConfig, assign: dict,
     )
 
 
-_ENCRYPT_MODES = ("rc4-40", "rc4-128", "aes-128")
+_ENCRYPT_MODES = ("rc4-40", "rc4-128", "aes-128", "aes-256")
 
 
 def build_page_pdf_encrypted(row_id: int, cfg: CorpusConfig, assign: dict) -> bytes:
     """Encrypted-corpus variant: the mode cycles rc4-40 / rc4-128 / aes-128
-    and the layout alternates classic-Flate / xref-stream per row id, so one
-    corpus exercises every (cipher x layout) decrypt path — the
-    protected-but-readable files PdfPig opens silently
+    / aes-256(R6) and the layout alternates classic-Flate / xref-stream per
+    row id, so one corpus exercises every (cipher x layout) decrypt path —
+    the protected-but-readable files PdfPig opens silently
     (PdfToMarkdownConverter.cs:81-113)."""
     return build_page_pdf(
         row_id, cfg, assign,
         compress=(row_id % 2 == 0),
         xref_stream=(row_id % 2 == 1),
-        encrypt=_ENCRYPT_MODES[row_id % 3],
+        encrypt=_ENCRYPT_MODES[row_id % 4],
     )
 
 

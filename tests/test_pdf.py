@@ -573,14 +573,15 @@ def test_handler_o_u_roundtrip_all_modes():
     from engine.pdfcrypt import StandardSecurityHandler
 
     fid = bytes(range(16))
-    for mode in ("rc4-40", "rc4-128", "aes-128"):
+    for mode in ("rc4-40", "rc4-128", "aes-128", "aes-256"):
         h = StandardSecurityHandler.for_writing(mode, fid)
         h2 = StandardSecurityHandler.from_encrypt_dict(h.encrypt_dict_body(), fid)
         assert h2.key == h.key and h2.r == h.r and h2.aes == h.aes
         msg = b"per-object payload"
         assert h2.decrypt(7, 0, h.encrypt(7, 0, msg)) == msg
-        # a different object number must NOT decrypt (Algorithm 1 key differs)
-        if mode != "aes-128":  # AES raises on padding instead
+        # a different object number must NOT decrypt (Algorithm 1 key differs;
+        # V5 uses the file key for every object, so the check is N/A there)
+        if mode in ("rc4-40", "rc4-128"):  # AES raises on padding instead
             assert h2.decrypt(8, 0, h.encrypt(7, 0, msg)) != msg
 
 
@@ -609,7 +610,7 @@ def test_encrypted_pdf_layout_identical_all_modes():
              (2, 792.0, [(72.0, 650.0, "Twin"), (150.0, 650.0, "Doc")])]
     hrefs = ["https://example.com/a", "https://example.com/b(c)"]
     plain = parse_pdf_layout(render_pdf_page_bytes(pages, hrefs))
-    for mode in ("rc4-40", "rc4-128", "aes-128"):
+    for mode in ("rc4-40", "rc4-128", "aes-128", "aes-256"):
         for xs in (False, True):
             for filt in (None, "FlateDecode"):
                 data = render_pdf_page_bytes(
@@ -631,7 +632,7 @@ def test_encrypted_corpus_golden_byte_identical():
 
     cfg = CorpusConfig(n_pages=30, n_hosts=5, n_buckets=4)
     assign = build_assignment(cfg)
-    for rid in range(12):
+    for rid in range(16):
         u = url_of(rid, assign)
         want = extract_document(build_page_html(rid, cfg, assign).encode(), u)
         got = extract_document(build_page_pdf_encrypted(rid, cfg, assign), u)
