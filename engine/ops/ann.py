@@ -1038,18 +1038,33 @@ def ann_recall_report(sf_dir: str, n_queries: int = 5, k: int = 10) -> pd.DataFr
     # Index builds cached under the corpus identity key (path, mtime, size)
     # exactly like _CURATE_CACHE (curate.py) — a second call on the same
     # corpus skips both builds instead of rmtree+rebuild (VERDICT r4 #5).
+    # The key is ALSO persisted as a marker file inside the index dir, so a
+    # fresh process (the bench, a resumed job) reuses a finished build —
+    # the resumable-output behavior a 100-TB index build needs.
+    import json as _json
+
     src = _os.path.join(sf_dir, "embeddings.parquet")
     st = _os.stat(src)
-    key = (_os.path.abspath(src), st.st_mtime_ns, st.st_size)
+    key = [_os.path.abspath(src), st.st_mtime_ns, st.st_size]
     base = _os.path.join(tempfile.gettempdir(), "engine_recall_idx")
     ivf_dir = _os.path.join(base, "ivf")
     pq_dir = _os.path.join(base, "ivfpq")
+    marker = _os.path.join(base, "_built.json")
     if _RECALL_IDX_CACHE.get("key") != key:
-        import shutil as _sh
+        disk_key = None
+        try:
+            with open(marker) as f:
+                disk_key = _json.load(f)
+        except OSError:
+            pass
+        if disk_key != key:
+            import shutil as _sh
 
-        _sh.rmtree(base, ignore_errors=True)
-        build_ivf_index(sf_dir, ivf_dir, n_cells=8)
-        build_ivfpq_index(sf_dir, pq_dir, n_cells=8, m=8)
+            _sh.rmtree(base, ignore_errors=True)
+            build_ivf_index(sf_dir, ivf_dir, n_cells=8)
+            build_ivfpq_index(sf_dir, pq_dir, n_cells=8, m=8)
+            with open(marker, "w") as f:
+                _json.dump(key, f)
         _RECALL_IDX_CACHE["key"] = key
 
     def knn_edges():
