@@ -140,25 +140,62 @@ _SHIFT = [0, 5, 10, 15, 4, 9, 14, 3, 8, 13, 2, 7, 12, 1, 6, 11]
 _INV_SHIFT = [0, 13, 10, 7, 4, 1, 14, 11, 8, 5, 2, 15, 12, 9, 6, 3]
 
 
+# T-tables (the classic 32-bit software AES formulation): one lookup fuses
+# SubBytes + MixColumns for a whole state byte, so an encrypt round is 16
+# table hits + XORs on Python ints — ~5x the naive byte-matrix loop, which
+# matters because Algorithm 2.B (AES-256 R6) runs thousands of CBC blocks
+# per password validation.
+_T0 = [((_MUL2[s] << 24) | (s << 16) | (s << 8) | _MUL3[s]) for s in _SBOX]
+_T1 = [((_MUL3[s] << 24) | (_MUL2[s] << 16) | (s << 8) | s) for s in _SBOX]
+_T2 = [((s << 24) | (_MUL3[s] << 16) | (_MUL2[s] << 8) | s) for s in _SBOX]
+_T3 = [((s << 24) | (s << 16) | (_MUL3[s] << 8) | _MUL2[s]) for s in _SBOX]
+
+
+def _rk_words(rks: list) -> list:
+    """Round keys as per-round lists of four 32-bit big-endian words."""
+    return [[int.from_bytes(rk[4 * j : 4 * j + 4], "big") for j in range(4)]
+            for rk in rks]
+
+
+def _encrypt_block_words(w0: int, w1: int, w2: int, w3: int, rkw: list):
+    """One AES block over 32-bit column words (T-table rounds)."""
+    r0, r1, r2, r3 = rkw[0]
+    w0 ^= r0
+    w1 ^= r1
+    w2 ^= r2
+    w3 ^= r3
+    T0, T1, T2, T3 = _T0, _T1, _T2, _T3
+    for rnd in range(1, len(rkw) - 1):
+        r0, r1, r2, r3 = rkw[rnd]
+        e0 = (T0[(w0 >> 24) & 255] ^ T1[(w1 >> 16) & 255]
+              ^ T2[(w2 >> 8) & 255] ^ T3[w3 & 255] ^ r0)
+        e1 = (T0[(w1 >> 24) & 255] ^ T1[(w2 >> 16) & 255]
+              ^ T2[(w3 >> 8) & 255] ^ T3[w0 & 255] ^ r1)
+        e2 = (T0[(w2 >> 24) & 255] ^ T1[(w3 >> 16) & 255]
+              ^ T2[(w0 >> 8) & 255] ^ T3[w1 & 255] ^ r2)
+        e3 = (T0[(w3 >> 24) & 255] ^ T1[(w0 >> 16) & 255]
+              ^ T2[(w1 >> 8) & 255] ^ T3[w2 & 255] ^ r3)
+        w0, w1, w2, w3 = e0, e1, e2, e3
+    S = _SBOX
+    r0, r1, r2, r3 = rkw[-1]
+    e0 = ((S[(w0 >> 24) & 255] << 24) | (S[(w1 >> 16) & 255] << 16)
+          | (S[(w2 >> 8) & 255] << 8) | S[w3 & 255]) ^ r0
+    e1 = ((S[(w1 >> 24) & 255] << 24) | (S[(w2 >> 16) & 255] << 16)
+          | (S[(w3 >> 8) & 255] << 8) | S[w0 & 255]) ^ r1
+    e2 = ((S[(w2 >> 24) & 255] << 24) | (S[(w3 >> 16) & 255] << 16)
+          | (S[(w0 >> 8) & 255] << 8) | S[w1 & 255]) ^ r2
+    e3 = ((S[(w3 >> 24) & 255] << 24) | (S[(w0 >> 16) & 255] << 16)
+          | (S[(w1 >> 8) & 255] << 8) | S[w2 & 255]) ^ r3
+    return e0, e1, e2, e3
+
+
 def _encrypt_block(block: bytes, rks: list) -> bytes:
-    s = list(block)
-    _add_round_key(s, rks[0])
-    for rnd in range(1, len(rks) - 1):
-        s = [_SBOX[s[i]] for i in _SHIFT]
-        t = []
-        for c in range(4):
-            a0, a1, a2, a3 = s[4 * c : 4 * c + 4]
-            t += [
-                _MUL2[a0] ^ _MUL3[a1] ^ a2 ^ a3,
-                a0 ^ _MUL2[a1] ^ _MUL3[a2] ^ a3,
-                a0 ^ a1 ^ _MUL2[a2] ^ _MUL3[a3],
-                _MUL3[a0] ^ a1 ^ a2 ^ _MUL2[a3],
-            ]
-        s = t
-        _add_round_key(s, rks[rnd])
-    s = [_SBOX[s[i]] for i in _SHIFT]
-    _add_round_key(s, rks[-1])
-    return bytes(s)
+    rkw = _rk_words(rks)
+    w = _encrypt_block_words(
+        int.from_bytes(block[0:4], "big"), int.from_bytes(block[4:8], "big"),
+        int.from_bytes(block[8:12], "big"), int.from_bytes(block[12:16], "big"),
+        rkw)
+    return b"".join(x.to_bytes(4, "big") for x in w)
 
 
 def _decrypt_block(block: bytes, rks: list) -> bytes:
@@ -184,15 +221,23 @@ def _decrypt_block(block: bytes, rks: list) -> bytes:
 
 def _cbc_encrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
     """CBC encrypt with NO padding and NO IV prepend (len(data) % 16 == 0) —
-    the form Algorithms 2.B / 8 / 9 of ISO 32000-2 use."""
-    rks = _expand_key(key)
-    out = bytearray()
-    prev = iv
-    for i in range(0, len(data), 16):
-        blk = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
-        prev = _encrypt_block(blk, rks)
-        out += prev
-    return bytes(out)
+    the form Algorithms 2.B / 8 / 9 of ISO 32000-2 use.  Runs on 32-bit
+    words end-to-end (no per-block bytes round-trip)."""
+    rkw = _rk_words(_expand_key(key))
+    n_words = len(data) // 4
+    words = struct.unpack(">4I", iv) + struct.unpack(">%dI" % n_words, data)
+    out = [0] * n_words
+    p0, p1, p2, p3 = words[:4]
+    for i in range(0, n_words, 4):
+        j = 4 + i
+        p0, p1, p2, p3 = _encrypt_block_words(
+            p0 ^ words[j], p1 ^ words[j + 1],
+            p2 ^ words[j + 2], p3 ^ words[j + 3], rkw)
+        out[i] = p0
+        out[i + 1] = p1
+        out[i + 2] = p2
+        out[i + 3] = p3
+    return struct.pack(">%dI" % n_words, *out)
 
 
 def _cbc_decrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
@@ -208,16 +253,8 @@ def _cbc_decrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
 
 def aes128_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     """PKCS#5-padded CBC encrypt; returns iv || ciphertext (the PDF layout)."""
-    rks = _expand_key(key)
     pad = 16 - len(data) % 16
-    data = data + bytes([pad]) * pad
-    out = bytearray(iv)
-    prev = iv
-    for i in range(0, len(data), 16):
-        blk = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
-        prev = _encrypt_block(blk, rks)
-        out += prev
-    return bytes(out)
+    return iv + _cbc_encrypt_raw(key, iv, data + bytes([pad]) * pad)
 
 
 def aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
