@@ -390,6 +390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": relational.stratified_sample,
         "distinct_users_per_type": relational.distinct_users_per_type,
         "pagerank_docs": relational.pagerank_docs,
+        "personalized_pagerank": relational.personalized_pagerank,
         "redirect_cycles": relational.redirect_cycles,
         "link_weighted_paths": relational.link_weighted_paths,
         "hits_docs": relational.hits_docs,
@@ -686,6 +687,33 @@ def oracle_sql() -> dict[str, str]:
         "WITH " + ",\n ".join(_pr)
         + f"\nSELECT doc_id, round(rank, 9) AS rank FROM r{_pr_iters} ORDER BY doc_id"
     )
+    # personalized pagerank: teleport mass restricted to the seed set
+    # doc_id % 97 == 0 (Haveliwala topic-sensitive variant); same edge set,
+    # 4 iterations, identical float expressions to the engine
+    _ppr_iters = 4
+    _ppr = [
+        "nodes AS (SELECT doc_id FROM documents)",
+        "p AS (SELECT count(*) AS n FROM documents)",
+        "s AS (SELECT count(*) AS ns FROM documents WHERE doc_id % 97 = 0)",
+        "e AS (SELECT doc_id AS src, (doc_id*31 + s.s) % (SELECT n FROM p) AS dst"
+        " FROM documents, (SELECT unnest([1,2,3]) AS s) s)",
+        "r0 AS (SELECT doc_id, CASE WHEN doc_id % 97 = 0"
+        " THEN 1.0/(SELECT ns FROM s) ELSE 0.0 END AS rank FROM nodes)",
+    ]
+    for _i in range(1, _ppr_iters + 1):
+        _ppr.append(
+            f"r{_i} AS (SELECT nodes.doc_id, (CASE WHEN nodes.doc_id % 97 = 0"
+            f" THEN (1-0.85)/(SELECT ns FROM s) ELSE 0.0 END)"
+            f" + 0.85*coalesce(sum(r{_i-1}.rank/3), 0) AS rank"
+            f" FROM nodes LEFT JOIN e ON e.dst = nodes.doc_id"
+            f" LEFT JOIN r{_i-1} ON r{_i-1}.doc_id = e.src"
+            f" GROUP BY nodes.doc_id)"
+        )
+    ppr_sql = (
+        "WITH " + ",\n ".join(_ppr)
+        + f"\nSELECT doc_id, round(rank, 9) AS rank FROM r{_ppr_iters}"
+        " ORDER BY doc_id"
+    )
     # HITS oracle: the 3 L1-normalized half-step pairs unrolled over the
     # same edge set (authority from in-edges, hub from out-edges)
     _hi_iters = 3
@@ -724,6 +752,7 @@ def oracle_sql() -> dict[str, str]:
     )
     d = {
         "pagerank_docs": pagerank_sql,
+        "personalized_pagerank": ppr_sql,
         # permutation cycles = forward closure of the functional redirect
         # map; cycle_id = min reachable node (includes v via LEAST)
         "redirect_cycles": """

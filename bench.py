@@ -230,6 +230,7 @@ BENCH_QUERY_NAMES = [
     "link_parity_conflicts",
     "source_lang_chi2",
     "pdf_encrypted_golden_check",
+    "personalized_pagerank",
 ]
 
 

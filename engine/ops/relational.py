@@ -1105,6 +1105,78 @@ def pagerank_docs(sf_dir: str, n_iter: int = 5, d: float = 0.85) -> pd.DataFrame
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def personalized_pagerank(sf_dir: str, n_iter: int = 4, d: float = 0.85,
+                          seed_mod: int = 97) -> pd.DataFrame:
+    """Topic-sensitive (personalized) PageRank: the random surfer teleports
+    only to the SEED set (doc_id % seed_mod == 0) instead of uniformly —
+    the "crawl relevance from a trusted seed list" verb (Haveliwala 2002 /
+    TrustRank), next to the global pagerank_docs.
+
+    Same scale shape as pagerank_docs over the shared hash-derived edge set
+    ((doc_id*31+s) % n, s in 1..3): each iteration is ONE coarse-bucket
+    shuffle of per-batch-combined d*r/3 contributions plus a zero carrier
+    row per node; the personalization base (1-d)/|S| lands vectorized
+    inside the bucket group via the node-id predicate, so the driver holds
+    only the two scalars n and |S|.  Ranks round to 9 decimals; the oracle
+    unrolls the same iterations in SQL with the identical float expressions.
+    """
+    ds = read_pruned(_t(sf_dir, "documents"), ["doc_id"])
+    n = ds.count()
+    # |S| as a distributed count partial (not a contiguity assumption)
+    nseeds = int(ds.map_batches(
+        lambda t: pa.table({"c": pa.array(
+            [int((t["doc_id"].to_numpy() % seed_mod == 0).sum())], pa.int64())}),
+        batch_format="pyarrow").to_pandas()["c"].sum())
+    seed_base = (1 - d) / nseeds
+    init = 1.0 / nseeds
+
+    _RANK_SCHEMA = pa.schema([("doc_id", pa.int64()), ("rank", pa.float64())])
+
+    ranks = ds.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"],
+             "rank": pa.array(
+                 np.where(t["doc_id"].to_numpy() % seed_mod == 0, init, 0.0),
+                 pa.float64())}),
+        batch_format="pyarrow",
+    )
+
+    def contribs(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        r = t["rank"].to_numpy()
+        share = d * r / 3.0
+        node = np.concatenate([(ids * 31 + s) % n for s in (1, 2, 3)] + [ids])
+        val = np.concatenate([share, share, share, np.zeros(len(ids))])
+        g = (pd.DataFrame({"node": node, "val": val})
+             .groupby("node", as_index=False)["val"].sum())
+        keys = g["node"].to_numpy()
+        return pa.table(
+            {"node": pa.array(keys, pa.int64()),
+             "val": pa.array(g["val"].to_numpy(), pa.float64()),
+             "bucket": pa.array((keys % N_KEY_BUCKETS).astype(np.int32),
+                                pa.int32())})
+
+    def new_rank(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby("node", as_index=False)["val"].sum()
+        node = s["node"].to_numpy()
+        base = np.where(node % seed_mod == 0, seed_base, 0.0)
+        return pa.Table.from_pandas(
+            pd.DataFrame({"doc_id": node, "rank": base + s["val"].to_numpy()}),
+            schema=_RANK_SCHEMA, preserve_index=False,
+        ).replace_schema_metadata(None)
+
+    for _ in range(n_iter):
+        ranks = (
+            ranks.map_batches(contribs, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(new_rank, batch_format="pandas")
+        )
+
+    out = ranks.to_pandas()
+    out["rank"] = out["rank"].round(9)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def orders_without_lineitems(sf_dir: str) -> pd.DataFrame:
     """BIG x BIG bucketed ANTI-join: orders with no lineitem rows.
 
