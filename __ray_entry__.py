@@ -391,6 +391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_type": relational.distinct_users_per_type,
         "pagerank_docs": relational.pagerank_docs,
         "personalized_pagerank": relational.personalized_pagerank,
+        "link_degree_assortativity": relational.link_degree_assortativity,
         "redirect_cycles": relational.redirect_cycles,
         "link_weighted_paths": relational.link_weighted_paths,
         "hits_docs": relational.hits_docs,
@@ -753,6 +754,31 @@ def oracle_sql() -> dict[str, str]:
     d = {
         "pagerank_docs": pagerank_sql,
         "personalized_pagerank": ppr_sql,
+        # degree assortativity: exact integer Pearson moments over the
+        # skewed (3 bijective + quadratic) edge set, HUGEINT -> BIGINT
+        "link_degree_assortativity": """
+            WITH p AS (SELECT count(*) AS n FROM documents),
+            nodes AS (SELECT doc_id FROM documents),
+            e0 AS (
+              SELECT doc_id AS src,
+                     (doc_id*31 + s.s) % (SELECT n FROM p) AS dst
+              FROM documents, (SELECT unnest([1,2,3]) AS s) s
+              UNION ALL
+              SELECT doc_id, (doc_id*doc_id + 1) % (SELECT n FROM p)
+              FROM documents),
+            e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+            ind AS (SELECT dst AS node, count(*) AS deg FROM e GROUP BY dst),
+            deg AS (SELECT nodes.doc_id AS node, coalesce(ind.deg, 0) AS deg
+                    FROM nodes LEFT JOIN ind ON ind.node = nodes.doc_id),
+            j AS (SELECT ds.deg AS x, dd.deg AS y FROM e
+                  JOIN deg ds ON ds.node = e.src
+                  JOIN deg dd ON dd.node = e.dst)
+            SELECT count(*)::BIGINT AS n_edges,
+                   sum(x)::BIGINT AS sum_x, sum(y)::BIGINT AS sum_y,
+                   sum(x*x)::BIGINT AS sum_xx, sum(y*y)::BIGINT AS sum_yy,
+                   sum(x*y)::BIGINT AS sum_xy,
+                   (count(*)*sum(x*y) - sum(x)*sum(y))::BIGINT AS num
+            FROM j""",
         # permutation cycles = forward closure of the functional redirect
         # map; cycle_id = min reachable node (includes v via LEAST)
         "redirect_cycles": """

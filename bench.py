@@ -231,6 +231,7 @@ BENCH_QUERY_NAMES = [
     "source_lang_chi2",
     "pdf_encrypted_golden_check",
     "personalized_pagerank",
+    "link_degree_assortativity",
 ]
 
 

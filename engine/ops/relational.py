@@ -2121,6 +2121,108 @@ def degree_distribution(sf_dir: str) -> pd.DataFrame:
             .astype({"in_degree": "int64", "n_nodes": "int64"}))
 
 
+def link_degree_assortativity(sf_dir: str) -> pd.DataFrame:
+    """(n_edges, sum_x, sum_y, sum_xx, sum_yy, sum_xy, num) — exact integer
+    Pearson moments of (in-degree(src), in-degree(dst)) over every edge of
+    the shared skewed link graph (degree_distribution's 3 bijective + 1
+    quadratic edges, self-loops dropped).  ``num = m*Sxy - Sx*Sy`` is the
+    assortativity numerator: its sign says whether hubs link to hubs
+    (Newman 2002) — the structural audit a crawl corpus gets before
+    sampling strategies that assume degree mixing.  All columns are exact
+    integers, so the reduction is order-free and hash-exact.
+
+    Scale shape: TWO coarse node-bucket all-to-alls.  (1) the
+    degree_distribution partial builds exact per-node in-degrees inside
+    each bucket; (2) each (node u, deg x) row re-derives u's 4 out-edges
+    and ships (dst, x) keyed by dst plus one marker row (u, x) — each
+    group joins edge rows to markers vectorized and emits ONE 6-sum
+    integer partial.  The driver folds |buckets| rows and derives num as
+    a Python int (HUGEINT-safe at any scale).
+    """
+    import pyarrow.parquet as _pq
+
+    n = _pq.ParquetFile(_t(sf_dir, "documents")).metadata.num_rows
+    ds = read_pruned(_t(sf_dir, "documents"), ["doc_id"])
+    N_BUCKETS = 64
+
+    _ROW = pa.schema([("node", pa.int64()), ("c", pa.int64()),
+                      ("bucket", pa.int32())])
+
+    def indeg_partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        src = np.concatenate([ids, ids, ids, ids])
+        dst = np.concatenate([(ids * 31 + s) % n for s in (1, 2, 3)]
+                             + [(ids * ids + 1) % n])
+        dst = dst[src != dst]
+        node, cnt = np.unique(dst, return_counts=True)
+        node = np.concatenate([node, ids])                  # zero carriers
+        cnt = np.concatenate([cnt.astype(np.int64),
+                              np.zeros(len(ids), np.int64)])
+        return pa.table(
+            {"node": pa.array(node, pa.int64()),
+             "c": pa.array(cnt, pa.int64()),
+             "bucket": pa.array((node % N_BUCKETS).astype(np.int32),
+                                pa.int32())}, schema=_ROW)
+
+    _DEG = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+
+    def resolve_deg(g: pd.DataFrame) -> pa.Table:
+        per_node = g.groupby("node")["c"].sum()
+        return pa.table(
+            {"node": pa.array(per_node.index.to_numpy(), pa.int64()),
+             "deg": pa.array(per_node.to_numpy(), pa.int64())}, schema=_DEG)
+
+    degs = (ds.map_batches(indeg_partial, batch_format="pyarrow",
+                           batch_size=262144)
+            .groupby("bucket").map_groups(resolve_deg, batch_format="pandas"))
+
+    _E = pa.schema([("v", pa.int64()), ("x", pa.int64()),
+                    ("is_marker", pa.int8()), ("bucket", pa.int32())])
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        u = t["node"].to_numpy()
+        x = t["deg"].to_numpy()
+        vs = np.concatenate([(u * 31 + s) % n for s in (1, 2, 3)]
+                            + [(u * u + 1) % n])
+        xs = np.concatenate([x, x, x, x])
+        keep = np.concatenate([u, u, u, u]) != vs
+        v = np.concatenate([vs[keep], u])
+        xx = np.concatenate([xs[keep], x])
+        marker = np.concatenate([np.zeros(int(keep.sum()), np.int8),
+                                 np.ones(len(u), np.int8)])
+        return pa.table(
+            {"v": pa.array(v, pa.int64()), "x": pa.array(xx, pa.int64()),
+             "is_marker": pa.array(marker, pa.int8()),
+             "bucket": pa.array((v % N_BUCKETS).astype(np.int32), pa.int32())},
+            schema=_E)
+
+    _S = pa.schema([(c, pa.int64()) for c in
+                    ("n_edges", "sum_x", "sum_y", "sum_xx", "sum_yy",
+                     "sum_xy")])
+
+    def moments(g: pd.DataFrame) -> pa.Table:
+        mk = (g[g["is_marker"] == 1].drop_duplicates("v")
+              .set_index("v")["x"])
+        e = g[g["is_marker"] == 0]
+        # every dst has a marker row; astype raises loudly if one is missing
+        y = mk.reindex(e["v"]).to_numpy().astype(np.int64)
+        x = e["x"].to_numpy()
+        vals = {"n_edges": len(e), "sum_x": int(x.sum()),
+                "sum_y": int(y.sum()), "sum_xx": int((x * x).sum()),
+                "sum_yy": int((y * y).sum()), "sum_xy": int((x * y).sum())}
+        return pa.table({k: pa.array([v], pa.int64())
+                         for k, v in vals.items()}, schema=_S)
+
+    parts = (degs.map_batches(edge_rows, batch_format="pyarrow")
+             .groupby("bucket").map_groups(moments, batch_format="pandas")
+             .to_pandas())
+    sums = {c: int(parts[c].sum()) for c in _S.names}
+    sums["num"] = (sums["n_edges"] * sums["sum_xy"]
+                   - sums["sum_x"] * sums["sum_y"])
+    return pd.DataFrame({k: pd.Series([v], dtype="int64")
+                         for k, v in sums.items()})
+
+
 def anchor_text_topk(sf_dir: str) -> pd.DataFrame:
     """(doc_id, anchor_token, cnt) — anchor-text consolidation over the
     deterministic doc link graph (doc -> (doc*31+s) % n, s in 1..3, the
