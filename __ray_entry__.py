@@ -487,6 +487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_postings": text.inverted_postings,
         "incremental_inverted_postings": text.incremental_inverted_postings,
         "token_frequency_spectrum": text.token_frequency_spectrum,
+        "term_burstiness": text.term_burstiness,
         "filter_funnel": text.filter_funnel,
         "vocab_growth_curve": text.vocab_growth_curve,
         # rows-only: sketch scoreboard (KMV oracled exactly elsewhere;
@@ -1557,6 +1558,25 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20
         """,
         # Zipf frequency-of-frequencies over the token vocabulary
+        # Church-Gale burstiness moments: exact integer df/tf/tf^2 per term,
+        # top-20 by document frequency (df desc, term asc — term is unique,
+        # so the cut is a total order on both sides)
+        "term_burstiness": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                        x -> x <> '')) AS w
+              FROM documents
+            ), tc AS (
+              SELECT doc_id, w, count(*)::BIGINT AS c
+              FROM tok GROUP BY doc_id, w
+            )
+            SELECT w AS term, count(*)::BIGINT AS df,
+                   CAST(sum(c) AS BIGINT) AS tf,
+                   CAST(sum(c*c) AS BIGINT) AS tf_sq
+            FROM tc GROUP BY w
+            ORDER BY df DESC, term LIMIT 20
+        """,
         "token_frequency_spectrum": r"""
             WITH tok AS (
               SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),

@@ -232,6 +232,7 @@ BENCH_QUERY_NAMES = [
     "pdf_encrypted_golden_check",
     "personalized_pagerank",
     "link_degree_assortativity",
+    "term_burstiness",
 ]
 
 

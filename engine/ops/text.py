@@ -1966,6 +1966,55 @@ def incremental_inverted_postings(sf_dir: str, terms: tuple = _INV_TERMS,
     return _postings_lookup([base, delta], terms, n_buckets)
 
 
+def term_burstiness(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """(term, df, tf, tf_sq) for the top-k terms by document frequency —
+    the exact integer moments behind Church-Gale burstiness (variance-to-
+    mean of per-document counts): a bursty term (tf_sq >> tf²/df) clusters
+    in few documents, a function word spreads evenly.  The dispersion
+    statistic a corpus curation run uses to separate topical vocabulary
+    from boilerplate before keyword/dedup weighting.
+
+    Scale shape: each batch computes per-document counts locally and emits
+    vocab-bounded (term, df, tf, tf_sq) partials; ONE term-keyed groupby
+    sums them (all-integer, order-free); the top-k cut (df desc, term asc
+    — total order, no ties possible on the unique term column) runs on the
+    vocab-sized aggregate.  Text never enters the exchange.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), r"\s+")
+        df_ = pd.DataFrame({
+            "doc": np.repeat(t["doc_id"].to_numpy(),
+                             pc.list_value_length(toks).to_numpy()),
+            "w": pc.list_flatten(toks).to_pandas()})
+        df_ = df_[df_["w"] != ""]
+        c = df_.groupby(["doc", "w"], sort=False).size().reset_index(name="c")
+        c["c2"] = c["c"].to_numpy() ** 2
+        agg = c.groupby("w", sort=False).agg(
+            df=("c", "size"), tf=("c", "sum"), tf_sq=("c2", "sum"))
+        return pa.table(
+            {"term": pa.array(agg.index.to_numpy(), pa.string()),
+             "df": pa.array(agg["df"].to_numpy(), pa.int64()),
+             "tf": pa.array(agg["tf"].to_numpy(), pa.int64()),
+             "tf_sq": pa.array(agg["tf_sq"].to_numpy(), pa.int64())})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"), Sum("tf", alias_name="tf"),
+                   Sum("tf_sq", alias_name="tf_sq"))
+        .to_pandas()
+    )
+    out = (out.sort_values(["df", "term"], ascending=[False, True],
+                           kind="mergesort")
+           .head(k).reset_index(drop=True))
+    return out[["term", "df", "tf", "tf_sq"]].astype(
+        {"df": "int64", "tf": "int64", "tf_sq": "int64"})
+
+
 def token_frequency_spectrum(sf_dir: str) -> pd.DataFrame:
     """(occurrences, n_tokens) — the corpus frequency-of-frequencies
     spectrum (the Zipf/Good-Turing statistic: how many distinct tokens
