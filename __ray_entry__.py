@@ -392,6 +392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_docs": relational.pagerank_docs,
         "personalized_pagerank": relational.personalized_pagerank,
         "link_degree_assortativity": relational.link_degree_assortativity,
+        "part_affinity_pairs": relational.part_affinity_pairs,
         "redirect_cycles": relational.redirect_cycles,
         "link_weighted_paths": relational.link_weighted_paths,
         "hits_docs": relational.hits_docs,
@@ -755,6 +756,15 @@ def oracle_sql() -> dict[str, str]:
     d = {
         "pagerank_docs": pagerank_sql,
         "personalized_pagerank": ppr_sql,
+        # market-basket support: distinct-part self-join within each order,
+        # unordered pairs p1<p2, top-k on the (cnt desc, p1, p2) total order
+        "part_affinity_pairs": """
+            WITH parts AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                           FROM lineitem),
+            pairs AS (SELECT a.p AS p1, b.p AS p2 FROM parts a
+                      JOIN parts b ON a.ok = b.ok AND a.p < b.p)
+            SELECT p1, p2, count(*)::BIGINT AS n_orders FROM pairs
+            GROUP BY p1, p2 ORDER BY n_orders DESC, p1, p2 LIMIT 30""",
         # degree assortativity: exact integer Pearson moments over the
         # skewed (3 bijective + quadratic) edge set, HUGEINT -> BIGINT
         "link_degree_assortativity": """

@@ -233,6 +233,7 @@ BENCH_QUERY_NAMES = [
     "personalized_pagerank",
     "link_degree_assortativity",
     "term_burstiness",
+    "part_affinity_pairs",
 ]
 
 

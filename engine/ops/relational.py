@@ -2121,6 +2121,69 @@ def degree_distribution(sf_dir: str) -> pd.DataFrame:
             .astype({"in_degree": "int64", "n_nodes": "int64"}))
 
 
+def part_affinity_pairs(sf_dir: str, k: int = 30) -> pd.DataFrame:
+    """(p1, p2, n_orders) — top-k part pairs by basket co-occurrence: how
+    many orders contain BOTH parts (p1 < p2).  The A-priori support pass of
+    market-basket mining — the self-join-explosion verb whose blow-up is
+    bounded by the GROUP size (an order's distinct parts), never the table.
+
+    Scale shape: (1) one orderkey-bucket all-to-all co-locates each order's
+    lineitems; the in-group pandas self-merge explodes <= |order|^2/2 pairs
+    per order and pre-counts pairs within the bucket.  (2) one pair-bucket
+    all-to-all sums pair counts exactly; each group emits only its LOCAL
+    top-k candidates (cnt desc, p1, p2 — a pre-aggregable statistic), so
+    the driver merges <= k x |buckets| rows.  The full pair table never
+    reaches the driver.
+    """
+    N_BUCKETS = 32
+    ds = read_pruned(_t(sf_dir, "lineitem"), ["l_orderkey", "l_partkey"])
+
+    _P = pa.schema([("p1", pa.int64()), ("p2", pa.int64()),
+                    ("cnt", pa.int64()), ("pb", pa.int32())])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy()
+        return t.append_column(
+            "bucket", pa.array((ok % N_BUCKETS).astype(np.int32), pa.int32()))
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pa.Table:
+        m = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        j = m.merge(m, on="l_orderkey", suffixes=("_a", "_b"))
+        j = j[j["l_partkey_a"] < j["l_partkey_b"]]
+        c = (j.groupby(["l_partkey_a", "l_partkey_b"], sort=False)
+             .size().reset_index(name="cnt"))
+        p1 = c["l_partkey_a"].to_numpy()
+        p2 = c["l_partkey_b"].to_numpy()
+        return pa.table(
+            {"p1": pa.array(p1, pa.int64()), "p2": pa.array(p2, pa.int64()),
+             "cnt": pa.array(c["cnt"].to_numpy(), pa.int64()),
+             "pb": pa.array(((p1 * 131 + p2) % N_BUCKETS).astype(np.int32),
+                            pa.int32())}, schema=_P)
+
+    _T = pa.schema([("p1", pa.int64()), ("p2", pa.int64()),
+                    ("n_orders", pa.int64())])
+
+    def topk_in_group(g: pd.DataFrame) -> pa.Table:
+        s = (g.groupby(["p1", "p2"], as_index=False)["cnt"].sum()
+             .sort_values(["cnt", "p1", "p2"], ascending=[False, True, True],
+                          kind="mergesort").head(k))
+        return pa.Table.from_pandas(
+            s.rename(columns={"cnt": "n_orders"}), schema=_T,
+            preserve_index=False).replace_schema_metadata(None)
+
+    cands = (
+        ds.map_batches(keyed, batch_format="pyarrow", batch_size=262144)
+        .groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas")
+        .groupby("pb").map_groups(topk_in_group, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (cands.sort_values(["n_orders", "p1", "p2"],
+                             ascending=[False, True, True], kind="mergesort")
+           .head(k).reset_index(drop=True))
+    return out[["p1", "p2", "n_orders"]].astype(
+        {"p1": "int64", "p2": "int64", "n_orders": "int64"})
+
+
 def link_degree_assortativity(sf_dir: str) -> pd.DataFrame:
     """(n_edges, sum_x, sum_y, sum_xx, sum_yy, sum_xy, num) — exact integer
     Pearson moments of (in-degree(src), in-degree(dst)) over every edge of
