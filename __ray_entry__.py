@@ -393,6 +393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "personalized_pagerank": relational.personalized_pagerank,
         "link_degree_assortativity": relational.link_degree_assortativity,
         "part_affinity_pairs": relational.part_affinity_pairs,
+        "orders_snapshot_diff": relational.orders_snapshot_diff,
         "redirect_cycles": relational.redirect_cycles,
         "link_weighted_paths": relational.link_weighted_paths,
         "hits_docs": relational.hits_docs,
@@ -756,6 +757,29 @@ def oracle_sql() -> dict[str, str]:
     d = {
         "pagerank_docs": pagerank_sql,
         "personalized_pagerank": ppr_sql,
+        # CDC snapshot diff: base orders vs the deterministically perturbed
+        # twin (delete %41, update %37 by +1.00, 100 negative-key inserts)
+        "orders_snapshot_diff": """
+            WITH base AS (SELECT o_orderkey AS key,
+                          CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+                          FROM orders),
+            nw AS (
+              SELECT key, cents + CASE WHEN key % 37 = 0 THEN 100 ELSE 0 END
+                     AS cents
+              FROM base WHERE key % 41 <> 0
+              UNION ALL
+              SELECT -(t.k + 1), 100050 FROM range(100) t(k)),
+            j AS (SELECT b.cents AS o, nw.cents AS nc
+                  FROM base b FULL OUTER JOIN nw ON nw.key = b.key),
+            lab AS (SELECT CASE WHEN o IS NULL THEN 'inserted'
+                                WHEN nc IS NULL THEN 'deleted'
+                                WHEN o = nc THEN 'unchanged'
+                                ELSE 'updated' END AS status,
+                           CASE WHEN nc IS NULL THEN o ELSE nc END AS v
+                    FROM j)
+            SELECT status, count(*)::BIGINT AS n_rows,
+                   CAST(sum(v) AS BIGINT) AS sum_cents
+            FROM lab GROUP BY status ORDER BY status""",
         # market-basket support: distinct-part self-join within each order,
         # unordered pairs p1<p2, top-k on the (cnt desc, p1, p2) total order
         "part_affinity_pairs": """

@@ -234,6 +234,7 @@ BENCH_QUERY_NAMES = [
     "link_degree_assortativity",
     "term_burstiness",
     "part_affinity_pairs",
+    "orders_snapshot_diff",
 ]
 
 

@@ -2121,6 +2121,86 @@ def degree_distribution(sf_dir: str) -> pd.DataFrame:
             .astype({"in_degree": "int64", "n_nodes": "int64"}))
 
 
+def orders_snapshot_diff(sf_dir: str) -> pd.DataFrame:
+    """(status, n_rows, sum_cents) — CDC-style reconciliation between two
+    snapshots of orders: the base table vs a deterministically perturbed
+    twin (orderkey%41==0 rows deleted, %37==0 get totalprice+1.00, 100
+    rows with negative keys inserted at 1000.50).  Statuses:
+    unchanged / updated / deleted / inserted, with exact integer row
+    counts and cent sums of the NEW side (old side for deletes) — the
+    snapshot-diff audit a lakehouse runs after every backfill.
+
+    Scale shape: both snapshots ship narrow (key, cents, side) rows into
+    ONE shared orderkey-bucket all-to-all; each group diffs vectorized via
+    an indexed join and emits 4 bounded count/sum partials.  Neither
+    snapshot is ever collected; the driver folds |buckets| x 4 rows.
+    """
+    N_BUCKETS = 32
+    ds = read_pruned(_t(sf_dir, "orders"), ["o_orderkey", "o_totalprice"])
+
+    _R = pa.schema([("key", pa.int64()), ("cents", pa.int64()),
+                    ("side", pa.int8()), ("bucket", pa.int32())])
+
+    def both_sides(t: pa.Table) -> pa.Table:
+        key = t["o_orderkey"].to_numpy()
+        cents = np.round(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        # old side: every row
+        new_keep = key % 41 != 0                       # deletes
+        nk = key[new_keep]
+        nc = cents[new_keep] + np.where(nk % 37 == 0, 100, 0)  # +1.00 updates
+        k2 = np.concatenate([key, nk])
+        c2 = np.concatenate([cents, nc])
+        s2 = np.concatenate([np.zeros(len(key), np.int8),
+                             np.ones(len(nk), np.int8)])
+        return pa.table(
+            {"key": pa.array(k2, pa.int64()), "cents": pa.array(c2, pa.int64()),
+             "side": pa.array(s2, pa.int8()),
+             "bucket": pa.array((k2 % N_BUCKETS).astype(np.int32), pa.int32())},
+            schema=_R)
+
+    _S = pa.schema([("status", pa.string()), ("n_rows", pa.int64()),
+                    ("sum_cents", pa.int64())])
+
+    def diff_group(g: pd.DataFrame) -> pa.Table:
+        old = g[g["side"] == 0].set_index("key")["cents"]
+        new = g[g["side"] == 1].set_index("key")["cents"]
+        j = old.to_frame("o").join(new.to_frame("n"), how="outer")
+        ins = j["o"].isna()
+        dele = j["n"].isna()
+        upd = (~ins) & (~dele) & (j["o"] != j["n"])
+        unch = (~ins) & (~dele) & (j["o"] == j["n"])
+        rows = [
+            ("deleted", int(dele.sum()), int(j.loc[dele, "o"].sum())),
+            ("inserted", int(ins.sum()), int(j.loc[ins, "n"].sum())),
+            ("unchanged", int(unch.sum()), int(j.loc[unch, "n"].sum())),
+            ("updated", int(upd.sum()), int(j.loc[upd, "n"].sum())),
+        ]
+        return pa.table(
+            {"status": pa.array([r[0] for r in rows], pa.string()),
+             "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+             "sum_cents": pa.array([r[2] for r in rows], pa.int64())},
+            schema=_S)
+
+    # inserted keys are NEGATIVE (-(k+1)) — orderkeys are positive and
+    # sparse, so negatives are disjoint by construction at any scale
+    inserts = pa.table(
+        {"key": pa.array([-(k + 1) for k in range(100)], pa.int64()),
+         "cents": pa.array([100_050] * 100, pa.int64()),
+         "side": pa.array([1] * 100, pa.int8()),
+         "bucket": pa.array([(-(k + 1)) % N_BUCKETS for k in range(100)],
+                            pa.int32())}, schema=_R)
+    import ray.data as _rd
+
+    rows = ds.map_batches(both_sides, batch_format="pyarrow",
+                          batch_size=262144).union(
+        _rd.from_arrow(inserts))
+    parts = (rows.groupby("bucket")
+             .map_groups(diff_group, batch_format="pandas").to_pandas())
+    out = (parts.groupby("status", as_index=False)[["n_rows", "sum_cents"]]
+           .sum().sort_values("status").reset_index(drop=True))
+    return out.astype({"n_rows": "int64", "sum_cents": "int64"})
+
+
 def part_affinity_pairs(sf_dir: str, k: int = 30) -> pd.DataFrame:
     """(p1, p2, n_orders) — top-k part pairs by basket co-occurrence: how
     many orders contain BOTH parts (p1 < p2).  The A-priori support pass of
