@@ -394,6 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_degree_assortativity": relational.link_degree_assortativity,
         "part_affinity_pairs": relational.part_affinity_pairs,
         "orders_snapshot_diff": relational.orders_snapshot_diff,
+        "events_percent_rank": relational.events_percent_rank,
         "redirect_cycles": relational.redirect_cycles,
         "link_weighted_paths": relational.link_weighted_paths,
         "hits_docs": relational.hits_docs,
@@ -757,6 +758,13 @@ def oracle_sql() -> dict[str, str]:
     d = {
         "pagerank_docs": pagerank_sql,
         "personalized_pagerank": ppr_sql,
+        # PERCENT_RANK per type partition ordered by value (min-rank ties);
+        # (r-1)/(n-1) is the same small-int IEEE division on both sides
+        "events_percent_rank": """
+            SELECT event_id, event_type,
+                   percent_rank() OVER (PARTITION BY event_type
+                                        ORDER BY value) AS pct
+            FROM events ORDER BY event_id""",
         # CDC snapshot diff: base orders vs the deterministically perturbed
         # twin (delete %41, update %37 by +1.00, 100 negative-key inserts)
         "orders_snapshot_diff": """

@@ -235,6 +235,7 @@ BENCH_QUERY_NAMES = [
     "term_burstiness",
     "part_affinity_pairs",
     "orders_snapshot_diff",
+    "events_percent_rank",
 ]
 
 

@@ -2121,6 +2121,36 @@ def degree_distribution(sf_dir: str) -> pd.DataFrame:
             .astype({"in_degree": "int64", "n_nodes": "int64"}))
 
 
+def events_percent_rank(sf_dir: str) -> pd.DataFrame:
+    """(event_id, event_type, pct) — SQL PERCENT_RANK() per event within
+    its type partition ordered by value: (min_rank - 1) / (n_part - 1),
+    ties sharing the min rank.  The relative-standing window verb next to
+    the deciles/quantiles family — per-ROW output, not a summary.
+
+    Scale shape: ONE event_type-keyed all-to-all (the window partition IS
+    the shuffle key); each group ranks vectorized (pandas min-rank over
+    the value column) and emits its rows.  Both sides compute the same
+    small-int division in IEEE double, so the floats are bit-identical.
+    """
+    ds = read_pruned(_t(sf_dir, "events"), ["event_id", "event_type", "value"])
+
+    _S = pa.schema([("event_id", pa.int64()), ("event_type", pa.string()),
+                    ("pct", pa.float64())])
+
+    def rank_group(g: pd.DataFrame) -> pa.Table:
+        n = len(g)
+        r = g["value"].rank(method="min").to_numpy()
+        pct = (r - 1.0) / (n - 1.0) if n > 1 else np.zeros(n)
+        return pa.table(
+            {"event_id": pa.array(g["event_id"].to_numpy(), pa.int64()),
+             "event_type": pa.array(g["event_type"].to_numpy(), pa.string()),
+             "pct": pa.array(pct, pa.float64())}, schema=_S)
+
+    out = (ds.groupby("event_type")
+           .map_groups(rank_group, batch_format="pandas").to_pandas())
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def orders_snapshot_diff(sf_dir: str) -> pd.DataFrame:
     """(status, n_rows, sum_cents) — CDC-style reconciliation between two
     snapshots of orders: the base table vs a deterministically perturbed
