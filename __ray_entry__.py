@@ -395,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_affinity_pairs": relational.part_affinity_pairs,
         "orders_snapshot_diff": relational.orders_snapshot_diff,
         "events_percent_rank": relational.events_percent_rank,
+        "value_mode_per_type": relational.value_mode_per_type,
         "redirect_cycles": relational.redirect_cycles,
         "link_weighted_paths": relational.link_weighted_paths,
         "hits_docs": relational.hits_docs,
@@ -758,6 +759,20 @@ def oracle_sql() -> dict[str, str]:
     d = {
         "pagerank_docs": pagerank_sql,
         "personalized_pagerank": ppr_sql,
+        # exact mode of cent-quantized value per type, ties to LOWEST value
+        # (explicit row_number, not SQL mode()'s unspecified tie)
+        "value_mode_per_type": """
+            WITH c AS (SELECT event_type,
+                              CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+                       FROM events),
+            g AS (SELECT event_type, cents, count(*)::BIGINT AS n
+                  FROM c GROUP BY event_type, cents),
+            r AS (SELECT event_type, cents, n,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY n DESC, cents) AS rn
+                  FROM g)
+            SELECT event_type, cents AS mode_cents, n AS n_occurrences
+            FROM r WHERE rn = 1 ORDER BY event_type""",
         # PERCENT_RANK per type partition ordered by value (min-rank ties);
         # (r-1)/(n-1) is the same small-int IEEE division on both sides
         "events_percent_rank": """

@@ -236,6 +236,7 @@ BENCH_QUERY_NAMES = [
     "part_affinity_pairs",
     "orders_snapshot_diff",
     "events_percent_rank",
+    "value_mode_per_type",
 ]
 
 

@@ -2121,6 +2121,49 @@ def degree_distribution(sf_dir: str) -> pd.DataFrame:
             .astype({"in_degree": "int64", "n_nodes": "int64"}))
 
 
+def value_mode_per_type(sf_dir: str) -> pd.DataFrame:
+    """(event_type, mode_cents, n_occurrences) — the exact statistical MODE
+    of the cent-quantized value per event type, ties broken to the LOWEST
+    value (a total order, unlike SQL ``mode()``'s unspecified tie).  The
+    most-common-value statistic a catalog/profiler collects next to
+    min/max/ndv (catalog_stats_collect).
+
+    Scale shape: per-batch (type, cents) count partials (bounded by
+    distinct cents per batch) -> ONE type-keyed groupby; each group folds
+    partials vectorized and emits one (mode, count) row.  The driver sees
+    |types| rows.
+    """
+    ds = read_pruned(_t(sf_dir, "events"), ["event_type", "value"])
+
+    _P = pa.schema([("event_type", pa.string()), ("cents", pa.int64()),
+                    ("c", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_pandas(),
+            "cents": np.round(t["value"].to_numpy() * 100).astype(np.int64)})
+        g = (df.groupby(["event_type", "cents"], sort=False)
+             .size().reset_index(name="c"))
+        return pa.Table.from_pandas(g, schema=_P, preserve_index=False
+                                    ).replace_schema_metadata(None)
+
+    _S = pa.schema([("event_type", pa.string()), ("mode_cents", pa.int64()),
+                    ("n_occurrences", pa.int64())])
+
+    def mode_group(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby("cents")["c"].sum()
+        best = s.sort_index().idxmax()  # idxmax on sorted index = lowest tie
+        return pa.table(
+            {"event_type": pa.array([g["event_type"].iloc[0]], pa.string()),
+             "mode_cents": pa.array([int(best)], pa.int64()),
+             "n_occurrences": pa.array([int(s[best])], pa.int64())}, schema=_S)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=262144)
+           .groupby("event_type")
+           .map_groups(mode_group, batch_format="pandas").to_pandas())
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def events_percent_rank(sf_dir: str) -> pd.DataFrame:
     """(event_id, event_type, pct) — SQL PERCENT_RANK() per event within
     its type partition ordered by value: (min_rank - 1) / (n_part - 1),
