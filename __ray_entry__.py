@@ -396,6 +396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_snapshot_diff": relational.orders_snapshot_diff,
         "events_percent_rank": relational.events_percent_rank,
         "value_mode_per_type": relational.value_mode_per_type,
+        "fk_integrity_report": relational.fk_integrity_report,
         "redirect_cycles": relational.redirect_cycles,
         "link_weighted_paths": relational.link_weighted_paths,
         "hits_docs": relational.hits_docs,
@@ -759,6 +760,45 @@ def oracle_sql() -> dict[str, str]:
     d = {
         "pagerank_docs": pagerank_sql,
         "personalized_pagerank": ppr_sql,
+        # referential-integrity audit: orphan counts per FK edge
+        "fk_integrity_report": """
+            SELECT * FROM (
+              SELECT 'customer.c_nationkey' AS fk_name,
+                     count(*)::BIGINT AS n_child,
+                     (count(*) FILTER (WHERE n.n_nationkey IS NULL))::BIGINT
+                       AS n_orphans
+              FROM customer c LEFT JOIN nation n
+                ON n.n_nationkey = c.c_nationkey
+              UNION ALL
+              SELECT 'lineitem.l_orderkey', count(*)::BIGINT,
+                     (count(*) FILTER (WHERE o.o_orderkey IS NULL))::BIGINT
+              FROM lineitem l LEFT JOIN orders o
+                ON o.o_orderkey = l.l_orderkey
+              UNION ALL
+              SELECT 'lineitem.l_partkey', count(*)::BIGINT,
+                     (count(*) FILTER (WHERE p.p_partkey IS NULL))::BIGINT
+              FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+              UNION ALL
+              SELECT 'lineitem.l_suppkey', count(*)::BIGINT,
+                     (count(*) FILTER (WHERE s.s_suppkey IS NULL))::BIGINT
+              FROM lineitem l LEFT JOIN supplier s
+                ON s.s_suppkey = l.l_suppkey
+              UNION ALL
+              SELECT 'nation.n_regionkey', count(*)::BIGINT,
+                     (count(*) FILTER (WHERE r.r_regionkey IS NULL))::BIGINT
+              FROM nation n LEFT JOIN region r
+                ON r.r_regionkey = n.n_regionkey
+              UNION ALL
+              SELECT 'orders.o_custkey', count(*)::BIGINT,
+                     (count(*) FILTER (WHERE c.c_custkey IS NULL))::BIGINT
+              FROM orders o LEFT JOIN customer c
+                ON c.c_custkey = o.o_custkey
+              UNION ALL
+              SELECT 'supplier.s_nationkey', count(*)::BIGINT,
+                     (count(*) FILTER (WHERE n.n_nationkey IS NULL))::BIGINT
+              FROM supplier s LEFT JOIN nation n
+                ON n.n_nationkey = s.s_nationkey
+            ) ORDER BY fk_name""",
         # exact mode of cent-quantized value per type, ties to LOWEST value
         # (explicit row_number, not SQL mode()'s unspecified tie)
         "value_mode_per_type": """

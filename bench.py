@@ -237,6 +237,7 @@ BENCH_QUERY_NAMES = [
     "orders_snapshot_diff",
     "events_percent_rank",
     "value_mode_per_type",
+    "fk_integrity_report",
 ]
 
 

@@ -2121,6 +2121,108 @@ def degree_distribution(sf_dir: str) -> pd.DataFrame:
             .astype({"in_degree": "int64", "n_nodes": "int64"}))
 
 
+_FK_EDGES = [
+    # (fk_name, child_table, child_col, parent_table, parent_col, broadcast)
+    ("customer.c_nationkey", "customer", "c_nationkey", "nation",
+     "n_nationkey", True),
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey", "orders",
+     "o_orderkey", False),
+    ("lineitem.l_partkey", "lineitem", "l_partkey", "part",
+     "p_partkey", False),
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey", "supplier",
+     "s_suppkey", False),
+    ("nation.n_regionkey", "nation", "n_regionkey", "region",
+     "r_regionkey", True),
+    ("orders.o_custkey", "orders", "o_custkey", "customer",
+     "c_custkey", False),
+    ("supplier.s_nationkey", "supplier", "s_nationkey", "nation",
+     "n_nationkey", True),
+]
+
+
+def fk_integrity_report(sf_dir: str) -> pd.DataFrame:
+    """(fk_name, n_child, n_orphans) — referential-integrity audit of every
+    foreign-key edge in the star schema: child rows whose key has no parent
+    (the data-quality gate a lakehouse runs after every load, and the crawl
+    engine's seen-set anti-join expressed as a schema-wide report).
+
+    Scale shape: per edge, (a) TINY parents (nation/region) broadcast via
+    ``ray.put`` of the key array — the child side is a map-only masked
+    count; (b) big parents take ONE shared key-bucket all-to-all — the
+    child ships (key, cnt) per-batch-combined partials, the parent ships
+    marker keys, each group counts unmatched child rows vectorized.  The
+    driver folds |edges| x |buckets| count rows; no table is collected.
+    """
+    N_BUCKETS = 32
+    rows = []
+    for fk_name, ct, cc, pt, pc_, broadcast in _FK_EDGES:
+        child = read_pruned(_t(sf_dir, ct), [cc])
+        if broadcast:
+            import pyarrow.parquet as _pq
+
+            pkeys = ray.put(
+                _pq.read_table(_t(sf_dir, pt), columns=[pc_])[pc_]
+                .combine_chunks())
+
+            def check(t: pa.Table, cc=cc, pkeys=pkeys) -> pa.Table:
+                keys = ray.get(pkeys)
+                miss = pc.is_null(pc.index_in(t[cc], value_set=keys))
+                return pa.table(
+                    {"n_child": pa.array([t.num_rows], pa.int64()),
+                     "n_orphans": pa.array(
+                         [int(pc.sum(pc.cast(miss, pa.int64())).as_py() or 0)],
+                         pa.int64())})
+
+            parts = child.map_batches(check, batch_format="pyarrow",
+                                      batch_size=262144).to_pandas()
+        else:
+            parent = read_pruned(_t(sf_dir, pt), [pc_])
+
+            _R = pa.schema([("key", pa.int64()), ("cnt", pa.int64()),
+                            ("is_parent", pa.int8()), ("bucket", pa.int32())])
+
+            def child_rows(t: pa.Table, cc=cc) -> pa.Table:
+                k, c = np.unique(t[cc].to_numpy(), return_counts=True)
+                return pa.table(
+                    {"key": pa.array(k, pa.int64()),
+                     "cnt": pa.array(c.astype(np.int64), pa.int64()),
+                     "is_parent": pa.array(np.zeros(len(k), np.int8), pa.int8()),
+                     "bucket": pa.array((k % N_BUCKETS).astype(np.int32),
+                                        pa.int32())}, schema=_R)
+
+            def parent_rows(t: pa.Table, pc_=pc_) -> pa.Table:
+                k = np.unique(t[pc_].to_numpy())
+                return pa.table(
+                    {"key": pa.array(k, pa.int64()),
+                     "cnt": pa.array(np.zeros(len(k), np.int64), pa.int64()),
+                     "is_parent": pa.array(np.ones(len(k), np.int8), pa.int8()),
+                     "bucket": pa.array((k % N_BUCKETS).astype(np.int32),
+                                        pa.int32())}, schema=_R)
+
+            def count_orphans(g: pd.DataFrame) -> pa.Table:
+                pk = set(g.loc[g["is_parent"] == 1, "key"].to_numpy())
+                ch = g[g["is_parent"] == 0]
+                miss = ~ch["key"].isin(pk)
+                return pa.table(
+                    {"n_child": pa.array([int(ch["cnt"].sum())], pa.int64()),
+                     "n_orphans": pa.array(
+                         [int(ch.loc[miss, "cnt"].sum())], pa.int64())})
+
+            parts = (child.map_batches(child_rows, batch_format="pyarrow",
+                                       batch_size=262144)
+                     .union(parent.map_batches(parent_rows,
+                                               batch_format="pyarrow",
+                                               batch_size=262144))
+                     .groupby("bucket")
+                     .map_groups(count_orphans, batch_format="pandas")
+                     .to_pandas())
+        rows.append({"fk_name": fk_name,
+                     "n_child": int(parts["n_child"].sum()),
+                     "n_orphans": int(parts["n_orphans"].sum())})
+    out = pd.DataFrame(rows).astype({"n_child": "int64", "n_orphans": "int64"})
+    return out.sort_values("fk_name").reset_index(drop=True)
+
+
 def value_mode_per_type(sf_dir: str) -> pd.DataFrame:
     """(event_type, mode_cents, n_occurrences) — the exact statistical MODE
     of the cent-quantized value per event type, ties broken to the LOWEST
