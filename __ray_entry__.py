@@ -278,9 +278,15 @@ def pdf_golden_check(sf_dir: str, encoding: str = "pdf_flate"):
 
     sf = _sf_of(sf_dir)
     n_pages = max(200, int(sf * 20_000))  # pdf render+extract is heavier
+    if encoding == "pdf_encrypted":
+        # the encrypted check's cost is per-page CRYPTO (4 hash_2b writer +
+        # 2 reader calls per aes-256 file), and its purpose is cipher-path
+        # coverage, not volume: two full cipher x layout cycles suffice
+        n_pages = max(200, min(400, n_pages))
     cfg = CorpusConfig(n_pages=n_pages, n_hosts=20, n_buckets=8, encoding=encoding)
     corpus = generate_corpus(
-        os.path.join("/tmp", f"graft_corpus_{cfg.cache_key()}"), cfg
+        os.path.join("/tmp", f"graft_corpus_{cfg.cache_key()}"), cfg,
+        use_ray=True,
     )
     ds = rd.read_parquet(os.path.join(corpus, "pages"))
 

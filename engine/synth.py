@@ -544,7 +544,10 @@ def _generate_with_ray(pages_dir: str, cfg: CorpusConfig, assign: dict):
     import ray
 
     assign_ref = ray.put(assign)
-    chunk = 10_000
+    # adaptive chunking: big corpora keep the 10k write granularity, small
+    # ones still fan out ~64 tasks (a 400-page ENCRYPTED corpus is dominated
+    # by per-page crypto, and one 10k chunk would serialize it)
+    chunk = min(10_000, max(32, -(-cfg.n_pages // 64)))
     n_chunks = -(-cfg.n_pages // chunk)
 
     @ray.remote(num_cpus=2)  # allocation-heavy; see crawl.py extract stage note
