@@ -742,6 +742,13 @@ def run_dedup_smoke() -> dict:
         "link_parity_conflicts": lambda: rel.link_parity_conflicts(dest),
         # chi-square (source, lang) independence: map-only enum partials
         "source_lang_chi2": lambda: _text_ops.source_lang_chi2(dest),
+        # topic-sensitive teleport: one bucket-shuffle per iteration
+        "personalized_pagerank": lambda: rel.personalized_pagerank(dest),
+        # exact integer degree-mixing moments: two bucket all-to-alls
+        "link_degree_assortativity": lambda:
+            rel.link_degree_assortativity(dest),
+        # Church-Gale dispersion: vocab-bounded partials, one term groupby
+        "term_burstiness": lambda: _text_ops.term_burstiness(dest),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")
     if only:
@@ -954,6 +961,11 @@ def run_events_smoke() -> dict:
         # sweep-line peak session concurrency: boundary rows + cell exchange
         "concurrent_sessions_peak": lambda: int(
             rel.concurrent_sessions_peak(dest)["peak_concurrency"][0]),
+        # per-row PERCENT_RANK: the type partition IS the shuffle key;
+        # consumed as a streaming count (50M output rows stay distributed)
+        "events_percent_rank": lambda: rel._events_percent_rank_ds(dest).count(),
+        # exact mode per type off bounded cent-count partials
+        "value_mode_per_type": lambda: len(rel.value_mode_per_type(dest)),
     }
     only = os.environ.get("GRAFT_SMOKE_ONLY")
     if only:

@@ -2276,7 +2276,14 @@ def events_percent_rank(sf_dir: str) -> pd.DataFrame:
     the shuffle key); each group ranks vectorized (pandas min-rank over
     the value column) and emits its rows.  Both sides compute the same
     small-int division in IEEE double, so the floats are bit-identical.
+    The driver collect here is the QUERY wrapper; the smoke consumes the
+    Dataset form (_events_percent_rank_ds) as a streaming count.
     """
+    out = _events_percent_rank_ds(sf_dir).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def _events_percent_rank_ds(sf_dir: str):
     ds = read_pruned(_t(sf_dir, "events"), ["event_id", "event_type", "value"])
 
     _S = pa.schema([("event_id", pa.int64()), ("event_type", pa.string()),
@@ -2291,9 +2298,8 @@ def events_percent_rank(sf_dir: str) -> pd.DataFrame:
              "event_type": pa.array(g["event_type"].to_numpy(), pa.string()),
              "pct": pa.array(pct, pa.float64())}, schema=_S)
 
-    out = (ds.groupby("event_type")
-           .map_groups(rank_group, batch_format="pandas").to_pandas())
-    return out.sort_values("event_id").reset_index(drop=True)
+    return ds.groupby("event_type").map_groups(rank_group,
+                                               batch_format="pandas")
 
 
 def orders_snapshot_diff(sf_dir: str) -> pd.DataFrame:

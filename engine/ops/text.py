@@ -1974,32 +1974,45 @@ def term_burstiness(sf_dir: str, k: int = 20) -> pd.DataFrame:
     statistic a corpus curation run uses to separate topical vocabulary
     from boilerplate before keyword/dedup weighting.
 
-    Scale shape: each batch computes per-document counts locally and emits
-    vocab-bounded (term, df, tf, tf_sq) partials; ONE term-keyed groupby
-    sums them (all-integer, order-free); the top-k cut (df desc, term asc
-    — total order, no ties possible on the unique term column) runs on the
-    vocab-sized aggregate.  Text never enters the exchange.
+    Scale shape: each batch computes per-document counts locally (Arrow
+    dictionary-encode + int64-key np.unique + bincount — no string groupby)
+    and emits per-batch-distinct (term, df, tf, tf_sq) partials; ONE
+    term-keyed groupby sums them (all-integer, order-free); the top-k cut
+    (df desc, term asc — total order, no ties possible on the unique term
+    column) runs on the aggregate.  Text never enters the exchange — on a
+    natural-language corpus the partials are vocab-bounded; on a
+    hash-token corpus (the 5M-doc smoke) the term shuffle is the honest
+    dominant cost, same as the BPE/postings family.
     """
     from ray.data.aggregate import Sum
 
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def partial(t: pa.Table) -> pa.Table:
+        # all-integer path: dictionary-encode terms, combine (doc, term)
+        # into one int64 key, np.unique for per-doc counts, bincount folds
+        # per-term moments — no pandas string groupby in the hot loop
         toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), r"\s+")
-        df_ = pd.DataFrame({
-            "doc": np.repeat(t["doc_id"].to_numpy(),
-                             pc.list_value_length(toks).to_numpy()),
-            "w": pc.list_flatten(toks).to_pandas()})
-        df_ = df_[df_["w"] != ""]
-        c = df_.groupby(["doc", "w"], sort=False).size().reset_index(name="c")
-        c["c2"] = c["c"].to_numpy() ** 2
-        agg = c.groupby("w", sort=False).agg(
-            df=("c", "size"), tf=("c", "sum"), tf_sq=("c2", "sum"))
+        flat = pc.list_flatten(toks).combine_chunks()
+        parent = pc.list_parent_indices(toks).combine_chunks().to_numpy()
+        mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)[mask]
+        parent = parent[mask]
+        terms = enc.dictionary.to_pylist()
+        nv = len(terms)
+        key = parent.astype(np.int64) * nv + codes
+        uk, cnt = np.unique(key, return_counts=True)
+        w_idx = (uk % nv).astype(np.int64)
+        df_w = np.bincount(w_idx, minlength=nv)
+        tf_w = np.bincount(w_idx, weights=cnt, minlength=nv).astype(np.int64)
+        sq_w = np.bincount(w_idx, weights=cnt.astype(np.int64) ** 2,
+                           minlength=nv).astype(np.int64)
         return pa.table(
-            {"term": pa.array(agg.index.to_numpy(), pa.string()),
-             "df": pa.array(agg["df"].to_numpy(), pa.int64()),
-             "tf": pa.array(agg["tf"].to_numpy(), pa.int64()),
-             "tf_sq": pa.array(agg["tf_sq"].to_numpy(), pa.int64())})
+            {"term": pa.array(terms, pa.string()),
+             "df": pa.array(df_w.astype(np.int64), pa.int64()),
+             "tf": pa.array(tf_w, pa.int64()),
+             "tf_sq": pa.array(sq_w, pa.int64())})
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
