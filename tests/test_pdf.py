@@ -651,3 +651,45 @@ def test_lzw_earlychange0_stream():
         dp = b"<< /Length %d /Filter /LZWDecode /DecodeParms << /EarlyChange %d >> >>" % (len(raw), early)
         assert _decode_stream(dp, raw) == content
         assert decode_lzw(raw, early=early) == content
+
+
+def test_crawl_over_encrypted_pdf_corpus_matches_oracle(tmp_path, ray_session):
+    """End-to-end: the crawl pipeline over a pdf_encrypted corpus (4 ciphers
+    x 2 layouts cycling per row) matches the sequential oracle exactly —
+    order, seen set, counters — and every fetched doc's markdown equals the
+    golden text.  Decryption rides inside the distributed extract stage."""
+    from engine.crawl import crawl
+    from engine.oracle import crawl_oracle
+    from engine.synth import CorpusConfig, generate_corpus
+
+    corpus = str(tmp_path / "enc_corpus")
+    generate_corpus(
+        corpus,
+        CorpusConfig(n_pages=120, n_hosts=8, n_buckets=4,
+                     encoding="pdf_encrypted"),
+        use_ray=False,
+    )
+    budget = {"max_urls_total": 100, "max_per_host_per_round": 5,
+              "max_depth": 5, "max_rounds": 6}
+    oracle = crawl_oracle(corpus, budget)
+    engine = crawl(corpus, str(tmp_path / "ckpt_enc"), budget)
+    assert engine.cumulative == oracle["cumulative"]
+    assert engine.cumulative["fetched"] > 20
+    got = engine.order_table().to_pylist()
+    assert [(x["fetch_seq"], x["url"]) for x in got] == [
+        (x["fetch_seq"], x["url"]) for x in oracle["order"]
+    ]
+    import os
+    from glob import glob
+
+    import pyarrow.parquet as pq
+
+    golden = {}
+    for f in glob(os.path.join(corpus, "pages", "bucket=*", "*.parquet")):
+        t = pq.read_table(f, columns=["url", "text"])
+        golden.update(zip(t["url"].to_pylist(), t["text"].to_pylist()))
+    docs = engine.docs_dataset().to_pandas()
+    hits = docs[docs.status == "hit"]
+    assert len(hits) > 20
+    for u, m in zip(hits.url, hits.markdown):
+        assert golden[u] == m, u
