@@ -403,6 +403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_percent_rank": relational.events_percent_rank,
         "value_mode_per_type": relational.value_mode_per_type,
         "fk_integrity_report": relational.fk_integrity_report,
+        "kmeans_inertia_report": ann.kmeans_inertia_report,
         "redirect_cycles": relational.redirect_cycles,
         "link_weighted_paths": relational.link_weighted_paths,
         "hits_docs": relational.hits_docs,
@@ -1545,6 +1546,7 @@ def oracle_sql() -> dict[str, str]:
         # generated unrolled Lloyd iterations — identical integer formulas
         # (micro rounding, truncating // update, dist/cid tie rule)
         "embedding_kmeans": ann.embedding_kmeans_sql(),
+        "kmeans_inertia_report": ann.kmeans_inertia_sql(),
         "label_centroids": """
             WITH e AS (
               SELECT label, unnest(embedding) AS x,

@@ -238,6 +238,7 @@ BENCH_QUERY_NAMES = [
     "events_percent_rank",
     "value_mode_per_type",
     "fk_integrity_report",
+    "kmeans_inertia_report",
 ]
 
 

@@ -1733,6 +1733,85 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 4) -> pd.DataFrame:
          "n_vecs": np.repeat(last_counts, d)})
 
 
+def kmeans_inertia_report(sf_dir: str, k: int = 8, iters: int = 4) -> pd.DataFrame:
+    """(cluster, n_vecs, sse_milli) — per-cluster inertia after the
+    embedding_kmeans rounds: one FINAL assignment pass against the trained
+    centroids, accumulating exact integer ``sum(dist_micro2 // 1000)`` per
+    cluster (the per-row floor-division keeps partials inside int64 at any
+    corpus size).  The cluster-quality scoreboard (elbow/inertia) a
+    domain-mix curriculum reads before trusting the clustering.
+
+    Scale shape: the k x d centroid matrix is driver-small and rides the
+    task closure; ONE map-only pass emits <= k (cluster, n, sse) integer
+    partials per block; the driver reduce is k-sized.  Assignment uses the
+    same factored int64 distance and argmin-ties-low rule as the trainer,
+    so the report is exact against the unrolled-CTE oracle.
+    """
+    cent = embedding_kmeans(sf_dir, k=k, iters=iters)
+    kk = int(cent["cluster"].max()) + 1
+    d = int(cent["i"].max()) + 1
+    C = (cent.sort_values(["cluster", "i"])["centroid_micro"]
+         .to_numpy().reshape(kk, d).astype(np.int64))
+    cn2 = (C * C).sum(axis=1)
+
+    path = _emb_path(sf_dir)
+    ds = read_pruned(path, ["vec_id", "embedding"])
+
+    _P = pa.schema([("cluster", pa.int64()), ("n", pa.int64()),
+                    ("sse", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids, X = _to_matrix(t)
+        if not len(ids):
+            return pa.table({"cluster": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "sse": pa.array([], pa.int64())}, schema=_P)
+        R = np.round(X * 1e6).astype(np.int64)
+        d2 = (R * R).sum(axis=1)[:, None] - 2 * (R @ C.T) + cn2[None, :]
+        assign = np.argmin(d2, axis=1)
+        dist = d2[np.arange(len(assign)), assign] // 1000
+        cnt = np.bincount(assign, minlength=kk).astype(np.int64)
+        # int64 accumulation (bincount's float64 weights would lose
+        # exactness past 2^53 on big blocks)
+        sse = np.zeros(kk, dtype=np.int64)
+        np.add.at(sse, assign, dist)
+        return pa.table(
+            {"cluster": pa.array(np.arange(kk, dtype=np.int64)),
+             "n": pa.array(cnt), "sse": pa.array(sse)}, schema=_P)
+
+    red = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+           .groupby("cluster", as_index=False)[["n", "sse"]].sum())
+    return (pd.DataFrame({"cluster": red["cluster"].astype("int64"),
+                          "n_vecs": red["n"].astype("int64"),
+                          "sse_milli": red["sse"].astype("int64")})
+            .sort_values("cluster").reset_index(drop=True))
+
+
+def kmeans_inertia_sql(k: int = 8, iters: int = 4) -> str:
+    """Oracle twin of :func:`kmeans_inertia_report`: the embedding_kmeans
+    unrolled CTEs plus ONE more assignment round whose per-vector distance
+    floor-divides by 1000 before the per-cluster HUGEINT sum."""
+    base = embedding_kmeans_sql(k, iters)
+    # strip the trainer's final SELECT; keep the CTE chain through c{iters}
+    head = base[: base.rindex("SELECT c.cid AS cluster")].rstrip()
+    t = iters
+    return head + f""",
+        d{t} AS (
+          SELECT p.vec_id, c.cid,
+                 sum((p.v - c.v) * (p.v - c.v)) AS dist
+          FROM pts p JOIN c{t} c USING (dim)
+          GROUP BY p.vec_id, c.cid),
+        a{t} AS (
+          SELECT vec_id, cid, dist FROM (
+            SELECT vec_id, cid, dist,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM d{t}) WHERE rn = 1)
+        SELECT cid AS cluster, count(*)::BIGINT AS n_vecs,
+               CAST(sum(dist // 1000) AS BIGINT) AS sse_milli
+        FROM a{t} GROUP BY cid ORDER BY cluster"""
+
+
 def embedding_kmeans_sql(k: int = 8, iters: int = 4) -> str:
     """Generated DuckDB twin of :func:`embedding_kmeans`: long-format
     micro points, k lowest-vec_id init, and ``iters`` unrolled
