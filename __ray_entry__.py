@@ -404,6 +404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_mode_per_type": relational.value_mode_per_type,
         "fk_integrity_report": relational.fk_integrity_report,
         "kmeans_inertia_report": ann.kmeans_inertia_report,
+        "parts_abc_classification": relational.parts_abc_classification,
         "redirect_cycles": relational.redirect_cycles,
         "link_weighted_paths": relational.link_weighted_paths,
         "hits_docs": relational.hits_docs,
@@ -767,6 +768,23 @@ def oracle_sql() -> dict[str, str]:
     d = {
         "pagerank_docs": pagerank_sql,
         "personalized_pagerank": ppr_sql,
+        # Pareto/ABC: integer-exact cumulative-share classes over the
+        # (revenue desc, partkey) total order
+        "parts_abc_classification": """
+            WITH rev AS (SELECT l_partkey AS p,
+                         CAST(sum(CAST(floor(l_extendedprice*100 + 0.5)
+                                       AS BIGINT)) AS BIGINT) AS r
+                         FROM lineitem GROUP BY 1),
+            t AS (SELECT CAST(sum(r) AS BIGINT) AS total FROM rev),
+            w AS (SELECT p, r, sum(r) OVER (ORDER BY r DESC, p
+                            ROWS UNBOUNDED PRECEDING) AS cum FROM rev),
+            lab AS (SELECT CASE
+                      WHEN cum*100 <= (SELECT total FROM t)*80 THEN 'A'
+                      WHEN cum*100 <= (SELECT total FROM t)*95 THEN 'B'
+                      ELSE 'C' END AS abc_class, r FROM w)
+            SELECT abc_class, count(*)::BIGINT AS n_parts,
+                   CAST(sum(r) AS BIGINT) AS revenue_cents
+            FROM lab GROUP BY 1 ORDER BY 1""",
         # referential-integrity audit: orphan counts per FK edge
         "fk_integrity_report": """
             SELECT * FROM (

@@ -239,6 +239,7 @@ BENCH_QUERY_NAMES = [
     "value_mode_per_type",
     "fk_integrity_report",
     "kmeans_inertia_report",
+    "parts_abc_classification",
 ]
 
 

@@ -2121,6 +2121,95 @@ def degree_distribution(sf_dir: str) -> pd.DataFrame:
             .astype({"in_degree": "int64", "n_nodes": "int64"}))
 
 
+def parts_abc_classification(sf_dir: str) -> pd.DataFrame:
+    """(abc_class, n_parts, revenue_cents) — Pareto/ABC inventory analysis:
+    parts ranked by revenue (desc, partkey tiebreak), class A while the
+    INCLUSIVE cumulative share is <= 80% of total, B to 95%, else C — all
+    integer-exact (``cum*100 <= total*80`` compares, no float shares).
+
+    Scale shape: the global cumulative-over-a-sort WITHOUT a global sort —
+    the events_global_seq two-phase prefix idiom on an ordered RANGE key:
+    (1) per-part revenue via per-batch combine + one part-bucket exchange;
+    (2) each part lands in the monotone range bucket ``rev // 2^20`` (equal
+    revenues share a bucket, so in-bucket (rev desc, p) ordering is
+    globally consistent); per-bucket revenue sums give the driver a
+    bounded frame whose DESCENDING exclusive prefix is each bucket's
+    cumulative offset; (3) one rb-keyed exchange: each group sorts its own
+    rows, adds its offset, labels vectorized, and emits <= 3 class
+    partials.  ``cum*100`` stays inside int64 to ~9e16 total cents.
+    """
+    RB_SHIFT = 20
+    ds = read_pruned(_t(sf_dir, "lineitem"), ["l_partkey", "l_extendedprice"])
+
+    _R = pa.schema([("p", pa.int64()), ("r", pa.int64()),
+                    ("bucket", pa.int32())])
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        p = t["l_partkey"].to_numpy()
+        cents = np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        g = pd.DataFrame({"p": p, "r": cents}).groupby("p", as_index=False)[
+            "r"].sum()
+        keys = g["p"].to_numpy()
+        return pa.table(
+            {"p": pa.array(keys, pa.int64()),
+             "r": pa.array(g["r"].to_numpy(), pa.int64()),
+             "bucket": pa.array((keys % N_KEY_BUCKETS).astype(np.int32),
+                                pa.int32())}, schema=_R)
+
+    _REV = pa.schema([("p", pa.int64()), ("r", pa.int64()),
+                      ("rb", pa.int64())])
+
+    def fold_rev(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby("p", as_index=False)["r"].sum()
+        r = s["r"].to_numpy()
+        return pa.table(
+            {"p": pa.array(s["p"].to_numpy(), pa.int64()),
+             "r": pa.array(r, pa.int64()),
+             "rb": pa.array(r >> RB_SHIFT, pa.int64())}, schema=_REV)
+
+    rev = (ds.map_batches(rev_partial, batch_format="pyarrow",
+                          batch_size=262144)
+           .groupby("bucket").map_groups(fold_rev, batch_format="pandas")
+           .materialize())
+
+    def rb_sums(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame({"rb": t["rb"].to_numpy(),
+                          "r": t["r"].to_numpy()}).groupby(
+            "rb", as_index=False)["r"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False
+                                    ).replace_schema_metadata(None)
+
+    frame = (rev.map_batches(rb_sums, batch_format="pyarrow").to_pandas()
+             .groupby("rb", as_index=False)["r"].sum()
+             .sort_values("rb", ascending=False))
+    total = int(frame["r"].sum())
+    offs = dict(zip(frame["rb"].to_numpy(),
+                    np.concatenate([[0], frame["r"].cumsum().to_numpy()[:-1]])))
+
+    _S = pa.schema([("abc_class", pa.string()), ("n_parts", pa.int64()),
+                    ("revenue_cents", pa.int64())])
+
+    def label_group(g: pd.DataFrame) -> pa.Table:
+        gs = g.sort_values(["r", "p"], ascending=[False, True],
+                           kind="mergesort")
+        base = int(offs[int(gs["rb"].iloc[0])])
+        cum = base + gs["r"].cumsum().to_numpy()
+        cls = np.where(cum * 100 <= total * 80, "A",
+                       np.where(cum * 100 <= total * 95, "B", "C"))
+        out = (pd.DataFrame({"abc_class": cls, "r": gs["r"].to_numpy()})
+               .groupby("abc_class", as_index=False)
+               .agg(n_parts=("r", "size"), revenue_cents=("r", "sum")))
+        return pa.Table.from_pandas(out, schema=_S, preserve_index=False
+                                    ).replace_schema_metadata(None)
+
+    parts = (rev.groupby("rb").map_groups(label_group, batch_format="pandas")
+             .to_pandas())
+    out = (parts.groupby("abc_class", as_index=False)[
+        ["n_parts", "revenue_cents"]].sum().sort_values("abc_class"))
+    return (out.reset_index(drop=True)
+            .astype({"n_parts": "int64", "revenue_cents": "int64"}))
+
+
 _FK_EDGES = [
     # (fk_name, child_table, child_col, parent_table, parent_col, broadcast)
     ("customer.c_nationkey", "customer", "c_nationkey", "nation",
