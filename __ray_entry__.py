@@ -405,6 +405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_integrity_report": relational.fk_integrity_report,
         "kmeans_inertia_report": ann.kmeans_inertia_report,
         "parts_abc_classification": relational.parts_abc_classification,
+        "near_dup_rate_by_source": dedup.near_dup_rate_by_source,
         "redirect_cycles": relational.redirect_cycles,
         "link_weighted_paths": relational.link_weighted_paths,
         "hits_docs": relational.hits_docs,
@@ -3050,6 +3051,15 @@ def oracle_sql() -> dict[str, str]:
                sum(t.n)::BIGINT AS sum_tokens
         FROM tok t JOIN cur c ON c.doc_id = t.doc_id
         GROUP BY t.source ORDER BY t.source"""
+    # near-duplication rate per provenance: the generated LSH+CC canonical
+    # map composed with the documents source column
+    d["near_dup_rate_by_source"] = f"""
+        SELECT s.source, count(*)::BIGINT AS n_docs,
+               sum(CASE WHEN nd.canonical_id <> nd.doc_id
+                   THEN 1 ELSE 0 END)::BIGINT AS n_near_dups
+        FROM documents s
+        JOIN ({d["near_dedup_canonical"]}) nd ON nd.doc_id = s.doc_id
+        GROUP BY s.source ORDER BY s.source"""
     return _normalize_oracle_dtypes(d)
 
 

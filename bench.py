@@ -240,6 +240,7 @@ BENCH_QUERY_NAMES = [
     "fk_integrity_report",
     "kmeans_inertia_report",
     "parts_abc_classification",
+    "near_dup_rate_by_source",
 ]
 
 

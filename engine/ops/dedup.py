@@ -762,6 +762,72 @@ def near_dedup_canonical_ds(sf_dir: str, threshold: float = 0.5):
     return assign_labels_ds(_docs(sf_dir, ["doc_id"]), labels, "doc_id")
 
 
+def near_dup_rate_by_source(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
+    """(source, n_docs, n_near_dups) — the near-duplication rate per
+    PROVENANCE: how much of each source's volume is a transitive MinHash
+    near-duplicate of something else (canonical_id != doc_id).  The
+    contamination dashboard a corpus acquisition team reads before
+    renegotiating a source's weight (dedup x provenance, the composition
+    source_quality_stats runs for the full curate verdict).
+
+    Scale shape: the canonical-label stream (near_dedup_canonical_ds —
+    never collected) and the narrow (doc_id, source) projection meet in
+    ONE doc_id-bucket all-to-all; each group joins vectorized and emits
+    per-source count partials bounded by |sources|; the driver folds
+    |sources| x |buckets| rows.
+    """
+    labels = near_dedup_canonical_ds(sf_dir, threshold)
+    src = _docs(sf_dir, ["doc_id", "source"])
+    N_BUCKETS = 64
+
+    _R = pa.schema([("doc_id", pa.int64()), ("canonical_id", pa.int64()),
+                    ("source", pa.string()), ("is_label", pa.int8()),
+                    ("bucket", pa.int32())])
+
+    def label_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        return pa.table(
+            {"doc_id": t["doc_id"], "canonical_id": t["canonical_id"],
+             "source": pa.array([""] * len(ids), pa.string()),
+             "is_label": pa.array(np.ones(len(ids), np.int8), pa.int8()),
+             "bucket": pa.array((ids % N_BUCKETS).astype(np.int32),
+                                pa.int32())}, schema=_R)
+
+    def src_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "canonical_id": pa.array(np.zeros(len(ids), np.int64), pa.int64()),
+             "source": t["source"],
+             "is_label": pa.array(np.zeros(len(ids), np.int8), pa.int8()),
+             "bucket": pa.array((ids % N_BUCKETS).astype(np.int32),
+                                pa.int32())}, schema=_R)
+
+    _S = pa.schema([("source", pa.string()), ("n_docs", pa.int64()),
+                    ("n_near_dups", pa.int64())])
+
+    def count_group(g: pd.DataFrame) -> pa.Table:
+        lab = (g[g["is_label"] == 1].drop_duplicates("doc_id")
+               .set_index("doc_id")["canonical_id"])
+        s = g[g["is_label"] == 0]
+        canon = lab.reindex(s["doc_id"]).to_numpy()
+        dup = (canon != s["doc_id"].to_numpy()).astype(np.int64)
+        out = (pd.DataFrame({"source": s["source"].to_numpy(), "dup": dup})
+               .groupby("source", as_index=False)
+               .agg(n_docs=("dup", "size"), n_near_dups=("dup", "sum")))
+        return pa.Table.from_pandas(out, schema=_S, preserve_index=False
+                                    ).replace_schema_metadata(None)
+
+    parts = (labels.map_batches(label_rows, batch_format="pyarrow")
+             .union(src.map_batches(src_rows, batch_format="pyarrow"))
+             .groupby("bucket").map_groups(count_group, batch_format="pandas")
+             .to_pandas())
+    out = (parts.groupby("source", as_index=False)[
+        ["n_docs", "n_near_dups"]].sum().sort_values("source"))
+    return (out.reset_index(drop=True)
+            .astype({"n_docs": "int64", "n_near_dups": "int64"}))
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard pairs (the prompt's dedup family, standalone + oracle)
 # ---------------------------------------------------------------------------
